@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Scale notes (design target: 1000-executor cluster, ~100 TB):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting.
+  *  - `nanosAsLong`: the fixture `events` table carries parquet
+  *    TIMESTAMP(NANOS) which vanilla Spark refuses; we read the raw int64
+  *    and derive micros (see [[graft.sources.Tables.events]]).
+  *  - shuffle partitions default to the local core count; on a real cluster
+  *    AQE's coalescing makes the initial number mostly irrelevant.
+  */
+object GraftSession {
+  def configure(b: SparkSession.Builder, cores: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / bench. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      cores.toString
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Make an externally-created session (e.g. the driver's) safe for graft
+    * queries: settable runtime confs only. */
+  def prime(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

@@ -1,0 +1,391 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational operator pack over the TPC-H-ish fixture tables.
+  *
+  * Every query is deterministic (explicit ORDER BY + tie-breaks, doubles
+  * rounded after aggregation) and has a DuckDB oracle with identical column
+  * names. Plans are designed for scale: selective filters sit directly on
+  * the scans (parquet pushdown), small dimensions are broadcast explicitly,
+  * large joins shuffle on their natural keys, and aggregates are plain
+  * hash-aggregates with map-side partials.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-shaped pricing summary (reference: the `aggregate`/compute
+    * stage of the chain, SURVEY §2.4). Single scan, map-side partial agg. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6-shaped selective scan: filters push to parquet (shown as
+    * PushedFilters in the formatted plan); no shuffle beyond the final
+    * single-row agg. */
+  def q02SelectiveRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  val q02Sql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Broadcast join: `customer` is the small dimension; at 100 TB the fact
+    * side streams while the dim ships to every executor — no shuffle. */
+  def q03SegmentRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")), 2).as("segment_revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  val q03Sql: String =
+    """SELECT c_mktsegment,
+      |  round(sum(o_totalprice), 2) AS segment_revenue,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Shuffle join on the two big tables — the key (orderkey) co-partitions
+    * both sides; AQE handles skew at scale. */
+  def q04OrderStatusVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           round(sum(col("l_extendedprice")), 2).as("sum_price"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderstatus"))
+
+  val q04Sql: String =
+    """SELECT o_orderstatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** TPC-H Q5-shaped 6-way join. Dimension chain (region→nation→supplier)
+    * broadcasts; customer⋈orders⋈lineitem shuffles on their keys. */
+  def q05RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(Tables.region(spark, dir))
+    val nation = broadcast(Tables.nation(spark, dir))
+    val supplier = broadcast(Tables.supplier(spark, dir))
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+                      col("c_nationkey") === col("s_nationkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q05Sql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Top-k by value with deterministic tie-break — a TakeOrderedAndProject
+    * physical plan: per-partition top-k then a single driver merge, no
+    * global sort. */
+  def q06TopOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val q06Sql: String =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Window rank: per-customer top-3 orders. One shuffle on the partition
+    * key; rank predicate applied before any downstream join would run. */
+  def q07TopOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+              round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  val q07Sql: String =
+    """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  /** Running-sum window (frame ROWS UNBOUNDED PRECEDING) — streaming frame,
+    * single pass per partition. */
+  def q08RunningQty(spark: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is not unique in the fixture data, so the
+    // frame ordering includes the value columns to stay engine-independent.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+  }
+
+  val q08Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber, l_quantity, l_extendedprice
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, running_qty""".stripMargin
+
+  /** Distinct aggregates — Spark expands to a two-phase plan (expand +
+    * two aggregates); both engines compute exact distinct counts. */
+  def q09DistinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+
+  val q09Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP grouping sets; NULL subtotal labels made explicit so both
+    * engines emit identical strings. */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val q10Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** EXISTS as a left-semi join (no row duplication, short-circuits on
+    * first match). */
+  def q11BigSpenders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000)
+    Tables.customer(spark, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q11Sql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** NOT EXISTS as a left-anti join (customers with no 400k+ order). */
+  def q12CustomersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  val q12Sql: String =
+    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Set operations: nations that have customers INTERSECT nations that
+    * have suppliers, minus (EXCEPT) nations in region 0. */
+  def q13NationSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey")).distinct()
+    val suppNations = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")).distinct()
+    val region0 = Tables.nation(spark, dir).filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").as("nationkey"))
+    custNations.intersect(suppNations).except(region0)
+      .orderBy(col("nationkey"))
+  }
+
+  val q13Sql: String =
+    """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+      |EXCEPT
+      |SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 0
+      |ORDER BY nationkey""".stripMargin
+
+  /** CASE + string expressions, HAVING filter after aggregation. */
+  def q14PartSizeClasses(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .withColumn("size_class",
+        when(col("p_size") < 10, "small")
+          .when(col("p_size") < 30, "medium")
+          .otherwise("large"))
+      .groupBy(col("p_brand"), col("size_class"))
+      .agg(count(lit(1)).as("n_parts"),
+           round(avg(col("p_retailprice")), 2).as("avg_price"))
+      .filter(col("n_parts") >= 5)
+      .orderBy(col("p_brand"), col("size_class"))
+
+  val q14Sql: String =
+    """SELECT p_brand,
+      |  CASE WHEN p_size < 10 THEN 'small'
+      |       WHEN p_size < 30 THEN 'medium'
+      |       ELSE 'large' END AS size_class,
+      |  count(*) AS n_parts,
+      |  round(avg(p_retailprice), 2) AS avg_price
+      |FROM part
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 5
+      |ORDER BY p_brand, size_class""".stripMargin
+
+  /** Scalar "subquery" via a broadcast single-row aggregate (avoids the
+    * driver round-trip a literal would need; stays one job). */
+  def q15AboveAvgParts(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val avgPrice = part.agg(avg(col("p_retailprice")).as("global_avg"))
+    part.crossJoin(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("global_avg") * 1.01)
+      .select(col("p_partkey"), col("p_name"), round(col("p_retailprice"), 2).as("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q15Sql: String =
+    """SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+      |FROM part
+      |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) * 1.01
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Priority-ordered grouping (reference: `get_area_priorities`,
+    * launcher.py:253-266 — group work by priority, lower first). */
+  def q16PriorityGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("total"),
+           min(col("o_orderkey")).as("first_order"))
+      .orderBy(col("o_orderpriority"))
+
+  val q16Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS first_order
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_selective_revenue" -> (q02SelectiveRevenue _),
+    "q03_segment_revenue" -> (q03SegmentRevenue _),
+    "q04_order_status_volume" -> (q04OrderStatusVolume _),
+    "q05_region_revenue" -> (q05RegionRevenue _),
+    "q06_top_orders" -> (q06TopOrders _),
+    "q07_top_orders_per_customer" -> (q07TopOrdersPerCustomer _),
+    "q08_running_qty" -> (q08RunningQty _),
+    "q09_distinct_parts" -> (q09DistinctParts _),
+    "q10_rollup" -> (q10Rollup _),
+    "q11_big_spenders" -> (q11BigSpenders _),
+    "q12_customers_without_orders" -> (q12CustomersWithoutOrders _),
+    "q13_nation_setops" -> (q13NationSetOps _),
+    "q14_part_size_classes" -> (q14PartSizeClasses _),
+    "q15_above_avg_parts" -> (q15AboveAvgParts _),
+    "q16_priority_groups" -> (q16PriorityGroups _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_selective_revenue" -> q02Sql,
+    "q03_segment_revenue" -> q03Sql,
+    "q04_order_status_volume" -> q04Sql,
+    "q05_region_revenue" -> q05Sql,
+    "q06_top_orders" -> q06Sql,
+    "q07_top_orders_per_customer" -> q07Sql,
+    "q08_running_qty" -> q08Sql,
+    "q09_distinct_parts" -> q09Sql,
+    "q10_rollup" -> q10Sql,
+    "q11_big_spenders" -> q11Sql,
+    "q12_customers_without_orders" -> q12Sql,
+    "q13_nation_setops" -> q13Sql,
+    "q14_part_size_classes" -> q14Sql,
+    "q15_above_avg_parts" -> q15Sql,
+    "q16_priority_groups" -> q16Sql
+  )
+}

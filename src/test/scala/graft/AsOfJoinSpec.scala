@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("backward as-of picks latest right row at-or-before left ts") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // event 1, user 10, t=100
+      (2L, 10L, 205L),
+      (3L, 20L, 50L)
+    ).toDF("event_id", "user_id", "ts_ns")
+    val right = Seq(
+      (101L, 10L, 100L), // equal ts → inclusive match
+      (102L, 10L, 200L),
+      (103L, 30L, 10L)
+    ).toDF("s_event_id", "user_id", "ts_ns")
+
+    val got = AsOfJoin.backward(left, right, "user_id", "ts_ns",
+        Map("s_event_id" -> "matched"), rightTieBreak = "s_event_id")
+      .select($"event_id", $"matched".cast("long"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    assert(got(1L).contains(101L)) // inclusive at equal ts
+    assert(got(2L).contains(102L)) // latest of the two priors
+    assert(got(3L).isEmpty)        // no right row for user 20
+  }
+
+  test("right-side ties broken by tie-break column (highest wins via last)") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 100L)).toDF("event_id", "user_id", "ts_ns")
+    val right = Seq((7L, 1L, 100L), (9L, 1L, 100L))
+      .toDF("s_event_id", "user_id", "ts_ns")
+    val got = AsOfJoin.backward(left, right, "user_id", "ts_ns",
+        Map("s_event_id" -> "matched"), rightTieBreak = "s_event_id")
+      .select($"matched".cast("long")).collect()(0).getLong(0)
+    assert(got == 9L)
+  }
+}
