@@ -13,7 +13,8 @@ object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.defs, Relational.oracles),
-      (EventOps.defs, EventOps.oracles)
+      (EventOps.defs, EventOps.oracles),
+      (TextAnalysis.defs, TextAnalysis.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

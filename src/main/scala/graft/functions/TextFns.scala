@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic text/hash column builders.
+  *
+  * Every helper here has an exact DuckDB-SQL equivalent (documented per
+  * function) so queries built on them are oracle-checkable. All hashing
+  * goes through md5 → first 8 hex chars → unsigned 32-bit value in a
+  * BIGINT ("h32"): md5 is bit-identical everywhere, and 32-bit values keep
+  * all downstream modular arithmetic inside the non-overflowing BIGINT
+  * range (DuckDB raises on 64-bit overflow; Spark wraps — we avoid the
+  * divergence by never exceeding ~2^45).
+  *
+  * These are pure `Column` expressions (codegen'd built-ins, no UDFs), so
+  * they stay inside whole-stage codegen and Catalyst can push/prune around
+  * them — the difference between "works on 60k rows" and "works on 100 TB".
+  */
+object TextFns {
+  /** Large prime modulus for rolling hashes (fits arithmetic in BIGINT). */
+  val P: Long = 1000000007L
+
+  /** Unsigned 32-bit hash of a string column.
+    * DuckDB: `('0x' || substr(md5(x), 1, 8))::BIGINT`. */
+  def h32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Whitespace tokens, empties dropped.
+    * DuckDB: `list_filter(string_split(x, ' '), t -> len(t) > 0)`. */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => length(t) > lit(0))
+
+  /** Word-level n-gram shingles (space-joined).
+    * DuckDB: `list_transform(range(1, len(toks) - n + 2),
+    *            i -> array_to_string(toks[i:i+n-1], ' '))`. */
+  def shingles(toks: Column, n: Int): Column =
+    // Guarded: Spark's sequence(0, -1) would count DOWN; DuckDB's
+    // range(1, 0) is empty. The `when` keeps the engines aligned.
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Rolling polynomial fingerprint of a string array:
+    * fold (acc * b + h32(t)) % P with acc0 = 0.
+    * DuckDB: `list_reduce(list_prepend(0::BIGINT, list_transform(toks,
+    *            t -> h32(t))), (a, b) -> (a * B + b) % P)`. */
+  def rollingFp(toks: Column, b: Long = 131L): Column =
+    aggregate(
+      transform(toks, h32 _),
+      lit(0L),
+      (acc, h) => (acc * b + h) % P)
+}

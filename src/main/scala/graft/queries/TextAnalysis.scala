@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.TextFns._
+
+/** Text-analysis pack over the `documents` fixture — the training-data-
+  * pipeline surface (language ID, quality scoring, token counting, document
+  * fingerprinting) a 100 TB corpus engine needs.
+  *
+  * Everything is built from codegen'd built-in expressions (no UDFs): each
+  * document row is processed independently, so every query is a single scan
+  * + narrow projection followed by one aggregation/window — embarrassingly
+  * parallel at any scale, with column pruning reaching the parquet scan.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "data", "value")
+
+  /** Token counting: whitespace tokens + a BPE-ish subword count (maximal
+    * runs of ≤4 letters — deterministic proxy for a subword tokenizer),
+    * aggregated per (lang, source). */
+  def q23TokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).as("nw"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).as("ns"),
+        length(col("text")).as("nc"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("ws_tokens"),
+        sum(col("ns")).as("subword_tokens"),
+        round(avg(col("nc")), 4).as("avg_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  val q23Sql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  sum(len(list_filter(string_split(text, ' '), t -> len(t) > 0))) AS ws_tokens,
+      |  sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS subword_tokens,
+      |  round(avg(length(text)), 4) AS avg_chars
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
+  /** Per-document quality score from length / stopword-ratio / mean word
+    * length — the heuristic-filter stage of a corpus-cleaning pipeline. */
+  def q24QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).as("word_chars"),
+        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("word_chars").cast("double") / col("n_words"), 5).as("avg_wlen"),
+        round(col("n_stop").cast("double") / col("n_words"), 5).as("stop_ratio"),
+        round(
+          lit(0.3) * least(lit(1.0), col("n_words").cast("double") / 100.0) +
+          lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_words")) +
+          lit(0.4) * least(lit(1.0), (col("word_chars").cast("double") / col("n_words")) / 8.0),
+          5).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q24Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_words,
+      |    length(replace(text, ' ', '')) AS word_chars,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> list_contains(['the', 'a', 'data', 'value'], t))) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, n_words,
+      |  round(CAST(word_chars AS DOUBLE) / n_words, 5) AS avg_wlen,
+      |  round(CAST(n_stop AS DOUBLE) / n_words, 5) AS stop_ratio,
+      |  round(0.3 * least(1.0, CAST(n_words AS DOUBLE) / 100.0)
+      |      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_words)
+      |      + 0.4 * least(1.0, (CAST(word_chars AS DOUBLE) / n_words) / 8.0),
+      |    5) AS quality
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
+  /** n-gram-heuristic language ID: marker words vote per language, argmax
+    * with deterministic tie-break, confusion matrix vs the labeled lang.
+    * The marker table broadcasts; the corpus side never shuffles until the
+    * final tiny confusion aggregation. */
+  def q25LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val markers = Seq(
+      ("the", "en"), ("fast", "en"),
+      ("data", "de"), ("group", "de"),
+      ("table", "es"), ("row", "es"),
+      ("join", "fr"), ("merge", "fr"),
+      ("hash", "zh"), ("scan", "zh")).toDF("word", "plang")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val hits = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(markers), col("tok") === col("word"))
+      .groupBy(col("doc_id").as("h_doc"), col("plang"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("h_doc"))
+      .orderBy(col("votes").desc, col("plang"))
+    val best = hits.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    docs.join(best, col("doc_id") === col("h_doc"), "left")
+      .select(col("lang"), coalesce(col("plang"), lit("und")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val q25Sql: String =
+    """WITH markers(word, plang) AS (VALUES
+      |    ('the', 'en'), ('fast', 'en'), ('data', 'de'), ('group', 'de'),
+      |    ('table', 'es'), ('row', 'es'), ('join', 'fr'), ('merge', 'fr'),
+      |    ('hash', 'zh'), ('scan', 'zh')),
+      |toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id AS h_doc, plang, count(*) AS votes
+      |  FROM toks JOIN markers ON tok = word
+      |  GROUP BY 1, 2),
+      |best AS (
+      |  SELECT h_doc, plang FROM (
+      |    SELECT h_doc, plang,
+      |      row_number() OVER (PARTITION BY h_doc ORDER BY votes DESC, plang) AS rk
+      |    FROM hits) WHERE rk = 1)
+      |SELECT lang, coalesce(plang, 'und') AS predicted, count(*) AS n
+      |FROM documents LEFT JOIN best ON doc_id = h_doc
+      |GROUP BY 1, 2
+      |ORDER BY lang, predicted""".stripMargin
+
+  /** Document fingerprinting: rolling polynomial hash over token hashes
+    * (whole doc + first-8-token prefix) — the cheap first key of a dedup
+    * cascade; one narrow projection, no shuffle. */
+  def q26Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        rollingFp(toks).as("fp"),
+        rollingFp(slice(toks, 1, 8)).as("prefix_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q26Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents)
+      |SELECT doc_id, len(toks) AS n_tokens,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |    (a, b) -> (a * 131 + b) % 1000000007) AS fp,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(toks[1:8], t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |    (a, b) -> (a * 131 + b) % 1000000007) AS prefix_fp
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus statistics: document frequency + collection frequency per term
+    * (the IDF side of TF-IDF). Explode + two-level aggregate; at scale the
+    * map-side partial agg collapses each partition to ~vocab size. */
+  def q27VocabStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"),
+        count(lit(1)).as("coll_freq"))
+      .orderBy(col("word"))
+
+  val q27Sql: String =
+    """SELECT word, count(DISTINCT doc_id) AS doc_freq, count(*) AS coll_freq
+      |FROM (SELECT doc_id,
+      |        unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS word
+      |      FROM documents)
+      |GROUP BY word
+      |ORDER BY word""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q23_token_stats" -> (q23TokenStats _),
+    "q24_quality_score" -> (q24QualityScore _),
+    "q25_lang_id" -> (q25LangId _),
+    "q26_fingerprint" -> (q26Fingerprint _),
+    "q27_vocab_stats" -> (q27VocabStats _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q23_token_stats" -> q23Sql,
+    "q24_quality_score" -> q24Sql,
+    "q25_lang_id" -> q25Sql,
+    "q26_fingerprint" -> q26Sql,
+    "q27_vocab_stats" -> q27Sql
+  )
+}
