@@ -14,7 +14,8 @@ object SparkEntry {
     Seq(
       (Relational.defs, Relational.oracles),
       (EventOps.defs, EventOps.oracles),
-      (TextAnalysis.defs, TextAnalysis.oracles)
+      (TextAnalysis.defs, TextAnalysis.oracles),
+      (Dedup.defs, Dedup.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

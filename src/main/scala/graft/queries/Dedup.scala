@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFns._
+
+/** Deduplication pack over `documents` / `embeddings` — the dedup cascade
+  * of a training-data pipeline: exact (hash-groupBy), n-gram Jaccard
+  * (token-postings join), MinHash+LSH (signature → band → bucket join),
+  * SimHash (band-blocked Hamming), embedding-cosine near-dup.
+  *
+  * Scale design: every candidate-generation step is a hash-partitioned
+  * join on a *derived blocking key* (shingle hash, LSH band fingerprint,
+  * SimHash half-band, class label) — never an unblocked cross join — so
+  * the quadratic all-pairs cost is confined to within-bucket candidates.
+  * All hashing is the cross-engine md5-h32 (see [[graft.functions.TextFns]])
+  * so every query has an exact DuckDB oracle.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** MinHash permutation family (i, a, b): mh_i = min over shingles of
+    * (a*h + b) % P. Constants are literal here AND interpolated into the
+    * oracle SQL so the two engines share one definition. */
+  private val perms: Seq[(Int, Int, Int)] =
+    Seq.tabulate(16)(i => (i, 37 + 2 * i, 17 + 101 * i))
+  private val permsValues: String =
+    perms.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+
+  /** DuckDB fragment: distinct 3-gram shingle h32 postings per doc. */
+  private val shPostingsSql: String =
+    """sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |    FROM (SELECT doc_id,
+      |            list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |          FROM documents)))""".stripMargin
+
+  /** Spark side of the same postings: distinct (doc_id, shingle-h32). */
+  private def shPostings(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 3)).as("s"))
+      .select(col("doc_id"), h32(col("s")).as("h"))
+      .distinct()
+
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Exact dedup via content-key groupBy: key = rolling fingerprint of the
+    * sorted distinct token set (bag-of-words identity). One shuffle on the
+    * 8-byte key; the 100 TB version is identical. */
+  def q28ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        rollingFp(array_sort(array_distinct(toks))).as("content_key"))
+      .groupBy(col("content_key"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("canonical"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("canonical"))
+  }
+
+  val q28Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(
+      |        list_sort(list_distinct(list_filter(string_split(text, ' '), t -> len(t) > 0))),
+      |        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS content_key
+      |  FROM documents)
+      |SELECT content_key, count(*) AS n_docs,
+      |  min(doc_id) AS canonical, max(doc_id) AS max_doc
+      |FROM d
+      |GROUP BY content_key
+      |HAVING count(*) > 1
+      |ORDER BY canonical""".stripMargin
+
+  /** n-gram Jaccard near-dup pairs via the token-postings self-join (the
+    * scalable inverted-index form: intersections come from equi-joining on
+    * the shingle hash, never from comparing documents pairwise). */
+  def q29NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shPostings(spark, dir)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id"), col("n_sh").as("na")), col("da") === col("doc_id")).drop("doc_id")
+      .join(counts.select(col("doc_id"), col("n_sh").as("nb")), col("db") === col("doc_id")).drop("doc_id")
+      .withColumn("jac",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5))
+      .filter(col("jac") >= 0.6)
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"), col("jac"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q29Sql: String =
+    s"""WITH $shPostingsSql,
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db, inter, ca.n_sh AS na, cb.n_sh AS nb,
+      |  round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) AS jac
+      |FROM pairs
+      |JOIN cnt ca ON ca.doc_id = da
+      |JOIN cnt cb ON cb.doc_id = db
+      |WHERE round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) >= 0.6
+      |ORDER BY da, db""".stripMargin
+
+  /** MinHash + LSH: 16-permutation signature over shingle hashes, 4 bands
+    * of 4 rows, bucket-join on (band, band fingerprint) for candidates,
+    * exact Jaccard verification of candidates only. This is the 100 TB
+    * path: signature cost is linear, candidate generation is an equi-join
+    * on the band key, and the quadratic verify touches only collisions. */
+  def q30MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shPostings(spark, dir).persist()
+    val permsDf = perms.toDF("i", "pa", "pb")
+    val sig = sh.crossJoin(broadcast(permsDf))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min((col("pa") * col("h") + col("pb")) % P).as("mh"))
+    val bands = sig
+      .withColumn("band", expr("i div 4"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          s => s.getField("mh")),
+        lit(0L), (acc, x) => (acc * 131 + x) % P).as("bfp"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bfp") === col("y.bfp") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("a"), col("da") === col("a.doc_id"))
+      .join(sh.as("b"), col("db") === col("b.doc_id") && col("a.h") === col("b.h"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col("doc_id"), col("n_sh").as("na")), col("da") === col("doc_id")).drop("doc_id")
+      .join(counts.select(col("doc_id"), col("n_sh").as("nb")), col("db") === col("doc_id")).drop("doc_id")
+      .withColumn("jac",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5))
+      .filter(col("jac") >= 0.6)
+      .select(col("da"), col("db"), col("jac"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q30Sql: String =
+    s"""WITH $shPostingsSql,
+      |perms(i, pa, pb) AS (VALUES $permsValues),
+      |sig AS (
+      |  SELECT doc_id, i, min((pa * h + pb) % 1000000007) AS mh
+      |  FROM sh CROSS JOIN perms
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY i)),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS bfp
+      |  FROM sig
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bfp = y.bfp AND x.doc_id < y.doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT da, db, count(*) AS inter
+      |  FROM cand
+      |  JOIN sh a ON a.doc_id = da
+      |  JOIN sh b ON b.doc_id = db AND b.h = a.h
+      |  GROUP BY 1, 2)
+      |SELECT da, db,
+      |  round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) AS jac
+      |FROM inter
+      |JOIN cnt ca ON ca.doc_id = da
+      |JOIN cnt cb ON cb.doc_id = db
+      |WHERE round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) >= 0.6
+      |ORDER BY da, db""".stripMargin
+
+  /** SimHash near-dup: 32-bit signature (majority vote per bit over shingle
+    * hashes), candidates share either 16-bit half (block join), verified by
+    * Hamming distance ≤ 8. Bit extraction uses integer div by a literal
+    * power-of-two table — identical semantics in both engines. */
+  def q31Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bits = Seq.tabulate(32)(b => (b, 1L << b)).toDF("b", "p")
+    val sim = shPostings(spark, dir)
+      .crossJoin(broadcast(bits))
+      .withColumn("contrib",
+        when(expr("(h div p) % 2") === 1, lit(1)).otherwise(lit(-1)))
+      .groupBy(col("doc_id"), col("b"), col("p"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, col("p")).otherwise(lit(0L))).as("simhash"))
+      .withColumn("hi", expr("simhash div 65536"))
+      .withColumn("lo", col("simhash") % 65536)
+    def pairsOn(key: String): DataFrame =
+      sim.as("x").join(sim.as("y"),
+        col(s"x.$key") === col(s"y.$key") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
+    pairsOn("hi").unionByName(pairsOn("lo"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q31Sql: String =
+    s"""WITH $shPostingsSql,
+      |bits AS (SELECT b, (CAST(1 AS BIGINT) << b) AS p FROM range(0, 32) t(b)),
+      |votes AS (
+      |  SELECT doc_id, b, p,
+      |    sum(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM sh CROSS JOIN bits
+      |  GROUP BY 1, 2, 3),
+      |sim AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN s > 0 THEN p ELSE 0 END) AS simhash
+      |  FROM votes GROUP BY 1),
+      |simk AS (
+      |  SELECT doc_id, simhash, simhash // 65536 AS hi, simhash % 65536 AS lo
+      |  FROM sim)
+      |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+      |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+      |FROM simk x JOIN simk y
+      |  ON (x.hi = y.hi OR x.lo = y.lo) AND x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+      |ORDER BY da, db""".stripMargin
+
+  /** Embedding-cosine near-dup, blocked by class label (at 100 TB the
+    * block key would be an LSH bucket — see the similarity pack). Dot
+    * products are explicit left-to-right double folds in both engines, so
+    * the floating result is bit-identical before rounding. */
+  def q32EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", foldSum(transform(col("v"), x => x * x)))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot", foldSum(zip_with(col("a.v"), col("b.v"), (x, y) => x * y)))
+      .withColumn("cos", round(col("dot") / sqrt(col("a.nrm") * col("b.nrm")), 5))
+      .filter(col("cos") >= 0.45)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("a.label").as("label"), col("cos"))
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val q32Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    list_reduce(list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+      |  round(
+      |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
+      |    / sqrt(a.nrm * b.nrm), 5) AS cos
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(
+      |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
+      |    / sqrt(a.nrm * b.nrm), 5) >= 0.45
+      |ORDER BY va, vb""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q28_exact_dedup" -> (q28ExactDedup _),
+    "q29_ngram_jaccard" -> (q29NgramJaccard _),
+    "q30_minhash_lsh" -> (q30MinhashLsh _),
+    "q31_simhash" -> (q31Simhash _),
+    "q32_embedding_neardup" -> (q32EmbeddingNeardup _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q28_exact_dedup" -> q28Sql,
+    "q29_ngram_jaccard" -> q29Sql,
+    "q30_minhash_lsh" -> q30Sql,
+    "q31_simhash" -> q31Sql,
+    "q32_embedding_neardup" -> q32Sql
+  )
+}
