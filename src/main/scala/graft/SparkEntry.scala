@@ -15,7 +15,8 @@ object SparkEntry {
       (Relational.defs, Relational.oracles),
       (EventOps.defs, EventOps.oracles),
       (TextAnalysis.defs, TextAnalysis.oracles),
-      (Dedup.defs, Dedup.oracles)
+      (Dedup.defs, Dedup.oracles),
+      (Similarity.defs, Similarity.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -126,7 +126,12 @@ object Dedup {
     * on the band key, and the quadratic verify touches only collisions. */
   def q30MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shPostings(spark, dir).persist()
+    // NOTE: in a long-lived deployment the postings would be persisted and
+    // explicitly unpersisted after the run (the reference persists checked
+    // datasets the same way); here the query must stay self-contained, and
+    // a leaked cache would steal executor storage memory from every later
+    // query in the session — recomputing the cheap scan+project wins.
+    val sh = shPostings(spark, dir)
     val permsDf = perms.toDF("i", "pa", "pb")
     val sig = sh.crossJoin(broadcast(permsDf))
       .groupBy(col("doc_id"), col("i"))

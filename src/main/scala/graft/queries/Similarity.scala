@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.TextFns.h32
+
+/** Similarity-search pack over the `embeddings` fixture: brute-force cosine
+  * top-k (the correctness baseline), random-hyperplane LSH ANN and an
+  * IVF-style centroid-probed ANN (the two standard scale paths).
+  *
+  * Determinism across engines: every dot product / norm is an explicit
+  * left-to-right double fold (`aggregate`/`list_reduce`), so the floating
+  * value is bit-identical in Spark and DuckDB before any rounding; ranking
+  * windows order by the unrounded value with a vec_id tie-break. LSH plane
+  * weights derive from md5 (h32), never from an RNG, so both engines build
+  * the same planes.
+  *
+  * Scale notes: brute force is O(Q·N) — fine for re-ranking, wrong as the
+  * primary path; the LSH variant turns search into an equi-join on an
+  * 8-bit signature, and the IVF variant joins query→nearest-centroid→
+  * cluster members, i.e. both become hash joins that shuffle only bucket-
+  * sized candidate sets. The query side is always broadcast (tiny).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** vec_id, label, v: array<double>, nrm: ||v||². */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", foldSum(transform(col("v"), x => x * x)))
+
+  private val vecsSql: String =
+    """e AS (
+      |  SELECT vec_id, label, embedding,
+      |    list_reduce(list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  /** Brute-force cosine top-k for a query subset: the exact baseline every
+    * ANN variant is measured against. Query side is a small filtered scan
+    * (broadcast); candidates stream; per-query top-k via window rank. */
+  def q33AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw",
+        foldSum(zip_with(col("qv"), col("v"), (x, y) => x * y)) /
+          sqrt(col("qnrm") * col("nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("rk"), col("vec_id"), round(col("cos_raw"), 5).as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val q33Sql: String =
+    s"""WITH $vecsSql,
+      |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm FROM e WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT qid, vec_id,
+      |    list_reduce(list_transform(range(1, len(qv) + 1),
+      |      i -> qv[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)
+      |      / sqrt(qnrm * nrm) AS cos_raw
+      |  FROM e JOIN q ON vec_id <> qid),
+      |ranked AS (
+      |  SELECT qid, vec_id, cos_raw,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT qid, rk, vec_id, round(cos_raw, 5) AS cos
+      |FROM ranked WHERE rk <= 10
+      |ORDER BY qid, rk""".stripMargin
+
+  /** Random-hyperplane LSH ANN: 8 md5-derived hyperplanes → 8-bit signature
+    * per vector (sign of w·v per plane) → candidates = exact signature
+    * match (equi-join on the bucket key) → exact cosine re-rank, top-5. */
+  def q34AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    // (p, d, w): plane p's weight on dimension d, derived from md5 so both
+    // engines construct identical planes. 8 × 64 literal rows — broadcast.
+    val planes = spark.range(8).toDF("p").crossJoin(spark.range(1, 65).toDF("d"))
+      .withColumn("w",
+        ((h32(concat_ws("_", lit("plane"), col("p"), col("d"))) % 2001 - 1000) / 1000.0))
+      .withColumn("pp", expr("shiftleft(cast(1 as bigint), cast(p as int))"))
+    val comp = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("d", col("pos") + 1)
+    val sig = comp.join(broadcast(planes), "d")
+      .groupBy(col("vec_id").as("s_vec"), col("p"), col("pp"))
+      .agg(sum(col("w") * col("x")).as("s"))
+      .groupBy(col("s_vec"))
+      .agg(sum(when(col("s") > 0, col("pp")).otherwise(lit(0L))).as("sig"))
+    val withSig = e.join(sig, col("vec_id") === col("s_vec")).drop("s_vec")
+    val q = withSig.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("sig").as("qsig"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
+    withSig.join(broadcast(q),
+        col("sig") === col("qsig") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw",
+        foldSum(zip_with(col("qv"), col("v"), (x, y) => x * y)) /
+          sqrt(col("qnrm") * col("nrm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("vec_id"), round(col("cos_raw"), 5).as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val q34Sql: String =
+    s"""WITH $vecsSql,
+      |planes AS (
+      |  SELECT p, d,
+      |    (('0x' || substr(md5(concat_ws('_', 'plane', p, d)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0 AS w,
+      |    (CAST(1 AS BIGINT) << p) AS pp
+      |  FROM range(0, 8) tp(p), range(1, 65) td(d)),
+      |compu AS (
+      |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d, embedding FROM e),
+      |comp AS (
+      |  SELECT vec_id, d, embedding[d]::DOUBLE AS x FROM compu),
+      |proj AS (
+      |  SELECT vec_id AS s_vec, p, pp, sum(w * x) AS s
+      |  FROM comp JOIN planes USING (d)
+      |  GROUP BY 1, 2, 3),
+      |sig AS (
+      |  SELECT s_vec, sum(CASE WHEN s > 0 THEN pp ELSE 0 END) AS sig
+      |  FROM proj GROUP BY 1),
+      |es AS (SELECT e.*, sig.sig FROM e JOIN sig ON vec_id = s_vec),
+      |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm, sig AS qsig
+      |      FROM es WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT qid, vec_id,
+      |    list_reduce(list_transform(range(1, len(qv) + 1),
+      |      i -> qv[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)
+      |      / sqrt(qnrm * nrm) AS cos_raw
+      |  FROM es JOIN q ON sig = qsig AND vec_id <> qid),
+      |ranked AS (
+      |  SELECT qid, vec_id, cos_raw,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT qid, rk, vec_id, round(cos_raw, 5) AS cos
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin
+
+  /** Per-label centroids + dispersion: the "train the coarse quantizer"
+    * step of IVF. Centroids are rounded to 6 dp before the distance pass so
+    * both engines feed identical constants into downstream arithmetic. */
+  def q35LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val comp = vecs(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = comp.groupBy(col("label").as("c_label"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("c"))
+    val dist = comp.join(cent,
+        col("label") === col("c_label") && comp("pos") === cent("pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sqrt(sum((col("x") - col("c")) * (col("x") - col("c")))).as("dist"))
+    dist.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("dist")), 5).as("avg_dist"),
+        round(min(col("dist")), 5).as("min_dist"),
+        round(max(col("dist")), 5).as("max_dist"))
+      .orderBy(col("label"))
+  }
+
+  val q35Sql: String =
+    """WITH compu AS (
+      |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS d, embedding
+      |  FROM embeddings),
+      |comp AS (
+      |  SELECT vec_id, label, d - 1 AS pos, embedding[d]::DOUBLE AS x FROM compu),
+      |cent AS (
+      |  SELECT label AS c_label, pos, round(avg(x), 6) AS c
+      |  FROM comp GROUP BY 1, 2),
+      |dist AS (
+      |  SELECT vec_id, label, sqrt(sum((x - c) * (x - c))) AS dist
+      |  FROM comp JOIN cent ON label = c_label AND comp.pos = cent.pos
+      |  GROUP BY 1, 2)
+      |SELECT label, count(*) AS n_vecs,
+      |  round(avg(dist), 5) AS avg_dist,
+      |  round(min(dist), 5) AS min_dist,
+      |  round(max(dist), 5) AS max_dist
+      |FROM dist
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
+  /** IVF-style ANN: assign every vector to its nearest label-centroid
+    * (coarse quantization), then each query probes only its own cluster —
+    * the candidate set is a hash-join on the cluster id, not a scan. */
+  def q36AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val comp = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label").as("c_label"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("c"))
+    // assignment: distance of every vector to every centroid, argmin
+    val d2 = comp.join(cent, "pos")
+      .groupBy(col("vec_id"), col("c_label"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
+    val assigned = d2.withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("a_vec"), col("c_label").as("cluster"))
+    val withCl = e.join(assigned, col("vec_id") === col("a_vec")).drop("a_vec")
+    val q = withCl.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cluster").as("qcluster"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
+    withCl.join(broadcast(q),
+        col("cluster") === col("qcluster") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw",
+        foldSum(zip_with(col("qv"), col("v"), (x, y) => x * y)) /
+          sqrt(col("qnrm") * col("nrm")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("vec_id"), round(col("cos_raw"), 5).as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val q36Sql: String =
+    s"""WITH $vecsSql,
+      |compu AS (
+      |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS d, embedding FROM e),
+      |compl AS (
+      |  SELECT vec_id, label, d - 1 AS pos, embedding[d]::DOUBLE AS x FROM compu),
+      |comp AS (SELECT vec_id, pos, x FROM compl),
+      |cent AS (
+      |  SELECT label AS c_label, pos, round(avg(x), 6) AS c
+      |  FROM compl
+      |  GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT vec_id, c_label, sum((x - c) * (x - c)) AS d2
+      |  FROM comp JOIN cent USING (pos)
+      |  GROUP BY 1, 2),
+      |assigned AS (
+      |  SELECT vec_id AS a_vec, c_label AS cluster FROM (
+      |    SELECT vec_id, c_label,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      |    FROM d2) WHERE rn = 1),
+      |ec AS (SELECT e.*, assigned.cluster FROM e JOIN assigned ON vec_id = a_vec),
+      |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm, cluster AS qcluster
+      |      FROM ec WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT qid, vec_id,
+      |    list_reduce(list_transform(range(1, len(qv) + 1),
+      |      i -> qv[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)
+      |      / sqrt(qnrm * nrm) AS cos_raw
+      |  FROM ec JOIN q ON cluster = qcluster AND vec_id <> qid),
+      |ranked AS (
+      |  SELECT qid, vec_id, cos_raw,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT qid, rk, vec_id, round(cos_raw, 5) AS cos
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q33_ann_bruteforce" -> (q33AnnBruteforce _),
+    "q34_ann_lsh" -> (q34AnnLsh _),
+    "q35_label_centroids" -> (q35LabelCentroids _),
+    "q36_ann_ivf" -> (q36AnnIvf _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q33_ann_bruteforce" -> q33Sql,
+    "q34_ann_lsh" -> q34Sql,
+    "q35_label_centroids" -> q35Sql,
+    "q36_ann_ivf" -> q36Sql
+  )
+}
