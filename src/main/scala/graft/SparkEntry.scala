@@ -16,7 +16,8 @@ object SparkEntry {
       (EventOps.defs, EventOps.oracles),
       (TextAnalysis.defs, TextAnalysis.oracles),
       (Dedup.defs, Dedup.oracles),
-      (Similarity.defs, Similarity.oracles)
+      (Similarity.defs, Similarity.oracles),
+      (Media.defs, Media.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -261,7 +261,7 @@ object Dedup {
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("dot", foldSum(zip_with(col("a.v"), col("b.v"), (x, y) => x * y)))
       .withColumn("cos", round(col("dot") / sqrt(col("a.nrm") * col("b.nrm")), 5))
-      .filter(col("cos") >= 0.45)
+      .filter(col("cos") >= 0.40)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         col("a.label").as("label"), col("cos"))
       .orderBy(col("va"), col("vb"))
@@ -282,7 +282,7 @@ object Dedup {
       |WHERE round(
       |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
-      |    / sqrt(a.nrm * b.nrm), 5) >= 0.45
+      |    / sqrt(a.nrm * b.nrm), 5) >= 0.40
       |ORDER BY va, vb""".stripMargin
 
   val defs: Map[String, Q] = Map(

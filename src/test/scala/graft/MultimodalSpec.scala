@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal._
+
+class MultimodalSpec extends SparkSpec {
+
+  private def records() =
+    Multimodal.ingest(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+
+  test("ingest produces typed media records with populated metadata") {
+    val recs = records().limit(10).collect()
+    assert(recs.nonEmpty)
+    recs.foreach { r =>
+      assert(r.media.nonEmpty)
+      assert(r.meta.nBytes == r.media.length.toLong)
+      assert(Set("png", "jpeg", "wav", "mp4").contains(r.meta.format))
+      assert(r.meta.widthPx >= 320 && r.meta.widthPx < 640)
+      assert(r.meta.heightPx >= 240 && r.meta.heightPx < 480)
+    }
+  }
+
+  test("sampleFrames honors stride/frameLen and never overruns") {
+    val bytes = Array.tabulate[Byte](100)(_.toByte)
+    val frames = Multimodal.sampleFrames(bytes, stride = 16, frameLen = 8)
+    assert(frames.length == 6) // starts 0,16,...,80; 96+8 > 100 excluded
+    assert(frames.forall(_.length == 8))
+    assert(frames.head.toSeq == (0 until 8).map(_.toByte))
+    assert(frames.last.toSeq == (80 until 88).map(_.toByte))
+    // payload shorter than a frame -> no frames, no crash
+    assert(Multimodal.sampleFrames(Array[Byte](1, 2), 16, 8).isEmpty)
+  }
+
+  test("extractFeatures is deterministic, batched, and shuffle-free") {
+    val ds = records()
+    val decoder = new FakeDecoder(frameStride = 16, frameLen = 8)
+    val feats = Multimodal.extractFeatures(ds, decoder, batchSize = 7)
+    // narrow op: partitioning preserved
+    assert(feats.rdd.getNumPartitions == ds.rdd.getNumPartitions)
+    val byId = feats.collect().map(f => f.id -> f).toMap
+    assert(byId.nonEmpty)
+    // re-running yields identical features (pure decoder)
+    val again = Multimodal.extractFeatures(ds, decoder, batchSize = 64)
+      .collect().map(f => f.id -> f).toMap
+    assert(byId == again)
+    // features agree with a direct single-record decode
+    val one = records().orderBy("id").limit(1).collect().head
+    assert(byId(one.id) == decoder.decode(one))
+  }
+}
