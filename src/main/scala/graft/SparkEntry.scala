@@ -17,7 +17,8 @@ object SparkEntry {
       (TextAnalysis.defs, TextAnalysis.oracles),
       (Dedup.defs, Dedup.oracles),
       (Similarity.defs, Similarity.oracles),
-      (Media.defs, Media.oracles)
+      (Media.defs, Media.oracles),
+      (Trollflow.defs, Trollflow.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Reference-parity pack: the trollflow2 operator semantics re-expressed as
+  * relational queries over the fixture tables (citations are into
+  * /root/reference).
+  *
+  * The reference's Scene is a raster keyed by (product, y, x) with NaN as
+  * fill (doc/source/plugins.rst:320); we derive an equivalent tall raster
+  * from `lineitem` — area = l_returnflag, product = l_linestatus,
+  * y/x = deterministic grid coords from the keys — so every raster operator
+  * (aggregate, resample, valid-fraction) is exercised with a DuckDB oracle
+  * on real fixture data.
+  */
+object Trollflow {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tall raster derivation shared by q39–q41. One narrow projection; the
+    * grid keys are pure arithmetic so Catalyst still prunes/pushes around
+    * them. */
+  private def raster(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("area"),
+      col("l_linestatus").as("product"),
+      (col("l_orderkey") % 256).as("y"),
+      ((col("l_partkey") * 7 + col("l_linenumber")) % 256).as("x"),
+      col("l_quantity").cast("double").as("value"),
+      col("l_discount").cast("double").as("disc"))
+
+  private val rasterSql: String =
+    """raster AS (
+      |  SELECT l_returnflag AS area, l_linestatus AS product,
+      |    l_orderkey % 256 AS y, (l_partkey * 7 + l_linenumber) % 256 AS x,
+      |    CAST(l_quantity AS DOUBLE) AS value, CAST(l_discount AS DOUBLE) AS disc
+      |  FROM lineitem)""".stripMargin
+
+  /** T1 `aggregate` (plugins/__init__.py:124-130): block-downsample the
+    * raster by {x: 8, y: 8} pixel blocks — cell mean then block mean, a
+    * two-level hash aggregate with map-side partials at both levels. */
+  def q39BlockAggregate(spark: SparkSession, dir: String): DataFrame =
+    raster(spark, dir)
+      .groupBy(col("area"), col("y"), col("x"))
+      .agg(avg(col("value")).as("cell"))
+      .groupBy(col("area"), expr("y div 8").as("by"), expr("x div 8").as("bx"))
+      .agg(round(avg(col("cell")), 4).as("block_mean"),
+        count(lit(1)).as("n_cells"))
+      .orderBy(col("area"), col("by"), col("bx"))
+
+  val q39Sql: String =
+    s"""WITH $rasterSql,
+      |cells AS (
+      |  SELECT area, y, x, avg(value) AS cell
+      |  FROM raster GROUP BY 1, 2, 3)
+      |SELECT area, y // 8 AS by, x // 8 AS bx,
+      |  round(avg(cell), 4) AS block_mean, count(*) AS n_cells
+      |FROM cells
+      |GROUP BY 1, 2, 3
+      |ORDER BY area, by, bx""".stripMargin
+
+  /** T2 `resample` (plugins/__init__.py:133-201): remap the 256×256 source
+    * grid onto a 100×100 target area with `reduce_data=True` semantics —
+    * the source is cropped to the target's bounding box *before* the
+    * shuffle (the filter pushes into the parquet scan), then cells are
+    * area-averaged into target bins. */
+  def q40Resample(spark: SparkSession, dir: String): DataFrame =
+    raster(spark, dir)
+      .filter(col("y") < 128 && col("x") < 128) // reduce_data crop
+      .groupBy(col("area"), col("y"), col("x"))
+      .agg(avg(col("value")).as("cell"))
+      .groupBy(col("area"),
+        expr("(y * 100) div 256").as("ty"), expr("(x * 100) div 256").as("tx"))
+      .agg(round(avg(col("cell")), 4).as("resampled"),
+        count(lit(1)).as("n_src"))
+      .orderBy(col("area"), col("ty"), col("tx"))
+
+  val q40Sql: String =
+    s"""WITH $rasterSql,
+      |cells AS (
+      |  SELECT area, y, x, avg(value) AS cell
+      |  FROM raster WHERE y < 128 AND x < 128
+      |  GROUP BY 1, 2, 3)
+      |SELECT area, (y * 100) // 256 AS ty, (x * 100) // 256 AS tx,
+      |  round(avg(cell), 4) AS resampled, count(*) AS n_src
+      |FROM cells
+      |GROUP BY 1, 2, 3
+      |ORDER BY area, ty, tx""".stripMargin
+
+  /** F6 `check_valid_data_fraction` (plugins/__init__.py:955-1079): treat
+    * value as fill (NaN-analog) where disc > 0.08, compute per-(area,
+    * product) valid fraction, keep only products meeting the threshold —
+    * the data-dependent work-list pruning filter. */
+  def q41ValidFraction(spark: SparkSession, dir: String): DataFrame =
+    raster(spark, dir)
+      .withColumn("valid", when(col("disc") > 0.08, lit(0.0)).otherwise(lit(1.0)))
+      .groupBy(col("area"), col("product"))
+      .agg(round(avg(col("valid")), 5).as("valid_frac"),
+        count(lit(1)).as("n_px"))
+      .filter(col("valid_frac") >= 0.7)
+      .orderBy(col("area"), col("product"))
+
+  val q41Sql: String =
+    s"""WITH $rasterSql
+      |SELECT area, product,
+      |  round(avg(CASE WHEN disc > 0.08 THEN 0.0 ELSE 1.0 END), 5) AS valid_frac,
+      |  count(*) AS n_px
+      |FROM raster
+      |GROUP BY 1, 2
+      |HAVING round(avg(CASE WHEN disc > 0.08 THEN 0.0 ELSE 1.0 END), 5) >= 0.7
+      |ORDER BY area, product""".stripMargin
+
+  /** F4 `sza_check` (plugins/__init__.py:739-783): solar-zenith-angle
+    * day/night pruning. Observer lon/lat derive from user_id; the zenith
+    * angle comes from the standard declination + hour-angle formula —
+    * trig built-ins only, so the filter stays inside codegen and the
+    * column pruning still reaches the scan. */
+  def q42SzaCheck(spark: SparkSession, dir: String): DataFrame = {
+    val lat = ((col("user_id") * 37) % 120 - 60).cast("double") + 0.5
+    val lon = ((col("user_id") * 73) % 360 - 180).cast("double") + 0.5
+    val doy = dayofyear(col("ts")).cast("double")
+    val hourFrac = hour(col("ts")).cast("double") +
+      minute(col("ts")).cast("double") / 60.0 +
+      second(col("ts")).cast("double") / 3600.0
+    val decl = lit(-23.44) * cos(radians(lit(360.0 / 365.0) * (doy + 10.0)))
+    val ha = lit(15.0) * (hourFrac - 12.0) + lon
+    val cosSza = sin(radians(lat)) * sin(radians(decl)) +
+      cos(radians(lat)) * cos(radians(decl)) * cos(radians(ha))
+    Tables.events(spark, dir)
+      .withColumn("sza", degrees(acos(cosSza)))
+      .filter(col("sza") < 80.0) // keep daytime products
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_day"),
+        round(avg(col("sza")), 4).as("avg_sza"))
+      .orderBy(col("event_type"))
+  }
+
+  val q42Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    degrees(acos(
+      |      sin(radians(((user_id * 37) % 120 - 60)::DOUBLE + 0.5))
+      |        * sin(radians(-23.44 * cos(radians(360.0/365.0 * (dayofyear(CAST(ts AS TIMESTAMP))::DOUBLE + 10.0)))))
+      |      + cos(radians(((user_id * 37) % 120 - 60)::DOUBLE + 0.5))
+      |        * cos(radians(-23.44 * cos(radians(360.0/365.0 * (dayofyear(CAST(ts AS TIMESTAMP))::DOUBLE + 10.0)))))
+      |        * cos(radians(15.0 * (date_part('hour', CAST(ts AS TIMESTAMP))::DOUBLE
+      |                              + date_part('minute', CAST(ts AS TIMESTAMP))::DOUBLE / 60.0
+      |                              + date_part('second', CAST(ts AS TIMESTAMP))::DOUBLE / 3600.0
+      |                              - 12.0)
+      |                      + ((user_id * 73) % 360 - 180)::DOUBLE + 0.5)))) AS sza
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_day, round(avg(sza), 4) AS avg_sza
+      |FROM e
+      |WHERE sza < 80.0
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** F3 `covers` (plugins/__init__.py:582-684): per-area geographic
+    * coverage of the "pass". The pass footprint is the bounding box of the
+    * event points per event_type; coverage = overlap fraction with each
+    * configured target area; areas under min_coverage are dropped, and the
+    * coverage percentage is kept on the surviving work-list rows (the
+    * reference publishes it, plugins/__init__.py:663). */
+  def q43CoverageFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val areas = Seq(
+      ("euro", -10.0, 40.0, 35.0, 70.0),
+      ("pacific", 140.0, 180.0, -50.0, 10.0),
+      ("americas", -120.0, -60.0, -30.0, 50.0)
+    ).toDF("area_name", "a_lon_min", "a_lon_max", "a_lat_min", "a_lat_max")
+    val pass = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (((col("user_id") * 73) % 360 - 180).cast("double") + 0.5).as("lon"),
+        (((col("user_id") * 37) % 120 - 60).cast("double") + 0.5).as("lat"))
+      .groupBy(col("event_type"))
+      .agg(min(col("lon")).as("p_lon_min"), max(col("lon")).as("p_lon_max"),
+        min(col("lat")).as("p_lat_min"), max(col("lat")).as("p_lat_max"))
+    pass.crossJoin(broadcast(areas))
+      .withColumn("overlap",
+        greatest(lit(0.0),
+          least(col("p_lon_max"), col("a_lon_max")) - greatest(col("p_lon_min"), col("a_lon_min"))) *
+        greatest(lit(0.0),
+          least(col("p_lat_max"), col("a_lat_max")) - greatest(col("p_lat_min"), col("a_lat_min"))))
+      .withColumn("coverage_pct",
+        round(col("overlap") / ((col("a_lon_max") - col("a_lon_min")) * (col("a_lat_max") - col("a_lat_min"))) * 100.0, 4))
+      .filter(col("coverage_pct") >= 5.0)
+      .select(col("event_type"), col("area_name"), col("coverage_pct"))
+      .orderBy(col("event_type"), col("area_name"))
+  }
+
+  val q43Sql: String =
+    """WITH areas(area_name, a_lon_min, a_lon_max, a_lat_min, a_lat_max) AS (VALUES
+      |    ('euro', -10.0, 40.0, 35.0, 70.0),
+      |    ('pacific', 140.0, 180.0, -50.0, 10.0),
+      |    ('americas', -120.0, -60.0, -30.0, 50.0)),
+      |pass AS (
+      |  SELECT event_type,
+      |    min(((user_id * 73) % 360 - 180)::DOUBLE + 0.5) AS p_lon_min,
+      |    max(((user_id * 73) % 360 - 180)::DOUBLE + 0.5) AS p_lon_max,
+      |    min(((user_id * 37) % 120 - 60)::DOUBLE + 0.5) AS p_lat_min,
+      |    max(((user_id * 37) % 120 - 60)::DOUBLE + 0.5) AS p_lat_max
+      |  FROM events GROUP BY 1),
+      |cov AS (
+      |  SELECT event_type, area_name,
+      |    round(
+      |      greatest(0.0, least(p_lon_max, a_lon_max) - greatest(p_lon_min, a_lon_min))
+      |      * greatest(0.0, least(p_lat_max, a_lat_max) - greatest(p_lat_min, a_lat_min))
+      |      / ((a_lon_max - a_lon_min) * (a_lat_max - a_lat_min)) * 100.0, 4) AS coverage_pct
+      |  FROM pass CROSS JOIN areas)
+      |SELECT event_type, area_name, coverage_pct
+      |FROM cov
+      |WHERE coverage_pct >= 5.0
+      |ORDER BY event_type, area_name""".stripMargin
+
+  /** T3/T4 `plist_iter` + `get_config_value` (dict_tools.py:26-62, 80-99):
+    * flatten the area→product→format config tree with most-local-wins
+    * inheritance. The "config" grounds in fixture dims: areas = regions,
+    * products = nations, formats = a sparse per-product override table with
+    * the reference's `[{format: tif}]` default (dict_tools.py:58);
+    * effective settings are coalesce chains (format > product > area >
+    * root), priorities default 999 (launcher.py:59). */
+  def q44WorklistExpand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val areas = Tables.region(spark, dir).select(
+      col("r_regionkey").as("areakey"),
+      col("r_name").as("area"),
+      when(col("r_regionkey") % 3 === 0, col("r_regionkey") + 1).as("a_priority"),
+      when(col("r_regionkey") % 2 === 0, lit("geotiff_a")).as("a_writer"))
+    val products = Tables.nation(spark, dir).select(
+      col("n_regionkey").as("p_areakey"),
+      col("n_name").as("product"),
+      col("n_nationkey").as("productkey"),
+      when(col("n_nationkey") % 5 === 0, lit("cf")).as("p_writer"),
+      when(col("n_nationkey") % 3 === 0, col("n_nationkey").cast("double")).as("p_fill"))
+    val formats = Tables.nation(spark, dir)
+      .filter(col("n_nationkey") % 4 === 0)
+      .select(col("n_nationkey").as("f_productkey"), explode(array(
+        struct(lit("tif").as("fmt"), lit(null).cast("string").as("f_writer")),
+        struct(lit("png").as("fmt"), lit("simple_image").as("f_writer")))).as("f"))
+      .select(col("f_productkey"), col("f.fmt").as("fmt"), col("f.f_writer").as("f_writer"))
+    products
+      .join(areas, col("p_areakey") === col("areakey"))
+      .join(formats, col("productkey") === col("f_productkey"), "left")
+      .select(
+        col("area"), col("product"),
+        coalesce(col("fmt"), lit("tif")).as("format"),
+        coalesce(col("f_writer"), col("p_writer"), col("a_writer"), lit("geotiff")).as("writer"),
+        coalesce(col("p_fill"), lit(0.0)).as("fill_value"),
+        coalesce(col("a_priority"), lit(999)).cast("int").as("priority"))
+      .orderBy(col("priority"), col("area"), col("product"), col("format"))
+  }
+
+  val q44Sql: String =
+    """WITH areas AS (
+      |  SELECT r_regionkey AS areakey, r_name AS area,
+      |    CASE WHEN r_regionkey % 3 = 0 THEN r_regionkey + 1 END AS a_priority,
+      |    CASE WHEN r_regionkey % 2 = 0 THEN 'geotiff_a' END AS a_writer
+      |  FROM region),
+      |products AS (
+      |  SELECT n_regionkey AS p_areakey, n_name AS product, n_nationkey AS productkey,
+      |    CASE WHEN n_nationkey % 5 = 0 THEN 'cf' END AS p_writer,
+      |    CASE WHEN n_nationkey % 3 = 0 THEN n_nationkey::DOUBLE END AS p_fill
+      |  FROM nation),
+      |formats AS (
+      |  SELECT n_nationkey AS f_productkey, f.fmt AS fmt, f.f_writer AS f_writer
+      |  FROM nation,
+      |    unnest([{'fmt': 'tif', 'f_writer': NULL},
+      |            {'fmt': 'png', 'f_writer': 'simple_image'}]) t(f)
+      |  WHERE n_nationkey % 4 = 0)
+      |SELECT area, product,
+      |  coalesce(fmt, 'tif') AS format,
+      |  coalesce(f_writer, p_writer, a_writer, 'geotiff') AS writer,
+      |  coalesce(p_fill, 0.0) AS fill_value,
+      |  CAST(coalesce(a_priority, 999) AS INT) AS priority
+      |FROM products
+      |JOIN areas ON p_areakey = areakey
+      |LEFT JOIN formats ON productkey = f_productkey
+      |ORDER BY priority, area, product, format""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q39_block_aggregate" -> (q39BlockAggregate _),
+    "q40_resample" -> (q40Resample _),
+    "q41_valid_fraction" -> (q41ValidFraction _),
+    "q42_sza_check" -> (q42SzaCheck _),
+    "q43_coverage_filter" -> (q43CoverageFilter _),
+    "q44_worklist_expand" -> (q44WorklistExpand _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q39_block_aggregate" -> q39Sql,
+    "q40_resample" -> q40Sql,
+    "q41_valid_fraction" -> q41Sql,
+    "q42_sza_check" -> q42Sql,
+    "q43_coverage_filter" -> q43Sql,
+    "q44_worklist_expand" -> q44Sql
+  )
+}
