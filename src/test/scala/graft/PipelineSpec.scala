@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+import graft.pipeline.Plugins._
+
+class PipelineSpec extends SparkSpec {
+
+  // config tree mirroring the reference's 3-level product list shape
+  private val spec = ProductList(
+    areas = Seq(
+      AreaSpec(Some("euro"), priority = Some(1),
+        products = Seq(
+          ProductSpec("N", formats = Seq(FormatSpec("parquet"),
+            FormatSpec("csv", Map("writer" -> "csv")))),
+          ProductSpec("R", settings = Map("fill" -> "9"))),
+        settings = Map("writer" -> "parquet", "fill" -> "0")),
+      AreaSpec(Some("pacific"), priority = None,
+        products = Seq(ProductSpec("N")),
+        settings = Map("writer" -> "parquet"))),
+    settings = Map("writer" -> "parquet", "root_only" -> "r"),
+    common = Map("mail" -> "ops@example.org"))
+
+  test("worklist expansion: formats default, inheritance, priorities") {
+    val items = Worklist.expand(spec)
+    assert(items.map(i => (i.area.get, i.product, i.format)) == Seq(
+      ("euro", "N", "parquet"), ("euro", "N", "csv"),
+      ("euro", "R", "tif"), ("pacific", "N", "tif")))
+    // inner overrides outer; area/root settings inherited
+    val csvItem = items.find(_.format == "csv").get
+    assert(csvItem.settings("writer") == "csv")
+    assert(csvItem.settings("root_only") == "r")
+    val rItem = items.find(_.product == "R").get
+    assert(rItem.settings("fill") == "9" && rItem.settings("writer") == "parquet")
+    // priorities: unset -> 999, groups sorted ascending
+    assert(Worklist.byPriority(items).map(_._1) == Seq(1, 999))
+    // /common fallback + default (get_config_value semantics)
+    assert(Worklist.configValue(spec, rItem, "mail").contains("ops@example.org"))
+    assert(Worklist.configValue(spec, rItem, "nope", Some("d")).contains("d"))
+  }
+
+  test("compose fills keys and strftime datetime patterns") {
+    val out = Plugins.compose("{platform}_{start_time:%Y%m%d_%H%M}_{product}.tif",
+      Map("platform" -> "sat1", "start_time" -> "2026-08-12T06:30:00Z",
+          "product" -> "N"))
+    assert(out == "sat1_20260812_0630_N.tif")
+    intercept[IllegalArgumentException] {
+      Plugins.compose("{missing}", Map.empty)
+    }
+  }
+
+  test("check_metadata aborts on value and age; metadata_alias rewrites") {
+    val ctx = PipelineContext(spark, spec,
+      metadata = Map("platform_name" -> "noaa15",
+        "start_time" -> "2026-08-12T00:00:00Z"),
+      frames = Map.empty, worklist = Worklist.expand(spec))
+    val ok = CheckMetadata(Map("platform_name" -> Seq("noaa15", "noaa18")))(ctx)
+    assert(ok.aborted.isEmpty)
+    val bad = CheckMetadata(Map("platform_name" -> Seq("metop-a")))(ctx)
+    assert(bad.aborted.exists(_.contains("platform_name")))
+    val old = CheckMetadata(maxAgeMinutes = Some(-60),
+      now = () => Instant.parse("2026-08-12T02:00:00Z"))(ctx)
+    assert(old.aborted.exists(_.contains("older")))
+    val aliased = MetadataAlias(Map("platform_name" ->
+      Map("noaa15" -> "NOAA-15")))(ctx)
+    assert(aliased.metadata("platform_name") == "NOAA-15")
+  }
+
+  test("end-to-end: scene -> composites -> resample -> save -> audit -> publish") {
+    val outDir = Files.createTempDirectory("graft_pipe").toString
+    val ctx0 = PipelineContext(spark, spec,
+      metadata = Map("platform" -> "sat1"),
+      frames = Map.empty, worklist = Worklist.expand(spec))
+    val chain = Seq(
+      CreateScene(Seq(s"$sf/lineitem.parquet")),
+      LoadComposites(Map(
+        "product" -> "l_returnflag",
+        "y" -> "l_orderkey % 64", "x" -> "(l_partkey * 7 + l_linenumber) % 64",
+        "value" -> "cast(l_quantity as double)")),
+      Aggregate(xFactor = 2, yFactor = 2),
+      Resample(Seq(
+        ResampleTarget("euro", 16, 16, 0, 32, 0, 32),
+        ResampleTarget("pacific", 8, 8, 0, 32, 0, 32))),
+      SaveDatasets(outDir),
+      CheckResults())
+    val reports = Runner.processJobs(ctx0, chain)
+    assert(reports.map(_.priority) == Seq(1, 999))
+    reports.foreach(r => assert(r.finalCtx.aborted.isEmpty,
+      s"unexpected abort: ${r.finalCtx.aborted}"))
+    // priority-1 slice wrote euro N (parquet + csv) and euro R
+    val m1 = reports.head.finalCtx.manifest
+    assert(m1.map(f => (f.area.get, f.product, f.format)).toSet == Set(
+      ("euro", "N", "parquet"), ("euro", "N", "csv"), ("euro", "R", "tif")))
+    m1.foreach { f =>
+      assert(Files.exists(Paths.get(f.path)), f.path)
+      assert(f.bytes > 0 && f.rows > 0)
+      assert(!f.path.contains(".tmp_"), s"tmp file leaked: ${f.path}")
+    }
+    // resampled euro frame respects the 16x16 target grid
+    val euro = reports.head.finalCtx.frames(Some("euro"))
+    val coords = euro.agg(max(col("y")), max(col("x"))).collect().head
+    assert(coords.getLong(0) < 16 && coords.getLong(1) < 16)
+    // publisher: one message per manifest entry, composed topic
+    val pub = FilePublisher("/file/{area}/{product}")
+    val msgs = pub.messages(reports.head.finalCtx).collect()
+    assert(msgs.length == m1.size)
+    assert(msgs.map(_.getString(0)).toSet ==
+      Set("/file/euro/N", "/file/euro/R"))
+    // written parquet round-trips
+    val reread = spark.read.parquet(
+      m1.find(f => f.format == "parquet").get.path)
+    assert(reread.count() == m1.find(_.format == "parquet").get.rows)
+  }
+
+  test("valid-fraction pruning drops failing products from the worklist") {
+    import spark.implicits._
+    val frame = Seq(
+      ("N", 1, 1, Some(1.0)), ("N", 1, 2, Some(2.0)),
+      ("R", 1, 1, None), ("R", 1, 2, Some(3.0))
+    ).toDF("product", "y", "x", "value")
+    val ctx = PipelineContext(spark, spec, Map.empty,
+      frames = Map(Option("euro") -> frame, None -> frame),
+      worklist = Worklist.expand(spec))
+    val pruned = CheckValidDataFraction(minFraction = 0.8)(ctx)
+    val kept = pruned.worklist.filter(_.area.contains("euro")).map(_.product).toSet
+    assert(kept == Set("N")) // R is 50% valid -> dropped
+    // areas without a checked frame are untouched
+    assert(pruned.worklist.exists(_.area.contains("pacific")))
+  }
+
+  test("aborted context short-circuits downstream plugins") {
+    val ctx = PipelineContext(spark, spec, Map.empty, Map.empty,
+      Worklist.expand(spec)).abort("boom")
+    val out = Seq[Plugin](
+      CreateScene(Seq(s"$sf/lineitem.parquet")),
+      SaveDatasets("/nonexistent/should/not/be/created"),
+      CheckResults()).foldLeft(ctx)((c, p) => p(c))
+    assert(out.aborted.contains("boom"))
+    assert(!Files.exists(Paths.get("/nonexistent/should/not/be/created")))
+  }
+}
