@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming front-end (reference: `generate_messages` →
+  * one-job-per-message, launcher.py:146-171, 237-250, SURVEY §2.6).
+  *
+  * Mapping:
+  *  - message intake → a file-source stream (at scale: Kafka source; the
+  *    API below only assumes a streaming DataFrame);
+  *  - one job per message, strictly sequential (`proc.start(); proc.join()`,
+  *    launcher.py:244-245) → `foreachBatch` with `maxFilesPerTrigger=1`:
+  *    micro-batches are sequential by contract, so the per-batch chain
+  *    keeps the reference's deterministic one-at-a-time semantics;
+  *  - old-data admission (`check_metadata start_time: -120`,
+  *    plugins/__init__.py:705-711) → event-time watermark + windowed aggs:
+  *    state for windows older than the watermark is dropped, which is the
+  *    scale-safe version of the same contract (bounded state, late data
+  *    ignored);
+  *  - graceful SIGTERM drain (launcher.py:151-157) → `stopGracefully`;
+  *  - one-shot CLI mode (cli.py) → `Trigger.AvailableNow`: process the
+  *    backlog, then stop.
+  */
+object StreamRunner {
+
+  /** File-source message stream: one file ≈ one message.
+    * `maxFilesPerTrigger=1` keeps batches message-sized and sequential. */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .format(format)
+      .load(dir)
+
+  /** Watermarked tumbling-window aggregation over the events schema (the
+    * streaming form of the batch q18): per (hour, event_type) counts and
+    * value sums, with state bounded by the admission watermark. Expects a
+    * `ts_ns` int64 nanos column (the fixture's TIMESTAMP(NANOS)). */
+  def hourlyVolume(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Run a per-batch job over the stream — the `foreachBatch` analog of
+    * `process_files`: each micro-batch (= message) runs the supplied chain
+    * exactly once, sequentially. Returns the running query. */
+  def runPerMessage(stream: DataFrame, checkpointDir: String,
+                    availableNow: Boolean = true)
+                   (job: (DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, id: Long) => job(batch, id) }
+      .start()
+
+  /** Run a streaming aggregation into an in-memory table (tests/dev) or
+    * any sink via `format`. Complete mode — the aggregation result is the
+    * full current state, like the reference recomputing per job. */
+  def runAggregate(agg: DataFrame, queryName: String, checkpointDir: String,
+                   availableNow: Boolean = true): StreamingQuery =
+    agg.writeStream
+      .queryName(queryName)
+      .outputMode("complete")
+      .format("memory")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0L))
+      .start()
+
+  /** Graceful drain: finish the in-flight batch, then stop — the SIGTERM
+    * contract (launcher.py:151-157). `awaitTermination` after `stop()` is
+    * what "finish in-flight" means for a micro-batch engine. */
+  def stopGracefully(q: StreamingQuery, timeoutMs: Long = 60000): Boolean = {
+    q.stop()
+    q.awaitTermination(timeoutMs)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamRunner
+
+class StreamRunnerSpec extends SparkSpec {
+
+  /** Stage the sf0.001 events parquet as N "messages" (files) in a fresh
+    * source dir, mirroring one file per arriving message. */
+  private def stageMessages(n: Int): (String, String) = {
+    val src = Files.createTempDirectory("graft_stream_src")
+    val ckp = Files.createTempDirectory("graft_stream_ckp")
+    val eventsFile = Paths.get(s"$sf/events.parquet") // single-file fixture
+    (1 to n).foreach { i =>
+      Files.copy(eventsFile, src.resolve(s"msg_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    (src.toString, ckp.toString)
+  }
+
+  // Schema must keep the on-file column names (parquet matches by name);
+  // the ts -> ts_ns rename happens on the streaming frame.
+  private def eventsSchema = spark.read.parquet(s"$sf/events.parquet").schema
+
+  test("one job per message: sequential foreachBatch over file stream") {
+    val (src, ckp) = stageMessages(2)
+    val batches = new ConcurrentLinkedQueue[(Long, Long)]()
+    val stream = StreamRunner.fileStream(spark, src, eventsSchema)
+    val q = StreamRunner.runPerMessage(stream, ckp) { (batch, id) =>
+      batches.add((id, batch.count()))
+    }
+    q.awaitTermination(120000)
+    val perFile = spark.read.parquet(s"$sf/events.parquet").count()
+    val seen = batches.toArray(Array.empty[(Long, Long)]).toSeq.sortBy(_._1)
+    // maxFilesPerTrigger=1 -> one batch per staged message, in order
+    assert(seen.map(_._1) == Seq(0L, 1L))
+    assert(seen.map(_._2).sum == 2 * perFile)
+  }
+
+  test("watermarked hourly aggregation matches the batch computation") {
+    val (src, ckp) = stageMessages(1)
+    val stream = StreamRunner.fileStream(spark, src, eventsSchema)
+      .withColumnRenamed("ts", "ts_ns")
+    val q = StreamRunner.runAggregate(
+      StreamRunner.hourlyVolume(stream), "hourly_test", ckp)
+    q.awaitTermination(120000)
+    val streamed = spark.table("hourly_test")
+      .orderBy(col("hour"), col("event_type")).collect()
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type")).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getTimestamp(0) == b.getTimestamp(0))
+      assert(s.getString(1) == b.getString(1))
+      assert(s.getLong(2) == b.getLong(2))
+      assert(math.abs(s.getDouble(3) - b.getDouble(3)) < 1e-6)
+    }
+  }
+
+  test("graceful stop terminates a continuous query") {
+    val (src, ckp) = stageMessages(1)
+    val stream = StreamRunner.fileStream(spark, src, eventsSchema)
+    val q = StreamRunner.runPerMessage(stream, ckp, availableNow = false) {
+      (_, _) => ()
+    }
+    // let it process the backlog, then drain
+    Thread.sleep(2000)
+    assert(StreamRunner.stopGracefully(q))
+    assert(!q.isActive)
+  }
+}
