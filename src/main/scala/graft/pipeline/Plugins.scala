@@ -3,9 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.time.format.DateTimeFormatter
-import java.time.{Instant, ZoneOffset}
-import scala.util.matching.Regex
+import java.time.Instant
 
 /** The plugin chain — the engine's operator surface, mirroring the
   * reference's `fun(job)` plugins (doc/source/plugins.rst:4-11) as pure
@@ -214,24 +212,12 @@ object Plugins {
   }
 
   /** trollsift-style `compose` (used at plugins/__init__.py:211-212):
-    * fill `{key}` and `{key:%FMT}` (strftime on ISO-instant values)
-    * placeholders from metadata + work-item settings. */
-  private[pipeline] val Placeholder: Regex = """\{([A-Za-z0-9_]+)(?::([^}]+))?\}""".r
+    * fill `{key}` and `{key:%FMT}` placeholders from metadata + work-item
+    * settings. Delegates to [[graft.functions.Compose]], which also exposes
+    * the same semantics as a codegen'd Catalyst expression (`compose_tpl`)
+    * for row-level use. */
   def compose(pattern: String, values: Map[String, String]): String =
-    Placeholder.replaceAllIn(pattern, m => {
-      val v = values.getOrElse(m.group(1),
-        throw new IllegalArgumentException(s"compose: missing key ${m.group(1)}"))
-      val out = Option(m.group(2)) match {
-        case Some(fmt) if fmt.startsWith("%") =>
-          DateTimeFormatter.ofPattern(strftimeToJava(fmt)).format(
-            Instant.parse(v).atZone(ZoneOffset.UTC))
-        case _ => v
-      }
-      Regex.quoteReplacement(out)
-    })
-  private def strftimeToJava(fmt: String): String =
-    fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
-      .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss").replace("%j", "DDD")
+    graft.functions.Compose.compose(pattern, values)
 
   /** `save_datasets` + `prepared_filename` (plugins/__init__.py:330-395,
     * 207-255): for every work-list item, write the product slice of its
