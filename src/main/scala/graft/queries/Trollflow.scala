@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -111,6 +111,21 @@ object Trollflow {
       |HAVING round(avg(CASE WHEN disc > 0.08 THEN 0.0 ELSE 1.0 END), 5) >= 0.7
       |ORDER BY area, product""".stripMargin
 
+  /** Solar zenith angle (degrees) at (lat, lon, ts) — standard declination
+    * + hour-angle approximation, all codegen trig built-ins. Shared by the
+    * F4 day/night check (q42) and the F5 sunlight-coverage check (q45). */
+  private def szaDeg(lat: Column, lon: Column, ts: Column): Column = {
+    val doy = dayofyear(ts).cast("double")
+    val hourFrac = hour(ts).cast("double") +
+      minute(ts).cast("double") / 60.0 +
+      second(ts).cast("double") / 3600.0
+    val decl = lit(-23.44) * cos(radians(lit(360.0 / 365.0) * (doy + 10.0)))
+    val ha = lit(15.0) * (hourFrac - 12.0) + lon
+    degrees(acos(
+      sin(radians(lat)) * sin(radians(decl)) +
+      cos(radians(lat)) * cos(radians(decl)) * cos(radians(ha))))
+  }
+
   /** F4 `sza_check` (plugins/__init__.py:739-783): solar-zenith-angle
     * day/night pruning. Observer lon/lat derive from user_id; the zenith
     * angle comes from the standard declination + hour-angle formula —
@@ -119,16 +134,8 @@ object Trollflow {
   def q42SzaCheck(spark: SparkSession, dir: String): DataFrame = {
     val lat = ((col("user_id") * 37) % 120 - 60).cast("double") + 0.5
     val lon = ((col("user_id") * 73) % 360 - 180).cast("double") + 0.5
-    val doy = dayofyear(col("ts")).cast("double")
-    val hourFrac = hour(col("ts")).cast("double") +
-      minute(col("ts")).cast("double") / 60.0 +
-      second(col("ts")).cast("double") / 3600.0
-    val decl = lit(-23.44) * cos(radians(lit(360.0 / 365.0) * (doy + 10.0)))
-    val ha = lit(15.0) * (hourFrac - 12.0) + lon
-    val cosSza = sin(radians(lat)) * sin(radians(decl)) +
-      cos(radians(lat)) * cos(radians(decl)) * cos(radians(ha))
     Tables.events(spark, dir)
-      .withColumn("sza", degrees(acos(cosSza)))
+      .withColumn("sza", szaDeg(lat, lon, col("ts")))
       .filter(col("sza") < 80.0) // keep daytime products
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_day"),
@@ -278,13 +285,75 @@ object Trollflow {
       |LEFT JOIN formats ON productkey = f_productkey
       |ORDER BY priority, area, product, format""".stripMargin
 
+  /** F5 `check_sunlight_coverage` (plugins/__init__.py:786-902): sunlit
+    * fraction of each target area at scene time — an 8×8 deterministic
+    * sample grid per area, a point is sunlit iff its solar zenith < 90°,
+    * areas below min coverage are dropped. The grid is a few hundred rows
+    * regardless of data scale (computed once per area, memoized by shape,
+    * as the reference memoizes per (area, check_pass)). */
+  def q45SunlightCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val areas = Seq(
+      ("euro", -10.0, 40.0, 35.0, 70.0),
+      ("pacific", 140.0, 180.0, -50.0, 10.0),
+      ("americas", -120.0, -60.0, -30.0, 50.0)
+    ).toDF("area_name", "lon_min", "lon_max", "lat_min", "lat_max")
+    val sceneTs = Tables.events(spark, dir).agg(max(col("ts")).as("scene_ts"))
+    areas.crossJoin(broadcast(sceneTs))
+      .withColumn("i", explode(sequence(lit(0), lit(7))))
+      .withColumn("j", explode(sequence(lit(0), lit(7))))
+      .withColumn("plon",
+        col("lon_min") + (col("i") + 0.5) * (col("lon_max") - col("lon_min")) / 8.0)
+      .withColumn("plat",
+        col("lat_min") + (col("j") + 0.5) * (col("lat_max") - col("lat_min")) / 8.0)
+      .withColumn("sza", szaDeg(col("plat"), col("plon"), col("scene_ts")))
+      .groupBy(col("area_name"))
+      .agg(round(avg(when(col("sza") < 90.0, 1.0).otherwise(0.0)), 5).as("sunlit_frac"),
+        count(lit(1)).as("n_points"))
+      .filter(col("sunlit_frac") >= 0.05)
+      .orderBy(col("area_name"))
+  }
+
+  val q45Sql: String =
+    """WITH areas(area_name, lon_min, lon_max, lat_min, lat_max) AS (VALUES
+      |    ('euro', -10.0, 40.0, 35.0, 70.0),
+      |    ('pacific', 140.0, 180.0, -50.0, 10.0),
+      |    ('americas', -120.0, -60.0, -30.0, 50.0)),
+      |st AS (SELECT max(CAST(ts AS TIMESTAMP)) AS scene_ts FROM events),
+      |grid AS (
+      |  SELECT area_name, scene_ts,
+      |    lon_min + (i + 0.5) * (lon_max - lon_min) / 8.0 AS plon,
+      |    lat_min + (j + 0.5) * (lat_max - lat_min) / 8.0 AS plat
+      |  FROM areas CROSS JOIN st, range(0, 8) ti(i), range(0, 8) tj(j)),
+      |sz AS (
+      |  SELECT area_name,
+      |    degrees(acos(
+      |      sin(radians(plat))
+      |        * sin(radians(-23.44 * cos(radians(360.0/365.0 * (dayofyear(scene_ts)::DOUBLE + 10.0)))))
+      |      + cos(radians(plat))
+      |        * cos(radians(-23.44 * cos(radians(360.0/365.0 * (dayofyear(scene_ts)::DOUBLE + 10.0)))))
+      |        * cos(radians(15.0 * (date_part('hour', scene_ts)::DOUBLE
+      |                              + date_part('minute', scene_ts)::DOUBLE / 60.0
+      |                              + date_part('second', scene_ts)::DOUBLE / 3600.0
+      |                              - 12.0)
+      |                      + plon)))) AS sza
+      |  FROM grid)
+      |SELECT area_name,
+      |  round(avg(CASE WHEN sza < 90.0 THEN 1.0 ELSE 0.0 END), 5) AS sunlit_frac,
+      |  count(*) AS n_points
+      |FROM sz
+      |GROUP BY area_name
+      |HAVING round(avg(CASE WHEN sza < 90.0 THEN 1.0 ELSE 0.0 END), 5) >= 0.05
+      |ORDER BY area_name""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q39_block_aggregate" -> (q39BlockAggregate _),
     "q40_resample" -> (q40Resample _),
     "q41_valid_fraction" -> (q41ValidFraction _),
     "q42_sza_check" -> (q42SzaCheck _),
     "q43_coverage_filter" -> (q43CoverageFilter _),
-    "q44_worklist_expand" -> (q44WorklistExpand _)
+    "q44_worklist_expand" -> (q44WorklistExpand _),
+    "q45_sunlight_coverage" -> (q45SunlightCoverage _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -293,6 +362,7 @@ object Trollflow {
     "q41_valid_fraction" -> q41Sql,
     "q42_sza_check" -> q42Sql,
     "q43_coverage_filter" -> q43Sql,
-    "q44_worklist_expand" -> q44Sql
+    "q44_worklist_expand" -> q44Sql,
+    "q45_sunlight_coverage" -> q45Sql
   )
 }
