@@ -40,9 +40,20 @@ object Dedup {
       |            list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
       |          FROM documents)))""".stripMargin
 
-  /** Spark side of the same postings: distinct (doc_id, shingle-h32). */
+  /** Spark side of the same postings: distinct (doc_id, shingle-h32).
+    *
+    * The repartition BEFORE the explode is load-bearing twice over: it
+    * spreads the CPU-heavy shingle+md5 expansion across all cores even
+    * when the input is a single parquet split, and because the
+    * partitioning key (doc_id) is a prefix of every downstream per-doc
+    * grouping — distinct(doc_id, h), signature mins, postings counts —
+    * Catalyst satisfies all of them with ZERO further shuffles. */
   private def shPostings(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // explicit count: a bare repartition(col) is AQE-coalescable and the
+      // tiny pre-explode byte size would collapse it to ~1 partition,
+      // serializing the expansion it exists to parallelize
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), 3)).as("s"))
       .select(col("doc_id"), h32(col("s")).as("h"))
@@ -87,16 +98,17 @@ object Dedup {
     * scalable inverted-index form: intersections come from equi-joining on
     * the shingle hash, never from comparing documents pairwise). */
   def q29NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shPostings(spark, dir)
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
+    // per-doc shingle counts ride along as a window over the postings —
+    // doc_id partitioning is already satisfied, so the count is computed
+    // in place and the two count-lookup joins disappear from the plan
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val sh = shPostings(spark, dir).withColumn("n_sh", count(lit(1)).over(w))
+    sh.as("a")
       .join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.select(col("doc_id"), col("n_sh").as("na")), col("da") === col("doc_id")).drop("doc_id")
-      .join(counts.select(col("doc_id"), col("n_sh").as("nb")), col("db") === col("doc_id")).drop("doc_id")
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.n_sh")).as("na"), max(col("b.n_sh")).as("nb"))
       .withColumn("jac",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5))
       .filter(col("jac") >= 0.6)
@@ -132,32 +144,36 @@ object Dedup {
     // a leaked cache would steal executor storage memory from every later
     // query in the session — recomputing the cheap scan+project wins.
     val sh = shPostings(spark, dir)
-    val permsDf = perms.toDF("i", "pa", "pb")
-    val sig = sh.crossJoin(broadcast(permsDf))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("pa") * col("h") + col("pb")) % P).as("mh"))
-    val bands = sig
-      .withColumn("band", expr("i div 4"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          s => s.getField("mh")),
-        lit(0L), (acc, x) => (acc * 131 + x) % P).as("bfp"))
+    // ONE shuffle for the whole signature: the 16 permutation minima are
+    // parallel aggregates over the postings (instead of exploding postings
+    // × 16 rows and shuffling 16× the data), and each band fingerprint is
+    // then a pure projection — no second aggregation, no collect_list.
+    val mhCols = perms.map { case (i, a, b) =>
+      min((col("h") * a + b) % P).as(s"mh$i")
+    }
+    val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    def bandFp(b: Int): Column =
+      (0 until 4).foldLeft(lit(0L)) { (acc, j) =>
+        (acc * 131 + col(s"mh${b * 4 + j}")) % P
+      }
+    val bands = sig.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), bandFp(b).as("bfp"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bfp").as("bfp"))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bfp") === col("y.bfp") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.as("a"), col("da") === col("a.doc_id"))
-      .join(sh.as("b"), col("db") === col("b.doc_id") && col("a.h") === col("b.h"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val shc = sh.withColumn("n_sh", count(lit(1)).over(w))
+    shc.as("a")
+      .join(cand, col("da") === col("a.doc_id"))
+      .join(shc.as("b"), col("db") === col("b.doc_id") && col("a.h") === col("b.h"))
       .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.select(col("doc_id"), col("n_sh").as("na")), col("da") === col("doc_id")).drop("doc_id")
-      .join(counts.select(col("doc_id"), col("n_sh").as("nb")), col("db") === col("doc_id")).drop("doc_id")
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.n_sh")).as("na"), max(col("b.n_sh")).as("nb"))
       .withColumn("jac",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5))
       .filter(col("jac") >= 0.6)
@@ -202,16 +218,22 @@ object Dedup {
     * Hamming distance ≤ 8. Bit extraction uses integer div by a literal
     * power-of-two table — identical semantics in both engines. */
   def q31Simhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val bits = Seq.tabulate(32)(b => (b, 1L << b)).toDF("b", "p")
+    // ONE shuffle: the 32 per-bit majority votes are parallel aggregates
+    // over the postings (not postings × 32 exploded rows), and the final
+    // signature assembly is a projection. Bit extraction uses `div` with a
+    // long literal — exact integer division (a double-divide-then-cast
+    // could round up across an integer boundary for h close to k*2^b).
+    val voteCols = Seq.tabulate(32) { b =>
+      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, lit(1))
+        .otherwise(lit(-1))).as(s"s$b")
+    }
     val sim = shPostings(spark, dir)
-      .crossJoin(broadcast(bits))
-      .withColumn("contrib",
-        when(expr("(h div p) % 2") === 1, lit(1)).otherwise(lit(-1)))
-      .groupBy(col("doc_id"), col("b"), col("p"))
-      .agg(sum(col("contrib")).as("s"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, col("p")).otherwise(lit(0L))).as("simhash"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        Seq.tabulate(32)(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
       .withColumn("hi", expr("simhash div 65536"))
       .withColumn("lo", col("simhash") % 65536)
     def pairsOn(key: String): DataFrame =
