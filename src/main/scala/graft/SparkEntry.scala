@@ -18,7 +18,8 @@ object SparkEntry {
       (Dedup.defs, Dedup.oracles),
       (Similarity.defs, Similarity.oracles),
       (Media.defs, Media.oracles),
-      (Trollflow.defs, Trollflow.oracles)
+      (Trollflow.defs, Trollflow.oracles),
+      (Search.defs, Search.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
