@@ -230,17 +230,30 @@ object Plugins {
     * Spark jobs run back-to-back on shared persisted upstreams if the
     * caller persisted them (single-action batching analog,
     * plugins/__init__.py:392-395). `eagerWriting` forces immediate
-    * per-item execution order (doc/source/plugins.rst:162-167). */
+    * per-item execution order (doc/source/plugins.rst:162-167).
+    *
+    * `stagingZone` (plugins/__init__.py:223-255, 317-327): when set, files
+    * are written (tmp + rename) inside the staging directory and moved to
+    * `outDir` only after the write succeeds — the reference's two-hop
+    * commit for sinks where the final location is slow/remote.
+    * `overviews` (W5, plugins/__init__.py:928-944): per written raster,
+    * also write reduced-resolution copies (block-mean by each factor) as
+    * `<fname>.ov<factor>` siblings — the columnar analog of embedded
+    * GeoTIFF overview levels. */
   final case class SaveDatasets(
       outDir: String, fnamePattern: String = "{area}_{product}.{format}",
-      productCol: String = "product", eagerWriting: Boolean = false)
+      productCol: String = "product", eagerWriting: Boolean = false,
+      stagingZone: Option[String] = None, overviews: Seq[Int] = Seq.empty,
+      yCol: String = "y", xCol: String = "x", valueCol: String = "value")
       extends Plugin {
+    require(overviews.forall(_ > 1), s"overview factors must be > 1: $overviews")
     val name = "save_datasets"
     def apply(ctx: PipelineContext): PipelineContext =
       if (ctx.aborted.isDefined) ctx
       else {
         Files.createDirectories(Paths.get(outDir))
-        val writes: Seq[() => Option[WrittenFile]] = ctx.worklist.map { item =>
+        stagingZone.foreach(s => Files.createDirectories(Paths.get(s)))
+        val writes: Seq[() => Seq[WrittenFile]] = ctx.worklist.map { item =>
           () => writeOne(ctx, item)
         }
         // eager vs batched is about *when* each action fires; with lazy
@@ -249,8 +262,8 @@ object Plugins {
         ctx.copy(manifest = ctx.manifest ++ manifest)
       }
 
-    private def writeOne(ctx: PipelineContext, item: WorkItem): Option[WrittenFile] = {
-      ctx.frames.get(item.area).orElse(ctx.frames.get(None)).flatMap { frame =>
+    private def writeOne(ctx: PipelineContext, item: WorkItem): Seq[WrittenFile] = {
+      ctx.frames.get(item.area).orElse(ctx.frames.get(None)).toSeq.flatMap { frame =>
         // unknown product -> skip with warning (KeyError skip, W2)
         val slice = frame.filter(col(productCol).isin(item.members: _*))
         val writer = item.settings.getOrElse("writer", formatWriter(item.format))
@@ -258,23 +271,51 @@ object Plugins {
           ctx.metadata ++ item.settings +
             ("area" -> item.area.getOrElse("native")) +
             ("product" -> item.product) + ("format" -> item.format))
-        val finalPath = Paths.get(outDir, fname)
-        val tmpPath = Paths.get(outDir, s".tmp_${System.nanoTime()}_$fname")
-        try {
-          val rows = slice.count()
-          if (rows == 0) None // product missing from scene -> skip (P1)
-          else {
-            slice.write.mode("overwrite").format(writer).save(tmpPath.toString)
-            atomicRename(tmpPath, finalPath)
-            Some(WrittenFile(item.area, item.product, item.format,
-              finalPath.toString, rows, dirSize(finalPath)))
+        if (slice.isEmpty) Seq.empty // product missing from scene -> skip (P1)
+        else {
+          val main = commitWrite(slice, writer, fname, item)
+          val ovs = overviews.flatMap { factor =>
+            if (!slice.columns.contains(yCol) || !slice.columns.contains(xCol))
+              None
+            else {
+              val keys = slice.columns
+                .filterNot(c => c == yCol || c == xCol || c == valueCol)
+              val down = slice
+                .groupBy((keys.map(col) :+ expr(s"$yCol div $factor").as(yCol)
+                  :+ expr(s"$xCol div $factor").as(xCol)): _*)
+                .agg(avg(col(valueCol)).as(valueCol))
+              Some(commitWrite(down, writer, s"$fname.ov$factor", item))
+            }
           }
-        } catch {
-          case e: Exception =>
-            deleteRecursively(tmpPath)
-            throw new RuntimeException(
-              s"save_datasets failed for ${item.product}: ${e.getMessage}", e)
+          main +: ovs
         }
+      }
+    }
+
+    /** Write through the staging zone (if any) with tmp + atomic rename at
+      * every hop; returns the manifest entry for the final location. */
+    private def commitWrite(df: DataFrame, writer: String, fname: String,
+                            item: WorkItem): WrittenFile = {
+      val stageDir = stagingZone.getOrElse(outDir)
+      val stagedPath = Paths.get(stageDir, fname)
+      val tmpPath = Paths.get(stageDir, s".tmp_${System.nanoTime()}_$fname")
+      try {
+        val rows = df.count()
+        df.write.mode("overwrite").format(writer).save(tmpPath.toString)
+        atomicRename(tmpPath, stagedPath)
+        val finalPath =
+          if (stagingZone.isDefined) {
+            val dst = Paths.get(outDir, fname)
+            atomicRename(stagedPath, dst)
+            dst
+          } else stagedPath
+        WrittenFile(item.area, item.product, item.format,
+          finalPath.toString, rows, dirSize(finalPath))
+      } catch {
+        case e: Exception =>
+          deleteRecursively(tmpPath)
+          throw new RuntimeException(
+            s"save_datasets failed for ${item.product}: ${e.getMessage}", e)
       }
     }
     private def formatWriter(format: String): String = format match {

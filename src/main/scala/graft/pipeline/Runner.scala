@@ -21,22 +21,31 @@ object Runner {
   final case class JobReport(priority: Int, results: Seq[PluginResult],
                              finalCtx: PipelineContext)
 
+  /** Crash handler (the reference's `sendmail`-style handler chain,
+    * launcher.py:483-497, hooked at 411-416): invoked with the plugin name
+    * and the throwable; the job then aborts instead of crashing the
+    * runner. Transport (mail/pager/log) is the handler's business. */
+  type CrashHandler = (String, Throwable) => Unit
+
   /** Run `plugins` over each priority slice of the work-list in order.
     * Each slice sees only its own work items (the reference forks one
     * job per priority, launcher.py:269-300); frames/metadata are shared. */
   def processJobs(ctx: PipelineContext, plugins: Seq[Plugin],
-                  timeoutPerPlugin: Duration = Duration.Inf): Seq[JobReport] = {
+                  timeoutPerPlugin: Duration = Duration.Inf,
+                  crashHandlers: Seq[CrashHandler] = Seq.empty): Seq[JobReport] = {
     val groups = Worklist.byPriority(ctx.worklist)
     val slices = if (groups.isEmpty) Seq((Worklist.DefaultPriority, ctx.worklist)) else groups
     try {
       slices.map { case (prio, items) =>
-        runChain(ctx.copy(worklist = items), plugins, prio, timeoutPerPlugin)
+        runChain(ctx.copy(worklist = items), plugins, prio, timeoutPerPlugin,
+          crashHandlers)
       }
     } finally plugins.foreach(_.stop()) // lifecycle teardown (launcher.py:417-429)
   }
 
   private def runChain(start: PipelineContext, plugins: Seq[Plugin], prio: Int,
-                       timeout: Duration): JobReport = {
+                       timeout: Duration,
+                       crashHandlers: Seq[CrashHandler]): JobReport = {
     val jobGroup = s"graft-pipeline-p$prio"
     start.spark.sparkContext.setJobGroup(jobGroup,
       s"pipeline priority $prio", interruptOnCancel = true)
@@ -45,15 +54,23 @@ object Runner {
         case ((ctx, acc), plugin) =>
           val t0 = System.nanoTime()
           val next =
-            if (timeout.isFinite) {
-              implicit val ec: ExecutionContext = ExecutionContext.global
-              try Await.result(Future(plugin(ctx)), timeout)
-              catch {
-                case _: TimeoutException =>
-                  ctx.spark.sparkContext.cancelJobGroup(jobGroup)
-                  ctx.abort(s"${plugin.name}: timed out after $timeout")
-              }
-            } else plugin(ctx)
+            try {
+              if (timeout.isFinite) {
+                implicit val ec: ExecutionContext = ExecutionContext.global
+                try Await.result(Future(plugin(ctx)), timeout)
+                catch {
+                  case _: TimeoutException =>
+                    ctx.spark.sparkContext.cancelJobGroup(jobGroup)
+                    ctx.abort(s"${plugin.name}: timed out after $timeout")
+                }
+              } else plugin(ctx)
+            } catch {
+              case e: Exception =>
+                crashHandlers.foreach { h =>
+                  try h(plugin.name, e) catch { case _: Exception => () }
+                }
+                ctx.abort(s"${plugin.name} crashed: ${e.getMessage}")
+            }
           val secs = (System.nanoTime() - t0) / 1e9
           (next, acc :+ PluginResult(plugin.name, secs, next.aborted))
       }
