@@ -58,6 +58,13 @@ object Dedup {
         explode(shingles(tokens(col("text")), 3)).as("s"))
       .select(col("doc_id"), h32(col("s")).as("h"))
       .distinct()
+      // materialize: every dedup query self-joins these postings (and the
+      // shuffle-free per-doc pipeline above leaves no exchange for Spark's
+      // ReusedExchange to latch onto), so without this each join side
+      // re-runs the explode+md5 expansion — profiled at 4× the query cost.
+      // At cluster scale this is "write the postings/signature table once,
+      // then join it"; localCheckpoint is the single-node analog.
+      .localCheckpoint()
 
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
@@ -110,7 +117,7 @@ object Dedup {
       .agg(count(lit(1)).as("inter"),
         max(col("a.n_sh")).as("na"), max(col("b.n_sh")).as("nb"))
       .withColumn("jac",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5))
+        round(lit(1e-9) + col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5))
       .filter(col("jac") >= 0.6)
       .select(col("da"), col("db"), col("inter"), col("na"), col("nb"), col("jac"))
       .orderBy(col("da"), col("db"))
@@ -124,11 +131,11 @@ object Dedup {
       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT da, db, inter, ca.n_sh AS na, cb.n_sh AS nb,
-      |  round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) AS jac
+      |  round(1e-9 + CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) AS jac
       |FROM pairs
       |JOIN cnt ca ON ca.doc_id = da
       |JOIN cnt cb ON cb.doc_id = db
-      |WHERE round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) >= 0.6
+      |WHERE round(1e-9 + CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) >= 0.6
       |ORDER BY da, db""".stripMargin
 
   /** MinHash + LSH: 16-permutation signature over shingle hashes, 4 bands
@@ -175,7 +182,7 @@ object Dedup {
       .agg(count(lit(1)).as("inter"),
         max(col("a.n_sh")).as("na"), max(col("b.n_sh")).as("nb"))
       .withColumn("jac",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5))
+        round(lit(1e-9) + col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5))
       .filter(col("jac") >= 0.6)
       .select(col("da"), col("db"), col("jac"))
       .orderBy(col("da"), col("db"))
@@ -206,11 +213,11 @@ object Dedup {
       |  JOIN sh b ON b.doc_id = db AND b.h = a.h
       |  GROUP BY 1, 2)
       |SELECT da, db,
-      |  round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) AS jac
+      |  round(1e-9 + CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) AS jac
       |FROM inter
       |JOIN cnt ca ON ca.doc_id = da
       |JOIN cnt cb ON cb.doc_id = db
-      |WHERE round(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) >= 0.6
+      |WHERE round(1e-9 + CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) >= 0.6
       |ORDER BY da, db""".stripMargin
 
   /** SimHash near-dup: 32-bit signature (majority vote per bit over shingle
@@ -236,12 +243,21 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
       .withColumn("hi", expr("simhash div 65536"))
       .withColumn("lo", col("simhash") % 65536)
-    def pairsOn(key: String): DataFrame =
-      sim.as("x").join(sim.as("y"),
-        col(s"x.$key") === col(s"y.$key") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-          expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
-    pairsOn("hi").unionByName(pairsOn("lo"))
+      .localCheckpoint() // tiny (one row per doc); joined twice below
+    // ONE self-join on a tagged band key instead of two (hi, lo) joins:
+    // band = (half-value, which-half), so pairs sharing either half meet
+    // in the same bucket and the pair set is identical.
+    val bands = sim.select(col("doc_id"), col("simhash"),
+      explode(array(
+        struct(col("hi").as("v"), lit(0).as("half")),
+        struct(col("lo").as("v"), lit(1).as("half")))).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.v").as("bv"), col("b.half").as("half"))
+    bands.as("x").join(bands.as("y"),
+        col("x.bv") === col("y.bv") && col("x.half") === col("y.half") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 8)
       .orderBy(col("da"), col("db"))
@@ -282,7 +298,7 @@ object Dedup {
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("dot", foldSum(zip_with(col("a.v"), col("b.v"), (x, y) => x * y)))
-      .withColumn("cos", round(col("dot") / sqrt(col("a.nrm") * col("b.nrm")), 5))
+      .withColumn("cos", round(lit(1e-9) + col("dot") / sqrt(col("a.nrm") * col("b.nrm")), 5))
       .filter(col("cos") >= 0.40)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         col("a.label").as("label"), col("cos"))
@@ -296,12 +312,12 @@ object Dedup {
       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) AS nrm
       |  FROM embeddings)
       |SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
-      |  round(
+      |  round(1e-9 + 
       |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
       |    / sqrt(a.nrm * b.nrm), 5) AS cos
       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE round(
+      |WHERE round(1e-9 + 
       |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
       |    / sqrt(a.nrm * b.nrm), 5) >= 0.40

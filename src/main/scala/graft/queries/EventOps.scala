@@ -21,13 +21,13 @@ object EventOps {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n_events"),
-           round(sum(col("value")), 2).as("sum_value"))
+           round(lit(1e-9) + sum(col("value")), 2).as("sum_value"))
       .orderBy(col("k_mod"))
 
   val q17Sql: String =
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
       |  count(*) AS n_events,
-      |  round(sum(value), 2) AS sum_value
+      |  round(1e-9 + sum(value), 2) AS sum_value
       |FROM events
       |GROUP BY 1
       |ORDER BY k_mod""".stripMargin
@@ -39,14 +39,14 @@ object EventOps {
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
                col("event_type"))
       .agg(count(lit(1)).as("n"),
-           round(sum(col("value")), 2).as("sum_value"))
+           round(lit(1e-9) + sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
   val q18Sql: String =
     """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour,
       |  event_type,
       |  count(*) AS n,
-      |  round(sum(value), 2) AS sum_value
+      |  round(1e-9 + sum(value), 2) AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY hour, event_type""".stripMargin
@@ -119,13 +119,13 @@ object EventOps {
       .filter(col("ts_ns") >= col("max_ns") - lit(7200L * 1000 * 1000 * 1000))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_admitted"),
-           round(sum(col("value")), 2).as("sum_value"))
+           round(lit(1e-9) + sum(col("value")), 2).as("sum_value"))
       .orderBy(col("event_type"))
   }
 
   val q21Sql: String =
     """SELECT event_type, count(*) AS n_admitted,
-      |  round(sum(value), 2) AS sum_value
+      |  round(1e-9 + sum(value), 2) AS sum_value
       |FROM events
       |WHERE epoch_ns(ts) >= (SELECT max(epoch_ns(ts)) FROM events) - 7200000000000
       |GROUP BY event_type

@@ -24,25 +24,25 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(lit(1e-9) + sum(col("l_quantity")), 2).as("sum_qty"),
+        round(lit(1e-9) + sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(lit(1e-9) + avg(col("l_quantity")), 4).as("avg_qty"),
+        round(lit(1e-9) + avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(lit(1e-9) + avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  round(1e-9 + sum(l_quantity), 2) AS sum_qty,
+      |  round(1e-9 + sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(1e-9 + sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(1e-9 + avg(l_quantity), 4) AS avg_qty,
+      |  round(1e-9 + avg(l_extendedprice), 4) AS avg_price,
+      |  round(1e-9 + avg(l_discount), 4) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -59,11 +59,11 @@ object Relational {
         col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(round(lit(1e-9) + sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
            count(lit(1)).as("n_rows"))
 
   val q02Sql: String =
-    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    """SELECT round(1e-9 + sum(l_extendedprice * l_discount), 2) AS revenue,
       |  count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
@@ -78,13 +78,13 @@ object Relational {
       .join(broadcast(Tables.customer(spark, dir)),
             col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(round(sum(col("o_totalprice")), 2).as("segment_revenue"),
+      .agg(round(lit(1e-9) + sum(col("o_totalprice")), 2).as("segment_revenue"),
            count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment"))
 
   val q03Sql: String =
     """SELECT c_mktsegment,
-      |  round(sum(o_totalprice), 2) AS segment_revenue,
+      |  round(1e-9 + sum(o_totalprice), 2) AS segment_revenue,
       |  count(*) AS n_orders
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment
@@ -96,15 +96,15 @@ object Relational {
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-           round(sum(col("l_extendedprice")), 2).as("sum_price"),
+      .agg(round(lit(1e-9) + sum(col("l_quantity")), 2).as("sum_qty"),
+           round(lit(1e-9) + sum(col("l_extendedprice")), 2).as("sum_price"),
            count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderstatus"))
 
   val q04Sql: String =
     """SELECT o_orderstatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  round(1e-9 + sum(l_quantity), 2) AS sum_qty,
+      |  round(1e-9 + sum(l_extendedprice), 2) AS sum_price,
       |  count(*) AS n_lines
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus
@@ -124,14 +124,14 @@ object Relational {
       .join(nation, col("s_nationkey") === col("n_nationkey"))
       .join(region, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(round(lit(1e-9) + sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
            count(lit(1)).as("n_lines"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
   val q05Sql: String =
     """SELECT r_name, n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
       |  count(*) AS n_lines
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -147,12 +147,12 @@ object Relational {
     * global sort. */
   def q06TopOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .select(col("o_orderkey"), round(lit(1e-9) + col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
   val q06Sql: String =
-    """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    """SELECT o_orderkey, round(1e-9 + o_totalprice, 2) AS o_totalprice
       |FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 10""".stripMargin
@@ -166,12 +166,12 @@ object Relational {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("rk"), col("o_orderkey"),
-              round(col("o_totalprice"), 2).as("o_totalprice"))
+              round(lit(1e-9) + col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy(col("o_custkey"), col("rk"))
   }
 
   val q07Sql: String =
-    """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    """SELECT o_custkey, rk, o_orderkey, round(1e-9 + o_totalprice, 2) AS o_totalprice
       |FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_custkey
@@ -190,13 +190,13 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
-              round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+              round(lit(1e-9) + sum(col("l_quantity")).over(w), 2).as("running_qty"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
   }
 
   val q08Sql: String =
     """SELECT l_orderkey, l_linenumber,
-      |  round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+      |  round(1e-9 + sum(l_quantity) OVER (PARTITION BY l_orderkey
       |    ORDER BY l_linenumber, l_quantity, l_extendedprice
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
       |FROM lineitem
@@ -226,7 +226,7 @@ object Relational {
   def q10Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(round(lit(1e-9) + sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
               coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
               col("sum_qty"), col("n"))
@@ -235,7 +235,7 @@ object Relational {
   val q10Sql: String =
     """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
       |  coalesce(l_linestatus, 'ALL') AS linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |  round(1e-9 + sum(l_quantity), 2) AS sum_qty, count(*) AS n
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
@@ -262,11 +262,11 @@ object Relational {
     Tables.customer(spark, dir)
       .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000),
             col("c_custkey") === col("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"))
+      .select(col("c_custkey"), col("c_name"), round(lit(1e-9) + col("c_acctbal"), 2).as("c_acctbal"))
       .orderBy(col("c_custkey"))
 
   val q12Sql: String =
-    """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    """SELECT c_custkey, c_name, round(1e-9 + c_acctbal, 2) AS c_acctbal
       |FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders
       |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
@@ -300,7 +300,7 @@ object Relational {
           .otherwise("large"))
       .groupBy(col("p_brand"), col("size_class"))
       .agg(count(lit(1)).as("n_parts"),
-           round(avg(col("p_retailprice")), 2).as("avg_price"))
+           round(lit(1e-9) + avg(col("p_retailprice")), 2).as("avg_price"))
       .filter(col("n_parts") >= 5)
       .orderBy(col("p_brand"), col("size_class"))
 
@@ -310,7 +310,7 @@ object Relational {
       |       WHEN p_size < 30 THEN 'medium'
       |       ELSE 'large' END AS size_class,
       |  count(*) AS n_parts,
-      |  round(avg(p_retailprice), 2) AS avg_price
+      |  round(1e-9 + avg(p_retailprice), 2) AS avg_price
       |FROM part
       |GROUP BY 1, 2
       |HAVING count(*) >= 5
@@ -323,12 +323,12 @@ object Relational {
     val avgPrice = part.agg(avg(col("p_retailprice")).as("global_avg"))
     part.crossJoin(broadcast(avgPrice))
       .filter(col("p_retailprice") > col("global_avg") * 1.01)
-      .select(col("p_partkey"), col("p_name"), round(col("p_retailprice"), 2).as("p_retailprice"))
+      .select(col("p_partkey"), col("p_name"), round(lit(1e-9) + col("p_retailprice"), 2).as("p_retailprice"))
       .orderBy(col("p_partkey"))
   }
 
   val q15Sql: String =
-    """SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+    """SELECT p_partkey, p_name, round(1e-9 + p_retailprice, 2) AS p_retailprice
       |FROM part
       |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) * 1.01
       |ORDER BY p_partkey""".stripMargin
@@ -339,13 +339,13 @@ object Relational {
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-           round(sum(col("o_totalprice")), 2).as("total"),
+           round(lit(1e-9) + sum(col("o_totalprice")), 2).as("total"),
            min(col("o_orderkey")).as("first_order"))
       .orderBy(col("o_orderpriority"))
 
   val q16Sql: String =
     """SELECT o_orderpriority, count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS total,
+      |  round(1e-9 + sum(o_totalprice), 2) AS total,
       |  min(o_orderkey) AS first_order
       |FROM orders
       |GROUP BY o_orderpriority

@@ -47,7 +47,7 @@ object Search {
         col("idf") * (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avg_dl"))))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("contrib")), 5).as("bm25"),
+      .agg(round(lit(1e-9) + sum(col("contrib")), 5).as("bm25"),
         count(lit(1)).as("n_terms_hit"))
       .filter(col("bm25") >= 1.0)
       .orderBy(col("doc_id"))
@@ -73,10 +73,10 @@ object Search {
       |  JOIN df USING (term)
       |  JOIN doclen USING (doc_id)
       |  CROSS JOIN corpus)
-      |SELECT doc_id, round(sum(contrib), 5) AS bm25, count(*) AS n_terms_hit
+      |SELECT doc_id, round(1e-9 + sum(contrib), 5) AS bm25, count(*) AS n_terms_hit
       |FROM scored
       |GROUP BY doc_id
-      |HAVING round(sum(contrib), 5) >= 1.0
+      |HAVING round(1e-9 + sum(contrib), 5) >= 1.0
       |ORDER BY doc_id""".stripMargin
 
   val defs: Map[String, Q] = Map("q46_bm25" -> (q46Bm25 _))

@@ -57,7 +57,7 @@ object Similarity {
           sqrt(col("qnrm") * col("nrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
-      .select(col("qid"), col("rk"), col("vec_id"), round(col("cos_raw"), 5).as("cos"))
+      .select(col("qid"), col("rk"), col("vec_id"), round(lit(1e-9) + col("cos_raw"), 5).as("cos"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -74,7 +74,7 @@ object Similarity {
       |  SELECT qid, vec_id, cos_raw,
       |    row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rk
       |  FROM scored)
-      |SELECT qid, rk, vec_id, round(cos_raw, 5) AS cos
+      |SELECT qid, rk, vec_id, round(1e-9 + cos_raw, 5) AS cos
       |FROM ranked WHERE rk <= 10
       |ORDER BY qid, rk""".stripMargin
 
@@ -108,7 +108,7 @@ object Similarity {
           sqrt(col("qnrm") * col("nrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("vec_id"), round(col("cos_raw"), 5).as("cos"))
+      .select(col("qid"), col("rk"), col("vec_id"), round(lit(1e-9) + col("cos_raw"), 5).as("cos"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -143,7 +143,7 @@ object Similarity {
       |  SELECT qid, vec_id, cos_raw,
       |    row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rk
       |  FROM scored)
-      |SELECT qid, rk, vec_id, round(cos_raw, 5) AS cos
+      |SELECT qid, rk, vec_id, round(1e-9 + cos_raw, 5) AS cos
       |FROM ranked WHERE rk <= 5
       |ORDER BY qid, rk""".stripMargin
 
@@ -154,16 +154,16 @@ object Similarity {
     val comp = vecs(spark, dir)
       .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
     val cent = comp.groupBy(col("label").as("c_label"), col("pos"))
-      .agg(round(avg(col("x")), 6).as("c"))
+      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
     val dist = comp.join(cent,
         col("label") === col("c_label") && comp("pos") === cent("pos"))
       .groupBy(col("vec_id"), col("label"))
       .agg(sqrt(sum((col("x") - col("c")) * (col("x") - col("c")))).as("dist"))
     dist.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(avg(col("dist")), 5).as("avg_dist"),
-        round(min(col("dist")), 5).as("min_dist"),
-        round(max(col("dist")), 5).as("max_dist"))
+        round(lit(1e-9) + avg(col("dist")), 5).as("avg_dist"),
+        round(lit(1e-9) + min(col("dist")), 5).as("min_dist"),
+        round(lit(1e-9) + max(col("dist")), 5).as("max_dist"))
       .orderBy(col("label"))
   }
 
@@ -174,16 +174,16 @@ object Similarity {
       |comp AS (
       |  SELECT vec_id, label, d - 1 AS pos, embedding[d]::DOUBLE AS x FROM compu),
       |cent AS (
-      |  SELECT label AS c_label, pos, round(avg(x), 6) AS c
+      |  SELECT label AS c_label, pos, round(1e-9 + avg(x), 6) AS c
       |  FROM comp GROUP BY 1, 2),
       |dist AS (
       |  SELECT vec_id, label, sqrt(sum((x - c) * (x - c))) AS dist
       |  FROM comp JOIN cent ON label = c_label AND comp.pos = cent.pos
       |  GROUP BY 1, 2)
       |SELECT label, count(*) AS n_vecs,
-      |  round(avg(dist), 5) AS avg_dist,
-      |  round(min(dist), 5) AS min_dist,
-      |  round(max(dist), 5) AS max_dist
+      |  round(1e-9 + avg(dist), 5) AS avg_dist,
+      |  round(1e-9 + min(dist), 5) AS min_dist,
+      |  round(1e-9 + max(dist), 5) AS max_dist
       |FROM dist
       |GROUP BY label
       |ORDER BY label""".stripMargin
@@ -196,7 +196,7 @@ object Similarity {
     val comp = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
     val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label").as("c_label"), col("pos"))
-      .agg(round(avg(col("x")), 6).as("c"))
+      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
     // assignment: distance of every vector to every centroid, argmin
     val d2 = comp.join(cent, "pos")
       .groupBy(col("vec_id"), col("c_label"))
@@ -217,7 +217,7 @@ object Similarity {
           sqrt(col("qnrm") * col("nrm")))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("vec_id"), round(col("cos_raw"), 5).as("cos"))
+      .select(col("qid"), col("rk"), col("vec_id"), round(lit(1e-9) + col("cos_raw"), 5).as("cos"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -229,7 +229,7 @@ object Similarity {
       |  SELECT vec_id, label, d - 1 AS pos, embedding[d]::DOUBLE AS x FROM compu),
       |comp AS (SELECT vec_id, pos, x FROM compl),
       |cent AS (
-      |  SELECT label AS c_label, pos, round(avg(x), 6) AS c
+      |  SELECT label AS c_label, pos, round(1e-9 + avg(x), 6) AS c
       |  FROM compl
       |  GROUP BY 1, 2),
       |d2 AS (
@@ -254,7 +254,7 @@ object Similarity {
       |  SELECT qid, vec_id, cos_raw,
       |    row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rk
       |  FROM scored)
-      |SELECT qid, rk, vec_id, round(cos_raw, 5) AS cos
+      |SELECT qid, rk, vec_id, round(1e-9 + cos_raw, 5) AS cos
       |FROM ranked WHERE rk <= 5
       |ORDER BY qid, rk""".stripMargin
 

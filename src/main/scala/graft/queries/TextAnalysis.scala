@@ -33,14 +33,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("nw")).as("ws_tokens"),
         sum(col("ns")).as("subword_tokens"),
-        round(avg(col("nc")), 4).as("avg_chars"))
+        round(lit(1e-9) + avg(col("nc")), 4).as("avg_chars"))
       .orderBy(col("lang"), col("source"))
 
   val q23Sql: String =
     """SELECT lang, source, count(*) AS n_docs,
       |  sum(len(list_filter(string_split(text, ' '), t -> len(t) > 0))) AS ws_tokens,
       |  sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS subword_tokens,
-      |  round(avg(length(text)), 4) AS avg_chars
+      |  round(1e-9 + avg(length(text)), 4) AS avg_chars
       |FROM documents
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
@@ -56,9 +56,9 @@ object TextAnalysis {
         length(regexp_replace(col("text"), " ", "")).as("word_chars"),
         size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"))
       .select(col("doc_id"), col("n_words"),
-        round(col("word_chars").cast("double") / col("n_words"), 5).as("avg_wlen"),
-        round(col("n_stop").cast("double") / col("n_words"), 5).as("stop_ratio"),
-        round(
+        round(lit(1e-9) + col("word_chars").cast("double") / col("n_words"), 5).as("avg_wlen"),
+        round(lit(1e-9) + col("n_stop").cast("double") / col("n_words"), 5).as("stop_ratio"),
+        round(lit(1e-9) + 
           lit(0.3) * least(lit(1.0), col("n_words").cast("double") / 100.0) +
           lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_words")) +
           lit(0.4) * least(lit(1.0), (col("word_chars").cast("double") / col("n_words")) / 8.0),
@@ -75,9 +75,9 @@ object TextAnalysis {
       |        t -> list_contains(['the', 'a', 'data', 'value'], t))) AS n_stop
       |  FROM documents)
       |SELECT doc_id, n_words,
-      |  round(CAST(word_chars AS DOUBLE) / n_words, 5) AS avg_wlen,
-      |  round(CAST(n_stop AS DOUBLE) / n_words, 5) AS stop_ratio,
-      |  round(0.3 * least(1.0, CAST(n_words AS DOUBLE) / 100.0)
+      |  round(1e-9 + CAST(word_chars AS DOUBLE) / n_words, 5) AS avg_wlen,
+      |  round(1e-9 + CAST(n_stop AS DOUBLE) / n_words, 5) AS stop_ratio,
+      |  round(1e-9 + 0.3 * least(1.0, CAST(n_words AS DOUBLE) / 100.0)
       |      + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_words)
       |      + 0.4 * least(1.0, (CAST(word_chars AS DOUBLE) / n_words) / 8.0),
       |    5) AS quality

@@ -45,7 +45,7 @@ object Trollflow {
       .groupBy(col("area"), col("y"), col("x"))
       .agg(avg(col("value")).as("cell"))
       .groupBy(col("area"), expr("y div 8").as("by"), expr("x div 8").as("bx"))
-      .agg(round(avg(col("cell")), 4).as("block_mean"),
+      .agg(round(lit(1e-9) + avg(col("cell")), 4).as("block_mean"),
         count(lit(1)).as("n_cells"))
       .orderBy(col("area"), col("by"), col("bx"))
 
@@ -55,7 +55,7 @@ object Trollflow {
       |  SELECT area, y, x, avg(value) AS cell
       |  FROM raster GROUP BY 1, 2, 3)
       |SELECT area, y // 8 AS by, x // 8 AS bx,
-      |  round(avg(cell), 4) AS block_mean, count(*) AS n_cells
+      |  round(1e-9 + avg(cell), 4) AS block_mean, count(*) AS n_cells
       |FROM cells
       |GROUP BY 1, 2, 3
       |ORDER BY area, by, bx""".stripMargin
@@ -72,7 +72,7 @@ object Trollflow {
       .agg(avg(col("value")).as("cell"))
       .groupBy(col("area"),
         expr("(y * 100) div 256").as("ty"), expr("(x * 100) div 256").as("tx"))
-      .agg(round(avg(col("cell")), 4).as("resampled"),
+      .agg(round(lit(1e-9) + avg(col("cell")), 4).as("resampled"),
         count(lit(1)).as("n_src"))
       .orderBy(col("area"), col("ty"), col("tx"))
 
@@ -83,7 +83,7 @@ object Trollflow {
       |  FROM raster WHERE y < 128 AND x < 128
       |  GROUP BY 1, 2, 3)
       |SELECT area, (y * 100) // 256 AS ty, (x * 100) // 256 AS tx,
-      |  round(avg(cell), 4) AS resampled, count(*) AS n_src
+      |  round(1e-9 + avg(cell), 4) AS resampled, count(*) AS n_src
       |FROM cells
       |GROUP BY 1, 2, 3
       |ORDER BY area, ty, tx""".stripMargin
@@ -96,7 +96,7 @@ object Trollflow {
     raster(spark, dir)
       .withColumn("valid", when(col("disc") > 0.08, lit(0.0)).otherwise(lit(1.0)))
       .groupBy(col("area"), col("product"))
-      .agg(round(avg(col("valid")), 5).as("valid_frac"),
+      .agg(round(lit(1e-9) + avg(col("valid")), 5).as("valid_frac"),
         count(lit(1)).as("n_px"))
       .filter(col("valid_frac") >= 0.7)
       .orderBy(col("area"), col("product"))
@@ -104,11 +104,11 @@ object Trollflow {
   val q41Sql: String =
     s"""WITH $rasterSql
       |SELECT area, product,
-      |  round(avg(CASE WHEN disc > 0.08 THEN 0.0 ELSE 1.0 END), 5) AS valid_frac,
+      |  round(1e-9 + avg(CASE WHEN disc > 0.08 THEN 0.0 ELSE 1.0 END), 5) AS valid_frac,
       |  count(*) AS n_px
       |FROM raster
       |GROUP BY 1, 2
-      |HAVING round(avg(CASE WHEN disc > 0.08 THEN 0.0 ELSE 1.0 END), 5) >= 0.7
+      |HAVING round(1e-9 + avg(CASE WHEN disc > 0.08 THEN 0.0 ELSE 1.0 END), 5) >= 0.7
       |ORDER BY area, product""".stripMargin
 
   /** Solar zenith angle (degrees) at (lat, lon, ts) — standard declination
@@ -139,7 +139,7 @@ object Trollflow {
       .filter(col("sza") < 80.0) // keep daytime products
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_day"),
-        round(avg(col("sza")), 4).as("avg_sza"))
+        round(lit(1e-9) + avg(col("sza")), 4).as("avg_sza"))
       .orderBy(col("event_type"))
   }
 
@@ -157,7 +157,7 @@ object Trollflow {
       |                              - 12.0)
       |                      + ((user_id * 73) % 360 - 180)::DOUBLE + 0.5)))) AS sza
       |  FROM events)
-      |SELECT event_type, count(*) AS n_day, round(avg(sza), 4) AS avg_sza
+      |SELECT event_type, count(*) AS n_day, round(1e-9 + avg(sza), 4) AS avg_sza
       |FROM e
       |WHERE sza < 80.0
       |GROUP BY event_type
@@ -190,7 +190,7 @@ object Trollflow {
         greatest(lit(0.0),
           least(col("p_lat_max"), col("a_lat_max")) - greatest(col("p_lat_min"), col("a_lat_min"))))
       .withColumn("coverage_pct",
-        round(col("overlap") / ((col("a_lon_max") - col("a_lon_min")) * (col("a_lat_max") - col("a_lat_min"))) * 100.0, 4))
+        round(lit(1e-9) + col("overlap") / ((col("a_lon_max") - col("a_lon_min")) * (col("a_lat_max") - col("a_lat_min"))) * 100.0, 4))
       .filter(col("coverage_pct") >= 5.0)
       .select(col("event_type"), col("area_name"), col("coverage_pct"))
       .orderBy(col("event_type"), col("area_name"))
@@ -210,7 +210,7 @@ object Trollflow {
       |  FROM events GROUP BY 1),
       |cov AS (
       |  SELECT event_type, area_name,
-      |    round(
+      |    round(1e-9 + 
       |      greatest(0.0, least(p_lon_max, a_lon_max) - greatest(p_lon_min, a_lon_min))
       |      * greatest(0.0, least(p_lat_max, a_lat_max) - greatest(p_lat_min, a_lat_min))
       |      / ((a_lon_max - a_lon_min) * (a_lat_max - a_lat_min)) * 100.0, 4) AS coverage_pct
@@ -308,7 +308,7 @@ object Trollflow {
         col("lat_min") + (col("j") + 0.5) * (col("lat_max") - col("lat_min")) / 8.0)
       .withColumn("sza", szaDeg(col("plat"), col("plon"), col("scene_ts")))
       .groupBy(col("area_name"))
-      .agg(round(avg(when(col("sza") < 90.0, 1.0).otherwise(0.0)), 5).as("sunlit_frac"),
+      .agg(round(lit(1e-9) + avg(when(col("sza") < 90.0, 1.0).otherwise(0.0)), 5).as("sunlit_frac"),
         count(lit(1)).as("n_points"))
       .filter(col("sunlit_frac") >= 0.05)
       .orderBy(col("area_name"))
@@ -339,11 +339,11 @@ object Trollflow {
       |                      + plon)))) AS sza
       |  FROM grid)
       |SELECT area_name,
-      |  round(avg(CASE WHEN sza < 90.0 THEN 1.0 ELSE 0.0 END), 5) AS sunlit_frac,
+      |  round(1e-9 + avg(CASE WHEN sza < 90.0 THEN 1.0 ELSE 0.0 END), 5) AS sunlit_frac,
       |  count(*) AS n_points
       |FROM sz
       |GROUP BY area_name
-      |HAVING round(avg(CASE WHEN sza < 90.0 THEN 1.0 ELSE 0.0 END), 5) >= 0.05
+      |HAVING round(1e-9 + avg(CASE WHEN sza < 90.0 THEN 1.0 ELSE 0.0 END), 5) >= 0.05
       |ORDER BY area_name""".stripMargin
 
   val defs: Map[String, Q] = Map(
