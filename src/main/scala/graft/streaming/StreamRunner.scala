@@ -73,6 +73,19 @@ object StreamRunner {
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0L))
       .start()
 
+  /** Streaming exact-dedup: drop re-deliveries of the same key across
+    * micro-batches, with state bounded by the event-time watermark (keys
+    * older than the watermark are evicted — the streaming face of the
+    * batch dedup pack, and the standard at-least-once → effectively-once
+    * repair for replayed message streams). Expects a `ts_ns` int64 nanos
+    * column. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keys :+ "ts")
+
   /** Graceful drain: finish the in-flight batch, then stop — the SIGTERM
     * contract (launcher.py:151-157). `awaitTermination` after `stop()` is
     * what "finish in-flight" means for a micro-batch engine. */
