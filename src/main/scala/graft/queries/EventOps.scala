@@ -158,13 +158,86 @@ object EventOps {
       |GROUP BY 1
       |ORDER BY aliased_type""".stripMargin
 
+  /** Funnel conversion: first signup → first subsequent purchase within
+    * 24 h, per user, reduced to corpus-level conversion stats. Two narrow
+    * aggregations + one key join — the canonical event-funnel shape. */
+  def q47Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("s_ns"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id")
+      .filter(col("ts_ns") >= col("s_ns"))
+      .groupBy(col("user_id").as("p_user")).agg(min(col("ts_ns")).as("p_ns"))
+    su.join(pu, col("user_id") === col("p_user"), "left")
+      .agg(count(lit(1)).as("n_signup_users"),
+        sum(when(col("p_ns").isNotNull, 1L).otherwise(0L)).as("n_purchasers"),
+        sum(when(col("p_ns") - col("s_ns") <= 86400L * 1000 * 1000 * 1000, 1L)
+          .otherwise(0L)).as("n_converted_24h"))
+      .withColumn("conv_pct",
+        round(lit(1e-9) + col("n_converted_24h").cast("double") /
+          col("n_signup_users") * 100.0, 4))
+  }
+
+  val q47Sql: String =
+    """WITH su AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS s_ns
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (
+      |  SELECT e.user_id AS p_user, min(epoch_ns(e.ts)) AS p_ns
+      |  FROM events e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= su.s_ns
+      |  GROUP BY 1)
+      |SELECT count(*) AS n_signup_users,
+      |  sum(CASE WHEN p_ns IS NOT NULL THEN 1 ELSE 0 END) AS n_purchasers,
+      |  sum(CASE WHEN p_ns - s_ns <= 86400000000000 THEN 1 ELSE 0 END) AS n_converted_24h,
+      |  round(1e-9 + sum(CASE WHEN p_ns - s_ns <= 86400000000000 THEN 1 ELSE 0 END)::DOUBLE
+      |        / count(*) * 100.0, 4) AS conv_pct
+      |FROM su LEFT JOIN pu ON user_id = p_user""".stripMargin
+
+  /** Point-in-interval range join (see [[graft.operators.RangeJoin]]):
+    * events against six 3-hour campaign windows anchored at the stream
+    * start. Dimension-sized intervals → the broadcast path; the bucketed
+    * equi-join path is the big×big variant (RangeJoinSpec proves them
+    * equal). */
+  def q48IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val mn = ev.agg(min(col("ts_ns")).as("m"))
+    val sixH = 21600L * 1000 * 1000 * 1000
+    val threeH = 10800L * 1000 * 1000 * 1000
+    val windows = spark.range(6).toDF("k").crossJoin(broadcast(mn))
+      .select(col("k"),
+        (col("m") + col("k") * sixH).as("start_ns"),
+        (col("m") + col("k") * sixH + threeH).as("end_ns"))
+    graft.operators.RangeJoin
+      .broadcastJoin(ev, "ts_ns", windows, "start_ns", "end_ns")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("k"))
+  }
+
+  val q48Sql: String =
+    """WITH mn AS (SELECT min(epoch_ns(ts)) AS m FROM events),
+      |w AS (
+      |  SELECT k, m + k * 21600000000000 AS start_ns,
+      |         m + k * 21600000000000 + 10800000000000 AS end_ns
+      |  FROM range(0, 6) t(k), mn)
+      |SELECT k, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |FROM events JOIN w
+      |  ON epoch_ns(ts) >= start_ns AND epoch_ns(ts) < end_ns
+      |GROUP BY k
+      |ORDER BY k""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q17_event_json" -> (q17EventJson _),
     "q18_hourly_volume" -> (q18HourlyVolume _),
     "q19_sessionize" -> (q19Sessionize _),
     "q20_asof_signup" -> (q20AsofSignup _),
     "q21_admission_window" -> (q21AdmissionWindow _),
-    "q22_metadata_alias" -> (q22MetadataAlias _)
+    "q22_metadata_alias" -> (q22MetadataAlias _),
+    "q47_funnel" -> (q47Funnel _),
+    "q48_interval_join" -> (q48IntervalJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,6 +246,8 @@ object EventOps {
     "q19_sessionize" -> q19Sql,
     "q20_asof_signup" -> q20Sql,
     "q21_admission_window" -> q21Sql,
-    "q22_metadata_alias" -> q22Sql
+    "q22_metadata_alias" -> q22Sql,
+    "q47_funnel" -> q47Sql,
+    "q48_interval_join" -> q48Sql
   )
 }
