@@ -1,0 +1,36 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.ComposeExpr
+
+/** Session-extensions entry point — makes the library installable without
+  * code changes:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * Injects the engine's custom expressions into every new session's
+  * function registry (currently `compose_tpl`; future custom rules /
+  * strategies — SURVEY §4 found none *required* for parity — would be
+  * injected here too via `injectOptimizerRule` / `injectPlannerStrategy`).
+  * For an already-running session, [[graft.functions.Compose.register]]
+  * does the same registration imperatively.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.composeTpl)
+}
+
+object GraftExtensions {
+  /** (name, info, builder) triple for `compose_tpl(pattern, map)`. */
+  val composeTpl: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("compose_tpl"),
+      new ExpressionInfo(classOf[ComposeExpr].getName, "compose_tpl"),
+      exprs => {
+        require(exprs.length == 2, "compose_tpl(pattern, map) takes 2 arguments")
+        ComposeExpr(exprs.head, exprs(1))
+      })
+}
