@@ -351,6 +351,27 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** CUBE grouping sets — all four aggregation granularities of
+    * (returnflag, linestatus) in one pass (Spark expands + partial-aggs;
+    * subtotal NULLs labeled so both engines emit identical strings). */
+  def q49Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(lit(1e-9) + sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val q49Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  round(1e-9 + sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_selective_revenue" -> (q02SelectiveRevenue _),
@@ -367,7 +388,8 @@ object Relational {
     "q13_nation_setops" -> (q13NationSetOps _),
     "q14_part_size_classes" -> (q14PartSizeClasses _),
     "q15_above_avg_parts" -> (q15AboveAvgParts _),
-    "q16_priority_groups" -> (q16PriorityGroups _)
+    "q16_priority_groups" -> (q16PriorityGroups _),
+    "q49_cube" -> (q49Cube _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -386,6 +408,7 @@ object Relational {
     "q13_nation_setops" -> q13Sql,
     "q14_part_size_classes" -> q14Sql,
     "q15_above_avg_parts" -> q15Sql,
-    "q16_priority_groups" -> q16Sql
+    "q16_priority_groups" -> q16Sql,
+    "q49_cube" -> q49Sql
   )
 }

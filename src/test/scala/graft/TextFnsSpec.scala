@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns._
+
+class TextFnsSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(Tuple1("x")).toDF("ignore").select(c).collect().head.get(0)
+  }
+
+  test("h32 matches the first 8 md5 hex chars as an unsigned value") {
+    // md5("hello") = 5d41402abc4b2a76b9719d911017c592 -> 0x5d41402a
+    assert(one(h32(lit("hello"))) == 0x5d41402aL)
+    // high-bit values stay positive (unsigned 32-bit in a long)
+    val v = one(h32(lit("spark"))).asInstanceOf[Long]
+    assert(v >= 0L && v <= 0xffffffffL)
+  }
+
+  test("tokens drops empties; shingles guard small inputs") {
+    assert(one(tokens(lit("a  b   c"))) ==
+      scala.collection.mutable.ArraySeq.make(Array("a", "b", "c")))
+    assert(one(size(shingles(tokens(lit("a b")), 3))) == 0) // < n tokens
+    assert(one(size(shingles(tokens(lit("a b c")), 3))) == 1)
+    assert(one(element_at(shingles(tokens(lit("a b c d")), 3), 1)) == "a b c")
+    assert(one(size(shingles(tokens(lit("")), 3))) == 0)
+  }
+
+  test("rollingFp: empty -> 0, order-sensitive, stays within the modulus") {
+    assert(one(rollingFp(array().cast("array<string>"))) == 0L)
+    val ab = one(rollingFp(array(lit("a"), lit("b")))).asInstanceOf[Long]
+    val ba = one(rollingFp(array(lit("b"), lit("a")))).asInstanceOf[Long]
+    assert(ab != ba)
+    assert(ab >= 0L && ab < P)
+    // single element: fp == h32 % P (fold from 0)
+    assert(one(rollingFp(array(lit("a")))) ==
+      one(h32(lit("a"))).asInstanceOf[Long] % P)
+  }
+}
