@@ -372,6 +372,50 @@ object Relational {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** Exact linear-interpolated percentiles per group (corpus/quality
+    * distribution stats). Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the interpolation rule. Exact percentile sorts
+    * within groups — at 100 TB the approx_percentile sketch (t-digest) is
+    * the right tool; this is the exact-verification form. */
+  def q50Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(lit(1e-9) + element_at(col("ps"), 1), 4).as("p50"),
+        round(lit(1e-9) + element_at(col("ps"), 2), 4).as("p90"),
+        round(lit(1e-9) + element_at(col("ps"), 3), 4).as("p99"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q50Sql: String =
+    """SELECT l_returnflag,
+      |  round(1e-9 + quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(1e-9 + quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  round(1e-9 + quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Fixed-width histogram of order totals — pure arithmetic binning
+    * (engine-portable width_bucket), one aggregate pass. */
+  def q51Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(least(greatest(floor(col("o_totalprice") / 50000.0), lit(0.0)),
+        lit(9.0)).cast("int").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("bucket"))
+
+  val q51Sql: String =
+    """SELECT CAST(least(greatest(floor(o_totalprice / 50000.0), 0.0), 9.0) AS INT) AS bucket,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_selective_revenue" -> (q02SelectiveRevenue _),
@@ -389,7 +433,9 @@ object Relational {
     "q14_part_size_classes" -> (q14PartSizeClasses _),
     "q15_above_avg_parts" -> (q15AboveAvgParts _),
     "q16_priority_groups" -> (q16PriorityGroups _),
-    "q49_cube" -> (q49Cube _)
+    "q49_cube" -> (q49Cube _),
+    "q50_percentiles" -> (q50Percentiles _),
+    "q51_histogram" -> (q51Histogram _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -409,6 +455,8 @@ object Relational {
     "q14_part_size_classes" -> q14Sql,
     "q15_above_avg_parts" -> q15Sql,
     "q16_priority_groups" -> q16Sql,
-    "q49_cube" -> q49Sql
+    "q49_cube" -> q49Sql,
+    "q50_percentiles" -> q50Sql,
+    "q51_histogram" -> q51Sql
   )
 }
