@@ -19,7 +19,8 @@ object SparkEntry {
       (Similarity.defs, Similarity.oracles),
       (Media.defs, Media.oracles),
       (Trollflow.defs, Trollflow.oracles),
-      (Search.defs, Search.oracles)
+      (Search.defs, Search.oracles),
+      (Curation.defs, Curation.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
