@@ -416,6 +416,29 @@ object Relational {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** Ordered list aggregation: each customer's sorted order-key list,
+    * reduced to a rolling fingerprint so the compared output stays scalar
+    * (array renderings differ across engines; the fold is exact). The
+    * collect is per-group bounded — never a driver-side collect. */
+  def q54OrderLists(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("first_key"),
+        max(col("o_orderkey")).as("last_key"),
+        aggregate(sort_array(collect_list(col("o_orderkey"))), lit(0L),
+          (acc, k) => (acc * 131 + k % 1000000007L) % 1000000007L).as("keys_fp"))
+      .orderBy(col("o_custkey"))
+
+  val q54Sql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  min(o_orderkey) AS first_key, max(o_orderkey) AS last_key,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(o_orderkey ORDER BY o_orderkey)),
+      |    (a, k) -> (a * 131 + k % 1000000007) % 1000000007) AS keys_fp
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_selective_revenue" -> (q02SelectiveRevenue _),
@@ -435,7 +458,8 @@ object Relational {
     "q16_priority_groups" -> (q16PriorityGroups _),
     "q49_cube" -> (q49Cube _),
     "q50_percentiles" -> (q50Percentiles _),
-    "q51_histogram" -> (q51Histogram _)
+    "q51_histogram" -> (q51Histogram _),
+    "q54_order_lists" -> (q54OrderLists _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -457,6 +481,7 @@ object Relational {
     "q16_priority_groups" -> q16Sql,
     "q49_cube" -> q49Sql,
     "q50_percentiles" -> q50Sql,
-    "q51_histogram" -> q51Sql
+    "q51_histogram" -> q51Sql,
+    "q54_order_lists" -> q54Sql
   )
 }
