@@ -39,7 +39,7 @@ object Curation {
       |            WHEN bucket < 95 THEN 'val'
       |            ELSE 'test' END AS split,
       |  count(*) AS n_docs,
-      |  sum(length(text)) AS total_chars,
+      |  sum(length(text))::BIGINT AS total_chars,
       |  min(doc_id) AS first_doc
       |FROM d
       |GROUP BY 1

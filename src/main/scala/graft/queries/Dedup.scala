@@ -103,13 +103,33 @@ object Dedup {
 
   /** n-gram Jaccard near-dup pairs via the token-postings self-join (the
     * scalable inverted-index form: intersections come from equi-joining on
-    * the shingle hash, never from comparing documents pairwise). */
+    * the shingle hash, never from comparing documents pairwise).
+    *
+    * Stop-shingle cap: a shingle present in k documents contributes k²
+    * rows to the candidate join, so one natural-language stop-shingle
+    * ("of the X") in 1% of a 100 TB corpus is a single-key skew bomb.
+    * Postings therefore drop shingles with document frequency above
+    * max(25, 0.01·|docs|) — written `df·100 > greatest(2500, ndocs)` so
+    * both engines compare integers, no division — i.e. Jaccard is
+    * defined over the informative shingle set (standard stop-shingle
+    * removal: a near-global shingle carries no signal at the 0.6
+    * threshold). At the test SFs the measured max df IS 25, so the cap
+    * drops nothing and the result is identical to the uncapped form. */
   def q29NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val raw = shPostings(spark, dir)
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
+    // hot = stop-shingles over the df cap: tiny by construction → broadcast
+    // anti-join, so the cap costs one narrow agg over the postings
+    val hot = raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") * 100 > greatest(lit(2500L), col("ndocs")))
+      .select(col("h"))
     // per-doc shingle counts ride along as a window over the postings —
-    // doc_id partitioning is already satisfied, so the count is computed
-    // in place and the two count-lookup joins disappear from the plan
+    // the broadcast anti-join preserves the doc_id partitioning, so the
+    // count is computed in place and no count-lookup join appears
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val sh = shPostings(spark, dir).withColumn("n_sh", count(lit(1)).over(w))
+    val sh = raw.join(broadcast(hot), Seq("h"), "left_anti")
+      .withColumn("n_sh", count(lit(1)).over(w))
     sh.as("a")
       .join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -125,10 +145,16 @@ object Dedup {
 
   val q29Sql: String =
     s"""WITH $shPostingsSql,
-      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |nd AS (SELECT count(*) AS ndocs FROM documents),
+      |hot AS (
+      |  SELECT h FROM sh CROSS JOIN nd
+      |  GROUP BY h, ndocs
+      |  HAVING count(*) * 100 > greatest(2500, ndocs)),
+      |shc AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
       |pairs AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-      |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT da, db, inter, ca.n_sh AS na, cb.n_sh AS nb,
       |  round(1e-9 + CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) AS jac
@@ -285,39 +311,71 @@ object Dedup {
       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
       |ORDER BY da, db""".stripMargin
 
-  /** Embedding-cosine near-dup, blocked by class label (at 100 TB the
-    * block key would be an LSH bucket — see the similarity pack). Dot
+  /** Embedding-cosine near-dup, blocked by a multi-probe LSH bucket: each
+    * vector gets the 8-bit random-hyperplane signature shared with the ANN
+    * pack ([[Similarity.hyperSig]]), and a pair is a candidate iff their
+    * signatures differ in ≤ 1 bit. Candidate generation is an equi-join —
+    * each vector probes its own bucket plus the 8 one-bit flips, so the
+    * probe key of one side meets the home key of the other exactly when
+    * Hamming ≤ 1, and each qualifying pair meets on exactly ONE key (no
+    * dedup pass needed). At 100 TB this is the scale path the old 10-ary
+    * label block was not: bucket population is N/256 (and the bit width
+    * grows with the corpus), while a label block kept N/10 per block and
+    * went quadratic. Survivors are re-ranked by exact cosine; dot
     * products are explicit left-to-right double folds in both engines, so
     * the floating result is bit-identical before rounding. */
   def q32EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", foldSum(transform(col("v"), x => x * x)))
-    e.as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    val e = Similarity.vecs(spark, dir)
+    // signature computed once (one row per vector); joined three times
+    // below, so cut the 64×-explode lineage — the cluster analog is
+    // "persist the signature table", localCheckpoint is the local stand-in
+    val es = e.join(Similarity.hyperSig(spark, e), col("vec_id") === col("s_vec"))
+      .drop("s_vec")
+      .localCheckpoint()
+    val skinny = es.select(col("vec_id"), col("sig"))
+    val probes = skinny.select(col("vec_id").as("pa"),
+      explode(array(col("sig") +:
+        (0 until 8).map(b => col("sig").bitwiseXOR(lit(1L << b))): _*)).as("probe"))
+    val cand = probes
+      .join(skinny.select(col("vec_id").as("vb"), col("sig").as("hsig")),
+        col("probe") === col("hsig") && col("pa") < col("vb"))
+      .select(col("pa").as("va"), col("vb"))
+    cand.join(es.as("a"), col("va") === col("a.vec_id"))
+      .join(es.as("b"), col("vb") === col("b.vec_id"))
+      .withColumn("hamming", expr("bit_count(a.sig ^ b.sig)").cast("int"))
       .withColumn("dot", foldSum(zip_with(col("a.v"), col("b.v"), (x, y) => x * y)))
       .withColumn("cos", round(lit(1e-9) + col("dot") / sqrt(col("a.nrm") * col("b.nrm")), 5))
       .filter(col("cos") >= 0.40)
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        col("a.label").as("label"), col("cos"))
+      .select(col("va"), col("vb"), col("hamming"), col("cos"))
       .orderBy(col("va"), col("vb"))
   }
 
   val q32Sql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, label, embedding,
       |    list_reduce(list_transform(range(1, len(embedding) + 1),
       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) AS nrm
-      |  FROM embeddings)
-      |SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
-      |  round(1e-9 + 
+      |  FROM embeddings),
+      |${Similarity.sigSqlCtes},
+      |es AS (SELECT e.*, sig.sig FROM e JOIN sig ON vec_id = s_vec),
+      |probes AS (
+      |  SELECT vec_id AS pa,
+      |    CASE WHEN b = 8 THEN sig
+      |         ELSE xor(sig, (CAST(1 AS BIGINT) << b)) END AS probe
+      |  FROM es CROSS JOIN range(0, 9) t(b)),
+      |cand AS (
+      |  SELECT pa AS va, h.vec_id AS vb
+      |  FROM probes JOIN es h ON probe = h.sig AND pa < h.vec_id)
+      |SELECT va, vb,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming,
+      |  round(1e-9 +
       |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
       |    / sqrt(a.nrm * b.nrm), 5) AS cos
-      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE round(1e-9 + 
+      |FROM cand
+      |JOIN es a ON va = a.vec_id
+      |JOIN es b ON vb = b.vec_id
+      |WHERE round(1e-9 +
       |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
       |    / sqrt(a.nrm * b.nrm), 5) >= 0.40

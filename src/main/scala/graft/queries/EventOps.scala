@@ -68,7 +68,7 @@ object EventOps {
   }
 
   val q19Sql: String =
-    """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    """SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
       |FROM (
       |  SELECT user_id,
       |    CASE WHEN prev_ns IS NULL
@@ -189,8 +189,8 @@ object EventOps {
       |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= su.s_ns
       |  GROUP BY 1)
       |SELECT count(*) AS n_signup_users,
-      |  sum(CASE WHEN p_ns IS NOT NULL THEN 1 ELSE 0 END) AS n_purchasers,
-      |  sum(CASE WHEN p_ns - s_ns <= 86400000000000 THEN 1 ELSE 0 END) AS n_converted_24h,
+      |  sum(CASE WHEN p_ns IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_purchasers,
+      |  sum(CASE WHEN p_ns - s_ns <= 86400000000000 THEN 1 ELSE 0 END)::BIGINT AS n_converted_24h,
       |  round(1e-9 + sum(CASE WHEN p_ns - s_ns <= 86400000000000 THEN 1 ELSE 0 END)::DOUBLE
       |        / count(*) * 100.0, 4) AS conv_pct
       |FROM su LEFT JOIN pu ON user_id = p_user""".stripMargin

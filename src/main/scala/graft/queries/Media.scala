@@ -70,7 +70,7 @@ object Media {
       |  SELECT doc_id,
       |    ('0x' || substr(md5(substr(text, (i*16+1)::INT, 8)), 1, 8))::BIGINT AS fh
       |  FROM u)
-      |SELECT doc_id, count(*) AS n_frames, sum(fh) % 1000000007 AS checksum
+      |SELECT doc_id, count(*) AS n_frames, (sum(fh) % 1000000007)::BIGINT AS checksum
       |FROM f
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin

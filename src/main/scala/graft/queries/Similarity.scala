@@ -30,7 +30,7 @@ object Similarity {
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
   /** vec_id, label, v: array<double>, nrm: ||v||². */
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
@@ -81,22 +81,51 @@ object Similarity {
   /** Random-hyperplane LSH ANN: 8 md5-derived hyperplanes → 8-bit signature
     * per vector (sign of w·v per plane) → candidates = exact signature
     * match (equi-join on the bucket key) → exact cosine re-rank, top-5. */
-  def q34AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
-    // (p, d, w): plane p's weight on dimension d, derived from md5 so both
-    // engines construct identical planes. 8 × 64 literal rows — broadcast.
-    val planes = spark.range(8).toDF("p").crossJoin(spark.range(1, 65).toDF("d"))
+  /** (p, d, w, pp): plane p's weight on dimension d, derived from md5 so
+    * both engines construct identical planes. 8 × 64 literal rows —
+    * broadcast. Shared by q34 here and q32 (embedding near-dup) in
+    * [[Dedup]]. */
+  private def planes(spark: SparkSession): DataFrame =
+    spark.range(8).toDF("p").crossJoin(spark.range(1, 65).toDF("d"))
       .withColumn("w",
         ((h32(concat_ws("_", lit("plane"), col("p"), col("d"))) % 2001 - 1000) / 1000.0))
       .withColumn("pp", expr("shiftleft(cast(1 as bigint), cast(p as int))"))
-    val comp = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+
+  /** (s_vec, sig): 8-bit random-hyperplane signature per vector (sign of
+    * w·v per plane). Two aggregations, both pre-partitioned by vec_id. */
+  private[queries] def hyperSig(spark: SparkSession, e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .withColumn("d", col("pos") + 1)
-    val sig = comp.join(broadcast(planes), "d")
+      .join(broadcast(planes(spark)), "d")
       .groupBy(col("vec_id").as("s_vec"), col("p"), col("pp"))
       .agg(sum(col("w") * col("x")).as("s"))
       .groupBy(col("s_vec"))
       .agg(sum(when(col("s") > 0, col("pp")).otherwise(lit(0L))).as("sig"))
-    val withSig = e.join(sig, col("vec_id") === col("s_vec")).drop("s_vec")
+
+  /** DuckDB CTE fragment computing the same planes → signature chain;
+    * expects a CTE `e(vec_id, …, embedding, nrm)` in scope and leaves
+    * `sig(s_vec, sig)`. Shared with the q32 oracle. */
+  private[queries] val sigSqlCtes: String =
+    """planes AS (
+      |  SELECT p, d,
+      |    (('0x' || substr(md5(concat_ws('_', 'plane', p, d)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0 AS w,
+      |    (CAST(1 AS BIGINT) << p) AS pp
+      |  FROM range(0, 8) tp(p), range(1, 65) td(d)),
+      |sigcompu AS (
+      |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d, embedding FROM e),
+      |sigcomp AS (
+      |  SELECT vec_id, d, embedding[d]::DOUBLE AS x FROM sigcompu),
+      |proj AS (
+      |  SELECT vec_id AS s_vec, p, pp, sum(w * x) AS s
+      |  FROM sigcomp JOIN planes USING (d)
+      |  GROUP BY 1, 2, 3),
+      |sig AS (
+      |  SELECT s_vec, sum(CASE WHEN s > 0 THEN pp ELSE 0 END) AS sig
+      |  FROM proj GROUP BY 1)""".stripMargin
+
+  def q34AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val withSig = e.join(hyperSig(spark, e), col("vec_id") === col("s_vec")).drop("s_vec")
     val q = withSig.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("sig").as("qsig"))
@@ -114,22 +143,7 @@ object Similarity {
 
   val q34Sql: String =
     s"""WITH $vecsSql,
-      |planes AS (
-      |  SELECT p, d,
-      |    (('0x' || substr(md5(concat_ws('_', 'plane', p, d)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0 AS w,
-      |    (CAST(1 AS BIGINT) << p) AS pp
-      |  FROM range(0, 8) tp(p), range(1, 65) td(d)),
-      |compu AS (
-      |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d, embedding FROM e),
-      |comp AS (
-      |  SELECT vec_id, d, embedding[d]::DOUBLE AS x FROM compu),
-      |proj AS (
-      |  SELECT vec_id AS s_vec, p, pp, sum(w * x) AS s
-      |  FROM comp JOIN planes USING (d)
-      |  GROUP BY 1, 2, 3),
-      |sig AS (
-      |  SELECT s_vec, sum(CASE WHEN s > 0 THEN pp ELSE 0 END) AS sig
-      |  FROM proj GROUP BY 1),
+      |$sigSqlCtes,
       |es AS (SELECT e.*, sig.sig FROM e JOIN sig ON vec_id = s_vec),
       |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm, sig AS qsig
       |      FROM es WHERE vec_id % 100 = 0),
@@ -153,11 +167,14 @@ object Similarity {
   def q35LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val comp = vecs(spark, dir)
       .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-    val cent = comp.groupBy(col("label").as("c_label"), col("pos"))
+    val cent = comp.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
       .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
-    val dist = comp.join(cent,
-        col("label") === col("c_label") && comp("pos") === cent("pos"))
-      .groupBy(col("vec_id"), col("label"))
+    // explicit aliases on both sides: cent derives from comp, and an
+    // unaliased comp("pos") === cent("pos") relies on Spark's self-join
+    // attribute dedup (and logs a trivially-true-predicate warning)
+    val dist = comp.as("m").join(cent.as("k"),
+        col("m.label") === col("k.c_label") && col("m.pos") === col("k.c_pos"))
+      .groupBy(col("m.vec_id").as("vec_id"), col("m.label").as("label"))
       .agg(sqrt(sum((col("x") - col("c")) * (col("x") - col("c")))).as("dist"))
     dist.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
@@ -195,11 +212,12 @@ object Similarity {
     val e = vecs(spark, dir)
     val comp = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
     val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label").as("c_label"), col("pos"))
+      .groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
       .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
-    // assignment: distance of every vector to every centroid, argmin
-    val d2 = comp.join(cent, "pos")
-      .groupBy(col("vec_id"), col("c_label"))
+    // assignment: distance of every vector to every centroid, argmin.
+    // Aliased sides (cent shares e's lineage — see q35 note).
+    val d2 = comp.as("m").join(cent.as("k"), col("m.pos") === col("k.c_pos"))
+      .groupBy(col("m.vec_id").as("vec_id"), col("k.c_label").as("c_label"))
       .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
     val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
     val assigned = d2.withColumn("rn", row_number().over(wAsg))

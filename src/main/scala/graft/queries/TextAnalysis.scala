@@ -38,8 +38,8 @@ object TextAnalysis {
 
   val q23Sql: String =
     """SELECT lang, source, count(*) AS n_docs,
-      |  sum(len(list_filter(string_split(text, ' '), t -> len(t) > 0))) AS ws_tokens,
-      |  sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS subword_tokens,
+      |  sum(len(list_filter(string_split(text, ' '), t -> len(t) > 0)))::BIGINT AS ws_tokens,
+      |  sum(len(regexp_extract_all(text, '[a-z]{1,4}')))::BIGINT AS subword_tokens,
       |  round(1e-9 + avg(length(text)), 4) AS avg_chars
       |FROM documents
       |GROUP BY lang, source
