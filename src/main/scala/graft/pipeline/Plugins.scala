@@ -112,14 +112,24 @@ object Plugins {
   }
 
   /** `metadata_alias` (plugins/__init__.py:717-736): rewrite metadata
-    * values through an alias map; unknown values pass through. */
-  final case class MetadataAlias(aliases: Map[String, Map[String, String]])
-      extends Plugin {
+    * values through an alias map; unknown values pass through. Multi-valued
+    * metadata (the reference's list/tuple/set values, rewritten element-wise
+    * at plugins/__init__.py:729-731 — sensor lists being the common case,
+    * :611-615) is represented here as a `listSep`-joined string: each
+    * element is rewritten through the alias map and the list re-joined in
+    * order; a value without the separator is the scalar case. */
+  final case class MetadataAlias(aliases: Map[String, Map[String, String]],
+      listSep: String = ",") extends Plugin {
     val name = "metadata_alias"
     def apply(ctx: PipelineContext): PipelineContext =
       if (ctx.aborted.isDefined) ctx
       else ctx.copy(metadata = ctx.metadata.map { case (k, v) =>
-        k -> aliases.get(k).flatMap(_.get(v)).getOrElse(v)
+        k -> aliases.get(k).map { amap =>
+          if (v.contains(listSep))
+            v.split(java.util.regex.Pattern.quote(listSep), -1)
+              .map(e => amap.getOrElse(e, e)).mkString(listSep)
+          else amap.getOrElse(v, v)
+        }.getOrElse(v)
       })
   }
 
@@ -143,10 +153,21 @@ object Plugins {
   }
 
   /** `resample` (plugins/__init__.py:133-201): produce one frame per target
-    * area by remapping source cells into the target grid (area-average).
+    * area by remapping source cells into the target grid. Per-target
+    * `mode` (the reference's per-area `resampler` override, :149-159):
+    *   - `average` (default): area-average of the source cells covering
+    *     each target cell — one hash aggregate, map-side partials;
+    *   - `nearest` (the reference's default kd-tree nearest resampler):
+    *     each target cell takes the single source cell whose center is
+    *     nearest to the target cell center — a window rank over the
+    *     target-cell partitioning (exact integer distance arithmetic, see
+    *     [[graft.queries.Trollflow.q55ResampleNearest]]), so it shuffles
+    *     once on the same key the average mode aggregates on.
     * `reduceData=true` crops the source to the target bounding box first —
     * the predicate pushes into the parquet scan. The native (None) frame
-    * passes through, as the reference's `null` area does. */
+    * passes through, as the reference's `null` area does. The reference's
+    * bilinear/ewa modes interpolate in satellite swath geometry
+    * (pyresample kd-trees) — out of scope, documented divergence. */
   final case class Resample(
       targets: Seq[ResampleTarget],
       yCol: String = "y", xCol: String = "x", valueCol: String = "value",
@@ -164,18 +185,42 @@ object Plugins {
                            col(xCol) >= t.srcXMin && col(xCol) < t.srcXMax)
               else src
             val keys = src.columns.filterNot(c => c == yCol || c == xCol || c == valueCol)
-            val out = cropped
-              .groupBy((keys.map(col)
-                :+ expr(s"(($yCol - ${t.srcYMin}) * ${t.height}) div ${t.srcYMax - t.srcYMin}").as(yCol)
-                :+ expr(s"(($xCol - ${t.srcXMin}) * ${t.width}) div ${t.srcXMax - t.srcXMin}").as(xCol)): _*)
-              .agg(avg(col(valueCol)).as(valueCol))
+            val ty = expr(s"(($yCol - ${t.srcYMin}) * ${t.height}) div ${t.srcYMax - t.srcYMin}")
+            val tx = expr(s"(($xCol - ${t.srcXMin}) * ${t.width}) div ${t.srcXMax - t.srcXMin}")
+            val out = t.mode match {
+              case "average" =>
+                cropped
+                  .groupBy((keys.map(col) :+ ty.as(yCol) :+ tx.as(xCol)): _*)
+                  .agg(avg(col(valueCol)).as(valueCol))
+              case "nearest" =>
+                // source center vs target center in a 2·height(width)-scaled
+                // integer space: dy = (2(y-y0)+1)·H - (2ty+1)·(y1-y0)
+                val mapped = cropped.withColumn("__ty", ty).withColumn("__tx", tx)
+                  .withColumn("__dy",
+                    (col(yCol) - t.srcYMin) * 2 * t.height + t.height
+                      - (col("__ty") * 2 + 1) * (t.srcYMax - t.srcYMin))
+                  .withColumn("__dx",
+                    (col(xCol) - t.srcXMin) * 2 * t.width + t.width
+                      - (col("__tx") * 2 + 1) * (t.srcXMax - t.srcXMin))
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy((keys.map(col) :+ col("__ty") :+ col("__tx")): _*)
+                  .orderBy((col("__dy") * col("__dy") + col("__dx") * col("__dx")).asc,
+                    col(yCol), col(xCol))
+                mapped.withColumn("__rn", row_number().over(w))
+                  .filter(col("__rn") === 1)
+                  .select((keys.map(col) :+ col("__ty").as(yCol)
+                    :+ col("__tx").as(xCol) :+ col(valueCol)): _*)
+              case other =>
+                throw new IllegalArgumentException(s"unknown resample mode: $other")
+            }
             Option(t.area) -> out
           }
           ctx.copy(frames = ctx.frames ++ resampled)
       }
   }
   final case class ResampleTarget(area: String, width: Int, height: Int,
-      srcYMin: Long, srcYMax: Long, srcXMin: Long, srcXMax: Long)
+      srcYMin: Long, srcYMax: Long, srcXMin: Long, srcXMax: Long,
+      mode: String = "average")
 
   /** `check_valid_data_fraction` (plugins/__init__.py:955-1079): persist
     * the scene once, compute per-product valid fractions in ONE aggregate
@@ -226,11 +271,25 @@ object Plugins {
     * commit, W3) and record it in the manifest. Writers: parquet / csv /
     * json (format-specific options via item settings `writer_opt.*`).
     *
-    * Batching: all sink plans are built first, then executed; per-sink
-    * Spark jobs run back-to-back on shared persisted upstreams if the
-    * caller persisted them (single-action batching analog,
-    * plugins/__init__.py:392-395). `eagerWriting` forces immediate
-    * per-item execution order (doc/source/plugins.rst:162-167).
+    * Batching (default, the reference's `compute_writer_results`,
+    * plugins/__init__.py:392-395): every sink's plan is BUILT before any
+    * is executed — an analysis error in the last sink surfaces before a
+    * single byte of the first is written — then the write actions run
+    * back-to-back on shared persisted upstreams if the caller persisted
+    * them. `eagerWriting=true` (doc/source/plugins.rst:162-167) instead
+    * builds and executes each file's plan before the next one is even
+    * constructed, trading that all-or-nothing analysis for earlier output.
+    *
+    * Single action per sink: the row count rides the write itself via
+    * `Dataset.observe` — never a separate `count()` pass — and the
+    * product-missing-from-scene skip (P1, plugins/__init__.py:398-410) is
+    * the zero-observed-rows case: the empty tmp dir is discarded instead
+    * of renamed, so the skip costs no extra job either.
+    *
+    * `callbacks` (`call_on_done`, plugins/__init__.py:350-464,
+    * 1082-1138): hooks invoked in order for every committed file, after
+    * the final rename — the close→move→log chain of the reference; a
+    * hook sees the manifest entry of the file it was called for.
     *
     * `stagingZone` (plugins/__init__.py:223-255, 317-327): when set, files
     * are written (tmp + rename) inside the staging directory and moved to
@@ -244,78 +303,92 @@ object Plugins {
       outDir: String, fnamePattern: String = "{area}_{product}.{format}",
       productCol: String = "product", eagerWriting: Boolean = false,
       stagingZone: Option[String] = None, overviews: Seq[Int] = Seq.empty,
+      callbacks: Seq[WrittenFile => Unit] = Seq.empty,
       yCol: String = "y", xCol: String = "x", valueCol: String = "value")
       extends Plugin {
     require(overviews.forall(_ > 1), s"overview factors must be > 1: $overviews")
     val name = "save_datasets"
+
     def apply(ctx: PipelineContext): PipelineContext =
       if (ctx.aborted.isDefined) ctx
       else {
         Files.createDirectories(Paths.get(outDir))
         stagingZone.foreach(s => Files.createDirectories(Paths.get(s)))
-        val writes: Seq[() => Seq[WrittenFile]] = ctx.worklist.map { item =>
-          () => writeOne(ctx, item)
-        }
-        // eager vs batched is about *when* each action fires; with lazy
-        // plans the build cost is identical, so we just run in order.
-        val manifest = writes.flatMap(w => w())
+        val manifest =
+          if (eagerWriting)
+            ctx.worklist.flatMap(item => planOne(ctx, item).flatMap(commitWrite))
+          else {
+            // force every plan before the first action (see class doc)
+            val sinks = ctx.worklist.flatMap(item => planOne(ctx, item))
+            sinks.flatMap(commitWrite)
+          }
         ctx.copy(manifest = ctx.manifest ++ manifest)
       }
 
-    private def writeOne(ctx: PipelineContext, item: WorkItem): Seq[WrittenFile] = {
+    /** Build the sink plans for one work item: the product slice plus any
+      * overview levels. Pure plan construction — no Spark action. */
+    private def planOne(ctx: PipelineContext, item: WorkItem): Seq[Sink] = {
       ctx.frames.get(item.area).orElse(ctx.frames.get(None)).toSeq.flatMap { frame =>
-        // unknown product -> skip with warning (KeyError skip, W2)
+        // unknown product -> empty slice -> zero-row skip at commit (W2/P1)
         val slice = frame.filter(col(productCol).isin(item.members: _*))
         val writer = item.settings.getOrElse("writer", formatWriter(item.format))
         val fname = compose(fnamePattern,
           ctx.metadata ++ item.settings +
             ("area" -> item.area.getOrElse("native")) +
             ("product" -> item.product) + ("format" -> item.format))
-        if (slice.isEmpty) Seq.empty // product missing from scene -> skip (P1)
-        else {
-          val main = commitWrite(slice, writer, fname, item)
-          val ovs = overviews.flatMap { factor =>
-            if (!slice.columns.contains(yCol) || !slice.columns.contains(xCol))
-              None
-            else {
-              val keys = slice.columns
-                .filterNot(c => c == yCol || c == xCol || c == valueCol)
-              val down = slice
-                .groupBy((keys.map(col) :+ expr(s"$yCol div $factor").as(yCol)
-                  :+ expr(s"$xCol div $factor").as(xCol)): _*)
-                .agg(avg(col(valueCol)).as(valueCol))
-              Some(commitWrite(down, writer, s"$fname.ov$factor", item))
-            }
+        val main = Sink(slice, writer, fname, item)
+        val ovs = overviews.flatMap { factor =>
+          if (!slice.columns.contains(yCol) || !slice.columns.contains(xCol))
+            None
+          else {
+            val keys = slice.columns
+              .filterNot(c => c == yCol || c == xCol || c == valueCol)
+            val down = slice
+              .groupBy((keys.map(col) :+ expr(s"$yCol div $factor").as(yCol)
+                :+ expr(s"$xCol div $factor").as(xCol)): _*)
+              .agg(avg(col(valueCol)).as(valueCol))
+            Some(Sink(down, writer, s"$fname.ov$factor", item))
           }
-          main +: ovs
         }
+        main +: ovs
       }
     }
 
-    /** Write through the staging zone (if any) with tmp + atomic rename at
-      * every hop; returns the manifest entry for the final location. */
-    private def commitWrite(df: DataFrame, writer: String, fname: String,
-                            item: WorkItem): WrittenFile = {
+    /** Execute one sink: write through the staging zone (if any) with
+      * tmp + atomic rename at every hop; returns the manifest entry for
+      * the final location, or None for the zero-row (product missing)
+      * skip. Exactly ONE Spark action — the row count is observed on the
+      * write itself. */
+    private def commitWrite(sink: Sink): Option[WrittenFile] = {
       val stageDir = stagingZone.getOrElse(outDir)
-      val stagedPath = Paths.get(stageDir, fname)
-      val tmpPath = Paths.get(stageDir, s".tmp_${System.nanoTime()}_$fname")
+      val stagedPath = Paths.get(stageDir, sink.fname)
+      val tmpPath = Paths.get(stageDir, s".tmp_${System.nanoTime()}_${sink.fname}")
       try {
-        val rows = df.count()
-        df.write.mode("overwrite").format(writer).save(tmpPath.toString)
-        atomicRename(tmpPath, stagedPath)
-        val finalPath =
-          if (stagingZone.isDefined) {
-            val dst = Paths.get(outDir, fname)
-            atomicRename(stagedPath, dst)
-            dst
-          } else stagedPath
-        WrittenFile(item.area, item.product, item.format,
-          finalPath.toString, rows, dirSize(finalPath))
+        val obs = org.apache.spark.sql.Observation()
+        sink.df.observe(obs, count(lit(1)).as("rows"))
+          .write.mode("overwrite").format(sink.writer).save(tmpPath.toString)
+        val rows = obs.get("rows").asInstanceOf[Long]
+        if (rows == 0L) { // product missing from scene -> skip (P1)
+          deleteRecursively(tmpPath)
+          None
+        } else {
+          atomicRename(tmpPath, stagedPath)
+          val finalPath =
+            if (stagingZone.isDefined) {
+              val dst = Paths.get(outDir, sink.fname)
+              atomicRename(stagedPath, dst)
+              dst
+            } else stagedPath
+          val written = WrittenFile(sink.item.area, sink.item.product,
+            sink.item.format, finalPath.toString, rows, dirSize(finalPath))
+          callbacks.foreach(_(written))
+          Some(written)
+        }
       } catch {
         case e: Exception =>
           deleteRecursively(tmpPath)
           throw new RuntimeException(
-            s"save_datasets failed for ${item.product}: ${e.getMessage}", e)
+            s"save_datasets failed for ${sink.item.product}: ${e.getMessage}", e)
       }
     }
     private def formatWriter(format: String): String = format match {
@@ -341,6 +414,195 @@ object Plugins {
     }
   }
 
+  /** Lon/lat bounding box of a named target area — the area-registry
+    * analog of the reference's `get_area_def(area_id)` (pyresample lookup,
+    * plugins/__init__.py:677): here target areas are explicit config. */
+  final case class AreaBounds(lonMin: Double, lonMax: Double,
+      latMin: Double, latMax: Double) {
+    /** Percentage of THIS area covered by `pass` (bbox overlap). */
+    def coveragePctBy(pass: AreaBounds): Double = {
+      val w = math.max(0.0, math.min(lonMax, pass.lonMax) - math.max(lonMin, pass.lonMin))
+      val h = math.max(0.0, math.min(latMax, pass.latMax) - math.max(latMin, pass.latMin))
+      100.0 * w * h / ((lonMax - lonMin) * (latMax - latMin))
+    }
+  }
+
+  /** Solar zenith angle (degrees) at (lat, lon, t): the same declination +
+    * hour-angle approximation as the query pack's column form
+    * ([[graft.queries.Trollflow]] q42/q45), in scalar form for driver-side
+    * config checks — the reference calls pyorbital's `sun_zenith_angle`
+    * the same way (plugins/__init__.py:758). */
+  object Solar {
+    def szaDeg(lat: Double, lon: Double, ts: Instant): Double = {
+      val utc = ts.atZone(java.time.ZoneOffset.UTC)
+      val doy = utc.getDayOfYear.toDouble
+      val hourFrac = utc.getHour + utc.getMinute / 60.0 + utc.getSecond / 3600.0
+      val decl = -23.44 * math.cos(math.toRadians(360.0 / 365.0 * (doy + 10.0)))
+      val ha = 15.0 * (hourFrac - 12.0) + lon
+      math.toDegrees(math.acos(
+        math.sin(math.toRadians(lat)) * math.sin(math.toRadians(decl)) +
+          math.cos(math.toRadians(lat)) * math.cos(math.toRadians(decl)) *
+            math.cos(math.toRadians(ha))))
+    }
+  }
+
+  /** F3 `covers` (plugins/__init__.py:580-684) as a pipeline Plugin: drop
+    * work-list items whose area is covered by the pass footprint below the
+    * item's `min_coverage` setting (percent), and republish the computed
+    * `area_coverage_percent` into the surviving items' settings — the
+    * reference stores it on the area dict (:663) and FilePublisher
+    * republishes it (:524-527); here the work item IS that channel.
+    * `min_coverage` unset or 0 = keep without computing, like :644-648.
+    *
+    * `coverageByCollectionArea` (:591-599): when enabled and the message
+    * metadata carries a `collection_area_id` that is not one of the
+    * configured production areas, the whole job aborts (AbortProcessing).
+    *
+    * The pass footprint is the lon/lat bounding box of the native scene
+    * frame (`lonExpr`/`latExpr` are SQL expressions over it) — ONE
+    * config-sized aggregate regardless of data scale. The reference
+    * instead derives the footprint from TLE orbital geometry (trollsched
+    * `Pass`) — satellite-specific and out of scope; with no usable
+    * footprint every area is kept, exactly like the reference when
+    * trollsched is missing (:586-589). */
+  final case class Covers(
+      areaBounds: Map[String, AreaBounds],
+      lonExpr: String, latExpr: String,
+      minCoverageKey: String = "min_coverage",
+      coverageByCollectionArea: Boolean = false,
+      collectionAreaIdKey: String = "collection_area_id") extends Plugin {
+    val name = "covers"
+    def apply(ctx: PipelineContext): PipelineContext =
+      if (ctx.aborted.isDefined) ctx
+      else {
+        val badCollection = coverageByCollectionArea &&
+          ctx.metadata.get(collectionAreaIdKey)
+            .exists(id => !ctx.spec.areas.exists(_.name.contains(id)))
+        if (badCollection)
+          ctx.abort(s"Area collection ID '${ctx.metadata(collectionAreaIdKey)}' " +
+            s"does not match production area(s) " +
+            ctx.spec.areas.flatMap(_.name).mkString("[", ", ", "]"))
+        else footprint(ctx) match {
+          case None => ctx // no footprint -> keep all areas (ref :586-589)
+          case Some(pass) =>
+            val pruned = ctx.worklist.flatMap { item =>
+              val minCov = Worklist.configValue(ctx.spec, item, minCoverageKey)
+                .map(_.toDouble).filter(_ > 0.0)
+              (item.area.flatMap(areaBounds.get), minCov) match {
+                case (Some(bounds), Some(min)) =>
+                  val pct = bounds.coveragePctBy(pass)
+                  if (pct < min) None
+                  else Some(item.copy(settings = item.settings +
+                    ("area_coverage_percent" -> pct.toString)))
+                case _ => Some(item)
+              }
+            }
+            ctx.copy(worklist = pruned)
+        }
+      }
+
+    private def footprint(ctx: PipelineContext): Option[AreaBounds] =
+      ctx.frames.get(None).flatMap { df =>
+        try {
+          val r = df.agg(
+            min(expr(lonExpr)).cast("double"), max(expr(lonExpr)).cast("double"),
+            min(expr(latExpr)).cast("double"), max(expr(latExpr)).cast("double"))
+            .collect().head
+          if (r.isNullAt(0)) None
+          else Some(AreaBounds(r.getDouble(0), r.getDouble(1),
+            r.getDouble(2), r.getDouble(3)))
+        } catch { case _: Exception => None }
+      }
+  }
+
+  /** F4 `sza_check` (plugins/__init__.py:739-783) as a pipeline Plugin:
+    * for every work item configuring `sunzen_check_lon`/`sunzen_check_lat`,
+    * compute the solar zenith angle there at the scene start time and drop
+    * nighttime products when the Sun is too high (`sunzen_minimum_angle`:
+    * drop iff sza < limit) or daytime products when it is too low
+    * (`sunzen_maximum_angle`: drop iff sza > limit). Like the reference,
+    * the minimum check wins when both are set (:763-779, the `continue`
+    * after the nighttime branch). Pure config math — zero Spark jobs. */
+  final case class SzaCheck(startTimeKey: String = "start_time") extends Plugin {
+    val name = "sza_check"
+    def apply(ctx: PipelineContext): PipelineContext =
+      if (ctx.aborted.isDefined) ctx
+      else ctx.metadata.get(startTimeKey).map(Instant.parse) match {
+        case None => ctx
+        case Some(t) =>
+          val pruned = ctx.worklist.filter { item =>
+            def conf(k: String): Option[Double] =
+              Worklist.configValue(ctx.spec, item, k).map(_.toDouble)
+            (conf("sunzen_check_lon"), conf("sunzen_check_lat")) match {
+              case (Some(lon), Some(lat)) =>
+                val sza = Solar.szaDeg(lat, lon, t)
+                (conf("sunzen_minimum_angle"), conf("sunzen_maximum_angle")) match {
+                  case (Some(mn), _) => sza >= mn
+                  case (None, Some(mx)) => sza <= mx
+                  case _ => true
+                }
+              case _ => true // not configured for this product (ref :755-760)
+            }
+          }
+          ctx.copy(worklist = pruned)
+      }
+  }
+
+  /** F5 `check_sunlight_coverage` (plugins/__init__.py:786-902) as a
+    * pipeline Plugin: for every work item configuring `sunlight_min` /
+    * `sunlight_max` (percent — the reference's `sunlight_coverage:
+    * {min,max}` dict flattened into settings keys), compute the sunlit
+    * fraction of its area at the scene start time on the same
+    * deterministic 8×8 sample grid as the q45 query form (a point is
+    * sunlit iff its solar zenith < 90°), memoized per area exactly like
+    * the reference memoizes per (area, check_pass) (:829-856); drop items
+    * outside the limits and republish `area_sunlight_coverage_percent`
+    * into the survivors' settings (:859-860). The reference's
+    * `check_pass` overpass intersection needs TLE orbital geometry —
+    * same documented divergence as [[Covers]]. */
+  final case class SunlightCoverage(
+      areaBounds: Map[String, AreaBounds],
+      startTimeKey: String = "start_time",
+      minKey: String = "sunlight_min", maxKey: String = "sunlight_max",
+      gridN: Int = 8) extends Plugin {
+    val name = "check_sunlight_coverage"
+    def apply(ctx: PipelineContext): PipelineContext =
+      if (ctx.aborted.isDefined) ctx
+      else ctx.metadata.get(startTimeKey).map(Instant.parse) match {
+        case None => ctx
+        case Some(t) =>
+          val memo = scala.collection.mutable.Map.empty[String, Double]
+          def sunlitPct(a: String): Double = memo.getOrElseUpdate(a, {
+            val b = areaBounds(a)
+            val pts = for { i <- 0 until gridN; j <- 0 until gridN } yield {
+              val lon = b.lonMin + (i + 0.5) * (b.lonMax - b.lonMin) / gridN
+              val lat = b.latMin + (j + 0.5) * (b.latMax - b.latMin) / gridN
+              if (Solar.szaDeg(lat, lon, t) < 90.0) 1.0 else 0.0
+            }
+            100.0 * pts.sum / pts.size
+          })
+          val pruned = ctx.worklist.flatMap { item =>
+            def conf(k: String): Option[Double] =
+              Worklist.configValue(ctx.spec, item, k).map(_.toDouble)
+            val (mn, mx) = (conf(minKey), conf(maxKey))
+            item.area.filter(areaBounds.contains) match {
+              case Some(a) if mn.isDefined || mx.isDefined =>
+                val pct = sunlitPct(a)
+                if (mn.exists(pct < _) || mx.exists(pct > _)) None
+                else Some(item.copy(settings = item.settings +
+                  ("area_sunlight_coverage_percent" -> pct.toString)))
+              case _ => Some(item) // unconfigured -> keep (ref :841-844)
+            }
+          }
+          ctx.copy(worklist = pruned)
+      }
+  }
+
+  /** One fully-built sink plan: everything about the file except the
+    * write action itself (see [[SaveDatasets]]). */
+  private final case class Sink(df: DataFrame, writer: String,
+      fname: String, item: WorkItem)
+
   /** `check_results` (launcher.py:90-143): audit the manifest — every
     * produced file must exist and be non-empty; returns the failures so
     * the runner can report exactly like the reference's exit-code check. */
@@ -358,22 +620,74 @@ object Plugins {
       }
   }
 
-  /** `FilePublisher` (plugins/__init__.py:476-579): one message per
-    * produced file, topic from a compose template. Messages surface as a
-    * DataFrame (the Kafka-producer analog: at scale this frame IS the
-    * payload handed to a `kafka` sink / foreachBatch publisher). */
+  /** One published message row — the typed shape of the reference's
+    * posttroll message mda dict (plugins/__init__.py:504-527). */
+  final case class PublishedMessage(
+      topic: String, msg_type: String, uri: String, uid: String,
+      product: String, productname: String, area: String, areaname: String,
+      area_coverage_percent: Option[Double],
+      area_sunlight_coverage_percent: Option[Double],
+      rows: Long, bytes: Long,
+      source: Option[String], target: Option[String])
+
+  /** `FilePublisher` (plugins/__init__.py:476-579): per produced file, one
+    * `file` message — uri, uid (basename, :514), product/area plus their
+    * display names `productname`/`areaname` from the item settings
+    * (:517-521), and the `area_coverage_percent` /
+    * `area_sunlight_coverage_percent` republished from the settings where
+    * [[Covers]] / [[SunlightCoverage]] put them (:522-527) — followed by
+    * one `dispatch` message per configured dispatch target (:531-556):
+    * settings keys `dispatch.<i>.path` (a compose template) with optional
+    * `dispatch.<i>.scheme` / `dispatch.<i>.hostname` build the target URI
+    * exactly like `create_dispatch_uri` (urlunsplit of scheme/netloc/
+    * composed path, :532-538); the dispatch row carries the source file.
+    *
+    * Messages surface as a DataFrame (the Kafka-producer analog: at scale
+    * this frame IS the payload handed to a `kafka` sink / foreachBatch
+    * publisher). */
   final case class FilePublisher(topicPattern: String = "/file/{product}")
       extends Plugin {
     val name = "file_publisher"
     @volatile private[pipeline] var stopped = false
+
+    private val DispatchPath = """dispatch\.(\d+)\.path""".r
+
+    def messageSeq(ctx: PipelineContext): Seq[PublishedMessage] = {
+      val itemByKey = ctx.worklist
+        .map(i => (i.area, i.product, i.format) -> i).toMap
+      ctx.manifest.flatMap { f =>
+        val settings = itemByKey.get((f.area, f.product, f.format))
+          .map(_.settings).getOrElse(Map.empty[String, String])
+        val area = f.area.getOrElse("native")
+        val values = ctx.metadata ++ settings +
+          ("area" -> area) + ("product" -> f.product) + ("format" -> f.format)
+        val topic = compose(topicPattern, values)
+        val fileMsg = PublishedMessage(
+          topic = topic, msg_type = "file", uri = f.path,
+          uid = Paths.get(f.path).getFileName.toString,
+          product = f.product,
+          productname = settings.getOrElse("productname", f.product),
+          area = area, areaname = settings.getOrElse("areaname", area),
+          area_coverage_percent =
+            settings.get("area_coverage_percent").map(_.toDouble),
+          area_sunlight_coverage_percent =
+            settings.get("area_sunlight_coverage_percent").map(_.toDouble),
+          rows = f.rows, bytes = f.bytes, source = None, target = None)
+        val dispatches = settings.keys.collect { case DispatchPath(i) => i.toInt }
+          .toSeq.sorted.map { i =>
+            val path = compose(settings(s"dispatch.$i.path"), values)
+            val scheme = settings.getOrElse(s"dispatch.$i.scheme", "")
+            val host = settings.getOrElse(s"dispatch.$i.hostname", "")
+            fileMsg.copy(msg_type = "dispatch",
+              source = Some(f.path), target = Some(s"$scheme://$host$path"))
+          }
+        fileMsg +: dispatches
+      }
+    }
+
     def messages(ctx: PipelineContext): DataFrame = {
       import ctx.spark.implicits._
-      ctx.manifest.map { f =>
-        (compose(topicPattern, ctx.metadata +
-            ("area" -> f.area.getOrElse("native")) +
-            ("product" -> f.product) + ("format" -> f.format)),
-          f.path, f.product, f.area.getOrElse("native"), f.rows, f.bytes)
-      }.toDF("topic", "uri", "product", "area", "rows", "bytes")
+      messageSeq(ctx).toDF()
     }
     def apply(ctx: PipelineContext): PipelineContext = ctx
     override def stop(): Unit = { stopped = true }

@@ -88,6 +88,59 @@ object Trollflow {
       |GROUP BY 1, 2, 3
       |ORDER BY area, ty, tx""".stripMargin
 
+  /** T2 `resample`, nearest-neighbor mode (plugins/__init__.py:149-192 —
+    * the reference's default `radius_of_influence` nearest resampler):
+    * every source cell maps into its covering target cell; the target
+    * takes the value of the source cell whose center is nearest to the
+    * target cell's center. Distances are compared in a ×100-scaled
+    * integer coordinate space (source center `100·y+50`, target center
+    * `256·ty+128`), so the rank is exact integer arithmetic in both
+    * engines; ties break on (y, x). The window partitions by target cell
+    * — hash-partitioned, no shuffle beyond the one the groupBy already
+    * needs. */
+  def q55ResampleNearest(spark: SparkSession, dir: String): DataFrame = {
+    val cells = raster(spark, dir)
+      .filter(col("y") < 128 && col("x") < 128) // reduce_data crop
+      .groupBy(col("area"), col("y"), col("x"))
+      .agg(avg(col("value")).as("cell"))
+      .withColumn("ty", expr("(y * 100) div 256"))
+      .withColumn("tx", expr("(x * 100) div 256"))
+      .withColumn("dy", col("y") * 100 + 50 - (col("ty") * 256 + 128))
+      .withColumn("dx", col("x") * 100 + 50 - (col("tx") * 256 + 128))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("area"), col("ty"), col("tx"))
+      .orderBy((col("dy") * col("dy") + col("dx") * col("dx")).asc, col("y"), col("x"))
+    cells.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("area"), col("ty"), col("tx"),
+        round(lit(1e-9) + col("cell"), 4).as("nearest"))
+      .orderBy(col("area"), col("ty"), col("tx"))
+  }
+
+  val q55Sql: String =
+    s"""WITH $rasterSql,
+      |cells AS (
+      |  SELECT area, y, x, avg(value) AS cell
+      |  FROM raster WHERE y < 128 AND x < 128
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT area, y, x, cell,
+      |    (y * 100) // 256 AS ty, (x * 100) // 256 AS tx
+      |  FROM cells),
+      |d AS (
+      |  SELECT area, ty, tx, cell, y, x,
+      |    (y * 100 + 50 - (ty * 256 + 128)) AS dy,
+      |    (x * 100 + 50 - (tx * 256 + 128)) AS dx
+      |  FROM m),
+      |r AS (
+      |  SELECT area, ty, tx, cell,
+      |    row_number() OVER (PARTITION BY area, ty, tx
+      |                       ORDER BY dy * dy + dx * dx, y, x) AS rn
+      |  FROM d)
+      |SELECT area, ty, tx, round(1e-9 + cell, 4) AS nearest
+      |FROM r WHERE rn = 1
+      |ORDER BY area, ty, tx""".stripMargin
+
   /** F6 `check_valid_data_fraction` (plugins/__init__.py:955-1079): treat
     * value as fill (NaN-analog) where disc > 0.08, compute per-(area,
     * product) valid fraction, keep only products meeting the threshold —
@@ -353,7 +406,8 @@ object Trollflow {
     "q42_sza_check" -> (q42SzaCheck _),
     "q43_coverage_filter" -> (q43CoverageFilter _),
     "q44_worklist_expand" -> (q44WorklistExpand _),
-    "q45_sunlight_coverage" -> (q45SunlightCoverage _)
+    "q45_sunlight_coverage" -> (q45SunlightCoverage _),
+    "q55_resample_nearest" -> (q55ResampleNearest _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -363,6 +417,7 @@ object Trollflow {
     "q42_sza_check" -> q42Sql,
     "q43_coverage_filter" -> q43Sql,
     "q44_worklist_expand" -> q44Sql,
-    "q45_sunlight_coverage" -> q45Sql
+    "q45_sunlight_coverage" -> q45Sql,
+    "q55_resample_nearest" -> q55Sql
   )
 }

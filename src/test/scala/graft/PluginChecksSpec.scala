@@ -1,0 +1,252 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+import java.util.concurrent.atomic.AtomicInteger
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import graft.pipeline._
+import graft.pipeline.Plugins._
+
+/** Plugin-chain checks mirroring the reference's TestCovers / TestSZACheck /
+  * TestCheckSunlightCoverage / TestFilePublisher
+  * (tests/test_trollflow2.py:1358, 1668, 1800) plus the SaveDatasets
+  * execution-shape contracts (single action per sink, eager vs batched,
+  * call_on_done ordering). */
+class PluginChecksSpec extends SparkSpec {
+
+  private def oneProductSpec(settings: Map[String, String] = Map.empty,
+      area: String = "euro", extraAreas: Seq[AreaSpec] = Seq.empty) =
+    ProductList(areas = AreaSpec(Some(area),
+      products = Seq(ProductSpec("N", settings = settings))) +: extraAreas)
+
+  private def ctxOf(spec: ProductList,
+      frames: Map[Option[String], org.apache.spark.sql.DataFrame],
+      metadata: Map[String, String] = Map.empty) =
+    PipelineContext(spark, spec, metadata, frames, Worklist.expand(spec))
+
+  // -------------------------------------------------------------- covers
+
+  private val bounds = Map(
+    "euro" -> AreaBounds(-10.0, 40.0, 35.0, 70.0),
+    "pacific" -> AreaBounds(140.0, 180.0, -50.0, 10.0))
+
+  test("covers prunes low-coverage areas and republishes the percentage") {
+    import spark.implicits._
+    // pass footprint: lon [0, 20], lat [40, 60] -> inside euro, misses pacific
+    val scene = Seq((0.0, 40.0), (20.0, 60.0)).toDF("lon", "lat")
+    val spec = ProductList(areas = Seq(
+      AreaSpec(Some("euro"), products = Seq(ProductSpec("N")),
+        settings = Map("min_coverage" -> "5")),
+      AreaSpec(Some("pacific"), products = Seq(ProductSpec("N")),
+        settings = Map("min_coverage" -> "5")),
+      // min_coverage unset -> kept untouched, no coverage computed (ref :644-648)
+      AreaSpec(Some("euro2"), products = Seq(ProductSpec("N")))))
+    val out = Covers(bounds, "lon", "lat")(ctxOf(spec, Map(None -> scene)))
+    assert(out.aborted.isEmpty)
+    val kept = out.worklist.map(i => i.area.get -> i.settings).toMap
+    assert(kept.keySet == Set("euro", "euro2"))
+    // euro: 20x20 overlap of a 50x35 box = 22.857..%
+    val pct = kept("euro")("area_coverage_percent").toDouble
+    assert(math.abs(pct - 100.0 * 400.0 / 1750.0) < 1e-9)
+    assert(!kept("euro2").contains("area_coverage_percent"))
+  }
+
+  test("covers aborts on mismatched collection_area_id, passes matching one") {
+    import spark.implicits._
+    val scene = Seq((0.0, 40.0)).toDF("lon", "lat")
+    val spec = oneProductSpec()
+    val abort = Covers(bounds, "lon", "lat", coverageByCollectionArea = true)(
+      ctxOf(spec, Map(None -> scene), Map("collection_area_id" -> "mars")))
+    assert(abort.aborted.exists(_.contains("mars")))
+    val ok = Covers(bounds, "lon", "lat", coverageByCollectionArea = true)(
+      ctxOf(spec, Map(None -> scene), Map("collection_area_id" -> "euro")))
+    assert(ok.aborted.isEmpty)
+  }
+
+  test("covers keeps everything when no footprint is derivable") {
+    import spark.implicits._
+    val scene = Seq((1, 2)).toDF("a", "b") // no lon/lat columns
+    val spec = oneProductSpec(Map("min_coverage" -> "99"))
+    val out = Covers(bounds, "lon", "lat")(ctxOf(spec, Map(None -> scene)))
+    assert(out.worklist.size == 1) // kept despite impossible threshold
+  }
+
+  // ----------------------------------------------------------- sza_check
+
+  test("sza_check drops by minimum (nighttime) and maximum (daytime) limits") {
+    val t = Instant.parse("2026-08-12T12:00:00Z")
+    val sza = Solar.szaDeg(0.5, 0.5, t)
+    def specWith(extra: (String, String)*) = oneProductSpec(
+      Map("sunzen_check_lon" -> "0.5", "sunzen_check_lat" -> "0.5") ++ extra)
+    def run(spec: ProductList) =
+      SzaCheck()(ctxOf(spec, Map.empty, Map("start_time" -> t.toString))).worklist
+    // nighttime product: dropped when the sun is higher than the limit allows
+    assert(run(specWith("sunzen_minimum_angle" -> (sza + 1).toString)).isEmpty)
+    assert(run(specWith("sunzen_minimum_angle" -> (sza - 1).toString)).size == 1)
+    // daytime product: dropped when the sun is lower than required
+    assert(run(specWith("sunzen_maximum_angle" -> (sza - 1).toString)).isEmpty)
+    assert(run(specWith("sunzen_maximum_angle" -> (sza + 1).toString)).size == 1)
+    // minimum wins when both are set (the reference's continue, :763-779)
+    assert(run(specWith("sunzen_minimum_angle" -> (sza - 1).toString,
+      "sunzen_maximum_angle" -> (sza - 1).toString)).size == 1)
+    // unconfigured products pass through
+    assert(run(oneProductSpec()).size == 1)
+  }
+
+  // -------------------------------------------- check_sunlight_coverage
+
+  test("sunlight coverage prunes by min/max and republishes the percentage") {
+    // noon over the box -> fully sunlit
+    val md = Map("start_time" -> "2026-08-12T12:00:00Z")
+    val day = Map("equator" -> AreaBounds(-5.0, 5.0, -5.0, 5.0))
+    def run(settings: Map[String, String]) = SunlightCoverage(day)(
+      ctxOf(oneProductSpec(settings, area = "equator"), Map.empty, md)).worklist
+    val kept = run(Map("sunlight_min" -> "50"))
+    assert(kept.size == 1)
+    assert(kept.head.settings("area_sunlight_coverage_percent").toDouble == 100.0)
+    assert(run(Map("sunlight_max" -> "50")).isEmpty)
+    assert(run(Map.empty).size == 1) // unconfigured -> untouched
+  }
+
+  // ------------------------------------------------------- save_datasets
+
+  private def saveSpec = oneProductSpec()
+
+  test("save_datasets runs exactly one Spark job per sink (observed count)") {
+    import spark.implicits._
+    val frame = Seq(("N", 1.0), ("N", 2.0), ("R", 3.0)).toDF("product", "value")
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    val outDir = Files.createTempDirectory("graft_onejob").toString
+    spark.sparkContext.addSparkListener(listener)
+    val out =
+      try SaveDatasets(outDir)(ctxOf(saveSpec, Map(None -> frame)))
+      finally {
+        // let the async listener bus drain before removing
+        val deadline = System.nanoTime() + 5_000_000_000L
+        var last = -1
+        while (System.nanoTime() < deadline && jobs.get() != last) {
+          last = jobs.get(); Thread.sleep(200)
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(out.manifest.size == 1 && out.manifest.head.rows == 2L)
+    assert(jobs.get() == 1, s"expected 1 job for 1 sink, saw ${jobs.get()}")
+  }
+
+  test("save_datasets skips zero-row products without a manifest entry or file") {
+    import spark.implicits._
+    val frame = Seq(("OTHER", 1.0)).toDF("product", "value")
+    val outDir = Files.createTempDirectory("graft_zero").toString
+    val out = SaveDatasets(outDir)(ctxOf(saveSpec, Map(None -> frame)))
+    assert(out.manifest.isEmpty)
+    val leftovers = Files.list(Paths.get(outDir)).toArray
+    assert(leftovers.isEmpty, s"unexpected files: ${leftovers.mkString(",")}")
+  }
+
+  test("batched building fails before any write; eagerWriting writes then fails") {
+    import spark.implicits._
+    val good = Seq(("N", 1.0)).toDF("product", "value")
+    val bad = Seq((1, 2)).toDF("a", "b") // no product column -> analysis error
+    val spec = ProductList(areas = Seq(
+      AreaSpec(Some("euro"), priority = Some(1), products = Seq(ProductSpec("N"))),
+      AreaSpec(Some("pacific"), priority = Some(2), products = Seq(ProductSpec("N")))))
+    val frames = Map(Option("euro") -> good, Option("pacific") -> bad)
+    val batchedDir = Files.createTempDirectory("graft_batched").toString
+    intercept[Exception] {
+      SaveDatasets(batchedDir)(ctxOf(spec, frames))
+    }
+    assert(Files.list(Paths.get(batchedDir)).toArray.isEmpty,
+      "batched mode must not write any file when a later sink fails analysis")
+    val eagerDir = Files.createTempDirectory("graft_eager").toString
+    intercept[Exception] {
+      SaveDatasets(eagerDir, eagerWriting = true)(ctxOf(spec, frames))
+    }
+    assert(Files.exists(Paths.get(eagerDir, "euro_N.tif")),
+      "eager mode writes the first file before the second sink is built")
+  }
+
+  test("call_on_done callbacks fire in order per committed file") {
+    import spark.implicits._
+    val frame = Seq(("N", 1.0)).toDF("product", "value")
+    val calls = ArrayBuffer.empty[String]
+    val outDir = Files.createTempDirectory("graft_cb").toString
+    val out = SaveDatasets(outDir, callbacks = Seq(
+      f => calls += s"close:${f.product}",
+      f => calls += s"move:${f.product}:rows=${f.rows}"))(
+      ctxOf(saveSpec, Map(None -> frame)))
+    assert(out.manifest.size == 1)
+    assert(calls.toSeq == Seq("close:N", "move:N:rows=1"))
+  }
+
+  // ------------------------------------------------------------ resample
+
+  test("resample nearest mode picks the center-nearest source cell") {
+    import spark.implicits._
+    // 3x3 source grid onto a 1x1 target: nearest = the center cell (1,1),
+    // average = mean of all nine — distinct values prove the mode split
+    val cells = for { y <- 0 until 3; x <- 0 until 3 }
+      yield ("N", y, x, math.pow(y * 3 + x, 2))
+    val frame = cells.toDF("product", "y", "x", "value")
+    val ctx = ctxOf(oneProductSpec(), Map(None -> frame))
+    val out = Resample(Seq(
+      ResampleTarget("euro", 1, 1, 0, 3, 0, 3, mode = "nearest"),
+      ResampleTarget("pacific", 1, 1, 0, 3, 0, 3)))(ctx)
+    val near = out.frames(Some("euro")).collect()
+    assert(near.length == 1)
+    assert(near.head.getAs[Double]("value") == 16.0) // source (1,1) = 4^2
+    assert(near.head.getAs[Long]("y") == 0L && near.head.getAs[Long]("x") == 0L)
+    val avg = out.frames(Some("pacific")).collect().head.getAs[Double]("value")
+    assert(math.abs(avg - 204.0 / 9.0) < 1e-12)
+  }
+
+  // ------------------------------------------------------ metadata_alias
+
+  test("metadata_alias rewrites list-valued metadata element-wise") {
+    val ctx = ctxOf(saveSpec, Map.empty,
+      Map("sensor" -> "avhrr,mhs", "platform_name" -> "noaa15"))
+    val out = MetadataAlias(Map(
+      "sensor" -> Map("avhrr" -> "avhrr/3"),
+      "platform_name" -> Map("noaa15" -> "NOAA-15")))(ctx)
+    assert(out.metadata("sensor") == "avhrr/3,mhs")
+    assert(out.metadata("platform_name") == "NOAA-15")
+  }
+
+  // ------------------------------------------------------ file_publisher
+
+  test("file_publisher emits full file metadata plus dispatch messages") {
+    import spark.implicits._
+    val frame = Seq(("N", 1.0)).toDF("product", "value")
+    val outDir = Files.createTempDirectory("graft_pub").toString
+    val spec = oneProductSpec(Map(
+      "productname" -> "cloud_top_height", "areaname" -> "Europe",
+      "dispatch.0.path" -> "/incoming/{product}.{format}",
+      "dispatch.0.scheme" -> "ftp", "dispatch.0.hostname" -> "ops.example.org"))
+    val ctx0 = ctxOf(spec, Map(None -> frame))
+    // coverage percentages flow from the pruning plugins into the message
+    val withCov = ctx0.copy(worklist = ctx0.worklist.map(i => i.copy(
+      settings = i.settings + ("area_coverage_percent" -> "22.5"))))
+    val saved = SaveDatasets(outDir)(withCov)
+    val msgs = FilePublisher("/file/{area}/{product}").messageSeq(saved)
+    assert(msgs.map(_.msg_type) == Seq("file", "dispatch"))
+    val m = msgs.head
+    assert(m.topic == "/file/euro/N")
+    assert(m.uri == Paths.get(outDir, "euro_N.tif").toString)
+    assert(m.uid == "euro_N.tif")
+    assert(m.product == "N" && m.productname == "cloud_top_height")
+    assert(m.area == "euro" && m.areaname == "Europe")
+    assert(m.area_coverage_percent.contains(22.5))
+    assert(m.area_sunlight_coverage_percent.isEmpty)
+    assert(m.rows == 1L && m.bytes > 0L)
+    val d = msgs(1)
+    assert(d.target.contains("ftp://ops.example.org/incoming/N.tif"))
+    assert(d.source.contains(m.uri))
+    // and the DataFrame surface keeps the same shape
+    val df = FilePublisher("/file/{area}/{product}").messages(saved)
+    assert(df.columns.take(2).toSeq == Seq("topic", "msg_type"))
+    assert(df.count() == 2)
+  }
+}
