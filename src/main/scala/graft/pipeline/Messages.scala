@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.SparkSession
+
+/** Posttroll-message ingestion — `message_to_jobs` (launcher.py:269-273):
+  * the bridge from a subscriber message to a runnable [[PipelineContext]].
+  *
+  * A message is JSON `{"type": "file|dataset|collection", "data": {...}}`.
+  * Input filenames are found by a recursive scan for `uri` values
+  * (`gen_dict_extract`, dict_tools.py:65-78) — one hit for `file`
+  * messages, one per element for `dataset`, nested a level deeper for
+  * `collection` — so a single walk handles all three message types
+  * (launcher.py:303-316). Messages whose files carry a serialized
+  * `filesystem` name files by `path` (falling back to `uid`); the
+  * reference opens those through fsspec (launcher.py:320-328), here they
+  * stay plain paths/URIs for Hadoop FS to resolve (the documented S6
+  * divergence: `s3a://...` etc. go straight to `spark.read`).
+  *
+  * `input_mda` is the message's `data` dict (launcher.py:272). The typed
+  * context keeps metadata as strings: scalar values are kept verbatim,
+  * scalar arrays are comma-joined — the same multi-valued convention
+  * [[Plugins.MetadataAlias]] rewrites element-wise; nested objects (e.g.
+  * the `dataset` list itself) are job structure, not metadata, and the
+  * reference's FilePublisher likewise pops them before publishing
+  * (plugins/__init__.py:553-555).
+  */
+object Messages {
+  private val mapper = new ObjectMapper()
+
+  final case class ParsedMessage(msgType: String, paths: Seq[String],
+      metadata: Map[String, String])
+
+  /** `gen_dict_extract` (dict_tools.py:65-78): depth-first collection of
+    * every scalar value of `key` anywhere under `node`. */
+  def extract(node: JsonNode, key: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    def walk(n: JsonNode): Unit =
+      if (n.isObject)
+        n.properties().asScala.foreach { e =>
+          if (e.getKey == key && e.getValue.isValueNode) out += e.getValue.asText()
+          else walk(e.getValue)
+        }
+      else if (n.isArray) n.elements().asScala.foreach(walk)
+    walk(node)
+    out.result()
+  }
+
+  def parse(json: String): ParsedMessage = {
+    val root = mapper.readTree(json)
+    val msgType = Option(root.get("type")).map(_.asText).getOrElse("file")
+    val data = Option(root.get("data")).getOrElse(mapper.createObjectNode(): JsonNode)
+    val uris = extract(data, "uri")
+    val paths =
+      if (uris.nonEmpty) uris
+      else { // filesystem-serialized messages (launcher.py:308-313)
+        val byPath = extract(data, "path")
+        if (byPath.nonEmpty) byPath else extract(data, "uid")
+      }
+    val metadata = data.properties().asScala.collect {
+      case e if e.getValue.isValueNode =>
+        e.getKey -> e.getValue.asText()
+      case e if e.getValue.isArray &&
+          e.getValue.elements().asScala.forall(_.isValueNode) =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText()).mkString(",")
+    }.toMap
+    ParsedMessage(msgType, paths, metadata)
+  }
+
+  /** message → ready-to-run context + input paths: the caller puts the
+    * paths into the chain's [[Plugins.CreateScene]] (the `input_filenames`
+    * slot of the reference's job dict, launcher.py:287). */
+  def toContext(spark: SparkSession, spec: ProductList,
+      json: String): (PipelineContext, Seq[String]) = {
+    val m = parse(json)
+    (PipelineContext(spark, spec, m.metadata, Map.empty, Worklist.expand(spec)),
+      m.paths)
+  }
+}

@@ -414,6 +414,30 @@ object Plugins {
     }
   }
 
+  /** `format_decoration` (plugins/__init__.py:258-274): render decoration
+    * text templates against the fully-resolved per-file values before
+    * saving — the reference composes every `decorate.decorate[].text.txt`
+    * in a deep copy of the format config (never mutating the product
+    * list). Flat-settings form: every `decorate.<i>.text` setting is a
+    * compose template, rewritten in place on the work item (the immutable
+    * copy is free here). Runs before [[SaveDatasets]] so writers and
+    * [[FilePublisher]] both see the rendered text. */
+  final case class FormatDecoration() extends Plugin {
+    val name = "format_decoration"
+    private val DecoText = """decorate\.\d+\.text""".r
+    def apply(ctx: PipelineContext): PipelineContext =
+      if (ctx.aborted.isDefined) ctx
+      else ctx.copy(worklist = ctx.worklist.map { item =>
+        val values = ctx.metadata ++ item.settings +
+          ("area" -> item.area.getOrElse("native")) +
+          ("product" -> item.product) + ("format" -> item.format)
+        item.copy(settings = item.settings.map {
+          case (k @ DecoText(), tpl) => k -> compose(tpl, values)
+          case kv => kv
+        })
+      })
+  }
+
   /** Lon/lat bounding box of a named target area — the area-registry
     * analog of the reference's `get_area_def(area_id)` (pyresample lookup,
     * plugins/__init__.py:677): here target areas are explicit config. */
