@@ -4,10 +4,13 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q02_selective_revenue", "q03_segment_revenue",
-                     "q05_region_revenue", "q23_token_stats",
-                     "q29_ngram_jaccard", "q33_ann_bruteforce",
-                     "q40_resample")) {
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q02_selective_revenue", "q03_segment_revenue",
+               "q05_region_revenue", "q23_token_stats",
+               "q29_ngram_jaccard", "q33_ann_bruteforce",
+               "q40_resample")
+    for (name <- names) {
       println(s"\n===== $name =====")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
