@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.functions.TextFns.{h32, tokens}
+import graft.functions.TextFns.{h32, shingles, tokens}
 
 /** Corpus-curation pack: the selection/splitting stage of a training-data
   * pipeline. Both operators are pure per-row hash/rank arithmetic — no
@@ -77,13 +77,77 @@ object Curation {
       |FROM ranked WHERE rk <= 5
       |ORDER BY lang, rk""".stripMargin
 
+  /** Train/test decontamination: a test document is contaminated if it
+    * shares ANY 8-token shingle with ANY train document (the n-gram
+    * overlap scan run before every eval; split = q52's hash buckets, so
+    * the check composes with the split it audits).
+    *
+    * Scale design: this is the inverted-index form — one shingle
+    * expansion feeds both split sides, the train side collapses to a
+    * distinct shingle-hash set, and contamination is a shuffle equi-join
+    * on the 8-byte hash. Cost is linear in postings; no test×train
+    * document pairing ever materializes. At 100 TB the train set is the
+    * big side and the join partitions by `h` exactly as a persisted
+    * inverted index would. */
+  def q56Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      // spread the shingle+md5 expansion across cores (see Dedup.shPostings)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("bucket", h32(concat(lit("split_"), col("doc_id"))) % 100)
+      .select(col("doc_id"), col("bucket"),
+        explode(shingles(tokens(col("text")), 8)).as("s"))
+      .select(col("doc_id"), col("bucket"), h32(col("s")).as("h"))
+      .distinct()
+      // both split sides read this once; single-node analog of writing
+      // the postings table (see Dedup.shPostings for the full rationale)
+      .localCheckpoint()
+    val train = sh.filter(col("bucket") < 90).select(col("h")).distinct()
+    val test = sh.filter(col("bucket") >= 95).select(col("doc_id"), col("h"))
+    val tot = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hits = test.join(train, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    tot.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id").as("test_doc"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contaminated", (col("n_hit") > 0).cast("int"))
+      .orderBy(col("test_doc"))
+  }
+
+  val q56Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    ('0x' || substr(md5('split_' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, bucket,
+      |    ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+      |  FROM (
+      |    SELECT doc_id, bucket, unnest(list_transform(range(1, len(toks) - 6),
+      |      i -> array_to_string(toks[i:i+7], ' '))) AS s
+      |    FROM (SELECT doc_id, bucket,
+      |            list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |          FROM d))),
+      |tr AS (SELECT DISTINCT h FROM sh WHERE bucket < 90),
+      |te AS (SELECT doc_id, h FROM sh WHERE bucket >= 95),
+      |tot AS (SELECT doc_id, count(*) AS n_sh FROM te GROUP BY 1),
+      |hits AS (
+      |  SELECT te.doc_id, count(*) AS n_hit
+      |  FROM te JOIN tr USING (h) GROUP BY 1)
+      |SELECT tot.doc_id AS test_doc, tot.n_sh,
+      |  coalesce(hits.n_hit, 0) AS n_hit,
+      |  (coalesce(hits.n_hit, 0) > 0)::INT AS contaminated
+      |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+      |ORDER BY test_doc""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q52_data_split" -> (q52DataSplit _),
-    "q53_balanced_sample" -> (q53BalancedSample _)
+    "q53_balanced_sample" -> (q53BalancedSample _),
+    "q56_contamination" -> (q56Contamination _)
   )
 
   val oracles: Map[String, String] = Map(
     "q52_data_split" -> q52Sql,
-    "q53_balanced_sample" -> q53Sql
+    "q53_balanced_sample" -> q53Sql,
+    "q56_contamination" -> q56Sql
   )
 }

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Curation
+
+class CurationSpec extends SparkSpec {
+
+  test("q56 contamination: hits bounded by shingle counts, flag consistent") {
+    val df = Curation.q56Contamination(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_hit") > col("n_sh")).count() == 0,
+      "a test doc cannot hit more train shingles than it has")
+    assert(df.filter(
+      (col("contaminated") === 1) =!= (col("n_hit") > 0)).count() == 0,
+      "contaminated flag must equal n_hit > 0")
+    df.unpersist()
+  }
+
+  test("q56 test docs are exactly q52's test bucket (shingle-bearing)") {
+    import graft.functions.TextFns.{h32, shingles, tokens}
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .filter(h32(concat(lit("split_"), col("doc_id"))) % 100 >= 95)
+      .filter(size(shingles(tokens(col("text")), 8)) > 0)
+      .select(col("doc_id"))
+    val got = Curation.q56Contamination(spark, sf).select(col("test_doc"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+}
