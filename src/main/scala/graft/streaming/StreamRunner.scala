@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
+import graft.pipeline.{Messages, Plugin, ProductList, Runner}
+
 /** Streaming front-end (reference: `generate_messages` →
   * one-job-per-message, launcher.py:146-171, 237-250, SURVEY §2.6).
   *
@@ -59,6 +61,52 @@ object StreamRunner {
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, id: Long) => job(batch, id) }
       .start()
+
+  /** Text-file message stream: one file = one posttroll-style JSON
+    * message (the subscriber-socket analog; at scale the same code takes
+    * a Kafka `value` column). */
+  def messageStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .option("wholetext", true) // one file = one message, newlines and all
+      .text(dir)
+
+  /** The full reference main loop, streaming-native: `generate_messages`
+    * → `message_to_jobs` → `process_jobs` (launcher.py:146-171, 269-300).
+    * Every row of each micro-batch is one JSON message: it is parsed into
+    * a [[graft.pipeline.PipelineContext]] ([[Messages.toContext]] — the
+    * message's `data` dict becomes `input_mda`), the caller's `mkChain`
+    * builds the plugin chain from the message's input paths (prepend a
+    * `CreateScene(paths)` for the reference's `create_scene` slot), and
+    * the chain runs priority group by priority group via
+    * [[Runner.processJobs]]. `onReport` receives each message's job
+    * reports (publish/audit hook — the tests' capture point).
+    *
+    * Scale note: the per-batch `collect()` pulls MESSAGES to the driver,
+    * not data — messages are control-plane JSON (the reference holds each
+    * one in a Python dict); the frames the chain computes from those
+    * paths stay fully distributed. Micro-batches are sequential by
+    * contract, so jobs run one message at a time exactly like the
+    * reference's `proc.start(); proc.join()`. */
+  def runMessages(messages: DataFrame, spec: ProductList,
+                  checkpointDir: String,
+                  mkChain: Seq[String] => Seq[Plugin],
+                  timeoutPerPlugin: scala.concurrent.duration.Duration =
+                    scala.concurrent.duration.Duration.Inf,
+                  crashHandlers: Seq[Runner.CrashHandler] = Seq.empty,
+                  availableNow: Boolean = true)
+                 (onReport: (String, Seq[Runner.JobReport]) => Unit): StreamingQuery =
+    runPerMessage(messages, checkpointDir, availableNow) { (batch, _) =>
+      val spark = batch.sparkSession
+      batch.select(col(batch.columns.head).cast("string"))
+        .collect().iterator.map(_.getString(0)).filter(_ != null)
+        .foreach { json =>
+          val (ctx, paths) = Messages.toContext(spark, spec, json)
+          val reports = Runner.processJobs(ctx, mkChain(paths),
+            timeoutPerPlugin, crashHandlers)
+          onReport(json, reports)
+        }
+    }
 
   /** Run a streaming aggregation into an in-memory table (tests/dev) or
     * any sink via `format`. Complete mode — the aggregation result is the

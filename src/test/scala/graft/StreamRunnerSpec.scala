@@ -82,6 +82,37 @@ class StreamRunnerSpec extends SparkSpec {
     assert(total.get() == perFile)
   }
 
+  test("runMessages: generate_messages -> message_to_jobs -> process_jobs") {
+    import graft.pipeline._
+    val src = Files.createTempDirectory("graft_msg_src")
+    val ckp = Files.createTempDirectory("graft_msg_ckp")
+    // two posttroll-style messages, each naming a real parquet input
+    Seq("region" -> "noaa15", "nation" -> "noaa19").zipWithIndex.foreach {
+      case ((table, platform), i) =>
+        Files.writeString(src.resolve(s"msg_$i.json"),
+          s"""{"type": "file", "data": {"uri": "$sf/$table.parquet",
+             |  "platform_name": "$platform"}}""".stripMargin)
+    }
+    val spec = ProductList(areas = Seq(
+      AreaSpec(Some("euro"), products = Seq(ProductSpec("scene")))))
+    val done = new ConcurrentLinkedQueue[(String, Long)]()
+    val q = StreamRunner.runMessages(
+      StreamRunner.messageStream(spark, src.toString), spec, ckp.toString,
+      paths => Seq(Plugins.CreateScene(paths))) { (json, reports) =>
+        val ctx = reports.head.finalCtx
+        assert(ctx.aborted.isEmpty, s"job aborted: ${ctx.aborted}")
+        // input_mda flowed from the message into the context
+        assert(json.contains(ctx.metadata("platform_name")))
+        done.add((ctx.metadata("platform_name"), ctx.frames(None).count()))
+    }
+    q.awaitTermination(120000)
+    val seen = done.toArray(Array.empty[(String, Long)]).toMap
+    // one job per message, sequentially; each scene read its own input
+    assert(seen == Map(
+      "noaa15" -> spark.read.parquet(s"$sf/region.parquet").count(),
+      "noaa19" -> spark.read.parquet(s"$sf/nation.parquet").count()))
+  }
+
   test("graceful stop terminates a continuous query") {
     val (src, ckp) = stageMessages(1)
     val stream = StreamRunner.fileStream(spark, src, eventsSchema)
