@@ -30,14 +30,24 @@ object GraftSession {
       cores.toString
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    registerFunctions(s)
     s
   }
 
+  /** The library's custom expressions (same set the
+    * `spark.sql.extensions=graft.plans.GraftExtensions` entry point
+    * injects, for sessions built without it). Idempotent. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    graft.functions.Compose.register(spark)
+    graft.functions.VecOps.register(spark)
+  }
+
   /** Make an externally-created session (e.g. the driver's) safe for graft
-    * queries: settable runtime confs only. */
+    * queries: settable runtime confs + function registration only. */
   def prime(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    registerFunctions(spark)
     spark
   }
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.ComposeExpr
+import graft.functions.{ComposeExpr, DotF64, VecOps}
 
 /** Session-extensions entry point — makes the library installable without
   * code changes:
@@ -20,8 +20,10 @@ import graft.functions.ComposeExpr
   * does the same registration imperatively.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.composeTpl)
+    ext.injectFunction(GraftExtensions.dotF64)
+  }
 }
 
 object GraftExtensions {
@@ -33,4 +35,10 @@ object GraftExtensions {
         require(exprs.length == 2, "compose_tpl(pattern, map) takes 2 arguments")
         ComposeExpr(exprs.head, exprs(1))
       })
+
+  /** (name, info, builder) triple for `dot_f64(a, b)`. */
+  val dotF64: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
+      VecOps.builder _)
 }

@@ -66,9 +66,6 @@ object Dedup {
       // then join it"; localCheckpoint is the single-node analog.
       .localCheckpoint()
 
-  private def foldSum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
-
   /** Exact dedup via content-key groupBy: key = rolling fingerprint of the
     * sorted distinct token set (bag-of-words identity). One shuffle on the
     * 8-byte key; the 100 TB version is identical. */
@@ -343,7 +340,7 @@ object Dedup {
     cand.join(es.as("a"), col("va") === col("a.vec_id"))
       .join(es.as("b"), col("vb") === col("b.vec_id"))
       .withColumn("hamming", expr("bit_count(a.sig ^ b.sig)").cast("int"))
-      .withColumn("dot", foldSum(zip_with(col("a.v"), col("b.v"), (x, y) => x * y)))
+      .withColumn("dot", graft.functions.VecOps.dotCol(col("a.v"), col("b.v")))
       .withColumn("cos", round(lit(1e-9) + col("dot") / sqrt(col("a.nrm") * col("b.nrm")), 5))
       .filter(col("cos") >= 0.40)
       .select(col("va"), col("vb"), col("hamming"), col("cos"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.functions.TextFns.h32
+import graft.functions.VecOps.dotCol
 
 /** Similarity-search pack over the `embeddings` fixture: brute-force cosine
   * top-k (the correctness baseline), random-hyperplane LSH ANN and an
@@ -26,15 +27,14 @@ import graft.functions.TextFns.h32
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  private def foldSum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
-
-  /** vec_id, label, v: array<double>, nrm: ||v||². */
+  /** vec_id, label, v: array<double>, nrm: ||v||² (native `dot_f64`
+    * kernel — same left-to-right float sequence as the declarative fold,
+    * see [[graft.functions.VecOps]]). */
   private[queries] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", foldSum(transform(col("v"), x => x * x)))
+      .withColumn("nrm", dotCol(col("v"), col("v")))
 
   private val vecsSql: String =
     """e AS (
@@ -53,7 +53,7 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cos_raw",
-        foldSum(zip_with(col("qv"), col("v"), (x, y) => x * y)) /
+        dotCol(col("qv"), col("v")) /
           sqrt(col("qnrm") * col("nrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
@@ -133,7 +133,7 @@ object Similarity {
     withSig.join(broadcast(q),
         col("sig") === col("qsig") && col("vec_id") =!= col("qid"))
       .withColumn("cos_raw",
-        foldSum(zip_with(col("qv"), col("v"), (x, y) => x * y)) /
+        dotCol(col("qv"), col("v")) /
           sqrt(col("qnrm") * col("nrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
@@ -231,7 +231,7 @@ object Similarity {
     withCl.join(broadcast(q),
         col("cluster") === col("qcluster") && col("vec_id") =!= col("qid"))
       .withColumn("cos_raw",
-        foldSum(zip_with(col("qv"), col("v"), (x, y) => x * y)) /
+        dotCol(col("qv"), col("v")) /
           sqrt(col("qnrm") * col("nrm")))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 5)
