@@ -180,12 +180,80 @@ object TextAnalysis {
       |GROUP BY word
       |ORDER BY word""".stripMargin
 
+  /** Repetition filter (the Gopher/MassiveText "repetitious text" rules,
+    * token-level): per document, the fraction of bigram occurrences taken
+    * by the single most frequent bigram, and the fraction of trigram
+    * occurrences that are duplicates; a document is flagged when either
+    * exceeds its threshold (0.06 / 0.05 — tuned to this synthetic corpus;
+    * natural-text deployments use the published 2-gram 0.20 / 3-gram 0.18
+    * char-fraction cuts).
+    *
+    * Scale design: one repartition by doc_id up front; both n-gram
+    * aggregations and the final joins are keyed on doc_id (or a doc_id
+    * prefix), so the whole query is ONE shuffle followed by in-place
+    * per-doc aggregation — embarrassingly parallel over documents. */
+  def q57Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      // spread tokenization + n-gram expansion (see Dedup.shPostings);
+      // three frames below derive from this one — checkpoint, don't re-run
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .localCheckpoint()
+    def grams(n: Int) = docs.select(col("doc_id"),
+      explode(shingles(col("toks"), n)).as("s"))
+    val base = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+    val bi = grams(2).groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bi"), sum(col("c")).as("n_bi"))
+    val tri = grams(3).groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"), sum(col("c")).as("n_tri"))
+    base.join(bi, "doc_id").join(tri, "doc_id")
+      .withColumn("bi_frac",
+        round(lit(1e-9) + col("top_bi").cast("double") / col("n_bi"), 5))
+      .withColumn("tri_dup_frac",
+        round(lit(1e-9) + (col("n_tri") - col("n_uniq")).cast("double") / col("n_tri"), 5))
+      .withColumn("flagged",
+        (col("bi_frac") > 0.06 || col("tri_dup_frac") > 0.05).cast("int"))
+      .select(col("doc_id"), col("n_tok"), col("top_bi"),
+        col("bi_frac"), col("tri_dup_frac"), col("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q57Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, len(toks) AS n_tok, toks FROM d WHERE len(toks) >= 3),
+      |bi AS (
+      |  SELECT doc_id, max(c) AS top_bi, sum(c)::BIGINT AS n_bi FROM (
+      |    SELECT doc_id, s, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i+1])) AS s
+      |      FROM base) GROUP BY 1, 2) GROUP BY 1),
+      |tri AS (
+      |  SELECT doc_id, count(*) AS n_uniq, sum(c)::BIGINT AS n_tri FROM (
+      |    SELECT doc_id, s, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |        i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |      FROM base) GROUP BY 1, 2) GROUP BY 1),
+      |m AS (
+      |  SELECT doc_id, n_tok,top_bi,
+      |    round(1e-9 + CAST(top_bi AS DOUBLE) / n_bi, 5) AS bi_frac,
+      |    round(1e-9 + CAST(n_tri - n_uniq AS DOUBLE) / n_tri, 5) AS tri_dup_frac
+      |  FROM base JOIN bi USING (doc_id) JOIN tri USING (doc_id))
+      |SELECT doc_id, n_tok, top_bi, bi_frac, tri_dup_frac,
+      |  (bi_frac > 0.06 OR tri_dup_frac > 0.05)::INT AS flagged
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q23_token_stats" -> (q23TokenStats _),
     "q24_quality_score" -> (q24QualityScore _),
     "q25_lang_id" -> (q25LangId _),
     "q26_fingerprint" -> (q26Fingerprint _),
-    "q27_vocab_stats" -> (q27VocabStats _)
+    "q27_vocab_stats" -> (q27VocabStats _),
+    "q57_repetition" -> (q57Repetition _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,6 +261,7 @@ object TextAnalysis {
     "q24_quality_score" -> q24Sql,
     "q25_lang_id" -> q25Sql,
     "q26_fingerprint" -> q26Sql,
-    "q27_vocab_stats" -> q27Sql
+    "q27_vocab_stats" -> q27Sql,
+    "q57_repetition" -> q57Sql
   )
 }
