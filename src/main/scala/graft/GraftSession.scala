@@ -40,6 +40,7 @@ object GraftSession {
   def registerFunctions(spark: SparkSession): Unit = {
     graft.functions.Compose.register(spark)
     graft.functions.VecOps.register(spark)
+    graft.functions.HashExprs.register(spark)
   }
 
   /** Make an externally-created session (e.g. the driver's) safe for graft

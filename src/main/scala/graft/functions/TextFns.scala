@@ -21,10 +21,12 @@ object TextFns {
   /** Large prime modulus for rolling hashes (fits arithmetic in BIGINT). */
   val P: Long = 1000000007L
 
-  /** Unsigned 32-bit hash of a string column.
+  /** Unsigned 32-bit hash of a string column — native [[HashExprs]]
+    * kernel, numerically identical to the declarative
+    * `conv(substring(md5(x), 1, 8), 16, 10)` chain.
     * DuckDB: `('0x' || substr(md5(x), 1, 8))::BIGINT`. */
   def h32(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    call_function("h32_md5", c.cast("string"))
 
   /** Whitespace tokens, empties dropped.
     * DuckDB: `list_filter(string_split(x, ' '), t -> len(t) > 0)`. */

@@ -37,4 +37,14 @@ class TextFnsSpec extends SparkSpec {
     assert(one(rollingFp(array(lit("a")))) ==
       one(h32(lit("a"))).asInstanceOf[Long] % P)
   }
+
+  test("native h32 kernel is bit-identical to the declarative md5 chain") {
+    val chain = conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
+    val df = graft.sources.Tables.documents(spark, sf)
+      .select(explode(tokens(col("text"))).as("s"))
+      .withColumn("native", h32(col("s")))
+      .withColumn("decl", chain)
+    assert(df.filter(col("native") =!= col("decl")).count() == 0)
+    assert(df.count() > 0)
+  }
 }
