@@ -276,17 +276,76 @@ object Similarity {
       |FROM ranked WHERE rk <= 5
       |ORDER BY qid, rk""".stripMargin
 
+  /** Int8 scalar quantization of the embedding store — the 4× storage /
+    * bandwidth reduction step of a 100 TB vector corpus: per-dimension
+    * min/max over the corpus, each component mapped to a 0..255 code
+    * (floor(x+0.5) rounding, identical in both engines), reconstruction
+    * error profiled per label.
+    *
+    * Scale design: the dimension stats are a 64-row aggregate →
+    * broadcast; quantization is then a map-side projection (no shuffle),
+    * and the two grouped error aggregations shuffle only (vec_id, label)
+    * keyed rows. At scale the `code` column is what you'd write back as
+    * `array<tinyint>`; here the query surfaces the error profile that
+    * decides whether int8 is safe for the re-rank path. */
+  def q58Quantization(spark: SparkSession, dir: String): DataFrame = {
+    val comp = vecs(spark, dir).select(col("vec_id"), col("label"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val stats = comp.groupBy(col("pos").as("s_pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val qz = comp.join(broadcast(stats), col("pos") === col("s_pos"))
+      .withColumn("scale", (col("mx") - col("mn")) / 255)
+      .withColumn("code", when(col("mx") === col("mn"), lit(0))
+        .otherwise(floor((col("x") - col("mn")) / col("scale") + 0.5).cast("int")))
+      .withColumn("deq", col("mn") + col("code") * col("scale"))
+    val pv = qz.groupBy(col("vec_id"), col("label"))
+      .agg(sqrt(sum((col("x") - col("deq")) * (col("x") - col("deq")))).as("l2"),
+        avg(col("code")).as("mcode"))
+    pv.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(lit(1e-9) + avg(col("l2")), 5).as("avg_err"),
+        round(lit(1e-9) + max(col("l2")), 5).as("max_err"),
+        round(lit(1e-9) + avg(col("mcode")), 4).as("mean_code"))
+      .orderBy(col("label"))
+  }
+
+  val q58Sql: String =
+    """WITH compu AS (
+      |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS d, embedding
+      |  FROM embeddings),
+      |comp AS (
+      |  SELECT vec_id, label, d - 1 AS pos, embedding[d]::DOUBLE AS x FROM compu),
+      |stats AS (
+      |  SELECT pos, min(x) AS mn, max(x) AS mx FROM comp GROUP BY 1),
+      |qz AS (
+      |  SELECT vec_id, label, x, mn, mx, (mx - mn) / 255 AS scale,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE CAST(floor((x - mn) / ((mx - mn) / 255) + 0.5) AS INT) END AS code
+      |  FROM comp JOIN stats USING (pos)),
+      |pv AS (
+      |  SELECT vec_id, label,
+      |    sqrt(sum((x - (mn + code * scale)) * (x - (mn + code * scale)))) AS l2,
+      |    avg(code) AS mcode
+      |  FROM qz GROUP BY 1, 2)
+      |SELECT label, count(*) AS n_vecs,
+      |  round(1e-9 + avg(l2), 5) AS avg_err,
+      |  round(1e-9 + max(l2), 5) AS max_err,
+      |  round(1e-9 + avg(mcode), 4) AS mean_code
+      |FROM pv GROUP BY label ORDER BY label""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q33_ann_bruteforce" -> (q33AnnBruteforce _),
     "q34_ann_lsh" -> (q34AnnLsh _),
     "q35_label_centroids" -> (q35LabelCentroids _),
-    "q36_ann_ivf" -> (q36AnnIvf _)
+    "q36_ann_ivf" -> (q36AnnIvf _),
+    "q58_quantization" -> (q58Quantization _)
   )
 
   val oracles: Map[String, String] = Map(
     "q33_ann_bruteforce" -> q33Sql,
     "q34_ann_lsh" -> q34Sql,
     "q35_label_centroids" -> q35Sql,
-    "q36_ann_ivf" -> q36Sql
+    "q36_ann_ivf" -> q36Sql,
+    "q58_quantization" -> q58Sql
   )
 }
