@@ -45,19 +45,24 @@ object Similarity {
 
   /** Brute-force cosine top-k for a query subset: the exact baseline every
     * ANN variant is measured against. Query side is a small filtered scan
-    * (broadcast); candidates stream; per-query top-k via window rank. */
+    * (broadcast); candidates stream into the bounded
+    * [[graft.operators.TopK]] aggregation — map-side partials cut each
+    * input partition to ≤ k rows per query BEFORE the shuffle, so the
+    * exchange carries O(queries·k·partitions) rows instead of the full
+    * O(N·Q) scored stream the old window-rank form sorted. */
   def q33AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cos_raw",
         dotCol(col("qv"), col("v")) /
           sqrt(col("qnrm") * col("nrm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
-      .select(col("qid"), col("rk"), col("vec_id"), round(lit(1e-9) + col("cos_raw"), 5).as("cos"))
+      .groupBy(col("qid"))
+      .agg(graft.operators.TopK.topk(10)(col("cos_raw"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), (col("i") + 1).cast("int").as("rk"),
+        col("t._2").as("vec_id"), round(lit(1e-9) + col("t._1"), 5).as("cos"))
       .orderBy(col("qid"), col("rk"))
   }
 
