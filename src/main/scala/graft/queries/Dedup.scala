@@ -378,12 +378,81 @@ object Dedup {
       |    / sqrt(a.nrm * b.nrm), 5) >= 0.40
       |ORDER BY va, vb""".stripMargin
 
+  /** Duplicate-cluster assembly: pairwise duplicate evidence → transitive
+    * clusters via [[graft.operators.ConnectedComponents]] — the step that
+    * makes dedup actionable ("keep the minimum doc_id per cluster").
+    *
+    * Evidence here is the union of two blocking keys — q28's exact
+    * content key and q26's 8-token prefix fingerprint — joined as STAR
+    * edges (hub = min doc per key group), so a key shared by k docs
+    * contributes k-1 edges, never k²: candidate generation stays linear
+    * in corpus size, and transitivity across the two keys (A≈B by
+    * content, B≈C by prefix) is what the component propagation resolves.
+    * Cluster membership is reported as the q54-style rolling fingerprint
+    * of the sorted member list (array-free, hash-comparable). */
+  def q59DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val keys = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        rollingFp(array_sort(array_distinct(toks))).as("k1"),
+        rollingFp(slice(toks, 1, 8)).as("k2"))
+      .localCheckpoint() // two window passes below share one md5 expansion
+    def star(k: String) = keys.select(
+      min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(k))).as("src"),
+      col("doc_id").as("dst"))
+    val edges = star("k1").union(star("k2"))
+      .filter(col("src") =!= col("dst"))
+    graft.operators.ConnectedComponents.run(edges)
+      .groupBy(col("comp").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("id")).as("max_doc"),
+        aggregate(sort_array(collect_list(col("id"))), lit(0L),
+          (acc, k) => (acc * 131 + k % 1000000007L) % 1000000007L).as("members_fp"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  val q59Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |keys AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      list_sort(list_distinct(toks)), t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS k1,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      toks[1:8], t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS k2
+      |  FROM d),
+      |star AS (
+      |  SELECT min(doc_id) OVER (PARTITION BY k1) AS src, doc_id AS dst FROM keys
+      |  UNION
+      |  SELECT min(doc_id) OVER (PARTITION BY k2) AS src, doc_id AS dst FROM keys),
+      |edges AS (SELECT src, dst FROM star WHERE src <> dst),
+      |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      |nodes AS (SELECT DISTINCT src AS id FROM und),
+      |walk AS (
+      |  WITH RECURSIVE reach(id, r) AS (
+      |    SELECT id, id FROM nodes
+      |    UNION
+      |    SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id)
+      |  SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      |SELECT comp AS cluster_rep, count(*) AS n_docs, max(id) AS max_doc,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(id ORDER BY id)),
+      |    (a, k) -> (a * 131 + k % 1000000007) % 1000000007) AS members_fp
+      |FROM walk
+      |GROUP BY comp
+      |ORDER BY cluster_rep""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
     "q30_minhash_lsh" -> (q30MinhashLsh _),
     "q31_simhash" -> (q31Simhash _),
-    "q32_embedding_neardup" -> (q32EmbeddingNeardup _)
+    "q32_embedding_neardup" -> (q32EmbeddingNeardup _),
+    "q59_dup_clusters" -> (q59DupClusters _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -391,6 +460,7 @@ object Dedup {
     "q29_ngram_jaccard" -> q29Sql,
     "q30_minhash_lsh" -> q30Sql,
     "q31_simhash" -> q31Sql,
-    "q32_embedding_neardup" -> q32Sql
+    "q32_embedding_neardup" -> q32Sql,
+    "q59_dup_clusters" -> q59Sql
   )
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  test("path graph collapses to one component over multiple rounds") {
+    import spark.implicits._
+    // 0-1-2-...-9 chain: min label must walk the full diameter
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = ConnectedComponents.run(edges)
+    val labels = comp.select(col("comp")).distinct().as[Long].collect()
+    assert(labels.toSeq == Seq(0L))
+    assert(comp.count() == 10)
+  }
+
+  test("disjoint components keep distinct minimum labels") {
+    import spark.implicits._
+    val edges = Seq((5L, 3L), (3L, 8L), (20L, 21L), (30L, 20L))
+      .toDF("src", "dst")
+    val got = ConnectedComponents.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 3L, 3L -> 3L, 8L -> 3L,
+      20L -> 20L, 21L -> 20L, 30L -> 20L))
+  }
+
+  test("non-convergence within maxIters throws") {
+    import spark.implicits._
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(edges, maxIters = 2)
+    }
+  }
+}
