@@ -60,8 +60,10 @@ object Compose {
   /** Register `compose_tpl(pattern, map<string,string>)` on a session so it
     * is usable from SQL and `expr(...)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "compose_tpl",
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("compose_tpl")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "compose_tpl",
       exprs => {
         require(exprs.length == 2, "compose_tpl(pattern, map) takes 2 arguments")
         ComposeExpr(exprs.head, exprs(1))

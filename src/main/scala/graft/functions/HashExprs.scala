@@ -40,8 +40,10 @@ object HashExprs {
 
   /** Register `h32_md5` on a session (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "h32_md5", builder, "built-in")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("h32_md5")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "h32_md5", builder, "built-in")
 }
 
 /** `h32_md5(string) -> bigint`; see [[HashExprs]]. */

@@ -55,8 +55,10 @@ object VecOps {
 
   /** Register `dot_f64` on a session (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f64", builder, "built-in")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f64")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "dot_f64", builder, "built-in")
 }
 
 /** `dot_f64(array<double>, array<double>) -> double`; see [[VecOps]]. */

@@ -99,8 +99,9 @@ object Curation {
       .select(col("doc_id"), col("bucket"), h32(col("s")).as("h"))
       .distinct()
       // both split sides read this once; single-node analog of writing
-      // the postings table (see Dedup.shPostings for the full rationale)
-      .localCheckpoint()
+      // the postings table (see Dedup.shPostings for the full rationale —
+      // persist keeps the doc_id partitioning, a checkpoint would not)
+      .persist()
     val train = sh.filter(col("bucket") < 90).select(col("h")).distinct()
     val test = sh.filter(col("bucket") >= 95).select(col("doc_id"), col("h"))
     val tot = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

@@ -63,8 +63,11 @@ object Dedup {
       // ReusedExchange to latch onto), so without this each join side
       // re-runs the explode+md5 expansion — profiled at 4× the query cost.
       // At cluster scale this is "write the postings/signature table once,
-      // then join it"; localCheckpoint is the single-node analog.
-      .localCheckpoint()
+      // then join it". persist(), not localCheckpoint(): the checkpoint
+      // RDD scan forgets outputPartitioning in Spark 4, re-shuffling
+      // every per-doc aggregation downstream; the InMemoryRelation keeps
+      // the doc_id partitioning, so those stay exchange-free.
+      .persist()
 
   /** Exact dedup via content-key groupBy: key = rolling fingerprint of the
     * sorted distinct token set (bag-of-words identity). One shuffle on the
@@ -266,7 +269,7 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
       .withColumn("hi", expr("simhash div 65536"))
       .withColumn("lo", col("simhash") % 65536)
-      .localCheckpoint() // tiny (one row per doc); joined twice below
+      .persist() // tiny (one row per doc); joined twice below
     // ONE self-join on a tagged band key instead of two (hi, lo) joins:
     // band = (half-value, which-half), so pairs sharing either half meet
     // in the same bucket and the pair set is identical.
@@ -324,11 +327,11 @@ object Dedup {
   def q32EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = Similarity.vecs(spark, dir)
     // signature computed once (one row per vector); joined three times
-    // below, so cut the 64×-explode lineage — the cluster analog is
-    // "persist the signature table", localCheckpoint is the local stand-in
+    // below — persist the signature table (cache keeps the partitioning;
+    // a local checkpoint would drop it and re-shuffle each consumer)
     val es = e.join(Similarity.hyperSig(spark, e), col("vec_id") === col("s_vec"))
       .drop("s_vec")
-      .localCheckpoint()
+      .persist()
     val skinny = es.select(col("vec_id"), col("sig"))
     val probes = skinny.select(col("vec_id").as("pa"),
       explode(array(col("sig") +:
@@ -397,7 +400,7 @@ object Dedup {
       .select(col("doc_id"),
         rollingFp(array_sort(array_distinct(toks))).as("k1"),
         rollingFp(slice(toks, 1, 8)).as("k2"))
-      .localCheckpoint() // two window passes below share one md5 expansion
+      .persist() // two window passes below share one md5 expansion
     def star(k: String) = keys.select(
       min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(k))).as("src"),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -188,26 +188,37 @@ object TextAnalysis {
     * natural-text deployments use the published 2-gram 0.20 / 3-gram 0.18
     * char-fraction cuts).
     *
-    * Scale design: one repartition by doc_id up front; both n-gram
-    * aggregations and the final joins are keyed on doc_id (or a doc_id
-    * prefix), so the whole query is ONE shuffle followed by in-place
-    * per-doc aggregation — embarrassingly parallel over documents. */
+    * Scale design: every metric is a per-row computation over the
+    * document's own n-gram array — the most frequent bigram falls out of
+    * a longest-equal-run fold over the SORTED bigram array, duplicate
+    * trigrams from `size - size(array_distinct)` — so the plan is a
+    * single scan + narrow projection with ZERO shuffles before the final
+    * presentation sort. The grouped explode/aggregate formulation (which
+    * the DuckDB oracle keeps, for clarity) would shuffle every n-gram
+    * occurrence twice; per-row array algebra is the 100 TB form. */
   def q57Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      // spread tokenization + n-gram expansion (see Dedup.shPostings);
-      // three frames below derive from this one — checkpoint, don't re-run
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // longest run of equal adjacent elements in a sorted string array =
+    // max multiplicity: fold carrying (prev, run, best)
+    def maxRun(sorted: Column): Column =
+      aggregate(sorted,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
-      .localCheckpoint()
-    def grams(n: Int) = docs.select(col("doc_id"),
-      explode(shingles(col("toks"), n)).as("s"))
-    val base = docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
-    val bi = grams(2).groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bi"), sum(col("c")).as("n_bi"))
-    val tri = grams(3).groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"), sum(col("c")).as("n_tri"))
-    base.join(bi, "doc_id").join(tri, "doc_id")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        maxRun(array_sort(shingles(col("toks"), 2))).as("top_bi"),
+        size(shingles(col("toks"), 2)).cast("long").as("n_bi"),
+        size(array_distinct(shingles(col("toks"), 3))).cast("long").as("n_uniq"),
+        size(shingles(col("toks"), 3)).cast("long").as("n_tri"))
       .withColumn("bi_frac",
         round(lit(1e-9) + col("top_bi").cast("double") / col("n_bi"), 5))
       .withColumn("tri_dup_frac",
