@@ -99,7 +99,8 @@ object Similarity {
   /** (s_vec, sig): 8-bit random-hyperplane signature per vector (sign of
     * w·v per plane). Two aggregations, both pre-partitioned by vec_id. */
   private[queries] def hyperSig(spark: SparkSession, e: DataFrame): DataFrame =
-    e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    e.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .withColumn("d", col("pos") + 1)
       .join(broadcast(planes(spark)), "d")
       .groupBy(col("vec_id").as("s_vec"), col("p"), col("pp"))
@@ -171,6 +172,8 @@ object Similarity {
     * both engines feed identical constants into downstream arithmetic. */
   def q35LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val comp = vecs(spark, dir)
+      // spread the 64x posexplode AND pre-satisfy the per-vector groupBy
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
     val cent = comp.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
       .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
@@ -215,7 +218,9 @@ object Similarity {
     * the candidate set is a hash-join on the cluster id, not a scan. */
   def q36AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val comp = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val comp = e
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
     val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
       .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
@@ -228,6 +233,9 @@ object Similarity {
     val assigned = d2.withColumn("rn", row_number().over(wAsg))
       .filter(col("rn") === 1)
       .select(col("vec_id").as("a_vec"), col("c_label").as("cluster"))
+      // one row per vector, consumed by BOTH the corpus and query sides -
+      // without materialization the whole assignment subtree plans twice
+      .persist()
     val withCl = e.join(assigned, col("vec_id") === col("a_vec")).drop("a_vec")
     val q = withCl.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -294,8 +302,9 @@ object Similarity {
     * `array<tinyint>`; here the query surfaces the error profile that
     * decides whether int8 is safe for the re-rank path. */
   def q58Quantization(spark: SparkSession, dir: String): DataFrame = {
-    val comp = vecs(spark, dir).select(col("vec_id"), col("label"),
-      posexplode(col("v")).as(Seq("pos", "x")))
+    val comp = vecs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
     val stats = comp.groupBy(col("pos").as("s_pos"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
     val qz = comp.join(broadcast(stats), col("pos") === col("s_pos"))
