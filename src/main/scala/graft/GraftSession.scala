@@ -41,6 +41,7 @@ object GraftSession {
     graft.functions.Compose.register(spark)
     graft.functions.VecOps.register(spark)
     graft.functions.HashExprs.register(spark)
+    graft.functions.NGramStats.register(spark)
   }
 
   /** Make an externally-created session (e.g. the driver's) safe for graft

@@ -37,6 +37,13 @@ object ConnectedComponents {
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    // labels are monotone non-increasing, so Σcomp strictly decreases
+    // until the fixpoint: comparing consecutive sums detects convergence
+    // with one cheap aggregate per round instead of a diff join. Decimal
+    // sum: 10^10 nodes × 10^9 ids would wrap an int64.
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prev = checksum(labels)
     var round = 0
     while (round < maxIters) {
       val nbrMin = und.join(labels, und("dst") === labels("id"))
@@ -45,10 +52,10 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("l.comp"), coalesce(col("n.ncomp"), col("l.comp"))).as("comp"))
         .localCheckpoint()
-      val changed = next.as("a").join(labels.as("b"), Seq("id"))
-        .filter(col("a.comp") =!= col("b.comp")).limit(1).count()
+      val cur = checksum(next)
       labels = next
-      if (changed == 0L) return labels
+      if (cur.compareTo(prev) == 0) return labels
+      prev = cur
       round += 1
     }
     throw new IllegalStateException(

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ComposeExpr, DotF64, H32Md5, HashExprs, VecOps}
+import graft.functions.{ComposeExpr, DotF64, H32Md5, HashExprs, NGramStats, NGramStatsExpr, VecOps}
 
 /** Session-extensions entry point — makes the library installable without
   * code changes:
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.composeTpl)
     ext.injectFunction(GraftExtensions.dotF64)
     ext.injectFunction(GraftExtensions.h32Md5)
+    ext.injectFunction(GraftExtensions.ngramStats)
   }
 }
 
@@ -48,4 +49,10 @@ object GraftExtensions {
     (FunctionIdentifier("h32_md5"),
       new ExpressionInfo(classOf[H32Md5].getName, "h32_md5"),
       HashExprs.builder _)
+
+  /** (name, info, builder) triple for `ngram_stats(tokens, n)`. */
+  val ngramStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("ngram_stats"),
+      new ExpressionInfo(classOf[NGramStatsExpr].getName, "ngram_stats"),
+      NGramStats.builder _)
 }

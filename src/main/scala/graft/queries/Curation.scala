@@ -140,15 +140,116 @@ object Curation {
       |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
       |ORDER BY test_doc""".stripMargin
 
+  /** End-to-end corpus curation — the composed pipeline a training run
+    * actually consumes: drop repetition-flagged documents (q57's Gopher
+    * rules), keep one canonical document per duplicate cluster (q59's
+    * connected components — survivors are the cluster representatives),
+    * then split the survivors with q52's hash buckets. Reported per split
+    * with a rolling fingerprint of the sorted surviving doc_ids, so the
+    * oracle verifies EXACT membership of the curated corpus, not just
+    * counts.
+    *
+    * Scale shape: two broadcast-able anti-join kill-lists (flagged docs,
+    * non-canonical dup members — both corpus-fraction-sized) against the
+    * full corpus, then one aggregation; the expensive evidence passes are
+    * the same linear plans q57/q59 already run. */
+  def q60CuratedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = TextAnalysis.q57Repetition(spark, dir)
+      .filter(col("flagged") === 1).select(col("doc_id"))
+    val dupKill = Dedup.dupLabels(spark, dir)
+      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .join(dupKill, Seq("doc_id"), "left_anti")
+      .withColumn("bucket", h32(concat(lit("split_"), col("doc_id"))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        aggregate(sort_array(collect_list(col("doc_id"))), lit(0L),
+          (acc, k) => (acc * 131 + k % 1000000007L) % 1000000007L).as("docs_fp"))
+      .orderBy(col("split"))
+  }
+
+  val q60Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |rep AS (
+      |  SELECT doc_id, toks FROM d WHERE len(toks) >= 3),
+      |bi AS (
+      |  SELECT doc_id, max(c) AS top_bi, sum(c)::BIGINT AS n_bi FROM (
+      |    SELECT doc_id, s, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |        i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 8))::BIGINT)) AS s
+      |      FROM rep) GROUP BY 1, 2) GROUP BY 1),
+      |tri AS (
+      |  SELECT doc_id, count(*) AS n_uniq, sum(c)::BIGINT AS n_tri FROM (
+      |    SELECT doc_id, s, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |        i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))::BIGINT)) AS s
+      |      FROM rep) GROUP BY 1, 2) GROUP BY 1),
+      |flagged AS (
+      |  SELECT rep.doc_id
+      |  FROM rep JOIN bi USING (doc_id) JOIN tri USING (doc_id)
+      |  WHERE round(1e-9 + CAST(top_bi AS DOUBLE) / n_bi, 5) > 0.06
+      |     OR round(1e-9 + CAST(n_tri - n_uniq AS DOUBLE) / n_tri, 5) > 0.05),
+      |keys AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      list_sort(list_distinct(toks)), t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS k1,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      toks[1:8], t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS k2
+      |  FROM d),
+      |star AS (
+      |  SELECT min(doc_id) OVER (PARTITION BY k1) AS src, doc_id AS dst FROM keys
+      |  UNION
+      |  SELECT min(doc_id) OVER (PARTITION BY k2) AS src, doc_id AS dst FROM keys),
+      |edges AS (SELECT src, dst FROM star WHERE src <> dst),
+      |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      |nodes AS (SELECT DISTINCT src AS id FROM und),
+      |walk AS (
+      |  WITH RECURSIVE reach(id, r) AS (
+      |    SELECT id, id FROM nodes
+      |    UNION
+      |    SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id)
+      |  SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      |dupkill AS (SELECT id AS doc_id FROM walk WHERE id <> comp),
+      |kept AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('split_' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+      |    AND doc_id NOT IN (SELECT doc_id FROM dupkill))
+      |SELECT CASE WHEN bucket < 90 THEN 'train'
+      |            WHEN bucket < 95 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  count(*) AS n_docs,
+      |  min(doc_id) AS first_doc,
+      |  max(doc_id) AS last_doc,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(doc_id ORDER BY doc_id)),
+      |    (a, k) -> (a * 131 + k % 1000000007) % 1000000007) AS docs_fp
+      |FROM kept
+      |GROUP BY 1
+      |ORDER BY split""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
-    "q56_contamination" -> (q56Contamination _)
+    "q56_contamination" -> (q56Contamination _),
+    "q60_curated_corpus" -> (q60CuratedCorpus _)
   )
 
   val oracles: Map[String, String] = Map(
     "q52_data_split" -> q52Sql,
     "q53_balanced_sample" -> q53Sql,
-    "q56_contamination" -> q56Sql
+    "q56_contamination" -> q56Sql,
+    "q60_curated_corpus" -> q60Sql
   )
 }

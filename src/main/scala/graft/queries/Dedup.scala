@@ -393,7 +393,9 @@ object Dedup {
     * content, B≈C by prefix) is what the component propagation resolves.
     * Cluster membership is reported as the q54-style rolling fingerprint
     * of the sorted member list (array-free, hash-comparable). */
-  def q59DupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** (id, comp) duplicate-cluster labels for every doc with duplicate
+    * evidence — shared by q59 (cluster report) and q60 (curation). */
+  private[graft] def dupLabels(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val keys = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
@@ -408,13 +410,16 @@ object Dedup {
     val edges = star("k1").union(star("k2"))
       .filter(col("src") =!= col("dst"))
     graft.operators.ConnectedComponents.run(edges)
+  }
+
+  def q59DupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupLabels(spark, dir)
       .groupBy(col("comp").as("cluster_rep"))
       .agg(count(lit(1)).as("n_docs"),
         max(col("id")).as("max_doc"),
         aggregate(sort_array(collect_list(col("id"))), lit(0L),
           (acc, k) => (acc * 131 + k % 1000000007L) % 1000000007L).as("members_fp"))
       .orderBy(col("cluster_rep"))
-  }
 
   val q59Sql: String =
     """WITH d AS (

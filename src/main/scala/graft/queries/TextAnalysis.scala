@@ -197,28 +197,23 @@ object TextAnalysis {
     * the DuckDB oracle keeps, for clarity) would shuffle every n-gram
     * occurrence twice; per-row array algebra is the 100 TB form. */
   def q57Repetition(spark: SparkSession, dir: String): DataFrame = {
-    // longest run of equal adjacent elements in a sorted string array =
-    // max multiplicity: fold carrying (prev, run, best)
-    def maxRun(sorted: Column): Column =
-      aggregate(sorted,
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (acc, x) => {
-          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-            .otherwise(lit(1L))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        },
-        acc => acc.getField("best"))
+    // metrics are defined over h32-hashed n-grams in BOTH engines and
+    // computed by the native ngram_stats kernel (hash -> sort -> one
+    // run-length pass per row; the declarative HOF chain runs in the
+    // interpreter and profiled ~20x slower). The oracle hashes
+    // identically, so a 32-bit collision would merge the same two
+    // n-grams in both engines.
+    def gs(n: Int): Column = call_function("ngram_stats", col("toks"), lit(n))
     val toks = tokens(col("text"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tok"),
-        maxRun(array_sort(shingles(col("toks"), 2))).as("top_bi"),
-        size(shingles(col("toks"), 2)).cast("long").as("n_bi"),
-        size(array_distinct(shingles(col("toks"), 3))).cast("long").as("n_uniq"),
-        size(shingles(col("toks"), 3)).cast("long").as("n_tri"))
+        gs(2).as("b"), gs(3).as("t"))
+      .select(col("doc_id"), col("n_tok"),
+        col("b.top").as("top_bi"), col("b.total").as("n_bi"),
+        col("t.uniq").as("n_uniq"), col("t.total").as("n_tri"))
       .withColumn("bi_frac",
         round(lit(1e-9) + col("top_bi").cast("double") / col("n_bi"), 5))
       .withColumn("tri_dup_frac",
@@ -240,13 +235,13 @@ object TextAnalysis {
       |  SELECT doc_id, max(c) AS top_bi, sum(c)::BIGINT AS n_bi FROM (
       |    SELECT doc_id, s, count(*) AS c FROM (
       |      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-      |        i -> toks[i] || ' ' || toks[i+1])) AS s
+      |        i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 8))::BIGINT)) AS s
       |      FROM base) GROUP BY 1, 2) GROUP BY 1),
       |tri AS (
       |  SELECT doc_id, count(*) AS n_uniq, sum(c)::BIGINT AS n_tri FROM (
       |    SELECT doc_id, s, count(*) AS c FROM (
       |      SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
-      |        i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |        i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))::BIGINT)) AS s
       |      FROM base) GROUP BY 1, 2) GROUP BY 1),
       |m AS (
       |  SELECT doc_id, n_tok,top_bi,

@@ -16,6 +16,20 @@ class CurationSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("q60 curation composes: kills are disjoint and survivors add up") {
+    import org.apache.spark.sql.functions.sum
+    val flagged = graft.queries.TextAnalysis.q57Repetition(spark, sf)
+      .filter(col("flagged") === 1).select(col("doc_id"))
+    val dupKill = graft.queries.Dedup.dupLabels(spark, sf)
+      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    val killed = flagged.union(dupKill).distinct().count()
+    val survived = Curation.q60CuratedCorpus(spark, sf)
+      .agg(sum(col("n_docs"))).head.getLong(0)
+    assert(survived == total - killed)
+    assert(survived > 0 && killed > 0)
+  }
+
   test("q56 test docs are exactly q52's test bucket (shingle-bearing)") {
     import graft.functions.TextFns.{h32, shingles, tokens}
     val expected = graft.sources.Tables.documents(spark, sf)

@@ -47,4 +47,41 @@ class TextFnsSpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("decl")).count() == 0)
     assert(df.count() > 0)
   }
+
+  test("ngram_stats kernel matches the declarative hashed-shingle form") {
+    import org.apache.spark.sql.functions.call_function
+    val df = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("k", call_function("ngram_stats", col("toks"), lit(3)))
+      .withColumn("hs", transform(shingles(col("toks"), 3), s => h32(s)))
+      .select(
+        col("k.top").as("ktop"), col("k.total").as("ktotal"), col("k.uniq").as("kuniq"),
+        aggregate(array_sort(col("hs")),
+          struct(lit(-1L).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+              .otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          }, acc => acc.getField("best")).as("dtop"),
+        size(col("hs")).cast("long").as("dtotal"),
+        size(array_distinct(col("hs"))).cast("long").as("duniq"))
+    assert(df.filter(col("ktop") =!= col("dtop") ||
+      col("ktotal") =!= col("dtotal") || col("kuniq") =!= col("duniq")).count() == 0)
+    assert(df.count() > 0)
+  }
+
+  test("ngram_stats degenerate inputs") {
+    import org.apache.spark.sql.functions.call_function
+    import spark.implicits._
+    val df = Seq(Seq("a"), Seq("a", "a", "a", "b")).toDF("toks")
+      .withColumn("k", call_function("ngram_stats", col("toks"), lit(2)))
+      .select(col("k.top"), col("k.total"), col("k.uniq"))
+      .orderBy(col("k.total"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) == 0 && rows(0).getLong(1) == 0) // < n tokens
+    assert(rows(1).getLong(0) == 2 && rows(1).getLong(1) == 3 &&
+      rows(1).getLong(2) == 2) // "a a","a a","a b"
+  }
 }
