@@ -239,17 +239,60 @@ object Curation {
       |GROUP BY 1
       |ORDER BY split""".stripMargin
 
+  /** Domain mixing weights: per-source token shares and a temperature-
+    * scaled sampling weight share^α / Σ share^α (α = 0.3 — the standard
+    * "flatten the natural distribution" exponent, cf. multilingual /
+    * DoReMi-style mixture tuning). This is the table a data loader
+    * consumes to sample sources during training. Two tiny aggregations
+    * over per-doc token counts — one shuffle on `source`. */
+  def q62MixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("toks"))
+    val tot = s.agg(sum(col("toks")).as("tot"))
+    val w = s.crossJoin(broadcast(tot))
+      .withColumn("share", col("toks").cast("double") / col("tot"))
+      .withColumn("pw", pow(col("share"), 0.3))
+    val z = w.agg(sum(col("pw")).as("zsum"))
+    w.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("toks"),
+        round(lit(1e-9) + col("share"), 5).as("token_share"),
+        round(lit(1e-9) + col("pw") / col("zsum"), 5).as("mix_weight"))
+      .orderBy(col("source"))
+  }
+
+  val q62Sql: String =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    sum(len(list_filter(string_split(text, ' '), t -> len(t) > 0)))::BIGINT AS toks
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT sum(toks)::BIGINT AS tot FROM s),
+      |w AS (
+      |  SELECT source, n_docs, toks,
+      |    CAST(toks AS DOUBLE) / tot AS share,
+      |    pow(CAST(toks AS DOUBLE) / tot, 0.3) AS pw
+      |  FROM s CROSS JOIN t),
+      |z AS (SELECT sum(pw) AS zsum FROM w)
+      |SELECT source, n_docs, toks,
+      |  round(1e-9 + share, 5) AS token_share,
+      |  round(1e-9 + pw / zsum, 5) AS mix_weight
+      |FROM w CROSS JOIN z
+      |ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
     "q56_contamination" -> (q56Contamination _),
-    "q60_curated_corpus" -> (q60CuratedCorpus _)
+    "q60_curated_corpus" -> (q60CuratedCorpus _),
+    "q62_mix_weights" -> (q62MixWeights _)
   )
 
   val oracles: Map[String, String] = Map(
     "q52_data_split" -> q52Sql,
     "q53_balanced_sample" -> q53Sql,
     "q56_contamination" -> q56Sql,
-    "q60_curated_corpus" -> q60Sql
+    "q60_curated_corpus" -> q60Sql,
+    "q62_mix_weights" -> q62Sql
   )
 }

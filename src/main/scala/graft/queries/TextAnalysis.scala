@@ -253,13 +253,77 @@ object TextAnalysis {
       |FROM m
       |ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM quality scoring (the CCNet/C4 "perplexity filter", self-
+    * trained): an add-one-smoothed bigram language model is fit on the
+    * corpus itself — unigram counts, bigram counts, vocabulary size —
+    * and every document is scored by its per-pair cross-entropy
+    * −avg ln((c(w1,w2)+1)/(c(w1)+V)). Gibberish and boilerplate score
+    * high; fluent text scores near the corpus mean. The real pipeline
+    * swaps the counts table for a pre-trained LM — the join/score shape
+    * is identical.
+    *
+    * Scale: the pair expansion is computed once (persist) and feeds the
+    * two count aggregations and the scoring join; counts join back by
+    * shuffle equi-join on the bigram / word key (AQE broadcasts them
+    * when small). Everything is linear in corpus size. */
+  def q61LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val pairs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        posexplode(slice(col("toks"), lit(1), size(col("toks")) - 1))
+          .as(Seq("i", "w1")),
+        col("toks"))
+      .select(col("doc_id"), col("w1"),
+        concat(col("w1"), lit(" "), element_at(col("toks"), col("i") + 2)).as("bg"))
+      .persist() // feeds uni, bi, and the scoring join
+    val uni = pairs.groupBy(col("w1").as("u_w")).agg(count(lit(1)).as("cu"))
+    val bi = pairs.groupBy(col("bg").as("b_bg")).agg(count(lit(1)).as("cb"))
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    pairs
+      .join(bi, col("bg") === col("b_bg"))
+      .join(uni, col("w1") === col("u_w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log((col("cb") + lit(1.0)) / (col("cu") + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(lit(1e-9) - avg(col("lp")), 4).as("xent"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q61Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM d),
+      |uni AS (SELECT w1 AS u_w, count(*) AS cu FROM pairs GROUP BY 1),
+      |bi AS (SELECT bg AS b_bg, count(*) AS cb FROM pairs GROUP BY 1),
+      |vocab AS (
+      |  SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM d))
+      |SELECT doc_id, count(*) AS n_pairs,
+      |  round(1e-9 - avg(ln((cb + 1.0) / (cu + v))), 4) AS xent
+      |FROM pairs
+      |JOIN bi ON bg = b_bg
+      |JOIN uni ON w1 = u_w
+      |CROSS JOIN vocab
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q23_token_stats" -> (q23TokenStats _),
     "q24_quality_score" -> (q24QualityScore _),
     "q25_lang_id" -> (q25LangId _),
     "q26_fingerprint" -> (q26Fingerprint _),
     "q27_vocab_stats" -> (q27VocabStats _),
-    "q57_repetition" -> (q57Repetition _)
+    "q57_repetition" -> (q57Repetition _),
+    "q61_lm_score" -> (q61LmScore _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -268,6 +332,7 @@ object TextAnalysis {
     "q25_lang_id" -> q25Sql,
     "q26_fingerprint" -> q26Sql,
     "q27_vocab_stats" -> q27Sql,
-    "q57_repetition" -> q57Sql
+    "q57_repetition" -> q57Sql,
+    "q61_lm_score" -> q61Sql
   )
 }
