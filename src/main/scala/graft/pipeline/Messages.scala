@@ -30,7 +30,23 @@ object Messages {
   private val mapper = new ObjectMapper()
 
   final case class ParsedMessage(msgType: String, paths: Seq[String],
-      metadata: Map[String, String])
+      metadata: Map[String, String],
+      /** `datetime_decoder` parity (cli.py:77-96): every string value
+        * anywhere in `data` that parses as an ISO datetime, keyed by its
+        * JSON key (innermost-last wins for repeated keys). Values stay
+        * strings in `metadata`; this is the typed view. */
+      datetimes: Map[String, java.time.Instant] = Map.empty)
+
+  /** Python `datetime.fromisoformat` analog: accepts zoned instants,
+    * offset datetimes, and naive datetimes (read as UTC). */
+  private[pipeline] def parseIso(s: String): Option[java.time.Instant] = {
+    import java.time._
+    def attempt[A](f: => A): Option[A] =
+      try Some(f) catch { case _: Exception => None }
+    attempt(Instant.parse(s))
+      .orElse(attempt(OffsetDateTime.parse(s).toInstant))
+      .orElse(attempt(LocalDateTime.parse(s).toInstant(ZoneOffset.UTC)))
+  }
 
   /** `gen_dict_extract` (dict_tools.py:65-78): depth-first collection of
     * every scalar value of `key` anywhere under `node`. */
@@ -65,7 +81,19 @@ object Messages {
           e.getValue.elements().asScala.forall(_.isValueNode) =>
         e.getKey -> e.getValue.elements().asScala.map(_.asText()).mkString(",")
     }.toMap
-    ParsedMessage(msgType, paths, metadata)
+    // recursive datetime decode (cli.py:77-96): any textual value at any
+    // depth that parses as ISO becomes a typed instant
+    val dts = Map.newBuilder[String, java.time.Instant]
+    def walk(n: JsonNode): Unit =
+      if (n.isObject)
+        n.properties().asScala.foreach { e =>
+          if (e.getValue.isTextual)
+            parseIso(e.getValue.asText()).foreach(dts += e.getKey -> _)
+          else walk(e.getValue)
+        }
+      else if (n.isArray) n.elements().asScala.foreach(walk)
+    walk(data)
+    ParsedMessage(msgType, paths, metadata, dts.result())
   }
 
   /** message → ready-to-run context + input paths: the caller puts the

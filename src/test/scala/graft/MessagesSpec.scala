@@ -79,4 +79,21 @@ class MessagesSpec extends SparkSpec {
     assert(st("decorate.1.text") == "(c) ops")   // no placeholders: unchanged
     assert(st("productname") == "CTH")           // non-decorate keys untouched
   }
+
+  test("datetime_decoder parity: ISO strings decode recursively, rest untouched") {
+    val m = Messages.parse(
+      """{"type": "dataset", "data": {
+        |  "start_time": "2019-01-01T12:00:00",
+        |  "end_time": "2019-01-01T12:15:00+00:00",
+        |  "platform_name": "noaa15", "orbit": 7,
+        |  "dataset": [{"uri": "/d/a.nc", "creation_time": "2026-08-12T06:30:00Z"}]}}""".stripMargin)
+    assert(m.datetimes("start_time") ==
+      java.time.Instant.parse("2019-01-01T12:00:00Z"))   // naive -> UTC
+    assert(m.datetimes("end_time") ==
+      java.time.Instant.parse("2019-01-01T12:15:00Z"))   // offset form
+    assert(m.datetimes("creation_time") ==
+      java.time.Instant.parse("2026-08-12T06:30:00Z"))   // nested in dataset
+    assert(!m.datetimes.contains("platform_name") && !m.datetimes.contains("orbit"))
+    assert(m.metadata("start_time") == "2019-01-01T12:00:00") // strings stay
+  }
 }
