@@ -121,6 +121,15 @@ object StreamRunner {
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0L))
       .start()
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension table (the streaming face of the reference's per-job
+    * metadata lookups). The static side is re-read per micro-batch under
+    * the hood but planned as a broadcast hash join when small — state-
+    * free, so unlike stream-stream joins it needs no watermark. */
+  def enrich(stream: DataFrame, dim: DataFrame,
+             keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys)
+
   /** Streaming exact-dedup: drop re-deliveries of the same key across
     * micro-batches, with state bounded by the event-time watermark (keys
     * older than the watermark are evicted — the streaming face of the

@@ -113,6 +113,26 @@ class StreamRunnerSpec extends SparkSpec {
       "noaa19" -> spark.read.parquet(s"$sf/nation.parquet").count()))
   }
 
+  test("stream-static enrichment joins each batch against a dimension") {
+    val (src, ckp) = stageMessages(1)
+    val stream = StreamRunner.fileStream(spark, src, eventsSchema)
+    // static dim: event_type -> weight
+    import spark.implicits._
+    val dim = Seq(("click", 1), ("view", 2), ("purchase", 3), ("signup", 4),
+      ("error", 5)).toDF("event_type", "weight")
+    val total = new java.util.concurrent.atomic.AtomicLong()
+    val matched = new java.util.concurrent.atomic.AtomicLong()
+    val q = StreamRunner.runPerMessage(
+      StreamRunner.enrich(stream, dim, Seq("event_type")), ckp) { (batch, _) =>
+        total.addAndGet(batch.count())
+        matched.addAndGet(batch.filter(col("weight").isNotNull).count()); ()
+    }
+    q.awaitTermination(120000)
+    val expected = spark.read.parquet(s"$sf/events.parquet")
+      .join(dim, Seq("event_type")).count()
+    assert(total.get() == expected && matched.get() == expected)
+  }
+
   test("graceful stop terminates a continuous query") {
     val (src, ckp) = stageMessages(1)
     val stream = StreamRunner.fileStream(spark, src, eventsSchema)
