@@ -141,6 +141,106 @@ object Trollflow {
       |FROM r WHERE rn = 1
       |ORDER BY area, ty, tx""".stripMargin
 
+  /** T2 `resample`, bilinear mode (plugins/__init__.py:149-192 — the
+    * reference's `bilinear` resampler choice): every target cell center
+    * maps to a continuous source coordinate; its value is the
+    * weight-renormalized blend of the ≤ 4 surrounding source cells that
+    * exist (mask-aware bilinear, the NaN-fill behavior of the reference's
+    * resamplers). Corner indices and fractions are exact rational
+    * arithmetic — source index = (128·t + 14)/100, so `div`/`%` give the
+    * integer corner and the fraction is a two-digit decimal — and the
+    * blend is a fixed-order expression over four LEFT-joined corners, so
+    * both engines compute bit-identical doubles before rounding.
+    *
+    * Scale: targets × 4 corner lookups = four shuffle equi-joins on the
+    * (area, y, x) cell key (broadcast when the grid side is small); no
+    * window, no explode, output one row per covered target cell. */
+  def q63ResampleBilinear(spark: SparkSession, dir: String): DataFrame = {
+    val cells = raster(spark, dir)
+      .filter(col("y") < 128 && col("x") < 128) // reduce_data crop
+      .groupBy(col("area"), col("y"), col("x"))
+      .agg(avg(col("value")).as("cell"))
+      .persist() // four corner joins read this
+    val targets = cells.select(col("area")).distinct()
+      .crossJoin(spark.range(100).toDF("ty"))
+      .crossJoin(spark.range(100).toDF("tx"))
+      .withColumn("y0", expr("(128 * ty + 14) div 100"))
+      .withColumn("x0", expr("(128 * tx + 14) div 100"))
+      .withColumn("fy", expr("((128 * ty + 14) % 100) / 100.0"))
+      .withColumn("fx", expr("((128 * tx + 14) % 100) / 100.0"))
+    val joined = Seq(("00", 0, 0), ("01", 0, 1), ("10", 1, 0), ("11", 1, 1))
+      .foldLeft(targets) { case (df, (tag, dy, dx)) =>
+        df.join(
+          cells.select(col("area").as(s"a_$tag"), col("y").as(s"y_$tag"),
+            col("x").as(s"x_$tag"), col("cell").as(s"v_$tag")),
+          col("area") === col(s"a_$tag") &&
+            col("y0") + dy === col(s"y_$tag") &&
+            col("x0") + dx === col(s"x_$tag"),
+          "left")
+      }
+    def w(tag: String): Column = tag match {
+      case "00" => (lit(1.0) - col("fy")) * (lit(1.0) - col("fx"))
+      case "01" => (lit(1.0) - col("fy")) * col("fx")
+      case "10" => col("fy") * (lit(1.0) - col("fx"))
+      case "11" => col("fy") * col("fx")
+    }
+    def present(tag: String): Column =
+      when(col(s"v_$tag").isNull, lit(0.0)).otherwise(lit(1.0))
+    val num = Seq("00", "01", "10", "11")
+      .map(t => w(t) * coalesce(col(s"v_$t"), lit(0.0))).reduce(_ + _)
+    val den = Seq("00", "01", "10", "11")
+      .map(t => w(t) * present(t)).reduce(_ + _)
+    val nNb = Seq("00", "01", "10", "11")
+      .map(t => present(t)).reduce(_ + _).cast("int")
+    joined
+      .withColumn("den", den)
+      .filter(col("den") > 0)
+      .select(col("area"), col("ty"), col("tx"),
+        round(lit(1e-9) + num / col("den"), 4).as("bilinear"),
+        nNb.as("n_nb"))
+      .orderBy(col("area"), col("ty"), col("tx"))
+  }
+
+  val q63Sql: String =
+    s"""WITH $rasterSql,
+      |cells AS (
+      |  SELECT area, y, x, avg(value) AS cell
+      |  FROM raster WHERE y < 128 AND x < 128
+      |  GROUP BY 1, 2, 3),
+      |targets AS (
+      |  SELECT area, ty, tx,
+      |    (128 * ty + 14) // 100 AS y0, (128 * tx + 14) // 100 AS x0,
+      |    ((128 * ty + 14) % 100) / 100.0 AS fy,
+      |    ((128 * tx + 14) % 100) / 100.0 AS fx
+      |  FROM (SELECT DISTINCT area FROM cells),
+      |       range(0, 100) t1(ty), range(0, 100) t2(tx)),
+      |j AS (
+      |  SELECT t.*,
+      |    c00.cell AS v00, c01.cell AS v01, c10.cell AS v10, c11.cell AS v11
+      |  FROM targets t
+      |  LEFT JOIN cells c00 ON t.area = c00.area AND t.y0 = c00.y AND t.x0 = c00.x
+      |  LEFT JOIN cells c01 ON t.area = c01.area AND t.y0 = c01.y AND t.x0 + 1 = c01.x
+      |  LEFT JOIN cells c10 ON t.area = c10.area AND t.y0 + 1 = c10.y AND t.x0 = c10.x
+      |  LEFT JOIN cells c11 ON t.area = c11.area AND t.y0 + 1 = c11.y AND t.x0 + 1 = c11.x),
+      |b AS (
+      |  SELECT area, ty, tx,
+      |    (1.0 - fy) * (1.0 - fx) * coalesce(v00, 0.0)
+      |      + (1.0 - fy) * fx * coalesce(v01, 0.0)
+      |      + fy * (1.0 - fx) * coalesce(v10, 0.0)
+      |      + fy * fx * coalesce(v11, 0.0) AS num,
+      |    (1.0 - fy) * (1.0 - fx) * (CASE WHEN v00 IS NULL THEN 0.0 ELSE 1.0 END)
+      |      + (1.0 - fy) * fx * (CASE WHEN v01 IS NULL THEN 0.0 ELSE 1.0 END)
+      |      + fy * (1.0 - fx) * (CASE WHEN v10 IS NULL THEN 0.0 ELSE 1.0 END)
+      |      + fy * fx * (CASE WHEN v11 IS NULL THEN 0.0 ELSE 1.0 END) AS den,
+      |    (CASE WHEN v00 IS NULL THEN 0 ELSE 1 END)
+      |      + (CASE WHEN v01 IS NULL THEN 0 ELSE 1 END)
+      |      + (CASE WHEN v10 IS NULL THEN 0 ELSE 1 END)
+      |      + (CASE WHEN v11 IS NULL THEN 0 ELSE 1 END) AS n_nb
+      |  FROM j)
+      |SELECT area, ty, tx, round(1e-9 + num / den, 4) AS bilinear, n_nb
+      |FROM b WHERE den > 0
+      |ORDER BY area, ty, tx""".stripMargin
+
   /** F6 `check_valid_data_fraction` (plugins/__init__.py:955-1079): treat
     * value as fill (NaN-analog) where disc > 0.08, compute per-(area,
     * product) valid fraction, keep only products meeting the threshold —
@@ -407,7 +507,8 @@ object Trollflow {
     "q43_coverage_filter" -> (q43CoverageFilter _),
     "q44_worklist_expand" -> (q44WorklistExpand _),
     "q45_sunlight_coverage" -> (q45SunlightCoverage _),
-    "q55_resample_nearest" -> (q55ResampleNearest _)
+    "q55_resample_nearest" -> (q55ResampleNearest _),
+    "q63_resample_bilinear" -> (q63ResampleBilinear _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -418,6 +519,7 @@ object Trollflow {
     "q43_coverage_filter" -> q43Sql,
     "q44_worklist_expand" -> q44Sql,
     "q45_sunlight_coverage" -> q45Sql,
-    "q55_resample_nearest" -> q55Sql
+    "q55_resample_nearest" -> q55Sql,
+    "q63_resample_bilinear" -> q63Sql
   )
 }
