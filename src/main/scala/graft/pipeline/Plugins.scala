@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.time.Instant
@@ -163,11 +163,15 @@ object Plugins {
     *     target-cell partitioning (exact integer distance arithmetic, see
     *     [[graft.queries.Trollflow.q55ResampleNearest]]), so it shuffles
     *     once on the same key the average mode aggregates on.
+    *   - `bilinear`: mask-aware bilinear interpolation over the ≤ 4
+    *     surrounding source cells (weight-renormalized where corners are
+    *     missing — the NaN-fill behavior), four corner equi-joins, no
+    *     window (see [[graft.queries.Trollflow.q63ResampleBilinear]]).
     * `reduceData=true` crops the source to the target bounding box first —
     * the predicate pushes into the parquet scan. The native (None) frame
     * passes through, as the reference's `null` area does. The reference's
-    * bilinear/ewa modes interpolate in satellite swath geometry
-    * (pyresample kd-trees) — out of scope, documented divergence. */
+    * ewa mode interpolates in satellite swath geometry (pyresample
+    * kd-trees) — out of scope, documented divergence. */
   final case class Resample(
       targets: Seq[ResampleTarget],
       yCol: String = "y", xCol: String = "x", valueCol: String = "value",
@@ -210,6 +214,52 @@ object Plugins {
                   .filter(col("__rn") === 1)
                   .select((keys.map(col) :+ col("__ty").as(yCol)
                     :+ col("__tx").as(xCol) :+ col(valueCol)): _*)
+              case "bilinear" =>
+                // mask-aware bilinear (q63's form, generalized grid):
+                // target center -> continuous source coord; corner index
+                // via floor (exact: ny/(2h) is double-exact whenever it is
+                // an integer), fraction via exact-integer numerator; blend
+                // renormalized over the <= 4 corners that exist
+                val h = t.height.toLong; val wd = t.width.toLong
+                val ry = t.srcYMax - t.srcYMin; val rx = t.srcXMax - t.srcXMin
+                val cells = cropped
+                  .groupBy((keys.map(col) :+ col(yCol) :+ col(xCol)): _*)
+                  .agg(avg(col(valueCol)).as(valueCol))
+                val ny = lit(2 * t.srcYMin * h) + (col("__ty") * 2 + 1) * ry - h
+                val nx = lit(2 * t.srcXMin * wd) + (col("__tx") * 2 + 1) * rx - wd
+                val targets = cells.select(keys.map(col): _*).distinct()
+                  .crossJoin(ctx.spark.range(h).toDF("__ty"))
+                  .crossJoin(ctx.spark.range(wd).toDF("__tx"))
+                  .withColumn("__y0", floor(ny / (2.0 * h)).cast("long"))
+                  .withColumn("__x0", floor(nx / (2.0 * wd)).cast("long"))
+                  .withColumn("__fy", (ny - col("__y0") * 2 * h) / (2.0 * h))
+                  .withColumn("__fx", (nx - col("__x0") * 2 * wd) / (2.0 * wd))
+                val joined = Seq(("00", 0, 0), ("01", 0, 1), ("10", 1, 0), ("11", 1, 1))
+                  .foldLeft(targets) { case (df, (tag, dy, dx)) =>
+                    df.join(
+                      cells.select((keys.map(c => col(c).as(s"__k${tag}_$c")) :+
+                        col(yCol).as(s"__y_$tag") :+ col(xCol).as(s"__x_$tag") :+
+                        col(valueCol).as(s"__v_$tag")): _*),
+                      keys.map(c => col(c) === col(s"__k${tag}_$c"))
+                        .foldLeft((col("__y0") + dy === col(s"__y_$tag")) &&
+                                  (col("__x0") + dx === col(s"__x_$tag")))(_ && _),
+                      "left")
+                  }
+                def wgt(tag: String): Column = tag match {
+                  case "00" => (lit(1.0) - col("__fy")) * (lit(1.0) - col("__fx"))
+                  case "01" => (lit(1.0) - col("__fy")) * col("__fx")
+                  case "10" => col("__fy") * (lit(1.0) - col("__fx"))
+                  case "11" => col("__fy") * col("__fx")
+                }
+                def pres(tag: String): Column =
+                  when(col(s"__v_$tag").isNull, lit(0.0)).otherwise(lit(1.0))
+                val tags = Seq("00", "01", "10", "11")
+                val num = tags.map(t0 => wgt(t0) * coalesce(col(s"__v_$t0"), lit(0.0))).reduce(_ + _)
+                val den = tags.map(t0 => wgt(t0) * pres(t0)).reduce(_ + _)
+                joined.withColumn("__den", den)
+                  .filter(col("__den") > 0)
+                  .select((keys.map(col) :+ col("__ty").as(yCol)
+                    :+ col("__tx").as(xCol) :+ (num / col("__den")).as(valueCol)): _*)
               case other =>
                 throw new IllegalArgumentException(s"unknown resample mode: $other")
             }

@@ -203,6 +203,42 @@ class PluginChecksSpec extends SparkSpec {
     assert(math.abs(avg - 204.0 / 9.0) < 1e-12)
   }
 
+  test("resample bilinear reproduces a linear field exactly at target centers") {
+    import spark.implicits._
+    // dense 4x4 grid with v = 10y + x: bilinear interpolation of a linear
+    // field is exact, so each interior target center must equal 10*sy + sx
+    // where (sy, sx) is the continuous source coordinate of the center
+    val cells = for { y <- 0 until 4; x <- 0 until 4 }
+      yield ("N", y, x, 10.0 * y + x)
+    val frame = cells.toDF("product", "y", "x", "value")
+    val ctx = ctxOf(oneProductSpec(), Map(None -> frame))
+    val out = Resample(Seq(
+      ResampleTarget("euro", 2, 2, 0, 4, 0, 4, mode = "bilinear")))(ctx)
+    val got = out.frames(Some("euro")).collect()
+      .map(r => (r.getAs[Long]("y"), r.getAs[Long]("x")) -> r.getAs[Double]("value"))
+      .toMap
+    assert(got.size == 4)
+    // target (ty,tx) center -> source coord sy = (ty+0.5)*2 - 0.5
+    for (ty <- 0 until 2; tx <- 0 until 2) {
+      val sy = (ty + 0.5) * 2 - 0.5; val sx = (tx + 0.5) * 2 - 0.5
+      assert(math.abs(got((ty.toLong, tx.toLong)) - (10 * sy + sx)) < 1e-9,
+        s"target ($ty,$tx)")
+    }
+  }
+
+  test("resample bilinear renormalizes over missing corners") {
+    import spark.implicits._
+    // only ONE source cell exists: every covered target takes its value
+    val frame = Seq(("N", 1, 1, 7.0)).toDF("product", "y", "x", "value")
+    val ctx = ctxOf(oneProductSpec(), Map(None -> frame))
+    val out = Resample(Seq(
+      ResampleTarget("euro", 2, 2, 0, 4, 0, 4, mode = "bilinear")),
+      reduceData = false)(ctx)
+    val got = out.frames(Some("euro")).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Double]("value") == 7.0))
+  }
+
   // ------------------------------------------------------ metadata_alias
 
   test("metadata_alias rewrites list-valued metadata element-wise") {
