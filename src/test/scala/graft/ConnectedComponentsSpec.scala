@@ -32,4 +32,32 @@ class ConnectedComponentsSpec extends SparkSpec {
       ConnectedComponents.run(edges, maxIters = 2)
     }
   }
+
+  test("alternating (large-star/small-star) agrees with label propagation") {
+    import spark.implicits._
+    // deterministic pseudo-random graphs of several shapes
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 4
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("src", "dst")
+      val viaProp = ConnectedComponents.run(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStar = ConnectedComponents.runAlternating(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar == viaProp, s"trial $trial")
+    }
+  }
+
+  test("alternating variant collapses a long path in few rounds") {
+    import spark.implicits._
+    // diameter-40 path: label propagation would need > 25 rounds, the
+    // alternating algorithm converges within its default budget
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = ConnectedComponents.runAlternating(edges)
+    import org.apache.spark.sql.functions.col
+    assert(comp.select(col("comp")).distinct().count() == 1)
+    assert(comp.count() == 41)
+  }
 }
