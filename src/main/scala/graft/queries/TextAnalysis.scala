@@ -316,6 +316,53 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** KMV (k-minimum-values) distinct-count sketch per language — the
+    * deterministic, cross-engine-checkable cousin of HyperLogLog:
+    * estimate = (k−1)·2³² / (k-th smallest distinct hash). The sketch is
+    * built with the bounded [[graft.operators.TopK]] aggregator (bottom-k
+    * = top-k on the negated hash), so each partition contributes at most
+    * k values before the shuffle and the per-group state is k longs —
+    * exactly how a mergeable KMV sketch distributes at 100 TB. Exact
+    * distinct count rides along for the error column (affordable at
+    * fixture scale; at 100 TB you'd keep only the sketch). */
+  def q64KmvSketch(spark: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("lang"), h32(col("tok")).as("h"))
+      .distinct()
+    toks.groupBy(col("lang"))
+      .agg(graft.operators.TopK.topk(k)(-col("h").cast("double"), col("h")).as("mins"),
+        count(lit(1)).as("n_exact"))
+      .filter(size(col("mins")) >= k)
+      .withColumn("hk", element_at(col("mins"), k).getField("_2"))
+      .withColumn("kmv_est",
+        round(lit(1e-9) + lit((k - 1).toDouble) * 4294967296.0 / col("hk"), 1))
+      .withColumn("err_pct",
+        round(lit(1e-9) +
+          abs(lit((k - 1).toDouble) * 4294967296.0 / col("hk") - col("n_exact"))
+            * 100.0 / col("n_exact"), 1))
+      .select(col("lang"), col("n_exact"), col("hk"), col("kmv_est"), col("err_pct"))
+      .orderBy(col("lang"))
+  }
+
+  val q64Sql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT lang, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+      |  FROM (SELECT lang,
+      |          unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+      |        FROM documents)),
+      |ranked AS (
+      |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+      |  FROM toks),
+      |kth AS (SELECT lang, h AS hk FROM ranked WHERE rk = 16),
+      |exact AS (SELECT lang, count(*) AS n_exact FROM toks GROUP BY 1)
+      |SELECT exact.lang, n_exact, hk,
+      |  round(1e-9 + 15.0 * 4294967296 / hk, 1) AS kmv_est,
+      |  round(1e-9 + abs(15.0 * 4294967296 / hk - n_exact) * 100.0 / n_exact, 1) AS err_pct
+      |FROM exact JOIN kth USING (lang)
+      |ORDER BY lang""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q23_token_stats" -> (q23TokenStats _),
     "q24_quality_score" -> (q24QualityScore _),
@@ -323,7 +370,8 @@ object TextAnalysis {
     "q26_fingerprint" -> (q26Fingerprint _),
     "q27_vocab_stats" -> (q27VocabStats _),
     "q57_repetition" -> (q57Repetition _),
-    "q61_lm_score" -> (q61LmScore _)
+    "q61_lm_score" -> (q61LmScore _),
+    "q64_kmv_sketch" -> (q64KmvSketch _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -333,6 +381,7 @@ object TextAnalysis {
     "q26_fingerprint" -> q26Sql,
     "q27_vocab_stats" -> q27Sql,
     "q57_repetition" -> q57Sql,
-    "q61_lm_score" -> q61Sql
+    "q61_lm_score" -> q61Sql,
+    "q64_kmv_sketch" -> q64Sql
   )
 }
