@@ -1,0 +1,59 @@
+package graft
+
+
+
+
+/** Plan-shape regression tests: the scale properties the Scaladocs claim
+  * are asserted here, so a refactor that silently reintroduces a shuffle,
+  * loses a broadcast, or widens a scan fails the build — "the plan you'd
+  * want" is part of the contract, not a one-off audit. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def hashExchanges(p: String): Int =
+    p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+
+  test("q02 selective revenue: filters push into the scan, no shuffle") {
+    val p = plan("q02_selective_revenue")
+    assert(hashExchanges(p) == 0)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("PushedFilters: [IsNotNull("))
+  }
+
+  test("q05 region revenue: all dimension joins are broadcast") {
+    val p = plan("q05_region_revenue")
+    // five dims (region, nation, customer, supplier + order keys path)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q57 repetition: zero hash exchanges (per-row kernel form)") {
+    assert(hashExchanges(plan("q57_repetition")) == 0)
+  }
+
+  test("q33 ANN baseline: bounded TopK aggregation, no window sort") {
+    val p = plan("q33_ann_bruteforce")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("Window ["), "window rank crept back into q33")
+  }
+
+  test("document scans project only the needed columns") {
+    for (name <- Seq("q24_quality_score", "q52_data_split", "q57_repetition")) {
+      val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan(name)).toSeq
+      assert(schemas.nonEmpty, s"$name shows no ReadSchema")
+      schemas.foreach { s =>
+        assert(!s.contains("source") && !s.contains("lang"),
+          s"$name reads unneeded columns: $s")
+      }
+    }
+  }
+
+  test("q01 flagship: single agg shuffle, partial aggregation map-side") {
+    val p = plan("q01_pricing_summary")
+    assert(hashExchanges(p) == 1)
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      "no map-side partial aggregation in q01")
+  }
+}
