@@ -85,7 +85,9 @@ object Similarity {
 
   /** Random-hyperplane LSH ANN: 8 md5-derived hyperplanes → 8-bit signature
     * per vector (sign of w·v per plane) → candidates = exact signature
-    * match (equi-join on the bucket key) → exact cosine re-rank, top-5. */
+    * match (equi-join on the bucket key) → exact cosine re-rank, top-5 via
+    * the bounded [[graft.operators.TopK]] aggregation (no window sort —
+    * same shape as q33). */
   /** (p, d, w, pp): plane p's weight on dimension d, derived from md5 so
     * both engines construct identical planes. 8 × 64 literal rows —
     * broadcast. Shared by q34 here and q32 (embedding near-dup) in
@@ -135,15 +137,16 @@ object Similarity {
     val q = withSig.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("sig").as("qsig"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
     withSig.join(broadcast(q),
         col("sig") === col("qsig") && col("vec_id") =!= col("qid"))
       .withColumn("cos_raw",
         dotCol(col("qv"), col("v")) /
           sqrt(col("qnrm") * col("nrm")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("vec_id"), round(lit(1e-9) + col("cos_raw"), 5).as("cos"))
+      .groupBy(col("qid"))
+      .agg(graft.operators.TopK.topk(5)(col("cos_raw"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), (col("i") + 1).cast("int").as("rk"),
+        col("t._2").as("vec_id"), round(lit(1e-9) + col("t._1"), 5).as("cos"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -240,15 +243,16 @@ object Similarity {
     val q = withCl.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cluster").as("qcluster"))
-    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos_raw").desc, col("vec_id"))
     withCl.join(broadcast(q),
         col("cluster") === col("qcluster") && col("vec_id") =!= col("qid"))
       .withColumn("cos_raw",
         dotCol(col("qv"), col("v")) /
           sqrt(col("qnrm") * col("nrm")))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 5)
-      .select(col("qid"), col("rk"), col("vec_id"), round(lit(1e-9) + col("cos_raw"), 5).as("cos"))
+      .groupBy(col("qid"))
+      .agg(graft.operators.TopK.topk(5)(col("cos_raw"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), (col("i") + 1).cast("int").as("rk"),
+        col("t._2").as("vec_id"), round(lit(1e-9) + col("t._1"), 5).as("cos"))
       .orderBy(col("qid"), col("rk"))
   }
 
