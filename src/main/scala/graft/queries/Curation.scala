@@ -280,12 +280,66 @@ object Curation {
       |FROM w CROSS JOIN z
       |ORDER BY source""".stripMargin
 
+  /** GPT-style sequence packing: concatenate the corpus in doc_id order
+    * and split it into fixed 2048-token training examples; per example,
+    * the docs that START inside it, their token mass, and the id range —
+    * the final tensor-shaping stage before an LLM training run.
+    *
+    * The running token offset is a DISTRIBUTED two-phase prefix sum, not
+    * a global window (which Spark plans as a single-partition sort —
+    * correct at 60k docs, dead at 100 TB): per-block cumsums partition by
+    * `doc_id div 8192`, block totals (corpus/8192 rows) get the only
+    * global window, and their broadcast prefix joins back as each
+    * block's base offset. The oracle computes the same offsets with a
+    * plain global cumsum. */
+  def q65SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val L = 2048
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bk", expr("doc_id div 8192"))
+    val inBlock = Window.partitionBy(col("bk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blockTotals = perDoc.groupBy(col("bk").as("b_bk"))
+      .agg(sum(col("n_tok")).as("b_sum"))
+    val blockPrefix = Window.orderBy(col("b_bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = blockTotals
+      .withColumn("block_off", sum(col("b_sum")).over(blockPrefix) - col("b_sum"))
+      .select(col("b_bk"), col("block_off"))
+    perDoc
+      .join(broadcast(offsets), col("bk") === col("b_bk"))
+      .withColumn("off",
+        col("block_off") + sum(col("n_tok")).over(inBlock) - col("n_tok"))
+      .groupBy(expr(s"off div $L").as("example_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("example_id"))
+  }
+
+  val q65Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_tok
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, n_tok,
+      |    (sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING))::BIGINT
+      |      - n_tok AS off
+      |  FROM d)
+      |SELECT off // 2048 AS example_id, count(*) AS n_docs,
+      |  sum(n_tok)::BIGINT AS n_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM o
+      |GROUP BY 1
+      |ORDER BY example_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
     "q56_contamination" -> (q56Contamination _),
     "q60_curated_corpus" -> (q60CuratedCorpus _),
-    "q62_mix_weights" -> (q62MixWeights _)
+    "q62_mix_weights" -> (q62MixWeights _),
+    "q65_sequence_packing" -> (q65SequencePacking _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -293,6 +347,7 @@ object Curation {
     "q53_balanced_sample" -> q53Sql,
     "q56_contamination" -> q56Sql,
     "q60_curated_corpus" -> q60Sql,
-    "q62_mix_weights" -> q62Sql
+    "q62_mix_weights" -> q62Sql,
+    "q65_sequence_packing" -> q65Sql
   )
 }
