@@ -39,4 +39,19 @@ class CurationSpec extends SparkSpec {
     val got = Curation.q56Contamination(spark, sf).select(col("test_doc"))
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
+
+  test("q65 packing conserves tokens and fills examples") {
+    import org.apache.spark.sql.functions.{sum => fsum, max => fmax}
+    import graft.functions.TextFns.tokens
+    val packed = Curation.q65SequencePacking(spark, sf).cache()
+    val corpusTokens = graft.sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.size(tokens(col("text"))).cast("long").as("n"))
+      .agg(fsum(col("n"))).head.getLong(0)
+    assert(packed.agg(fsum(col("n_tokens"))).head.getLong(0) == corpusTokens)
+    // every example but the last starts within its 2048-token window:
+    // example_id is dense from 0
+    val n = packed.count()
+    assert(packed.agg(fmax(col("example_id"))).head.getLong(0) == n - 1)
+    packed.unpersist()
+  }
 }
