@@ -153,7 +153,10 @@ object Curation {
     * non-canonical dup members — both corpus-fraction-sized) against the
     * full corpus, then one aggregation; the expensive evidence passes are
     * the same linear plans q57/q59 already run. */
-  def q60CuratedCorpus(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document curated survivors with their split — the frame a
+    * training run materializes (see [[q60CuratedCorpus]] for the
+    * aggregate view; `LayoutSpec` writes this partitioned by split). */
+  def curatedDocs(spark: SparkSession, dir: String): DataFrame = {
     val flagged = TextAnalysis.q57Repetition(spark, dir)
       .filter(col("flagged") === 1).select(col("doc_id"))
     val dupKill = Dedup.dupLabels(spark, dir)
@@ -166,6 +169,11 @@ object Curation {
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val")
           .otherwise("test"))
+      .select(col("doc_id"), col("split"))
+  }
+
+  def q60CuratedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    curatedDocs(spark, dir)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("first_doc"),

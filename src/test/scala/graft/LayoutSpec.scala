@@ -40,4 +40,23 @@ class LayoutSpec extends SparkSpec {
     assert(scan.metadata("PushedFilters").contains("LessThan(doc_id,10)"))
     assert(q.count() == docs.filter(col("doc_id") < 10).count())
   }
+
+  test("curated corpus materializes split-partitioned and prunes on read") {
+    val dir = Files.createTempDirectory("graft_curated").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val curated = graft.queries.Curation.curatedDocs(spark, sf)
+      .join(docs, Seq("doc_id"))
+    Layout.writePartitioned(curated, dir, Seq("split"), sortCols = Seq("doc_id"))
+    val back = Layout.read(spark, dir)
+    // per-split counts match the q60 aggregate view
+    val expected = graft.queries.Curation.q60CuratedCorpus(spark, sf)
+      .select(col("split"), col("n_docs")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = back.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // a training reader touching only train/ prunes to one directory
+    val train = back.filter(col("split") === "train")
+    assert(scanOf(train).selectedPartitions.partitionCount == 1)
+  }
 }
