@@ -363,6 +363,47 @@ object TextAnalysis {
       |FROM exact JOIN kth USING (lang)
       |ORDER BY lang""".stripMargin
 
+  /** First BPE merge candidates — step one of byte-pair-encoding
+    * vocabulary induction: corpus-frequency-weighted counts of adjacent
+    * character pairs within words, top-20. The word-frequency table does
+    * the heavy lifting (one shuffle on the token); the character-pair
+    * explosion runs over the DISTINCT vocabulary (|V| rows, not corpus
+    * rows) weighted by frequency — exactly how the real BPE loop
+    * amortizes, and why this is linear in corpus size plus |V|·|word|.
+    * The final rank windows over at most |alphabet|² pair rows. */
+  def q66BpeFirstMerge(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val pairs = w.filter(length(col("tok")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+    val rk = Window.orderBy(col("n").desc, col("pair"))
+    pairs.groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 20)
+      .select(col("pair"), col("n"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
+  val q66Sql: String =
+    """WITH w AS (
+      |  SELECT tok, count(*) AS freq FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+      |    FROM documents) GROUP BY 1),
+      |pairs AS (
+      |  SELECT substr(tok, i, 2) AS pair, freq
+      |  FROM w, unnest(range(1, len(tok))) AS u(i)
+      |  WHERE len(tok) >= 2),
+      |agg AS (
+      |  SELECT pair, sum(freq)::BIGINT AS n FROM pairs GROUP BY 1),
+      |ranked AS (
+      |  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk
+      |  FROM agg)
+      |SELECT pair, n, rk FROM ranked WHERE rk <= 20
+      |ORDER BY rk""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q23_token_stats" -> (q23TokenStats _),
     "q24_quality_score" -> (q24QualityScore _),
@@ -371,7 +412,8 @@ object TextAnalysis {
     "q27_vocab_stats" -> (q27VocabStats _),
     "q57_repetition" -> (q57Repetition _),
     "q61_lm_score" -> (q61LmScore _),
-    "q64_kmv_sketch" -> (q64KmvSketch _)
+    "q64_kmv_sketch" -> (q64KmvSketch _),
+    "q66_bpe_first_merge" -> (q66BpeFirstMerge _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -382,6 +424,7 @@ object TextAnalysis {
     "q27_vocab_stats" -> q27Sql,
     "q57_repetition" -> q57Sql,
     "q61_lm_score" -> q61Sql,
-    "q64_kmv_sketch" -> q64Sql
+    "q64_kmv_sketch" -> q64Sql,
+    "q66_bpe_first_merge" -> q66Sql
   )
 }
