@@ -439,6 +439,34 @@ object Relational {
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+
+  /** Skew-salted aggregation, oracle-verified: the two-phase
+    * [[graft.operators.Salting.saltedAggregate]] (partial aggregate on
+    * (keys, salt) spreading hot groups over 32 buckets, exact merge on
+    * the keys) must produce bit-identical results to the plain group-by
+    * the oracle computes — the operator's whole contract is "same
+    * answer, different partitioning". Integer aggregates keep the
+    * comparison exact. l_returnflag has only 3 groups, i.e. maximal
+    * skew pressure for a 32-thread local run: exactly the shape salting
+    * exists for. */
+  def q67SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Salting.saltedAggregate(
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_suppkey"), col("l_orderkey")),
+      keys = Seq("l_returnflag"),
+      aggs = Map("l_suppkey" -> "sum", "l_orderkey" -> "max"),
+      buckets = 32)
+      .select(col("l_returnflag"), col("sum_l_suppkey"), col("max_l_orderkey"))
+      .orderBy(col("l_returnflag"))
+
+  val q67Sql: String =
+    """SELECT l_returnflag,
+      |  sum(l_suppkey)::BIGINT AS sum_l_suppkey,
+      |  max(l_orderkey) AS max_l_orderkey
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_selective_revenue" -> (q02SelectiveRevenue _),
@@ -459,7 +487,8 @@ object Relational {
     "q49_cube" -> (q49Cube _),
     "q50_percentiles" -> (q50Percentiles _),
     "q51_histogram" -> (q51Histogram _),
-    "q54_order_lists" -> (q54OrderLists _)
+    "q54_order_lists" -> (q54OrderLists _),
+    "q67_salted_agg" -> (q67SaltedAgg _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -482,6 +511,7 @@ object Relational {
     "q49_cube" -> q49Sql,
     "q50_percentiles" -> q50Sql,
     "q51_histogram" -> q51Sql,
-    "q54_order_lists" -> q54Sql
+    "q54_order_lists" -> q54Sql,
+    "q67_salted_agg" -> q67Sql
   )
 }
