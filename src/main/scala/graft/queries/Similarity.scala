@@ -351,12 +351,50 @@ object Similarity {
       |  round(1e-9 + avg(mcode), 4) AS mean_code
       |FROM pv GROUP BY label ORDER BY label""".stripMargin
 
+  /** ANN recall@5 — the evaluation that decides whether the LSH index is
+    * usable: per query, how many of the exact top-5 (q33's brute force,
+    * the ground truth) the signature-bucketed q34 retrieves. Queries
+    * whose bucket held no candidates score 0 — the miss the bit-width /
+    * multi-probe knobs trade against cost. Composes the two existing
+    * definitions; the oracle nests both query CTEs verbatim. */
+  def q68AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val bf = q33AnnBruteforce(spark, dir).filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"))
+    val lsh = q34AnnLsh(spark, dir)
+      .select(col("qid").as("l_qid"), col("vec_id").as("l_vec"))
+    val hits = bf.join(lsh,
+        col("qid") === col("l_qid") && col("vec_id") === col("l_vec"))
+      .groupBy(col("qid").as("h_qid")).agg(count(lit(1)).as("n_hit"))
+    bf.groupBy(col("qid")).agg(count(lit(1)).as("n_bf"))
+      .join(hits, col("qid") === col("h_qid"), "left")
+      .select(col("qid"), col("n_bf"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall",
+        round(lit(1e-9) + col("n_hit").cast("double") / col("n_bf"), 2))
+      .orderBy(col("qid"))
+  }
+
+  val q68Sql: String =
+    "WITH bf AS (" + q33Sql + "),\n" +
+      "lsh AS (" + q34Sql + "),\n" +
+      """b5 AS (SELECT qid, vec_id FROM bf WHERE rk <= 5),
+        |hits AS (
+        |  SELECT b5.qid, count(*) AS n_hit
+        |  FROM b5 JOIN lsh ON b5.qid = lsh.qid AND b5.vec_id = lsh.vec_id
+        |  GROUP BY 1),
+        |tot AS (SELECT qid, count(*) AS n_bf FROM b5 GROUP BY 1)
+        |SELECT tot.qid AS qid, n_bf, coalesce(n_hit, 0) AS n_hit,
+        |  round(1e-9 + CAST(coalesce(n_hit, 0) AS DOUBLE) / n_bf, 2) AS recall
+        |FROM tot LEFT JOIN hits ON tot.qid = hits.qid
+        |ORDER BY tot.qid""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q33_ann_bruteforce" -> (q33AnnBruteforce _),
     "q34_ann_lsh" -> (q34AnnLsh _),
     "q35_label_centroids" -> (q35LabelCentroids _),
     "q36_ann_ivf" -> (q36AnnIvf _),
-    "q58_quantization" -> (q58Quantization _)
+    "q58_quantization" -> (q58Quantization _),
+    "q68_ann_recall" -> (q68AnnRecall _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -364,6 +402,7 @@ object Similarity {
     "q34_ann_lsh" -> q34Sql,
     "q35_label_centroids" -> q35Sql,
     "q36_ann_ivf" -> q36Sql,
-    "q58_quantization" -> q58Sql
+    "q58_quantization" -> q58Sql,
+    "q68_ann_recall" -> q68Sql
   )
 }
