@@ -29,7 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
 object NGramStats {
   private val SPACE = UTF8String.fromString(" ")
 
-  /** Row-level kernel shared by interpreted eval and generated code. */
+  /** Row-level kernel shared by interpreted eval and generated code.
+    * Returns null when any token is null: the declarative chain this
+    * mirrors (`md5(array_to_string(shingle, ' '))`) nulls the hash for a
+    * null token, whereas concatWs would silently skip it and hash a
+    * shortened join. */
   def stats(toks: ArrayData, n: Int): InternalRow = {
     val cnt = toks.numElements() - n + 1
     if (n <= 0 || cnt <= 0)
@@ -39,7 +43,12 @@ object NGramStats {
     var i = 0
     while (i < cnt) {
       var j = 0
-      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      while (j < n) {
+        val t = toks.getUTF8String(i + j)
+        if (t == null) return null
+        parts(j) = t
+        j += 1
+      }
       hs(i) = HashExprs.h32(UTF8String.concatWs(SPACE, parts: _*))
       i += 1
     }
@@ -86,12 +95,17 @@ case class NGramStatsExpr(left: Expression, right: Expression)
     }
   }
 
+  // the kernel nulls the result for arrays containing null tokens even
+  // when the array column itself is non-nullable
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(toks: Any, n: Any): Any =
     NGramStats.stats(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, n) =>
-      s"${ev.value} = graft.functions.NGramStats.stats($t, $n);")
+      s"""${ev.value} = graft.functions.NGramStats.stats($t, $n);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NGramStatsExpr =

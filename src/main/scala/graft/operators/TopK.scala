@@ -28,8 +28,14 @@ object TopK {
       extends Aggregator[Entry, Seq[Entry], Seq[Entry]] {
     require(k > 0, "topk: k must be positive")
 
-    private def better(a: Entry, b: Entry): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def better(a: Entry, b: Entry): Boolean = {
+      // java.lang.Double.compare gives the NaN-total order Spark's sort
+      // uses (NaN greatest), so NaN scores rank identically to the
+      // row_number().over(orderBy(desc)) window form instead of falling
+      // through raw `>` (where NaN is never better than anything)
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
 
     private def insert(b: Seq[Entry], a: Entry): Seq[Entry] =
       if (b.length >= k && !better(a, b.last)) b

@@ -585,7 +585,15 @@ object Plugins {
           if (r.isNullAt(0)) None
           else Some(AreaBounds(r.getDouble(0), r.getDouble(1),
             r.getDouble(2), r.getDouble(3)))
-        } catch { case _: Exception => None }
+        } catch {
+          // only unresolvable lon/lat expressions (schema mismatch) mean
+          // "this scene has no usable footprint"; anything else is a real
+          // failure and must abort rather than silently disable pruning
+          case e: org.apache.spark.sql.AnalysisException =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"covers: footprint expressions unresolvable, keeping all areas: ${e.getMessage}")
+            None
+        }
       }
   }
 

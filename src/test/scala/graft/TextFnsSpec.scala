@@ -72,6 +72,19 @@ class TextFnsSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("ngram_stats nulls the result for arrays with null tokens") {
+    import org.apache.spark.sql.functions.call_function
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq(Some("a"), None, Some("b"))),
+      (2, Seq(Some("a"), Some("b"), Some("c")))).toDF("id", "toks")
+      .withColumn("k", call_function("ngram_stats", col("toks"), lit(2)))
+      .orderBy(col("id"))
+    val rows = df.select(col("k")).collect()
+    assert(rows(0).isNullAt(0))   // null token -> null struct, not a skip
+    assert(!rows(1).isNullAt(0))
+  }
+
   test("ngram_stats degenerate inputs") {
     import org.apache.spark.sql.functions.call_function
     import spark.implicits._

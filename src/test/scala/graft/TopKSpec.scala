@@ -39,6 +39,24 @@ class TopKSpec extends SparkSpec {
     assert(merged2 == merged)
   }
 
+  test("topk ranks NaN scores like the window desc-sort (NaN greatest)") {
+    import spark.implicits._
+    val ev = Seq(
+      (1, Double.NaN, 4L), (1, 9.0, 1L), (1, 3.0, 2L), (1, 7.0, 3L))
+      .toDF("k", "value", "id")
+    val viaAgg = ev.groupBy(col("k"))
+      .agg(TopK.topk(2)(col("value"), col("id")).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "t")))
+      .select((col("i") + 1).as("rk"), col("t._2").as("id"))
+    val w = Window.partitionBy(col("k")).orderBy(col("value").desc, col("id"))
+    val viaWindow = ev.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2).select(col("rk"), col("id"))
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty)
+    // NaN sorts greatest in Spark's desc order -> rank 1
+    assert(viaAgg.filter(col("rk") === 1).collect().head.getLong(1) == 4L)
+  }
+
   test("topk aggregates with map-side partials (no full sort in the plan)") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("user_id"), col("value"), col("event_id").cast("long").as("id"))
