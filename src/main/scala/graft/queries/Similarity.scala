@@ -388,13 +388,208 @@ object Similarity {
         |FROM tot LEFT JOIN hits ON tot.qid = hits.qid
         |ORDER BY tot.qid""".stripMargin
 
+  /** One Lloyd iteration of k-means over the embedding corpus, seeded from
+    * the per-label centroids (the IVF "train the coarse quantizer" loop
+    * that q36 stops short of): assign → recompute centroids → reassign,
+    * reporting per-cluster size, mean squared distance and how far the
+    * centroid moved. A production run loops this plan to convergence; one
+    * step is enough to oracle-check every piece (assignment argmin,
+    * centroid recompute, movement).
+    *
+    * Scale design: centroids are k×64 rows — broadcast on both assignment
+    * passes, so each pass is a map-side join + one (vec_id)-keyed
+    * aggregation; the component table is exploded once, persisted, and
+    * every downstream pass reuses the same (vec_id)-hash partitioning.
+    * Nothing quadratic, no driver-side centroid loop. */
+  def q69KmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    val comp = vecs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .persist()
+    val cent0 = comp.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
+      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
+    // nearest-centroid assignment: distance to every centroid, argmin
+    def assign(cent: DataFrame): DataFrame = {
+      val d2 = comp.as("m").join(broadcast(cent).as("k"),
+          col("m.pos") === col("k.c_pos"))
+        .groupBy(col("m.vec_id").as("vec_id"), col("k.c_label").as("c_label"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
+      d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id").as("a_vec"), col("c_label").as("cluster"), col("d2"))
+    }
+    // Lloyd step: recompute each cluster's centroid from its members
+    val cent1 = comp.join(assign(cent0).select(col("a_vec"), col("cluster")),
+        col("vec_id") === col("a_vec"))
+      .groupBy(col("cluster").as("c_label"), col("pos").as("c_pos"))
+      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
+      .persist() // consumed by the reassignment AND the movement join
+    val shift = cent0.as("o").join(cent1.as("n"),
+        col("o.c_label") === col("n.c_label") && col("o.c_pos") === col("n.c_pos"))
+      .groupBy(col("o.c_label").as("s_cluster"))
+      .agg(max(abs(col("n.c") - col("o.c"))).as("shift"))
+    assign(cent1).groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(lit(1e-9) + avg(col("d2")), 5).as("avg_d2"))
+      .join(shift, col("cluster") === col("s_cluster"))
+      .select(col("cluster"), col("n_vecs"), col("avg_d2"),
+        round(lit(1e-9) + col("shift"), 6).as("max_shift"))
+      .orderBy(col("cluster"))
+  }
+
+  val q69Sql: String =
+    """WITH compu AS (
+      |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS d, embedding
+      |  FROM embeddings),
+      |comp AS (
+      |  SELECT vec_id, label, d - 1 AS pos, embedding[d]::DOUBLE AS x FROM compu),
+      |cent0 AS (
+      |  SELECT label AS c_label, pos AS c_pos, round(1e-9 + avg(x), 6) AS c
+      |  FROM comp GROUP BY 1, 2),
+      |d2a AS (
+      |  SELECT vec_id, c_label, sum((x - c) * (x - c)) AS d2
+      |  FROM comp JOIN cent0 ON comp.pos = cent0.c_pos
+      |  GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id AS a_vec, c_label AS cluster FROM (
+      |    SELECT vec_id, c_label,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      |    FROM d2a) WHERE rn = 1),
+      |cent1 AS (
+      |  SELECT cluster AS c_label, pos AS c_pos, round(1e-9 + avg(x), 6) AS c
+      |  FROM comp JOIN a1 ON vec_id = a_vec
+      |  GROUP BY 1, 2),
+      |d2b AS (
+      |  SELECT vec_id, c_label, sum((x - c) * (x - c)) AS d2
+      |  FROM comp JOIN cent1 ON comp.pos = cent1.c_pos
+      |  GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT vec_id, c_label AS cluster, d2 FROM (
+      |    SELECT vec_id, c_label, d2,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      |    FROM d2b) WHERE rn = 1),
+      |shift AS (
+      |  SELECT cent0.c_label AS s_cluster, max(abs(cent1.c - cent0.c)) AS shift
+      |  FROM cent0 JOIN cent1
+      |    ON cent0.c_label = cent1.c_label AND cent0.c_pos = cent1.c_pos
+      |  GROUP BY 1)
+      |SELECT cluster, count(*) AS n_vecs, round(1e-9 + avg(d2), 5) AS avg_d2,
+      |  round(1e-9 + shift, 6) AS max_shift
+      |FROM a2 JOIN shift ON cluster = s_cluster
+      |GROUP BY cluster, shift
+      |ORDER BY cluster""".stripMargin
+
+  /** IVF-PQ with asymmetric-distance (ADC) search — the memory-bound scale
+    * path for vector search (cf. FAISS's IVFPQ): 64 dims split into 8
+    * subspaces of 8; the per-label centroid restricted to a subspace is
+    * that subspace's codebook entry, so every vector compresses to 8
+    * one-byte codes; a query precomputes its 8×k distance table once, and
+    * candidate scoring becomes a codebook lookup-join + sum instead of a
+    * 64-dim dot product. Candidates are IVF-restricted to the query's
+    * coarse cluster (argmin of the full-dimension distance, i.e. the sum
+    * of the subspace partials).
+    *
+    * Scale design: the codebook (k×64) and each query's ADC table (8×k
+    * per query) are broadcast; `sub` — the (vec, subspace, code) partial
+    * distances — is computed once, persisted, and reused for encoding,
+    * coarse assignment, and the query tables; per-candidate work after
+    * the broadcast join is an 8-row sum, and the bounded TopK aggregation
+    * keeps the shuffle at O(queries·k·partitions). */
+  def q70IvfPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val comp = vecs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val cb = comp.groupBy(col("label").as("code"), col("pos").as("c_pos"))
+      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
+    // per-(vector, subspace, codebook entry) partial squared distance
+    val sub = comp.as("m").join(broadcast(cb).as("k"),
+        col("m.pos") === col("k.c_pos"))
+      .groupBy(col("m.vec_id").as("vec_id"),
+        floor(col("m.pos") / 8).cast("int").as("sp"), col("k.code").as("code"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2sub"))
+      .persist() // encoding, coarse assignment and ADC tables all read it
+    val wEnc = Window.partitionBy(col("vec_id"), col("sp"))
+      .orderBy(col("d2sub"), col("code"))
+    val enc = sub.withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1).select(col("vec_id"), col("sp"), col("code"))
+    val wCl = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("code"))
+    val cluster = sub.groupBy(col("vec_id"), col("code"))
+      .agg(sum(col("d2sub")).as("d2"))
+      .withColumn("rn", row_number().over(wCl))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("cl_vec"), col("code").as("cluster"))
+    val q = cluster.filter(col("cl_vec") % 100 === 0)
+      .select(col("cl_vec").as("qid"), col("cluster").as("qcluster"))
+    // the query's asymmetric distance table: its partials to every entry
+    val adc = sub.join(broadcast(q), col("vec_id") === col("qid"))
+      .select(col("qid"), col("qcluster"), col("sp").as("a_sp"),
+        col("code").as("a_code"), col("d2sub").as("dt"))
+    enc.join(cluster, col("vec_id") === col("cl_vec"))
+      .join(broadcast(adc),
+        col("sp") === col("a_sp") && col("code") === col("a_code") &&
+          col("cluster") === col("qcluster") && col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id")).agg(sum(col("dt")).as("ad2"))
+      .groupBy(col("qid"))
+      .agg(graft.operators.TopK.topk(5)(negate(col("ad2")), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("qid"), (col("i") + 1).cast("int").as("rk"),
+        col("t._2").as("vec_id"), round(lit(1e-9) - col("t._1"), 5).as("ad2"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val q70Sql: String =
+    """WITH compu AS (
+      |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS d, embedding
+      |  FROM embeddings),
+      |comp AS (
+      |  SELECT vec_id, label, d - 1 AS pos, embedding[d]::DOUBLE AS x FROM compu),
+      |cb AS (
+      |  SELECT label AS code, pos AS c_pos, round(1e-9 + avg(x), 6) AS c
+      |  FROM comp GROUP BY 1, 2),
+      |sub AS (
+      |  SELECT vec_id, CAST(floor(pos / 8) AS INT) AS sp, code,
+      |    sum((x - c) * (x - c)) AS d2sub
+      |  FROM comp JOIN cb ON comp.pos = cb.c_pos
+      |  GROUP BY 1, 2, 3),
+      |enc AS (
+      |  SELECT vec_id, sp, code FROM (
+      |    SELECT vec_id, sp, code,
+      |      row_number() OVER (PARTITION BY vec_id, sp ORDER BY d2sub, code) AS rn
+      |    FROM sub) WHERE rn = 1),
+      |cluster AS (
+      |  SELECT vec_id AS cl_vec, code AS cluster FROM (
+      |    SELECT vec_id, code, sum(d2sub) AS d2,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY sum(d2sub), code) AS rn
+      |    FROM sub GROUP BY vec_id, code) WHERE rn = 1),
+      |q AS (
+      |  SELECT cl_vec AS qid, cluster AS qcluster FROM cluster WHERE cl_vec % 100 = 0),
+      |adc AS (
+      |  SELECT qid, qcluster, sp AS a_sp, code AS a_code, d2sub AS dt
+      |  FROM sub JOIN q ON vec_id = qid),
+      |scored AS (
+      |  SELECT qid, enc.vec_id, sum(dt) AS ad2
+      |  FROM enc
+      |  JOIN cluster ON enc.vec_id = cl_vec
+      |  JOIN adc ON enc.sp = a_sp AND enc.code = a_code
+      |    AND cluster = qcluster AND enc.vec_id <> qid
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT qid, vec_id, ad2,
+      |    row_number() OVER (PARTITION BY qid ORDER BY ad2, vec_id) AS rk
+      |  FROM scored)
+      |SELECT qid, rk, vec_id, round(1e-9 + ad2, 5) AS ad2
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q33_ann_bruteforce" -> (q33AnnBruteforce _),
     "q34_ann_lsh" -> (q34AnnLsh _),
     "q35_label_centroids" -> (q35LabelCentroids _),
     "q36_ann_ivf" -> (q36AnnIvf _),
     "q58_quantization" -> (q58Quantization _),
-    "q68_ann_recall" -> (q68AnnRecall _)
+    "q68_ann_recall" -> (q68AnnRecall _),
+    "q69_kmeans_refine" -> (q69KmeansRefine _),
+    "q70_ivfpq_adc" -> (q70IvfPqAdc _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -403,6 +598,8 @@ object Similarity {
     "q35_label_centroids" -> q35Sql,
     "q36_ann_ivf" -> q36Sql,
     "q58_quantization" -> q58Sql,
-    "q68_ann_recall" -> q68Sql
+    "q68_ann_recall" -> q68Sql,
+    "q69_kmeans_refine" -> q69Sql,
+    "q70_ivfpq_adc" -> q70Sql
   )
 }
