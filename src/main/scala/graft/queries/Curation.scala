@@ -341,13 +341,54 @@ object Curation {
       |GROUP BY 1
       |ORDER BY example_id""".stripMargin
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each document draws a deterministic uniform u from its hashed id and
+    * gets priority u^(1/w) with w = n_chars, so selection probability is
+    * proportional to length; the global top-10 priorities are the sample.
+    * Ranking uses ln(u)/w (monotone in u^(1/w), cheaper and better
+    * conditioned near u→1).
+    *
+    * Scale design: this is THE distributed weighted-sample algorithm —
+    * priority is a pure projection (no RNG state, reproducible across
+    * retries), and the global top-k runs through the bounded
+    * [[graft.operators.TopK]] aggregation, so each partition contributes
+    * at most k rows to the single-reducer final merge. No sort, no
+    * collect, works identically at 100 TB. */
+  def q73WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("u",
+        (h32(concat(lit("ws_"), col("doc_id"))) + 1) / lit(4294967297.0))
+      .withColumn("key", log(col("u")) / col("n_chars"))
+      .groupBy()
+      .agg(graft.operators.TopK.topk(10)(col("key"), col("doc_id")).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "t")))
+      .select((col("i") + 1).cast("int").as("rk"), col("t._2").as("doc_id"),
+        round(lit(1e-9) + col("t._1") * 1000, 5).as("prio_x1k"))
+      .orderBy(col("rk"))
+
+  val q73Sql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |    ln((('0x' || substr(md5('ws_' || doc_id), 1, 8))::BIGINT + 1)
+      |       / 4294967297.0) / n_chars AS key
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, key,
+      |    row_number() OVER (ORDER BY key DESC, doc_id) AS rk
+      |  FROM keyed)
+      |SELECT rk, doc_id, round(1e-9 + key * 1000, 5) AS prio_x1k
+      |FROM ranked WHERE rk <= 10
+      |ORDER BY rk""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
     "q56_contamination" -> (q56Contamination _),
     "q60_curated_corpus" -> (q60CuratedCorpus _),
     "q62_mix_weights" -> (q62MixWeights _),
-    "q65_sequence_packing" -> (q65SequencePacking _)
+    "q65_sequence_packing" -> (q65SequencePacking _),
+    "q73_weighted_sample" -> (q73WeightedSample _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -356,6 +397,7 @@ object Curation {
     "q56_contamination" -> q56Sql,
     "q60_curated_corpus" -> q60Sql,
     "q62_mix_weights" -> q62Sql,
-    "q65_sequence_packing" -> q65Sql
+    "q65_sequence_packing" -> q65Sql,
+    "q73_weighted_sample" -> q73Sql
   )
 }

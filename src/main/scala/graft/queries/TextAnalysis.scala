@@ -404,6 +404,107 @@ object TextAnalysis {
       |SELECT pair, n, rk FROM ranked WHERE rk <= 20
       |ORDER BY rk""".stripMargin
 
+  /** Corpus-frequency boilerplate masking (the CCNet/C4 "remove lines
+    * shared across many pages" pass, at token-bigram granularity since
+    * the fixture has no line structure): a bigram present in more than 5%
+    * of documents is boilerplate; each document reports how much of it is
+    * covered by such bigrams — the signal a curation pipeline thresholds
+    * to drop template-heavy pages.
+    *
+    * Scale design: the boilerplate lexicon is bounded by the distinct
+    * bigram space, orders of magnitude smaller than the corpus — it
+    * broadcasts, so the per-document pass is scan + broadcast-probe +
+    * one (doc_id)-keyed aggregation. The document-frequency table is one
+    * shuffle on the bigram hash with map-side distinct. */
+  def q71Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("s"))
+      .select(col("doc_id"), h32(col("s")).as("h"))
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
+    val boiler = sh.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") * 20 > col("ndocs"))
+      .select(col("h").as("bh"))
+    sh.join(broadcast(boiler), col("h") === col("bh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), count(col("bh")).as("n_boiler"))
+      .withColumn("boiler_pct",
+        round(lit(1e-9) + col("n_boiler") / col("n_bigrams"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  val q71Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(array_to_string(toks[i:i+1], ' ')), 1, 8))::BIGINT AS h
+      |  FROM tok, unnest(range(1, len(toks))) AS u(i)
+      |  WHERE len(toks) >= 2),
+      |nd AS (SELECT count(*) AS ndocs FROM documents),
+      |boiler AS (
+      |  SELECT h FROM (
+      |    SELECT h, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+      |  CROSS JOIN nd WHERE df * 20 > ndocs)
+      |SELECT doc_id, count(*) AS n_bigrams, count(b.h) AS n_boiler,
+      |  round(1e-9 + count(b.h) / count(*), 4) AS boiler_pct
+      |FROM sh LEFT JOIN boiler b ON sh.h = b.h
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** TF-IDF top terms per document — the classic relevance weighting
+    * (salton-style tf·ln(N/df)), surfacing each document's three most
+    * characteristic terms. Complements q46's BM25 (query-driven) with the
+    * corpus-side feature-extraction view.
+    *
+    * Scale design: the document-frequency table is vocabulary-sized →
+    * broadcast; term counting is one (doc_id, term) shuffle; the final
+    * rank windows over ≤ |vocab| rows per document, partitioned by
+    * doc_id so no global sort appears anywhere. */
+  def q72Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .select(col("term").as("d_term"), col("df"), col("ndocs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dft), col("term") === col("d_term"))
+      .withColumn("score",
+        col("tf") * log(col("ndocs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"),
+        round(lit(1e-9) + col("score"), 5).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val q72Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS term
+      |    FROM documents) GROUP BY 1, 2),
+      |nd AS (SELECT count(*) AS ndocs FROM documents),
+      |dft AS (
+      |  SELECT term AS d_term, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, term, tf * ln(ndocs::DOUBLE / df) AS score
+      |  FROM tf JOIN dft ON term = d_term CROSS JOIN nd),
+      |ranked AS (
+      |  SELECT doc_id, term, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      |  FROM scored)
+      |SELECT doc_id, rk, term, round(1e-9 + score, 5) AS tfidf
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q23_token_stats" -> (q23TokenStats _),
     "q24_quality_score" -> (q24QualityScore _),
@@ -413,7 +514,9 @@ object TextAnalysis {
     "q57_repetition" -> (q57Repetition _),
     "q61_lm_score" -> (q61LmScore _),
     "q64_kmv_sketch" -> (q64KmvSketch _),
-    "q66_bpe_first_merge" -> (q66BpeFirstMerge _)
+    "q66_bpe_first_merge" -> (q66BpeFirstMerge _),
+    "q71_boilerplate" -> (q71Boilerplate _),
+    "q72_tfidf" -> (q72Tfidf _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -425,6 +528,8 @@ object TextAnalysis {
     "q57_repetition" -> q57Sql,
     "q61_lm_score" -> q61Sql,
     "q64_kmv_sketch" -> q64Sql,
-    "q66_bpe_first_merge" -> q66Sql
+    "q66_bpe_first_merge" -> q66Sql,
+    "q71_boilerplate" -> q71Sql,
+    "q72_tfidf" -> q72Sql
   )
 }
