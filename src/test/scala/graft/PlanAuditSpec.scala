@@ -50,6 +50,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q70 IVF-PQ: codebook and ADC tables broadcast, bounded TopK rank") {
+    val p = plan("q70_ivfpq_adc")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "codebook/ADC join lost its broadcast")
+    assert(p.contains("ObjectHashAggregate"), "TopK aggregation missing")
+  }
+
+  test("q71 boilerplate: lexicon probe is a broadcast join") {
+    val p = plan("q71_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), "boilerplate lexicon not broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q72 tf-idf: document-frequency join is broadcast") {
+    val p = plan("q72_tfidf")
+    assert(p.contains("BroadcastHashJoin"), "df table not broadcast")
+  }
+
+  test("q73 weighted sample: global top-k without a global sort") {
+    val p = plan("q73_weighted_sample")
+    assert(p.contains("ObjectHashAggregate"), "TopK aggregation missing")
+    // the only Sort allowed is the final 10-row output ordering
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window ["),
+      "weighted sample should not sort or window the corpus")
+  }
+
   test("q01 flagship: single agg shuffle, partial aggregation map-side") {
     val p = plan("q01_pricing_summary")
     assert(hashExchanges(p) == 1)
