@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.functions.TextFns.{h32, shingles, tokens}
+import graft.functions.TextFns.{h32, shingles, tokens, P}
 
 /** Corpus-curation pack: the selection/splitting stage of a training-data
   * pipeline. Both operators are pure per-row hash/rank arithmetic — no
@@ -381,6 +381,39 @@ object Curation {
       |FROM ranked WHERE rk <= 10
       |ORDER BY rk""".stripMargin
 
+  /** Deterministic training-shard assignment — the write-side layout of a
+    * curated corpus: every document hashes to one of 8 shards (a
+    * hash-permutation "global shuffle", so shards are an unbiased sample
+    * of the corpus), and each shard reports its document count, token
+    * mass and an order-independent membership fingerprint (sum of hashed
+    * ids mod P) that a resumed or re-run job can compare against.
+    *
+    * Scale design: shard id is a pure projection, so this is one scan +
+    * one 8-key aggregation with map-side partials; the commutative
+    * fingerprint needs no collect_list/sort, making it stable under any
+    * partitioning. The balance columns are exactly what you check before
+    * `df.write.partitionBy(shard)`. */
+  def q75ShardAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (h32(concat(lit("shard_"), col("doc_id"))) % 8).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        (h32(concat(lit("m_"), col("doc_id")))).as("mh"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        (sum(col("mh")) % P).as("member_fp"))
+      .orderBy(col("shard"))
+
+  val q75Sql: String =
+    """SELECT
+      |  ('0x' || substr(md5('shard_' || doc_id), 1, 8))::BIGINT % 8 AS shard,
+      |  count(*) AS n_docs,
+      |  sum(len(list_filter(string_split(text, ' '), t -> len(t) > 0)))::BIGINT AS n_tokens,
+      |  sum(('0x' || substr(md5('m_' || doc_id), 1, 8))::BIGINT)::BIGINT % 1000000007 AS member_fp
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY shard""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
@@ -388,7 +421,8 @@ object Curation {
     "q60_curated_corpus" -> (q60CuratedCorpus _),
     "q62_mix_weights" -> (q62MixWeights _),
     "q65_sequence_packing" -> (q65SequencePacking _),
-    "q73_weighted_sample" -> (q73WeightedSample _)
+    "q73_weighted_sample" -> (q73WeightedSample _),
+    "q75_shard_assign" -> (q75ShardAssign _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -398,6 +432,7 @@ object Curation {
     "q60_curated_corpus" -> q60Sql,
     "q62_mix_weights" -> q62Sql,
     "q65_sequence_packing" -> q65Sql,
-    "q73_weighted_sample" -> q73Sql
+    "q73_weighted_sample" -> q73Sql,
+    "q75_shard_assign" -> q75Sql
   )
 }

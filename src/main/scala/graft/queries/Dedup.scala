@@ -454,13 +454,55 @@ object Dedup {
       |GROUP BY comp
       |ORDER BY cluster_rep""".stripMargin
 
+  /** Content-defined chunking — the rolling-hash boundary pass that
+    * chunk-level dedup (CDC, as in backup/dedup stores and long-document
+    * near-dup) runs before hashing chunks: a chunk boundary falls after
+    * token i whenever the hash of the 3-token window ending there matches
+    * a pattern (h ≡ 0 mod 16, expected chunk ≈ 16 tokens). Content-local
+    * boundaries mean an insertion early in a document only re-chunks one
+    * neighborhood — unlike fixed-width chunking where everything shifts.
+    * Reports per-document chunk counts and mean chunk width.
+    *
+    * Scale design: boundary detection is a pure array expression inside
+    * the projection — no explode, no shuffle; the whole query is a scan +
+    * narrow map, embarrassingly parallel at any corpus size. */
+  def q76CdcChunking(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        size(filter(transform(shingles(col("toks"), 3), s => h32(s)),
+          h => h % 16 === 0)).cast("long").as("n_bounds"))
+      .withColumn("n_chunks", col("n_bounds") + 1)
+      .withColumn("avg_chunk",
+        round(lit(1e-9) + col("n_toks").cast("double") / col("n_chunks"), 2))
+      .select(col("doc_id"), col("n_toks"), col("n_chunks"), col("avg_chunk"))
+      .orderBy(col("doc_id"))
+
+  val q76Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id, len(toks)::BIGINT AS n_toks,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      len(list_filter(list_transform(range(1, len(toks) - 1),
+      |        i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))::BIGINT),
+      |        h -> h % 16 = 0))::BIGINT
+      |    ELSE 0 END AS n_bounds
+      |  FROM tok)
+      |SELECT doc_id, n_toks, n_bounds + 1 AS n_chunks,
+      |  round(1e-9 + n_toks::DOUBLE / (n_bounds + 1), 2) AS avg_chunk
+      |FROM ch
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
     "q30_minhash_lsh" -> (q30MinhashLsh _),
     "q31_simhash" -> (q31Simhash _),
     "q32_embedding_neardup" -> (q32EmbeddingNeardup _),
-    "q59_dup_clusters" -> (q59DupClusters _)
+    "q59_dup_clusters" -> (q59DupClusters _),
+    "q76_cdc_chunking" -> (q76CdcChunking _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -469,6 +511,7 @@ object Dedup {
     "q30_minhash_lsh" -> q30Sql,
     "q31_simhash" -> q31Sql,
     "q32_embedding_neardup" -> q32Sql,
-    "q59_dup_clusters" -> q59Sql
+    "q59_dup_clusters" -> q59Sql,
+    "q76_cdc_chunking" -> q76Sql
   )
 }

@@ -467,6 +467,68 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Z-order (Morton) clustering audit — the multi-dimensional layout key
+    * behind `OPTIMIZE ... ZORDER BY` style data clustering: both join keys
+    * are range-scaled to 4 bits, bit-interleaved into an 8-bit Morton
+    * code, and each 16-code tile reports its row count and per-dimension
+    * bounding box. Compact per-tile boxes are what make a z-sorted layout
+    * prune file-level min/max indexes on BOTH dimensions at once; this
+    * query is the audit you run to verify the clustering before paying
+    * for the rewrite.
+    *
+    * Scale design: the dimension stats are a 1-row broadcast; the Morton
+    * code is a pure bit-arithmetic projection (codegen'd shifts/ands, no
+    * UDF), and the tile audit is one 16-key aggregation with map-side
+    * partials. Writing the layout itself would be
+    * `repartitionByRange(col("z"))` + write — the same projection. */
+  def q77ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_suppkey"))
+    val stats = li.agg(
+      min(col("l_partkey")).as("pmn"), max(col("l_partkey")).as("pmx"),
+      min(col("l_suppkey")).as("smn"), max(col("l_suppkey")).as("smx"))
+    def scaled(v: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
+        mx: org.apache.spark.sql.Column) =
+      floor((v - mn).cast("double") * 16.0 / (mx - mn + 1)).cast("int")
+    def interleave(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      (0 until 4).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _)
+    li.crossJoin(broadcast(stats))
+      .withColumn("zx", scaled(col("l_partkey"), col("pmn"), col("pmx")))
+      .withColumn("zy", scaled(col("l_suppkey"), col("smn"), col("smx")))
+      .withColumn("tile", shiftright(interleave(col("zx"), col("zy")), 4))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+        min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+      .orderBy(col("tile"))
+  }
+
+  val q77Sql: String =
+    """WITH stats AS (
+      |  SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+      |         min(l_suppkey) AS smn, max(l_suppkey) AS smx
+      |  FROM lineitem),
+      |coded AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(floor((l_partkey - pmn)::DOUBLE * 16.0 / (pmx - pmn + 1)) AS INT) AS zx,
+      |    CAST(floor((l_suppkey - smn)::DOUBLE * 16.0 / (smx - smn + 1)) AS INT) AS zy
+      |  FROM lineitem CROSS JOIN stats),
+      |z AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    (((zx >> 0) & 1) << 0) + (((zy >> 0) & 1) << 1) +
+      |    (((zx >> 1) & 1) << 2) + (((zy >> 1) & 1) << 3) +
+      |    (((zx >> 2) & 1) << 4) + (((zy >> 2) & 1) << 5) +
+      |    (((zx >> 3) & 1) << 6) + (((zy >> 3) & 1) << 7) AS zcode
+      |  FROM coded)
+      |SELECT zcode >> 4 AS tile, count(*) AS n_rows,
+      |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+      |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+      |FROM z
+      |GROUP BY 1
+      |ORDER BY tile""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_selective_revenue" -> (q02SelectiveRevenue _),
@@ -488,7 +550,8 @@ object Relational {
     "q50_percentiles" -> (q50Percentiles _),
     "q51_histogram" -> (q51Histogram _),
     "q54_order_lists" -> (q54OrderLists _),
-    "q67_salted_agg" -> (q67SaltedAgg _)
+    "q67_salted_agg" -> (q67SaltedAgg _),
+    "q77_zorder_layout" -> (q77ZorderLayout _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -512,6 +575,7 @@ object Relational {
     "q50_percentiles" -> q50Sql,
     "q51_histogram" -> q51Sql,
     "q54_order_lists" -> q54Sql,
-    "q67_salted_agg" -> q67Sql
+    "q67_salted_agg" -> q67Sql,
+    "q77_zorder_layout" -> q77Sql
   )
 }

@@ -505,6 +505,48 @@ object TextAnalysis {
       |FROM ranked WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
+  /** Vocabulary coverage curve — "how much of the corpus do the top-k
+    * vocabulary entries cover?", the statistic that sizes a tokenizer
+    * vocabulary (and its OOV rate) before training one. Reports the
+    * cumulative token-mass coverage at k ∈ {1, 2, 4, 8, 16}.
+    *
+    * Scale design: the only corpus-sized work is one (token) shuffle for
+    * the frequency table; the cumulative window then runs over the
+    * vocabulary — thousands of rows however big the corpus is — so the
+    * single-partition running sum is deliberate, not a bottleneck. */
+  def q74VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("total"))
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnt.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rk").isin(1, 2, 4, 8, 16))
+      .crossJoin(broadcast(tot))
+      .select(col("rk"), col("tok"), col("cnt"),
+        round(lit(1e-9) + col("cum").cast("double") / col("total"), 4).as("cum_pct"))
+      .orderBy(col("rk"))
+  }
+
+  val q74Sql: String =
+    """WITH cnt AS (
+      |  SELECT tok, count(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+      |    FROM documents) GROUP BY 1),
+      |tot AS (SELECT sum(cnt)::BIGINT AS total FROM cnt),
+      |cum AS (
+      |  SELECT tok, cnt,
+      |    sum(cnt) OVER (ORDER BY cnt DESC, tok
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    row_number() OVER (ORDER BY cnt DESC, tok) AS rk
+      |  FROM cnt)
+      |SELECT rk, tok, cnt, round(1e-9 + cum::DOUBLE / total, 4) AS cum_pct
+      |FROM cum CROSS JOIN tot
+      |WHERE rk IN (1, 2, 4, 8, 16)
+      |ORDER BY rk""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q23_token_stats" -> (q23TokenStats _),
     "q24_quality_score" -> (q24QualityScore _),
@@ -516,7 +558,8 @@ object TextAnalysis {
     "q64_kmv_sketch" -> (q64KmvSketch _),
     "q66_bpe_first_merge" -> (q66BpeFirstMerge _),
     "q71_boilerplate" -> (q71Boilerplate _),
-    "q72_tfidf" -> (q72Tfidf _)
+    "q72_tfidf" -> (q72Tfidf _),
+    "q74_vocab_coverage" -> (q74VocabCoverage _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -530,6 +573,7 @@ object TextAnalysis {
     "q64_kmv_sketch" -> q64Sql,
     "q66_bpe_first_merge" -> q66Sql,
     "q71_boilerplate" -> q71Sql,
-    "q72_tfidf" -> q72Sql
+    "q72_tfidf" -> q72Sql,
+    "q74_vocab_coverage" -> q74Sql
   )
 }
