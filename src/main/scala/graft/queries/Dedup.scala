@@ -495,6 +495,99 @@ object Dedup {
       |FROM ch
       |ORDER BY doc_id""".stripMargin
 
+  /** SemDeDup — semantic deduplication via cluster-scoped cosine pruning
+    * (Abbas et al. 2023): cluster the embedding space (here: nearest
+    * per-label centroid, the same coarse quantizer q36/q69 build), then
+    * within each cluster remove every vector whose cosine similarity to a
+    * lower-id member reaches the threshold — pairwise comparison never
+    * crosses a cluster boundary. Reports per-cluster member/removed
+    * counts plus an exact fingerprint of the removed set.
+    *
+    * Scale design: assignment is a broadcast join against k centroids;
+    * the pairwise stage is an equi-join on the cluster id, so its cost is
+    * Σ|cluster|² — bounded by choosing k ≈ √N clusters (here k = 10
+    * labels over 500-5000 vectors), never the corpus-wide N². The member
+    * table is persisted once and self-joined, not recomputed per side. */
+  def q80SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.vecs(spark, dir)
+    val comp = e.select(col("vec_id"), col("label"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = comp.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
+      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
+    val d2 = comp.join(broadcast(cent), col("pos") === col("c_pos"))
+      .groupBy(col("vec_id").as("a_vec"), col("c_label"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_vec")).orderBy(col("d2"), col("c_label"))
+    val assign = d2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a_vec"), col("c_label").as("cluster"))
+    val mem = e.join(assign, col("vec_id") === col("a_vec"))
+      .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
+      .persist()
+    val removed = mem.as("a").join(mem.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(lit(1e-9) +
+        graft.functions.VecOps.dotCol(col("a.v"), col("b.v")) /
+          sqrt(col("a.nrm") * col("b.nrm")), 5))
+      .filter(col("cos") >= 0.40)
+      .select(col("a.cluster").as("r_cluster"), col("b.vec_id").as("rv"))
+      .distinct()
+    mem.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      .join(removed.groupBy(col("r_cluster"))
+          .agg(count(lit(1)).as("n_removed"), sum(col("rv")).as("fp_removed")),
+        col("cluster") === col("r_cluster"), "left")
+      .select(col("cluster"), col("n_members"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("fp_removed"), lit(0L)).as("fp_removed"))
+      .orderBy(col("cluster"))
+  }
+
+  val q80Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    list_reduce(list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) AS nrm
+      |  FROM embeddings),
+      |compu AS (
+      |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS d, embedding
+      |  FROM embeddings),
+      |comp AS (
+      |  SELECT vec_id, label, d - 1 AS pos, embedding[d]::DOUBLE AS x FROM compu),
+      |cent AS (
+      |  SELECT label AS c_label, pos AS c_pos, round(1e-9 + avg(x), 6) AS c
+      |  FROM comp GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT vec_id, c_label, sum((x - c) * (x - c)) AS d2
+      |  FROM comp JOIN cent ON comp.pos = cent.c_pos
+      |  GROUP BY 1, 2),
+      |assign AS (
+      |  SELECT vec_id AS a_vec, c_label AS cluster FROM (
+      |    SELECT vec_id, c_label,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      |    FROM d2) WHERE rn = 1),
+      |mem AS (
+      |  SELECT cluster, e.vec_id, e.embedding, e.nrm
+      |  FROM e JOIN assign ON e.vec_id = a_vec),
+      |removed AS (
+      |  SELECT DISTINCT a.cluster AS r_cluster, b.vec_id AS rv
+      |  FROM mem a JOIN mem b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE round(1e-9 +
+      |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)
+      |    / sqrt(a.nrm * b.nrm), 5) >= 0.40),
+      |sz AS (SELECT cluster, count(*) AS n_members FROM mem GROUP BY 1),
+      |rs AS (
+      |  SELECT r_cluster, count(*) AS n_removed, sum(rv)::BIGINT AS fp_removed
+      |  FROM removed GROUP BY 1)
+      |SELECT cluster, n_members,
+      |  coalesce(n_removed, 0)::BIGINT AS n_removed,
+      |  coalesce(fp_removed, 0)::BIGINT AS fp_removed
+      |FROM sz LEFT JOIN rs ON cluster = r_cluster
+      |ORDER BY cluster""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
@@ -502,7 +595,8 @@ object Dedup {
     "q31_simhash" -> (q31Simhash _),
     "q32_embedding_neardup" -> (q32EmbeddingNeardup _),
     "q59_dup_clusters" -> (q59DupClusters _),
-    "q76_cdc_chunking" -> (q76CdcChunking _)
+    "q76_cdc_chunking" -> (q76CdcChunking _),
+    "q80_semdedup" -> (q80SemDedup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -512,6 +606,7 @@ object Dedup {
     "q31_simhash" -> q31Sql,
     "q32_embedding_neardup" -> q32Sql,
     "q59_dup_clusters" -> q59Sql,
-    "q76_cdc_chunking" -> q76Sql
+    "q76_cdc_chunking" -> q76Sql,
+    "q80_semdedup" -> q80Sql
   )
 }

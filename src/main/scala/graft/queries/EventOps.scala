@@ -229,6 +229,109 @@ object EventOps {
       |GROUP BY k
       |ORDER BY k""".stripMargin
 
+  /** Changelog compaction (merge-on-read): the event stream is a keyed
+    * changelog — every event upserts a user's (event_type, value) state
+    * and an `error` event is a tombstone that deletes it. Compaction keeps
+    * the latest writer per key (ns-timestamp order, event_id tie-break),
+    * drops tombstoned keys, and reports the surviving state grouped by
+    * final op. This is the snapshot-reconstruction pass every CDC/lakehouse
+    * table runs over its delta log.
+    *
+    * Scale design: one hash shuffle on the key; the window is a linear
+    * per-key scan (no self-join against "the latest" — the classic
+    * quadratic mistake); tombstones are filtered AFTER the window so a
+    * delete correctly shadows older upserts. */
+  def q79ChangelogCompact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .groupBy(col("event_type").as("last_op"))
+      .agg(count(lit(1)).as("n_users"),
+        round(lit(1e-9) + sum(col("value")), 3).as("sum_value"),
+        sum(col("user_id")).as("fp_users"))
+      .orderBy(col("last_op"))
+  }
+
+  val q79Sql: String =
+    """SELECT event_type AS last_op, count(*) AS n_users,
+      |  round(1e-9 + sum(value), 3) AS sum_value,
+      |  sum(user_id)::BIGINT AS fp_users
+      |FROM (
+      |  SELECT user_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |GROUP BY 1
+      |ORDER BY last_op""".stripMargin
+
+  /** Time-grid gap-fill: regularize the per-user event stream onto a dense
+    * hourly grid (72 hours from the corpus start) and forward-fill each
+    * user's last observed value across silent hours — the resample+ffill
+    * step that turns irregular telemetry into a training-ready time
+    * series. Hours before a user's first observation stay null; `is_gap`
+    * marks filled (vs observed) cells.
+    *
+    * Determinism: hour bucketing is integer division on the raw int64
+    * nanos (never through a double — 1.7e18 ns exceeds a double's 53-bit
+    * exact-integer range, so float bucketing could mis-bin boundary
+    * events). Scale design: per-(user,hour) last-writer via one windowed
+    * shuffle; the grid is a users × 72 explode (rows scale with keys, not
+    * events); the forward fill is a linear per-user running window. */
+  def q82GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("user_id") < 30)
+      .withColumn("hour_id", expr("ts_ns div 3600000000000"))
+    val h0 = ev.agg(min(col("hour_id")).as("h0"))
+    val lastW = Window.partitionBy(col("user_id"), col("hour_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    val hourly = ev
+      .withColumn("rn", row_number().over(lastW)).filter(col("rn") === 1)
+      .select(col("user_id"), col("hour_id"), col("value").as("v_hour"))
+    val grid = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(h0))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h0") + 71)).as("hour_id"))
+    val fillW = Window.partitionBy(col("user_id")).orderBy(col("hour_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour_id"), "left")
+      .withColumn("filled", last(col("v_hour"), ignoreNulls = true).over(fillW))
+      .select(col("user_id"), col("hour_id"),
+        round(lit(1e-9) + col("filled"), 3).as("value"),
+        when(col("v_hour").isNull, 1).otherwise(0).as("is_gap"))
+      .orderBy(col("user_id"), col("hour_id"))
+  }
+
+  val q82Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns,
+      |    epoch_ns(ts) // 3600000000000 AS hour_id
+      |  FROM events WHERE user_id < 30),
+      |h0 AS (SELECT min(hour_id) AS h0 FROM ev),
+      |hourly AS (
+      |  SELECT user_id, hour_id, value AS v_hour FROM (
+      |    SELECT user_id, hour_id, value,
+      |      row_number() OVER (PARTITION BY user_id, hour_id
+      |        ORDER BY ts_ns DESC, event_id DESC) AS rn
+      |    FROM ev) WHERE rn = 1),
+      |grid AS (
+      |  SELECT u.user_id, h0.h0 + g.i AS hour_id
+      |  FROM (SELECT DISTINCT user_id FROM ev) u
+      |  CROSS JOIN h0
+      |  CROSS JOIN (SELECT unnest(range(0, 72)) AS i) g),
+      |joined AS (
+      |  SELECT g.user_id, g.hour_id, v_hour,
+      |    last_value(v_hour IGNORE NULLS) OVER (PARTITION BY g.user_id
+      |      ORDER BY g.hour_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |  FROM grid g LEFT JOIN hourly h
+      |    ON g.user_id = h.user_id AND g.hour_id = h.hour_id)
+      |SELECT user_id, hour_id, round(1e-9 + filled, 3) AS value,
+      |  CASE WHEN v_hour IS NULL THEN 1 ELSE 0 END AS is_gap
+      |FROM joined
+      |ORDER BY user_id, hour_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q17_event_json" -> (q17EventJson _),
     "q18_hourly_volume" -> (q18HourlyVolume _),
@@ -237,7 +340,9 @@ object EventOps {
     "q21_admission_window" -> (q21AdmissionWindow _),
     "q22_metadata_alias" -> (q22MetadataAlias _),
     "q47_funnel" -> (q47Funnel _),
-    "q48_interval_join" -> (q48IntervalJoin _)
+    "q48_interval_join" -> (q48IntervalJoin _),
+    "q79_changelog_compact" -> (q79ChangelogCompact _),
+    "q82_gap_fill" -> (q82GapFill _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -248,6 +353,8 @@ object EventOps {
     "q21_admission_window" -> q21Sql,
     "q22_metadata_alias" -> q22Sql,
     "q47_funnel" -> q47Sql,
-    "q48_interval_join" -> q48Sql
+    "q48_interval_join" -> q48Sql,
+    "q79_changelog_compact" -> q79Sql,
+    "q82_gap_fill" -> q82Sql
   )
 }

@@ -529,6 +529,148 @@ object Relational {
       |GROUP BY 1
       |ORDER BY tile""".stripMargin
 
+  /** HyperLogLog distinct-count sketch (m = 64 registers) over
+    * `l_orderkey` — the constant-state cardinality estimator that replaces
+    * an exact `count(distinct)` shuffle at corpus scale: each row hashes
+    * to a 6-bit register index plus a 26-bit suffix whose leading-zero
+    * rank feeds a per-register `max`. The whole sketch is 64 small
+    * integers, mergeable map-side (max is commutative), so the exchange
+    * carries ≤ 64 rows per partition regardless of input size — compare
+    * the exact-distinct baseline, which must shuffle every distinct key.
+    * Reports the register fingerprint, the HLL estimate (α₆₄·m²/Σ2^-Mⱼ)
+    * and its relative error against the exact count.
+    *
+    * Determinism: the hash is md5-based (h32), the leading-zero rank is
+    * computed from the binary-string length (exact integer ops in both
+    * engines, no float log2), and Σ2^-Mⱼ sums 64 dyadic rationals whose
+    * exponent spread (< 2^27) fits a double's 53-bit significand — the
+    * sum is exact under any partial-aggregation order. */
+  def q78HllSketch(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val h = graft.functions.TextFns.h32(col("l_orderkey"))
+    val regs = li
+      .select(h.bitwiseAND(lit(63L)).as("bucket"), shiftright(h, 6).as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(27)).otherwise(lit(27) - length(bin(col("w")))))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+    val summ = regs.agg(
+      count(lit(1)).as("n_regs"),
+      sum((col("bucket") + 1) * col("reg")).as("fp_regs"),
+      sum(pow(lit(2.0), -col("reg"))).as("s_present"))
+    val exact = li.agg(countDistinct(col("l_orderkey")).as("exact_cnt"))
+    summ.crossJoin(exact)
+      .withColumn("s", col("s_present") + (lit(64) - col("n_regs")).cast("double"))
+      .withColumn("est_raw", lit(0.709) * lit(4096.0) / col("s"))
+      .select(
+        lit(64L).as("m"),
+        col("n_regs").cast("long").as("n_regs"),
+        col("fp_regs").cast("long").as("fp_regs"),
+        round(lit(1e-9) + col("est_raw"), 2).as("est"),
+        col("exact_cnt"),
+        round(lit(1e-9) + abs(col("est_raw") - col("exact_cnt")) / col("exact_cnt"), 4)
+          .as("rel_err"))
+  }
+
+  val q78Sql: String =
+    """WITH r AS (
+      |  SELECT h & 63 AS bucket, h >> 6 AS w FROM (
+      |    SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT AS h
+      |    FROM lineitem)),
+      |regs AS (
+      |  SELECT bucket,
+      |    max(CASE WHEN w = 0 THEN 27
+      |             ELSE 27 - length(format('{:b}', w)) END) AS reg
+      |  FROM r GROUP BY 1),
+      |summ AS (
+      |  SELECT count(*) AS n_regs, sum((bucket + 1) * reg)::BIGINT AS fp_regs,
+      |    sum(power(2.0, -reg)) AS s_present
+      |  FROM regs),
+      |ex AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS exact_cnt FROM lineitem)
+      |SELECT 64::BIGINT AS m, n_regs::BIGINT AS n_regs, fp_regs,
+      |  round(1e-9 + 0.709 * 4096.0 / (s_present + (64 - n_regs)), 2) AS est,
+      |  exact_cnt,
+      |  round(1e-9 + abs(0.709 * 4096.0 / (s_present + (64 - n_regs)) - exact_cnt)
+      |    / exact_cnt, 4) AS rel_err
+      |FROM summ CROSS JOIN ex""".stripMargin
+
+  /** PageRank (3 unrolled power iterations, damping 0.85) over the
+    * nation-level trade graph: an edge src→dst with weight = number of
+    * lineitems a customer in nation `src` bought from a supplier in
+    * nation `dst`. The expensive part at scale is the EDGE AGGREGATION —
+    * a corpus-sized 4-way join collapsed once into a (src, dst, w) table —
+    * after which every iteration touches only the edge table and the rank
+    * vector: join on src, re-aggregate on dst. Nothing corpus-sized is
+    * ever revisited.
+    *
+    * Scale design: dimension sides of the edge build are broadcast; the
+    * transition matrix is persisted and reused by all three iterations
+    * (at web scale you'd also checkpoint the rank vector per iteration to
+    * truncate lineage). Determinism: transition probabilities are exact
+    * integer ratios; each iteration's ranks are rounded to 7 decimals in
+    * both engines, so order-dependent float summation can never compound
+    * across iterations. Dangling-node mass is dropped identically in both
+    * engines (every nation has out-edges in this graph). */
+  def q81PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").as("src"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").as("dst"))
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val p = edges
+      .withColumn("outw", sum(col("w")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("outw")).as("p"))
+      .persist()
+    val nation = Tables.nation(spark, dir)
+    val nodes = nation.select(col("n_nationkey").as("node"))
+    var r = nodes.withColumn("pr", lit(1.0 / 25))
+    for (_ <- 1 to 3) {
+      val contrib = p.join(r, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("p") * col("pr")).as("inflow"))
+      r = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit(1e-9) + lit(0.15 / 25) +
+            lit(0.85) * coalesce(col("inflow"), lit(0.0)), 7).as("pr"))
+    }
+    r.join(broadcast(nation), col("node") === col("n_nationkey"))
+      .select(col("node").as("nation"), col("n_name"), col("pr"))
+      .orderBy(col("pr").desc, col("nation"))
+  }
+
+  val q81Sql: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT node, round(1e-9 + 0.15 / 25 + 0.85 * coalesce(inflow, 0.0), 7) AS pr
+         |  FROM nodes LEFT JOIN (
+         |    SELECT dst, sum(p.p * r.pr) AS inflow
+         |    FROM p JOIN $prev r ON p.src = r.node GROUP BY 1) c
+         |  ON node = c.dst)""".stripMargin
+    s"""WITH edges AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT src, dst, w::DOUBLE / sum(w) OVER (PARTITION BY src) AS p
+      |  FROM edges),
+      |nodes AS (SELECT n_nationkey AS node FROM nation),
+      |it0 AS (SELECT node, 1.0 / 25 AS pr FROM nodes),
+      |${iter("it0", "it1")},
+      |${iter("it1", "it2")},
+      |${iter("it2", "it3")}
+      |SELECT node AS nation, n_name, pr
+      |FROM it3 JOIN nation ON node = n_nationkey
+      |ORDER BY pr DESC, nation""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_selective_revenue" -> (q02SelectiveRevenue _),
@@ -551,7 +693,9 @@ object Relational {
     "q51_histogram" -> (q51Histogram _),
     "q54_order_lists" -> (q54OrderLists _),
     "q67_salted_agg" -> (q67SaltedAgg _),
-    "q77_zorder_layout" -> (q77ZorderLayout _)
+    "q77_zorder_layout" -> (q77ZorderLayout _),
+    "q78_hll_sketch" -> (q78HllSketch _),
+    "q81_pagerank" -> (q81PageRank _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -576,6 +720,8 @@ object Relational {
     "q51_histogram" -> q51Sql,
     "q54_order_lists" -> q54Sql,
     "q67_salted_agg" -> q67Sql,
-    "q77_zorder_layout" -> q77Sql
+    "q77_zorder_layout" -> q77Sql,
+    "q78_hll_sketch" -> q78Sql,
+    "q81_pagerank" -> q81Sql
   )
 }
