@@ -82,4 +82,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_"),
       "no map-side partial aggregation in q01")
   }
+
+  test("q78 HLL sketch: register max is partial-aggregated map-side") {
+    val p = plan("q78_hll_sketch")
+    assert(p.contains("partial_max") || p.contains("partial_"),
+      "HLL register merge lost its map-side partial — the exchange would " +
+        "carry every row instead of <=64 registers per partition")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q79 changelog compaction: one key shuffle + one group shuffle, no self-join") {
+    val p = plan("q79_changelog_compact")
+    assert(hashExchanges(p) <= 2, "compaction grew extra shuffles")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "latest-per-key must be a window, never a join against the maxima")
+  }
+
+  test("q80 SemDeDup: centroids broadcast, member table persisted once") {
+    val p = plan("q80_semdedup")
+    assert(p.contains("BroadcastHashJoin"), "centroid assignment lost its broadcast")
+    assert(p.contains("InMemoryTableScan"),
+      "member table recomputed per self-join side instead of persisted")
+    assert(!p.contains("CartesianProduct"),
+      "pairwise stage must stay an equi-join on the cluster id")
+  }
+
+  test("q81 PageRank: dims broadcast, transition matrix reused across iterations") {
+    val p = plan("q81_pagerank")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "customer/supplier dimensions lost their broadcast")
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+      "each iteration should reuse the persisted transition matrix, " +
+        "not rebuild the corpus-sized edge aggregation")
+  }
+
+  test("q82 gap-fill: grid scales with keys, not events") {
+    val p = plan("q82_gap_fill")
+    assert(!p.contains("CartesianProduct"),
+      "user x hour grid must come from a broadcast h0 + explode, not a cartesian")
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
