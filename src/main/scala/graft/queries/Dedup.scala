@@ -588,6 +588,92 @@ object Dedup {
       |FROM sz LEFT JOIN rs ON cluster = r_cluster
       |ORDER BY cluster""".stripMargin
 
+  /** Exact duplicated-span detection (the substring-level pass of
+    * "deduplicating training data" pipelines, cf. suffix-array dedup):
+    * for every document pair sharing a non-stop 8-gram, find the longest
+    * EXACTLY repeated token span. Matched 8-gram positions land on
+    * anti-diagonals (pa - pb constant); a span of s tokens shows up as a
+    * run of s-7 consecutive positions along one diagonal, so the longest
+    * span is a per-(pair, diagonal) run-length — three linear windows,
+    * never a character-level comparison.
+    *
+    * Scale design: candidate generation is the positional inverted index
+    * with a df-cap (shingles in >32 docs are dropped before the self-join
+    * — the stop-shingle k² guard q29 uses); the postings explode is
+    * repartitioned by doc up front and persisted so both join sides reuse
+    * one md5 expansion. The run-length windows partition by
+    * (pair, diagonal) — fine-grained keys, no skew pile-up. */
+  def q83DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val post = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(shingles(tokens(col("text")), 8)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"), h32(col("s")).as("h"))
+      .persist()
+    val hot = post.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > 32).select(col("h"))
+    val p = post.join(broadcast(hot), Seq("h"), "left_anti")
+    val m = p.as("a").join(p.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    val wd = Window.partitionBy(col("da"), col("db"), col("diag"))
+      .orderBy(col("pa"))
+    runsToSpans(m, wd)
+  }
+
+  /** Shared tail of q83: diagonal runs → per-pair longest span. */
+  private def runsToSpans(m: DataFrame,
+      wd: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    m.withColumn("prev", lag(col("pa"), 1).over(wd))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pa") - col("prev") =!= 1, 1).otherwise(0))
+      .withColumn("run_id", sum(col("brk"))
+        .over(wd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("da"), col("db"), col("diag"), col("run_id"))
+      .agg((count(lit(1)) + 7).as("span"))
+      .groupBy(col("da"), col("db"))
+      .agg(max(col("span")).as("max_span"), count(lit(1)).as("n_runs"))
+      .filter(col("max_span") >= 12)
+      .orderBy(col("da"), col("db"))
+
+  val q83Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |pidx AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+      |  FROM tok WHERE len(toks) >= 8),
+      |post AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 8))::BIGINT AS h
+      |  FROM pidx),
+      |hot AS (SELECT h FROM post GROUP BY h HAVING count(DISTINCT doc_id) > 32),
+      |p AS (SELECT * FROM post ANTI JOIN hot USING (h)),
+      |m AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, a.pos - b.pos AS diag
+      |  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id),
+      |runs AS (
+      |  SELECT da, db, diag, pa,
+      |    CASE WHEN lag(pa) OVER w IS NULL OR pa - lag(pa) OVER w <> 1
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM m WINDOW w AS (PARTITION BY da, db, diag ORDER BY pa)),
+      |rid AS (
+      |  SELECT da, db, diag, pa,
+      |    sum(brk) OVER (PARTITION BY da, db, diag ORDER BY pa
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM runs),
+      |spans AS (
+      |  SELECT da, db, diag, run_id, count(*) + 7 AS span
+      |  FROM rid GROUP BY 1, 2, 3, 4)
+      |SELECT da, db, max(span) AS max_span, count(*) AS n_runs
+      |FROM spans
+      |GROUP BY 1, 2
+      |HAVING max(span) >= 12
+      |ORDER BY da, db""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
@@ -596,7 +682,8 @@ object Dedup {
     "q32_embedding_neardup" -> (q32EmbeddingNeardup _),
     "q59_dup_clusters" -> (q59DupClusters _),
     "q76_cdc_chunking" -> (q76CdcChunking _),
-    "q80_semdedup" -> (q80SemDedup _)
+    "q80_semdedup" -> (q80SemDedup _),
+    "q83_dup_spans" -> (q83DupSpans _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -607,6 +694,7 @@ object Dedup {
     "q32_embedding_neardup" -> q32Sql,
     "q59_dup_clusters" -> q59Sql,
     "q76_cdc_chunking" -> q76Sql,
-    "q80_semdedup" -> q80Sql
+    "q80_semdedup" -> q80Sql,
+    "q83_dup_spans" -> q83Sql
   )
 }

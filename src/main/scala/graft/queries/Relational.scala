@@ -671,6 +671,108 @@ object Relational {
       |ORDER BY pr DESC, nation""".stripMargin
   }
 
+  /** Mergeable histogram-quantile sketch — the bounded-state alternative
+    * to q50's exact percentiles: one broadcast (min, max, n) pass sizes a
+    * 256-bin equi-width histogram, bin counts aggregate with map-side
+    * partials (the 256-long array IS the mergeable sketch state), and
+    * each quantile is linearly interpolated inside the first bin whose
+    * cumulative count crosses q·n. Reports estimate, exact value and the
+    * sketch error side by side.
+    *
+    * Scale design: the exact path needs a full sort (or percentile's
+    * collect-to-buffer per group) — the sketch path shuffles exactly 256
+    * rows no matter the corpus size, and two sketches merge by adding
+    * counts, so it composes with partial aggregation, streaming state and
+    * cross-shard rollup. The cumulative window runs over the 256-row
+    * histogram — single-partition by design, not a bottleneck. */
+  def q84QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("x"))
+    val ext = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+      count(lit(1)).as("n"))
+    // one binning pass shared by the sketch and the exact-selection path
+    val binned = li.crossJoin(broadcast(ext))
+      .select(col("x"),
+        least(floor((col("x") - col("mn")) * 256.0 / (col("mx") - col("mn"))),
+          lit(255.0)).cast("int").as("bin"))
+      .persist()
+    val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("cum_prev", col("cum") - col("cnt"))
+    val qdf = {
+      import spark.implicits._
+      qs.toDF("q")
+    }
+    val est = qdf.join(cum.crossJoin(broadcast(ext)),
+        col("q") * col("n") > col("cum_prev") &&
+          col("q") * col("n") <= col("cum"))
+      .select(col("q"), round(lit(1e-9) + col("mn") +
+        (col("bin") + (col("q") * col("n") - col("cum_prev")) / col("cnt")) *
+          (col("mx") - col("mn")) / 256.0, 4).as("est"))
+    // Exact quantiles by histogram-pruned selection, NOT a corpus-wide
+    // percentile(): a single-group percentile merges every value in one
+    // reducer buffer (profiled 3.2 s vs 0.5 s for the whole sketch at
+    // sf0.1, and unbounded memory at 100 TB). Instead the histogram
+    // locates the bin holding each needed order statistic, the broadcast
+    // needs-table prunes the scan to those ~n/256-row bins, and a
+    // row_number window ranks only the pruned candidates.
+    val needs = qdf.crossJoin(broadcast(ext))
+      .select(col("q"), (col("q") * (col("n") - 1)).as("h"), col("n"))
+      .select(col("q"), (col("h") - floor(col("h"))).as("frac"),
+        posexplode(array(floor(col("h")).cast("long") + 1,
+          least(floor(col("h")).cast("long") + 2, col("n"))))
+          .as(Seq("which", "k")))
+    val needsBin = needs.join(cum,
+        col("k") > col("cum_prev") && col("k") <= col("cum"))
+      .select(col("q"), col("frac"), col("which"), col("k"),
+        col("bin").as("nbin"), col("cum_prev"))
+    val selW = Window.partitionBy(col("q"), col("which")).orderBy(col("x"))
+    val exact = binned.join(broadcast(needsBin), col("bin") === col("nbin"))
+      .withColumn("rk", row_number().over(selW))
+      .filter(col("rk") === col("k") - col("cum_prev"))
+      .groupBy(col("q"))
+      .agg(max(when(col("which") === 0, col("x"))).as("lo"),
+        max(when(col("which") === 1, col("x"))).as("hi"),
+        max(col("frac")).as("frac"))
+      .select(col("q").as("eq"),
+        round(lit(1e-9) + col("lo") + (col("hi") - col("lo")) * col("frac"), 4)
+          .as("exact"))
+    est.join(broadcast(exact), col("q") === col("eq"))
+      .select(col("q"), col("est"), col("exact"),
+        round(lit(1e-9) + abs(col("est") - col("exact")), 4).as("abs_err"))
+      .orderBy(col("q"))
+  }
+
+  val q84Sql: String =
+    """WITH x AS (SELECT l_extendedprice AS x FROM lineitem),
+      |ext AS (SELECT min(x) AS mn, max(x) AS mx, count(*) AS n FROM x),
+      |hist AS (
+      |  SELECT least(floor((x - mn) * 256.0 / (mx - mn)), 255)::INT AS bin,
+      |    count(*) AS cnt
+      |  FROM x CROSS JOIN ext GROUP BY 1),
+      |cum AS (
+      |  SELECT bin, cnt,
+      |    sum(cnt) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM hist),
+      |cum2 AS (SELECT bin, cnt, cum, cum - cnt AS cum_prev FROM cum),
+      |qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+      |est AS (
+      |  SELECT q, round(1e-9 + mn +
+      |    (bin + (q * n - cum_prev) / cnt) * (mx - mn) / 256.0, 4) AS est
+      |  FROM qs, cum2, ext
+      |  WHERE q * n > cum_prev AND q * n <= cum),
+      |ex AS (
+      |  SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS eq,
+      |    unnest(qq) AS exact0
+      |  FROM (SELECT quantile_cont(x, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qq FROM x))
+      |SELECT q, est, round(1e-9 + exact0, 4) AS exact,
+      |  round(1e-9 + abs(est - round(1e-9 + exact0, 4)), 4) AS abs_err
+      |FROM est JOIN ex ON q = eq
+      |ORDER BY q""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_selective_revenue" -> (q02SelectiveRevenue _),
@@ -695,7 +797,8 @@ object Relational {
     "q67_salted_agg" -> (q67SaltedAgg _),
     "q77_zorder_layout" -> (q77ZorderLayout _),
     "q78_hll_sketch" -> (q78HllSketch _),
-    "q81_pagerank" -> (q81PageRank _)
+    "q81_pagerank" -> (q81PageRank _),
+    "q84_quantile_sketch" -> (q84QuantileSketch _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -722,6 +825,7 @@ object Relational {
     "q67_salted_agg" -> q67Sql,
     "q77_zorder_layout" -> q77Sql,
     "q78_hll_sketch" -> q78Sql,
-    "q81_pagerank" -> q81Sql
+    "q81_pagerank" -> q81Sql,
+    "q84_quantile_sketch" -> q84Sql
   )
 }

@@ -52,6 +52,51 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q84 sketch error is bounded by one bin width") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice").as("x"))
+    val Array(mn, mx) = li.agg(min(col("x")), max(col("x"))).collect()
+      .head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val width = (mx - mn) / 256.0
+    run("q84_quantile_sketch").collect().foreach { r =>
+      assert(r.getAs[Double]("abs_err") <= width + 1e-6,
+        s"sketch error ${r.getAs[Double]("abs_err")} exceeds bin width $width " +
+          s"at q=${r.getAs[Double]("q")}")
+    }
+  }
+
+  test("q83 reported spans equal the true longest common token substring") {
+    val rows = run("q83_dup_spans").collect()
+    assert(rows.nonEmpty, "fixture surfaces no duplicated spans")
+    val need = rows.take(5).flatMap(r =>
+      Seq(r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id").isInCollection(need))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .toMap
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      var best = 0
+      val dp = Array.fill(b.length + 1)(0)
+      for (i <- 1 to a.length) {
+        var diagPrev = 0 // dp(i-1)(j-1) before overwrite
+        for (j <- 1 to b.length) {
+          val tmp = dp(j)
+          dp(j) = if (a(i - 1) == b(j - 1)) diagPrev + 1 else 0
+          best = math.max(best, dp(j))
+          diagPrev = tmp
+        }
+      }
+      best
+    }
+    rows.take(5).foreach { r =>
+      val (da, db) = (r.getAs[Long]("da"), r.getAs[Long]("db"))
+      val truth = lcs(texts(da), texts(db))
+      assert(r.getAs[Long]("max_span") == truth.toLong,
+        s"pair ($da,$db): reported ${r.getAs[Long]("max_span")}, true LCS $truth")
+    }
+  }
+
   test("q82 gap-fill emits a dense 72-hour grid per user with correct gap flags") {
     val out = run("q82_gap_fill").persist()
     val perUser = out.groupBy(col("user_id")).agg(count(lit(1)).as("n"))

@@ -116,6 +116,24 @@ class PlanAuditSpec extends SparkSpec {
         "not rebuild the corpus-sized edge aggregation")
   }
 
+  test("q83 dup spans: df-cap is a broadcast anti-join, postings persisted") {
+    val p = plan("q83_dup_spans")
+    assert(p.contains("LeftAnti"), "stop-shingle cap lost its anti-join")
+    assert(p.contains("InMemoryTableScan"),
+      "positional postings recomputed per self-join side instead of persisted")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q84 quantile sketch: bin counts partial-aggregated, extent broadcast") {
+    val p = plan("q84_quantile_sketch")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "histogram lost its map-side partial — the exchange would carry " +
+        "every row instead of <=256 bins per partition")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "(min,max,n) extent row must be broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q82 gap-fill: grid scales with keys, not events") {
     val p = plan("q82_gap_fill")
     assert(!p.contains("CartesianProduct"),
