@@ -332,6 +332,52 @@ object EventOps {
       |FROM joined
       |ORDER BY user_id, hour_id""".stripMargin
 
+  /** Rolling 7-day active users (DAU / WAU): sliding-window COUNT
+    * DISTINCT, computed scalably via the explode-offset trick — each
+    * (day, user) contributes itself to the 7 window-end days it falls in,
+    * turning the sliding distinct into two plain hash aggregations. The
+    * naive alternatives both die at scale: a range self-join re-scans
+    * each day 7×AND builds pair rows; collect_set over a range window
+    * materializes per-day user sets in one reducer. Here the explode
+    * factor is the window length (bounded, 7) and every stage keeps
+    * map-side partials. Only full windows are reported.
+    *
+    * Day bucketing is integer division on int64 nanos (same rationale as
+    * q82 — 1.7e18 does not fit a double's exact-integer range). */
+  def q85RollingActives(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("ts_ns div 86400000000000").as("day"), col("user_id"))
+      .distinct()
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val dau = daily.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = daily
+      .select(explode(sequence(col("day"), col("day") + 6)).as("wday"),
+        col("user_id"))
+      .groupBy(col("wday")).agg(countDistinct(col("user_id")).as("wau7"))
+    dau.join(wau, col("day") === col("wday"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") >= col("mn") + 6 && col("day") <= col("mx"))
+      .select(col("day"), col("dau"), col("wau7"),
+        round(lit(1e-9) + col("dau").cast("double") / col("wau7"), 4)
+          .as("dau_wau"))
+      .orderBy(col("day"))
+  }
+
+  val q85Sql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+      |  FROM events),
+      |bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+      |dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY 1),
+      |wau AS (
+      |  SELECT day + i AS wday, user_id
+      |  FROM daily CROSS JOIN (SELECT unnest(range(0, 7)) AS i) g),
+      |wau2 AS (SELECT wday, count(DISTINCT user_id) AS wau7 FROM wau GROUP BY 1)
+      |SELECT day, dau, wau7, round(1e-9 + dau::DOUBLE / wau7, 4) AS dau_wau
+      |FROM dau JOIN wau2 ON day = wday CROSS JOIN bounds
+      |WHERE day >= mn + 6 AND day <= mx
+      |ORDER BY day""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q17_event_json" -> (q17EventJson _),
     "q18_hourly_volume" -> (q18HourlyVolume _),
@@ -342,7 +388,8 @@ object EventOps {
     "q47_funnel" -> (q47Funnel _),
     "q48_interval_join" -> (q48IntervalJoin _),
     "q79_changelog_compact" -> (q79ChangelogCompact _),
-    "q82_gap_fill" -> (q82GapFill _)
+    "q82_gap_fill" -> (q82GapFill _),
+    "q85_rolling_actives" -> (q85RollingActives _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -355,6 +402,7 @@ object EventOps {
     "q47_funnel" -> q47Sql,
     "q48_interval_join" -> q48Sql,
     "q79_changelog_compact" -> q79Sql,
-    "q82_gap_fill" -> q82Sql
+    "q82_gap_fill" -> q82Sql,
+    "q85_rolling_actives" -> q85Sql
   )
 }

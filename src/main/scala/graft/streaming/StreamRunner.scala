@@ -143,6 +143,45 @@ object StreamRunner {
       .withWatermark("ts", watermark)
       .dropDuplicates(keys :+ "ts")
 
+  /** Stream-stream interval join: match each left event with right events
+    * of the same key that happened inside the preceding `window`. Both
+    * sides carry a watermark and the join condition bounds event-time
+    * distance — together that is what lets Spark EVICT join state (a
+    * keyed stream-stream join without a time-range condition buffers both
+    * streams forever). State per key is O(events inside the watermark
+    * horizon), independent of stream length.
+    *
+    * The right side's key column is renamed internally so callers can
+    * join two projections of the same source without ambiguity. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String = "l_ts_ns", rightTs: String = "r_ts_ns",
+      window: String = "30 minutes", watermark: String = "2 hours"): DataFrame = {
+    val l = left
+      .withColumn("l_evt", timestamp_micros(expr(s"$leftTs div 1000")))
+      .withWatermark("l_evt", watermark)
+    val r = right.withColumnRenamed(key, s"${key}_r")
+      .withColumn("r_evt", timestamp_micros(expr(s"$rightTs div 1000")))
+      .withWatermark("r_evt", watermark)
+    l.join(r, col(key) === col(s"${key}_r") &&
+        col("r_evt") >= col("l_evt") - expr(s"INTERVAL $window") &&
+        col("r_evt") <= col("l_evt"))
+      .drop(s"${key}_r")
+  }
+
+  /** Event-time session windows via the built-in `session_window`: the
+    * declarative face of [[StatefulSessionize]] — dynamic-gap windows
+    * merge as events arrive, watermark closes (and emits) sessions whose
+    * gap has provably expired, and state is O(open sessions). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("n_events"))
+
   /** Graceful drain: finish the in-flight batch, then stop — the SIGTERM
     * contract (launcher.py:151-157). `awaitTermination` after `stop()` is
     * what "finish in-flight" means for a micro-batch engine. */

@@ -133,6 +133,100 @@ class StreamRunnerSpec extends SparkSpec {
     assert(total.get() == expected && matched.get() == expected)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val (src, ckp) = stageMessages(1)
+    val stream = StreamRunner.fileStream(spark, src, eventsSchema)
+      .withColumnRenamed("ts", "ts_ns")
+    val left = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts_ns").as("l_ts_ns"))
+    val right = stream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts_ns").as("r_ts_ns"))
+    val total = new java.util.concurrent.atomic.AtomicLong()
+    val q = StreamRunner.intervalJoinStreams(left, right, "user_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        total.addAndGet(batch.count()); ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_ns").as("c_ts"))
+    val expected = p.join(c, col("user_id") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - lit(1800L * 1000 * 1000 * 1000) &&
+      col("c_ts") <= col("p_ts")).count()
+    assert(total.get() == expected,
+      s"streamed ${total.get()} joined rows, batch says $expected")
+  }
+
+  test("session windows close at the watermark and match batch sessionization") {
+    val src = Files.createTempDirectory("graft_sess_src")
+    val ckp = Files.createTempDirectory("graft_sess_ckp")
+    // two time-ordered files so the watermark advances between batches
+    val ev = graft.sources.Tables.events(spark, sf)
+    val cut = ev.agg(expr("percentile_approx(ts_ns, 0.5D)")).collect().head.getLong(0)
+    ev.filter(col("ts_ns") < cut).coalesce(1).write.mode("overwrite")
+      .parquet(src.resolve("part1").toString)
+    ev.filter(col("ts_ns") >= cut).coalesce(1).write.mode("overwrite")
+      .parquet(src.resolve("part2").toString)
+    val stage = Files.createTempDirectory("graft_sess_files")
+    var i = 0
+    for (part <- Seq("part1", "part2")) {
+      Files.list(src.resolve(part)).filter(_.toString.endsWith(".parquet"))
+        .forEach { f =>
+          val dst = stage.resolve(s"f$i.parquet")
+          Files.copy(f, dst)
+          // the file source orders the backlog by modification time: pin
+          // it so part1 is always batch 0 and the watermark advances
+          // monotonically with event time
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1)))
+          i += 1
+        }
+    }
+    val schema = ev.select(col("ts_ns"), col("user_id")).schema
+    val stream = StreamRunner
+      .fileStream(spark, stage.toString, schema)
+    val q = StreamRunner.sessionWindows(stream, watermark = "0 seconds")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("sessions_test")
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sessions_test")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // batch truth: lag-based sessions, keeping only sessions CLOSED by the
+    // final watermark (last event + gap <= max event time)
+    val gapNs = 1800L * 1000 * 1000 * 1000
+    val maxTs = ev.agg(max(col("ts_ns"))).collect().head.getLong(0)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ns"))
+    val closed = ev
+      .withColumn("prev", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts_ns") - col("prev") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts_ns")).as("last_ts"))
+      .filter(col("last_ts") + gapNs <= maxTs)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == closed,
+      s"streamed ${streamed.size} users vs batch ${closed.size}")
+  }
+
   test("graceful stop terminates a continuous query") {
     val (src, ckp) = stageMessages(1)
     val stream = StreamRunner.fileStream(spark, src, eventsSchema)
