@@ -547,6 +547,58 @@ object TextAnalysis {
       |WHERE rk IN (1, 2, 4, 8, 16)
       |ORDER BY rk""".stripMargin
 
+  /** Per-language distinct-token estimate via the reusable
+    * [[graft.functions.Hll]] typed Aggregator — the grouped form of q78:
+    * `count(distinct tok)` per group forces an expand + full (lang, tok)
+    * shuffle; the sketch ships 64 bytes per (partition, lang) instead.
+    * The exact count rides along for the error report (and is the
+    * oracle's strong check on the register math).
+    *
+    * The oracle replays the identical register computation in SQL, so a
+    * hash-match here proves the Aggregator's reduce/merge/finish path is
+    * numerically identical to the declarative chain. */
+  def q86LangVocabHll(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .persist() // shared by the sketch and the exact baseline
+    val est = toks.select(col("lang"), h32(col("tok")).as("h"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.Hll.approxDistinct(col("h")).as("est_raw"))
+    val exact = toks.groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("exact_cnt"))
+    est.join(exact, "lang")
+      .select(col("lang"),
+        round(lit(1e-9) + col("est_raw"), 2).as("est"),
+        col("exact_cnt"),
+        round(lit(1e-9) + abs(col("est_raw") - col("exact_cnt")) /
+          col("exact_cnt"), 4).as("rel_err"))
+      .orderBy(col("lang"))
+  }
+
+  val q86Sql: String =
+    """WITH tok AS (
+      |  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+      |  FROM documents),
+      |r AS (
+      |  SELECT lang, h & 63 AS bucket, h >> 6 AS w FROM (
+      |    SELECT lang, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok)),
+      |regs AS (
+      |  SELECT lang, bucket,
+      |    max(CASE WHEN w = 0 THEN 27
+      |             ELSE 27 - length(format('{:b}', w)) END) AS reg
+      |  FROM r GROUP BY 1, 2),
+      |summ AS (
+      |  SELECT lang, count(*) AS n_regs, sum(power(2.0, -reg)) AS s_present
+      |  FROM regs GROUP BY 1),
+      |ex AS (SELECT lang, count(DISTINCT tok)::BIGINT AS exact_cnt FROM tok GROUP BY 1)
+      |SELECT lang,
+      |  round(1e-9 + 0.709 * 4096.0 / (s_present + (64 - n_regs)), 2) AS est,
+      |  exact_cnt,
+      |  round(1e-9 + abs(0.709 * 4096.0 / (s_present + (64 - n_regs)) - exact_cnt)
+      |    / exact_cnt, 4) AS rel_err
+      |FROM summ JOIN ex USING (lang)
+      |ORDER BY lang""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q23_token_stats" -> (q23TokenStats _),
     "q24_quality_score" -> (q24QualityScore _),
@@ -559,7 +611,8 @@ object TextAnalysis {
     "q66_bpe_first_merge" -> (q66BpeFirstMerge _),
     "q71_boilerplate" -> (q71Boilerplate _),
     "q72_tfidf" -> (q72Tfidf _),
-    "q74_vocab_coverage" -> (q74VocabCoverage _)
+    "q74_vocab_coverage" -> (q74VocabCoverage _),
+    "q86_lang_vocab_hll" -> (q86LangVocabHll _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -574,6 +627,7 @@ object TextAnalysis {
     "q66_bpe_first_merge" -> q66Sql,
     "q71_boilerplate" -> q71Sql,
     "q72_tfidf" -> q72Sql,
-    "q74_vocab_coverage" -> q74Sql
+    "q74_vocab_coverage" -> q74Sql,
+    "q86_lang_vocab_hll" -> q86Sql
   )
 }
