@@ -414,6 +414,72 @@ object Curation {
       |GROUP BY 1
       |ORDER BY shard""".stripMargin
 
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * hashed-ngram importance resampling): score every document by how
+    * much more likely its hashed-bigram profile is under the TARGET
+    * distribution (here: the `en` slice) than under the RAW corpus —
+    * w(doc) = Σ_bigram [ln p_t(bucket) − ln p_r(bucket)], with 256 hash
+    * buckets and Laplace smoothing. Reports the top-10 documents a
+    * target-matched resample would keep.
+    *
+    * Determinism: each bucket's log-ratio is rounded to 6 decimals BEFORE
+    * the per-doc sum, so libm ulp differences between engines cannot
+    * accumulate; the final weight is rounded after. Scale design: the
+    * bucket tables are 256 rows (broadcast); per-doc scoring is one
+    * map-side join + hash aggregation; the global top-10 uses the bounded
+    * TopK aggregator, never a corpus sort. */
+  def q88ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(shingles(tokens(col("text")), 2)).as("bg"))
+      .select(col("doc_id"), col("lang"), (h32(col("bg")) % 256).as("b"))
+      .persist()
+    val raw = bi.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = bi.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = bi.agg(count(lit(1)).as("tr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"), round(lit(1e-9) +
+        log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("tt") + 256)) -
+        log((col("cr") + 1).cast("double") / (col("tr") + 256)), 6).as("lr"))
+    val w = bi.join(broadcast(lr), "b")
+      .groupBy(col("doc_id")).agg(sum(col("lr")).as("w_raw"))
+    w.agg(graft.operators.TopK.topk(10)(col("w_raw"), col("doc_id")).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "t")))
+      .select((col("i") + 1).cast("int").as("rk"), col("t._2").as("doc_id"),
+        round(lit(1e-9) + col("t._1"), 4).as("weight"))
+      .orderBy(col("rk"))
+  }
+
+  val q88Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(array_to_string(toks[i:i+1], ' ')), 1, 8))::BIGINT % 256 AS b
+      |  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+      |        FROM tok WHERE len(toks) >= 2)),
+      |raw AS (SELECT b, count(*) AS cr FROM bg GROUP BY 1),
+      |tgt AS (SELECT b, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY 1),
+      |tot AS (
+      |  SELECT count(*) AS tr, count(*) FILTER (WHERE lang = 'en') AS tt FROM bg),
+      |lr AS (
+      |  SELECT b, round(1e-9 + ln((coalesce(ct, 0) + 1)::DOUBLE / (tt + 256))
+      |                       - ln((cr + 1)::DOUBLE / (tr + 256)), 6) AS lr
+      |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+      |w AS (SELECT doc_id, sum(lr) AS w_raw FROM bg JOIN lr USING (b) GROUP BY 1),
+      |ranked AS (
+      |  SELECT doc_id, w_raw,
+      |    row_number() OVER (ORDER BY w_raw DESC, doc_id) AS rk
+      |  FROM w)
+      |SELECT rk::INT AS rk, doc_id, round(1e-9 + w_raw, 4) AS weight
+      |FROM ranked WHERE rk <= 10
+      |ORDER BY rk""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
@@ -422,7 +488,8 @@ object Curation {
     "q62_mix_weights" -> (q62MixWeights _),
     "q65_sequence_packing" -> (q65SequencePacking _),
     "q73_weighted_sample" -> (q73WeightedSample _),
-    "q75_shard_assign" -> (q75ShardAssign _)
+    "q75_shard_assign" -> (q75ShardAssign _),
+    "q88_importance_weights" -> (q88ImportanceWeights _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -433,6 +500,7 @@ object Curation {
     "q62_mix_weights" -> q62Sql,
     "q65_sequence_packing" -> q65Sql,
     "q73_weighted_sample" -> q73Sql,
-    "q75_shard_assign" -> q75Sql
+    "q75_shard_assign" -> q75Sql,
+    "q88_importance_weights" -> q88Sql
   )
 }

@@ -581,6 +581,76 @@ object Similarity {
       |FROM ranked WHERE rk <= 5
       |ORDER BY qid, rk""".stripMargin
 
+  /** Contrastive-pair mining: for each query vector, the hardest positive
+    * (nearest neighbor with the SAME label) and the hardest negative
+    * (nearest with a DIFFERENT label), plus the margin between them — the
+    * batch-mining pass that builds triplet/contrastive training sets from
+    * an embedded corpus. A negative margin flags a query whose nearest
+    * other-class neighbor is closer than its nearest same-class one (the
+    * pairs a metric-learning loss learns the most from).
+    *
+    * Scale design: one scored pass (broadcast query side), persisted and
+    * consumed by TWO bounded TopK aggregations — the label filter rides
+    * the aggregation input, so neither branch re-scores; no window sort
+    * anywhere. In production the scored pass would be the ANN candidate
+    * stream (q34/q36) instead of brute force. */
+  def q87ContrastiveMining(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw",
+        dotCol(col("qv"), col("v")) / sqrt(col("qnrm") * col("nrm")))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        col("cos_raw"))
+      .persist()
+    def top1(cond: org.apache.spark.sql.Column) = scored.filter(cond)
+      .groupBy(col("qid"))
+      .agg(graft.operators.TopK.topk(1)(col("cos_raw"), col("vec_id")).as("t"))
+      .select(col("qid"), col("t")(0).getField("_2").as("id"),
+        col("t")(0).getField("_1").as("cos"))
+    val pos = top1(col("label") === col("qlabel"))
+      .select(col("qid").as("p_qid"), col("id").as("pos_id"),
+        col("cos").as("pos_raw"))
+    val neg = top1(col("label") =!= col("qlabel"))
+      .select(col("qid").as("n_qid"), col("id").as("neg_id"),
+        col("cos").as("neg_raw"))
+    pos.join(neg, col("p_qid") === col("n_qid"))
+      .select(col("p_qid").as("qid"), col("pos_id"),
+        round(lit(1e-9) + col("pos_raw"), 5).as("pos_cos"),
+        col("neg_id"), round(lit(1e-9) + col("neg_raw"), 5).as("neg_cos"),
+        round(lit(1e-9) + (col("pos_raw") - col("neg_raw")), 5).as("margin"))
+      .orderBy(col("qid"))
+  }
+
+  val q87Sql: String =
+    s"""WITH $vecsSql,
+      |q AS (
+      |  SELECT vec_id AS qid, label AS qlabel, embedding AS qv, nrm AS qnrm
+      |  FROM e WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT qid, qlabel, vec_id, label,
+      |    list_reduce(list_transform(range(1, len(qv) + 1),
+      |      i -> qv[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)
+      |      / sqrt(qnrm * nrm) AS cos_raw
+      |  FROM e JOIN q ON vec_id <> qid),
+      |pos AS (
+      |  SELECT qid, vec_id AS pos_id, cos_raw AS pos_raw FROM (
+      |    SELECT qid, vec_id, cos_raw,
+      |      row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rk
+      |    FROM scored WHERE label = qlabel) WHERE rk = 1),
+      |neg AS (
+      |  SELECT qid, vec_id AS neg_id, cos_raw AS neg_raw FROM (
+      |    SELECT qid, vec_id, cos_raw,
+      |      row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id) AS rk
+      |    FROM scored WHERE label <> qlabel) WHERE rk = 1)
+      |SELECT pos.qid AS qid, pos_id, round(1e-9 + pos_raw, 5) AS pos_cos,
+      |  neg_id, round(1e-9 + neg_raw, 5) AS neg_cos,
+      |  round(1e-9 + (pos_raw - neg_raw), 5) AS margin
+      |FROM pos JOIN neg ON pos.qid = neg.qid
+      |ORDER BY qid""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q33_ann_bruteforce" -> (q33AnnBruteforce _),
     "q34_ann_lsh" -> (q34AnnLsh _),
@@ -589,7 +659,8 @@ object Similarity {
     "q58_quantization" -> (q58Quantization _),
     "q68_ann_recall" -> (q68AnnRecall _),
     "q69_kmeans_refine" -> (q69KmeansRefine _),
-    "q70_ivfpq_adc" -> (q70IvfPqAdc _)
+    "q70_ivfpq_adc" -> (q70IvfPqAdc _),
+    "q87_contrastive_mining" -> (q87ContrastiveMining _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -600,6 +671,7 @@ object Similarity {
     "q58_quantization" -> q58Sql,
     "q68_ann_recall" -> q68Sql,
     "q69_kmeans_refine" -> q69Sql,
-    "q70_ivfpq_adc" -> q70Sql
+    "q70_ivfpq_adc" -> q70Sql,
+    "q87_contrastive_mining" -> q87Sql
   )
 }

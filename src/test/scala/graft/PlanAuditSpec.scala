@@ -134,6 +134,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q87 contrastive mining: scored pass persisted, bounded TopK, no window") {
+    val p = plan("q87_contrastive_mining")
+    assert(p.contains("InMemoryTableScan"),
+      "scored pass recomputed per pos/neg branch instead of persisted")
+    assert(p.contains("ObjectHashAggregate"), "TopK aggregation missing")
+    assert(!p.contains("Window ["), "window rank crept into the top-1 branches")
+  }
+
+  test("q88 importance weights: bucket tables broadcast, TopK instead of sort") {
+    val p = plan("q88_importance_weights")
+    assert(p.contains("BroadcastHashJoin"), "log-ratio table lost its broadcast")
+    assert(p.contains("ObjectHashAggregate"), "TopK aggregation missing")
+    assert(!p.contains("Window ["),
+      "global top-10 must not window-rank the corpus")
+  }
+
   test("q82 gap-fill: grid scales with keys, not events") {
     val p = plan("q82_gap_fill")
     assert(!p.contains("CartesianProduct"),
