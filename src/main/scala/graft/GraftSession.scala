@@ -42,6 +42,7 @@ object GraftSession {
     graft.functions.VecOps.register(spark)
     graft.functions.HashExprs.register(spark)
     graft.functions.NGramStats.register(spark)
+    graft.functions.ShingleH32.register(spark)
   }
 
   /** Make an externally-created session (e.g. the driver's) safe for graft

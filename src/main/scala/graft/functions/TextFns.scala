@@ -45,6 +45,16 @@ object TextFns {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Hashed word-level n-gram shingles in one native pass — numerically
+    * identical to `transform(shingles(tokens(c), n), h32)` but without the
+    * interpreted HOF chain or any intermediate strings (see
+    * [[ShingleH32]]).
+    * DuckDB: `list_transform(range(1, len(toks) - n + 2),
+    *            i -> ('0x' || substr(md5(array_to_string(toks[i:i+n-1],
+    *            ' ')), 1, 8))::BIGINT)`. */
+  def shingleH32(c: Column, n: Int): Column =
+    call_function("shingle_h32", c.cast("string"), lit(n))
+
   /** Rolling polynomial fingerprint of a string array:
     * fold (acc * b + h32(t)) % P with acc0 = 0.
     * DuckDB: `list_reduce(list_prepend(0::BIGINT, list_transform(toks,

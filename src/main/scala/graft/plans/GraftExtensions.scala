@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ComposeExpr, DotF64, H32Md5, HashExprs, NGramStats, NGramStatsExpr, VecOps}
+import graft.functions.{ComposeExpr, DotF64, H32Md5, HashExprs, NGramStats, NGramStatsExpr, ShingleH32, ShingleH32Expr, VecOps}
 
 /** Session-extensions entry point — makes the library installable without
   * code changes:
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotF64)
     ext.injectFunction(GraftExtensions.h32Md5)
     ext.injectFunction(GraftExtensions.ngramStats)
+    ext.injectFunction(GraftExtensions.shingleH32)
   }
 }
 
@@ -55,4 +56,10 @@ object GraftExtensions {
     (FunctionIdentifier("ngram_stats"),
       new ExpressionInfo(classOf[NGramStatsExpr].getName, "ngram_stats"),
       NGramStats.builder _)
+
+  /** (name, info, builder) triple for `shingle_h32(text, n)`. */
+  val shingleH32: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("shingle_h32"),
+      new ExpressionInfo(classOf[ShingleH32Expr].getName, "shingle_h32"),
+      ShingleH32.builder _)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.functions.TextFns.{h32, shingles, tokens, P}
+import graft.functions.TextFns.{h32, shingleH32, shingles, tokens, P}
 
 /** Corpus-curation pack: the selection/splitting stage of a training-data
   * pipeline. Both operators are pure per-row hash/rank arithmetic — no
@@ -95,8 +95,7 @@ object Curation {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("bucket", h32(concat(lit("split_"), col("doc_id"))) % 100)
       .select(col("doc_id"), col("bucket"),
-        explode(shingles(tokens(col("text")), 8)).as("s"))
-      .select(col("doc_id"), col("bucket"), h32(col("s")).as("h"))
+        explode(shingleH32(col("text"), 8)).as("h"))
       .distinct()
       // both split sides read this once; single-node analog of writing
       // the postings table (see Dedup.shPostings for the full rationale —
@@ -432,8 +431,8 @@ object Curation {
     val bi = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("lang"),
-        explode(shingles(tokens(col("text")), 2)).as("bg"))
-      .select(col("doc_id"), col("lang"), (h32(col("bg")) % 256).as("b"))
+        explode(shingleH32(col("text"), 2)).as("hb"))
+      .select(col("doc_id"), col("lang"), (col("hb") % 256).as("b"))
       .persist()
     val raw = bi.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val tgt = bi.filter(col("lang") === "en")

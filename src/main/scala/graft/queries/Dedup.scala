@@ -55,8 +55,7 @@ object Dedup {
       // serializing the expansion it exists to parallelize
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
-        explode(shingles(tokens(col("text")), 3)).as("s"))
-      .select(col("doc_id"), h32(col("s")).as("h"))
+        explode(shingleH32(col("text"), 3)).as("h"))
       .distinct()
       // materialize: every dedup query self-joins these postings (and the
       // shuffle-free per-doc pipeline above leaves no exchange for Spark's
@@ -608,8 +607,7 @@ object Dedup {
     val post = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
-        posexplode(shingles(tokens(col("text")), 8)).as(Seq("pos", "s")))
-      .select(col("doc_id"), col("pos"), h32(col("s")).as("h"))
+        posexplode(shingleH32(col("text"), 8)).as(Seq("pos", "h")))
       .persist()
     val hot = post.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))

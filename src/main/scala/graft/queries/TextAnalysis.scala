@@ -419,8 +419,7 @@ object TextAnalysis {
   def q71Boilerplate(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("s"))
-      .select(col("doc_id"), h32(col("s")).as("h"))
+      .select(col("doc_id"), explode(shingleH32(col("text"), 2)).as("h"))
     val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
     val boiler = sh.distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))

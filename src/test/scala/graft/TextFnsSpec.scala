@@ -27,6 +27,26 @@ class TextFnsSpec extends SparkSpec {
     assert(one(size(shingles(tokens(lit("")), 3))) == 0)
   }
 
+  test("shingle_h32 kernel is element-identical to the declarative chain") {
+    // corpus texts: every (doc, n) pair must match transform(shingles(tokens))
+    for (n <- Seq(2, 3, 8)) {
+      val mismatches = graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          shingleH32(col("text"), n).as("kern"),
+          transform(shingles(tokens(col("text")), n), s => h32(s)).as("decl"))
+        .filter(not(col("kern") <=> col("decl")))
+        .count()
+      assert(mismatches == 0, s"n=$n: kernel diverges from declarative chain")
+    }
+    // edge cases: consecutive/leading/trailing spaces, short and empty text
+    for (txt <- Seq("a  b   c d", "  a b ", "a b", "", "   ", "one")) {
+      val r = one(struct(shingleH32(lit(txt), 3).as("k"),
+        transform(shingles(tokens(lit(txt)), 3), s => h32(s)).as("d")))
+        .asInstanceOf[org.apache.spark.sql.Row]
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"text '$txt' diverged")
+    }
+  }
+
   test("rollingFp: empty -> 0, order-sensitive, stays within the modulus") {
     assert(one(rollingFp(array().cast("array<string>"))) == 0L)
     val ab = one(rollingFp(array(lit("a"), lit("b")))).asInstanceOf[Long]
