@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc per-query profiler: `runMain graft.QTime q30_minhash_lsh [reps]
+  * [explain]`. Times each named query cold (cache cleared between reps,
+  * like Bench) and optionally prints the formatted physical plan. */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names = args.filter(a => !a.forall(_.isDigit) && a != "explain")
+    val reps = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(2)
+    val doExplain = args.contains("explain")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      if (doExplain) fn(spark, sfDir).explain("formatted")
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        sec
+      }
+      println(f"QTIME $name min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

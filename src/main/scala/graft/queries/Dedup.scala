@@ -170,11 +170,6 @@ object Dedup {
     * on the band key, and the quadratic verify touches only collisions. */
   def q30MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // NOTE: in a long-lived deployment the postings would be persisted and
-    // explicitly unpersisted after the run (the reference persists checked
-    // datasets the same way); here the query must stay self-contained, and
-    // a leaked cache would steal executor storage memory from every later
-    // query in the session — recomputing the cheap scan+project wins.
     val sh = shPostings(spark, dir)
     // ONE shuffle for the whole signature: the 16 permutation minima are
     // parallel aggregates over the postings (instead of exploding postings
@@ -672,6 +667,51 @@ object Dedup {
       |HAVING max(span) >= 12
       |ORDER BY da, db""".stripMargin
 
+  /** Truncation (prefix) duplicate pairs: doc A is a strict token-boundary
+    * prefix of doc B — the web-scrape failure mode (cut-off fetches,
+    * pagination tails, "read more" stubs) that whole-document hashing
+    * (q28) cannot see and similarity thresholds only catch when the
+    * truncation is mild. Blocking key is the rolling fingerprint of the
+    * first 8 tokens: every true prefix pair shares it by construction, so
+    * the equi-join generates exactly the same-head candidates and the
+    * quadratic verify runs per 8-token-head bucket, never corpus-wide.
+    * The verify itself is one string compare — B starts with A + " "
+    * (token-boundary strictness and A≠B in a single predicate).
+    *
+    * Scale design: one shuffle of (key, head-fingerprint) per side; at
+    * 100 TB the head-fingerprint distribution is near-uniform (md5-based)
+    * so the self-join has no hot keys, and AQE's skew split covers any
+    * boilerplate-head pileups. */
+  def q93PrefixDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        rollingFp(slice(tokens(col("text")), 1, 8)).as("k8"))
+    d.as("a").join(d.as("b"),
+        col("a.k8") === col("b.k8") &&
+          col("b.text").startsWith(concat(col("a.text"), lit(" "))))
+      .select(col("a.doc_id").as("prefix_doc"), col("b.doc_id").as("full_doc"),
+        col("a.n_toks").as("prefix_toks"), col("b.n_toks").as("full_toks"))
+      .orderBy(col("prefix_doc"), col("full_doc"))
+  }
+
+  val q93Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, text, len(toks)::BIGINT AS n_toks,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(toks[1:8], t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS k8
+      |  FROM d)
+      |SELECT a.doc_id AS prefix_doc, b.doc_id AS full_doc,
+      |  a.n_toks AS prefix_toks, b.n_toks AS full_toks
+      |FROM k a JOIN k b
+      |  ON a.k8 = b.k8 AND starts_with(b.text, a.text || ' ')
+      |ORDER BY prefix_doc, full_doc""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
@@ -681,7 +721,8 @@ object Dedup {
     "q59_dup_clusters" -> (q59DupClusters _),
     "q76_cdc_chunking" -> (q76CdcChunking _),
     "q80_semdedup" -> (q80SemDedup _),
-    "q83_dup_spans" -> (q83DupSpans _)
+    "q83_dup_spans" -> (q83DupSpans _),
+    "q93_prefix_dup" -> (q93PrefixDup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -693,6 +734,7 @@ object Dedup {
     "q59_dup_clusters" -> q59Sql,
     "q76_cdc_chunking" -> q76Sql,
     "q80_semdedup" -> q80Sql,
-    "q83_dup_spans" -> q83Sql
+    "q83_dup_spans" -> q83Sql,
+    "q93_prefix_dup" -> q93Sql
   )
 }

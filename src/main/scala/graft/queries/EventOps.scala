@@ -378,6 +378,103 @@ object EventOps {
       |WHERE day >= mn + 6 AND day <= mx
       |ORDER BY day""".stripMargin
 
+  /** Cohort retention matrix: users bucketed by first-active week, then
+    * per (cohort, week-offset) distinct-active counts and the retention
+    * rate vs the cohort's size. Weeks are integer seven-day buckets on
+    * the int64 nano epoch-day (same rationale as q82/q85 — no calendar
+    * semantics to diverge between engines).
+    *
+    * Scale design: the whole query is three hash aggregations on
+    * (user, week) → (user) → (cohort, offset); the per-user cohort rides
+    * along as a min() carried through the second aggregation, so there is
+    * no self-join of the activity table against the cohort table — at
+    * 100 TB the events scan aggregates map-side to one row per active
+    * (user, week) and everything after is distinct-user-sized. The
+    * cohort-size lookup joins the offset-0 row back — a result-sized
+    * broadcast, not an events-sized one. */
+  def q90RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(spark, dir)
+      .select(col("user_id"), expr("(ts_ns div 86400000000000) div 7").as("wk"))
+      .distinct()
+    val cohort = weekly.groupBy(col("user_id")).agg(min(col("wk")).as("c0"))
+    val cell = weekly.join(cohort, Seq("user_id"))
+      .groupBy(col("c0").as("cohort_week"), (col("wk") - col("c0")).as("offset_wk"))
+      .agg(count(lit(1)).as("n_users"))
+      // result-sized (cohorts × offsets); without it the offset-0 size
+      // lookup recomputes the whole weekly→cohort→cell subtree (the
+      // pushed-down `offset = 0` predicate changes the plan enough that
+      // exchange reuse can't latch on)
+      .persist()
+    val size = cell.filter(col("offset_wk") === 0)
+      .select(col("cohort_week").as("sz_wk"), col("n_users").as("cohort_size"))
+    cell.join(broadcast(size), col("cohort_week") === col("sz_wk"))
+      .select(col("cohort_week"), col("offset_wk"), col("n_users"),
+        round(lit(1e-9) + col("n_users").cast("double") / col("cohort_size"), 5)
+          .as("retention"))
+      .orderBy(col("cohort_week"), col("offset_wk"))
+  }
+
+  val q90Sql: String =
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id, (epoch_ns(ts) // 86400000000000) // 7 AS wk
+      |  FROM events),
+      |cohort AS (SELECT user_id, min(wk) AS c0 FROM weekly GROUP BY 1),
+      |cell AS (
+      |  SELECT c0 AS cohort_week, wk - c0 AS offset_wk, count(*) AS n_users
+      |  FROM weekly JOIN cohort USING (user_id)
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT cohort_week AS sz_wk, n_users AS cohort_size
+      |       FROM cell WHERE offset_wk = 0)
+      |SELECT cohort_week, offset_wk, n_users,
+      |  round(1e-9 + n_users::DOUBLE / cohort_size, 5) AS retention
+      |FROM cell JOIN sz ON cohort_week = sz_wk
+      |ORDER BY cohort_week, offset_wk""".stripMargin
+
+  /** Per-user daily-volume anomaly days: a user's day is an outlier when
+    * its event count exceeds the user's own mean by 2 sample standard
+    * deviations (computed over the user's active days; users with fewer
+    * than 5 active days or zero variance are skipped). The classic
+    * z-score burst detector over grouped time series.
+    *
+    * Scale design: daily counts are one map-side-combined aggregation of
+    * the events scan, and the per-user moments ride as unbounded window
+    * aggregates over the (user, day) table — no moments join, no second
+    * scan of the counts. Two exchanges total, both carrying the already-
+    * aggregated user-day rows, never raw events. */
+  def q91OutlierDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("user_id"))
+    daily
+      // one projection → one Window node (a withColumn chain splits the
+      // same-spec aggregates across two Window operators)
+      .select(col("user_id"), col("day"), col("cnt"),
+        avg(col("cnt")).over(w).as("mu"),
+        stddev_samp(col("cnt")).over(w).as("sd"),
+        count(lit(1)).over(w).as("n_days"))
+      .filter(col("n_days") >= 5 && col("sd") > 0 &&
+        col("cnt") > col("mu") + lit(2.0) * col("sd"))
+      .select(col("user_id"), col("day"), col("cnt"),
+        round(lit(1e-9) + (col("cnt") - col("mu")) / col("sd"), 4).as("z"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q91Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT user_id AS s_user, avg(cnt) AS mu, stddev_samp(cnt) AS sd,
+      |    count(*) AS n_days
+      |  FROM daily GROUP BY 1
+      |  HAVING count(*) >= 5 AND stddev_samp(cnt) > 0)
+      |SELECT user_id, day, cnt, round(1e-9 + (cnt - mu) / sd, 4) AS z
+      |FROM daily JOIN stats ON user_id = s_user
+      |WHERE cnt > mu + 2.0 * sd
+      |ORDER BY user_id, day""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q17_event_json" -> (q17EventJson _),
     "q18_hourly_volume" -> (q18HourlyVolume _),
@@ -389,7 +486,9 @@ object EventOps {
     "q48_interval_join" -> (q48IntervalJoin _),
     "q79_changelog_compact" -> (q79ChangelogCompact _),
     "q82_gap_fill" -> (q82GapFill _),
-    "q85_rolling_actives" -> (q85RollingActives _)
+    "q85_rolling_actives" -> (q85RollingActives _),
+    "q90_retention_cohorts" -> (q90RetentionCohorts _),
+    "q91_outlier_days" -> (q91OutlierDays _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -403,6 +502,8 @@ object EventOps {
     "q48_interval_join" -> q48Sql,
     "q79_changelog_compact" -> q79Sql,
     "q82_gap_fill" -> q82Sql,
-    "q85_rolling_actives" -> q85Sql
+    "q85_rolling_actives" -> q85Sql,
+    "q90_retention_cohorts" -> q90Sql,
+    "q91_outlier_days" -> q91Sql
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -773,6 +773,150 @@ object Relational {
       |FROM est JOIN ex ON q = eq
       |ORDER BY q""".stripMargin
 
+  /** Per-node triangle counts on the token co-occurrence graph (tokens
+    * adjacent in some document are connected). Triangles are enumerated
+    * once each by the standard distributed wedge join: edges are oriented
+    * low→high endpoint, e1(a,b)⋈e2(b,c) builds the wedges and e3(a,c)
+    * closes them, so a triangle a<b<c appears exactly once.
+    *
+    * Scale design: candidate volume is the wedge count Σ deg(v)² — the
+    * production refinement is orienting edges by degree instead of by
+    * name (same join, wedge count drops to O(m^1.5)); ordering here is
+    * lexicographic so the oracle can mirror it. The edge list is built
+    * once (persist) and reused by all three join sides plus the degree
+    * pass; every join is a plain hash equi-join on edge endpoints. */
+  def q89TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.{tokens, shingles}
+    val bg = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(shingles(tokens(col("text")), 2)).as("bg"))
+      .select(split(col("bg"), " ").as("p"))
+      .select(element_at(col("p"), 1).as("t1"), element_at(col("p"), 2).as("t2"))
+    val edges = bg.filter(col("t1") =!= col("t2"))
+      .select(least(col("t1"), col("t2")).as("src"),
+        greatest(col("t1"), col("t2")).as("dst"))
+      .distinct()
+      .persist()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e2.src") === col("e1.dst"))
+      .join(edges.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val deg = edges.select(explode(array(col("src"), col("dst"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("degree"))
+    val cnt = tri.select(explode(array(col("a"), col("b"), col("c"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_tri"))
+    deg.join(cnt, Seq("tok"), "left")
+      .select(col("tok"), col("degree"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("tok"))
+  }
+
+  val q89Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> [toks[i], toks[i+1]])) AS p
+      |  FROM d),
+      |ed AS (
+      |  SELECT DISTINCT least(p[1], p[2]) AS src, greatest(p[1], p[2]) AS dst
+      |  FROM bg WHERE p[1] <> p[2]),
+      |tri AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM ed e1
+      |  JOIN ed e2 ON e2.src = e1.dst
+      |  JOIN ed e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |deg AS (
+      |  SELECT tok, count(*) AS degree FROM (
+      |    SELECT src AS tok FROM ed UNION ALL SELECT dst AS tok FROM ed)
+      |  GROUP BY 1),
+      |cnt AS (
+      |  SELECT tok, count(*) AS n_tri FROM (
+      |    SELECT a AS tok FROM tri
+      |    UNION ALL SELECT b AS tok FROM tri
+      |    UNION ALL SELECT c AS tok FROM tri)
+      |  GROUP BY 1)
+      |SELECT deg.tok, degree, coalesce(n_tri, 0)::BIGINT AS n_tri
+      |FROM deg LEFT JOIN cnt ON deg.tok = cnt.tok
+      |ORDER BY n_tri DESC, deg.tok""".stripMargin
+
+  /** Bloom-filter semi-join pruning — the runtime-filter technique that
+    * replaces a shuffle semi-join with a broadcast bitset probe: build a
+    * 2^20-bit / 3-probe Bloom filter over the urgent orders' keys (16913
+    * 62-bit lanes, so every mask stays a positive BIGINT in both engines;
+    * sized so the filter stays sparse — and selective — at bench scale),
+    * broadcast it, and evaluate every row against it with pure expression
+    * arithmetic. Reports, per priority class, how many orders pass the
+    * filter — urgent rows all pass (no false negatives, the Bloom
+    * guarantee), other classes show the false-positive leakage that the
+    * exact join downstream would then discard.
+    *
+    * Scale design: this is what Spark's own runtime row-level filters do
+    * for shuffle-heavy joins; expressed declaratively the build side is
+    * one map-side-combined aggregation to 67 rows, the probe side is
+    * three broadcast hash joins on the lane id — no explode of the big
+    * table, no shuffle before the final 5-group rollup. All hashing is
+    * the cross-engine md5-h32, so the exact false-positive set is
+    * deterministic and oracle-checkable. */
+  def q95BloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.h32
+    val m = 1 << 20
+    val k = 3
+    def pos(j: Int, key: Column): Column =
+      pmod(h32(concat(lit("bf"), lit(j.toString), lit("_"), key.cast("string"))),
+        lit(m))
+    val orders = Tables.orders(spark, dir)
+    val lanes = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(explode(array((0 until k).map(j =>
+        pos(j, col("o_orderkey"))): _*)).as("pos"))
+      .select(expr("pos div 62").as("lane"), (col("pos") % 62).as("bit"))
+      .groupBy(col("lane"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").as("mask"))
+      // 67 rows feeding THREE broadcast builds — without this each probe
+      // join re-scans and re-aggregates the urgent keys
+      .persist()
+    val probed = orders.select(
+      Seq(col("o_orderkey"), col("o_orderpriority")) ++
+        (0 until k).map(j => pos(j, col("o_orderkey")).as(s"pos$j")): _*)
+    val withHits = (0 until k).foldLeft(probed) { (df, j) =>
+      df.join(
+          broadcast(lanes.select(col("lane").as(s"lane$j"),
+            col("mask").as(s"mask$j"))),
+          expr(s"pos$j div 62") === col(s"lane$j"), "left")
+        .withColumn(s"hit$j", coalesce(
+          expr(s"shiftright(mask$j, CAST(pos$j % 62 AS INT)) & 1"), lit(0L)))
+    }
+    withHits
+      .withColumn("pass", (0 until k).map(j => col(s"hit$j")).reduce(_ * _))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("pass")).as("n_pass"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q95Sql: String =
+    """WITH lanes AS (
+      |  SELECT pos // 62 AS lane, bit_or(1::BIGINT << (pos % 62)::INT) AS mask
+      |  FROM (
+      |    SELECT (('0x' || substr(md5('bf' || j || '_' || o_orderkey), 1, 8))::BIGINT) % 1048576 AS pos
+      |    FROM orders, (SELECT unnest([0, 1, 2]) AS j) g
+      |    WHERE o_orderpriority = '1-URGENT')
+      |  GROUP BY 1),
+      |pr AS (
+      |  SELECT o_orderkey, o_orderpriority, j,
+      |    (('0x' || substr(md5('bf' || j || '_' || o_orderkey), 1, 8))::BIGINT) % 1048576 AS pos
+      |  FROM orders, (SELECT unnest([0, 1, 2]) AS j) g),
+      |hits AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    min(CASE WHEN mask IS NOT NULL AND ((mask >> (pos % 62)::INT) & 1) = 1
+      |        THEN 1 ELSE 0 END) AS pass
+      |  FROM pr LEFT JOIN lanes ON pos // 62 = lane
+      |  GROUP BY 1, 2)
+      |SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+      |  sum(pass)::BIGINT AS n_pass
+      |FROM hits GROUP BY 1
+      |ORDER BY o_orderpriority""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_selective_revenue" -> (q02SelectiveRevenue _),
@@ -798,7 +942,9 @@ object Relational {
     "q77_zorder_layout" -> (q77ZorderLayout _),
     "q78_hll_sketch" -> (q78HllSketch _),
     "q81_pagerank" -> (q81PageRank _),
-    "q84_quantile_sketch" -> (q84QuantileSketch _)
+    "q84_quantile_sketch" -> (q84QuantileSketch _),
+    "q89_triangle_count" -> (q89TriangleCount _),
+    "q95_bloom_prune" -> (q95BloomPrune _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -826,6 +972,8 @@ object Relational {
     "q77_zorder_layout" -> q77Sql,
     "q78_hll_sketch" -> q78Sql,
     "q81_pagerank" -> q81Sql,
-    "q84_quantile_sketch" -> q84Sql
+    "q84_quantile_sketch" -> q84Sql,
+    "q89_triangle_count" -> q89Sql,
+    "q95_bloom_prune" -> q95Sql
   )
 }

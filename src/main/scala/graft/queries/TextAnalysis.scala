@@ -598,6 +598,106 @@ object TextAnalysis {
       |FROM summ JOIN ex USING (lang)
       |ORDER BY lang""".stripMargin
 
+  /** Fixed-stride context-window chunking — the materialization step that
+    * turns documents into overlapping training windows (size 32 tokens,
+    * stride 24, so consecutive chunks share an 8-token overlap; RAG/
+    * embedding pipelines and long-context packing both start here).
+    * Reports per document the chunk count, the padding the final short
+    * chunk would need, and a rolling fingerprint of the chunk-hash
+    * sequence (the chunk table's identity, verifiable cross-engine).
+    *
+    * Scale design: chunk boundaries are pure per-row array arithmetic —
+    * the whole query is a scan + narrow projection with no explode and no
+    * shuffle, so it parallelizes perfectly at any corpus size; the chunk
+    * table itself (doc_id, chunk_idx, chunk_hash) is the exploded form of
+    * the same expressions and inherits the scan's partitioning. */
+  def q92ContextChunks(spark: SparkSession, dir: String): DataFrame = {
+    val win = 32
+    val stride = 24
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+        (floor((size(col("toks")) - 1) / stride) + 1).cast("long").as("n_chunks"),
+        col("toks"))
+      .select(col("doc_id"), col("n_toks"), col("n_chunks"),
+        greatest(lit(0L),
+          lit(win) - (col("n_toks") - lit(stride.toLong) * (col("n_chunks") - 1)))
+          .as("pad"),
+        aggregate(
+          transform(sequence(lit(0L), col("n_chunks") - 1),
+            i => h32(array_join(
+              slice(col("toks"), (i * stride + 1).cast("int"), lit(win)), " "))),
+          lit(0L), (acc, h) => (acc * 131 + h) % P).as("chunks_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q92Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, len(toks)::BIGINT AS n_toks,
+      |    (floor((len(toks) - 1) / 24) + 1)::BIGINT AS n_chunks, toks
+      |  FROM d)
+      |SELECT doc_id, n_toks, n_chunks,
+      |  greatest(0, 32 - (n_toks - 24 * (n_chunks - 1)))::BIGINT AS pad,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(0, n_chunks::INT),
+      |      i -> ('0x' || substr(md5(array_to_string(
+      |        toks[i*24+1 : i*24+32], ' ')), 1, 8))::BIGINT)),
+      |    (a, b) -> (a * 131 + b) % 1000000007) AS chunks_fp
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-document Shannon entropy of the token distribution — the
+    * information-density quality signal (repetitive/templated text scores
+    * low even when q57's fixed n-gram ratios miss it). Also reports the
+    * entropy normalized by its maximum ln(n_uniq), a 0-1 "evenness".
+    *
+    * Scale design: token counts are ONE map-side-combined aggregation of
+    * the exploded scan keyed by (doc_id, token) — partitioned by a prefix
+    * of the second aggregation's key (doc_id), so the per-document rollup
+    * that turns counts into -Σ p·ln p reuses the same exchange. H is
+    * computed as ln(n) - Σ c·ln(c) / n, which needs no per-document
+    * normalization pass before the sum. */
+  def q94TokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_toks"), count(lit(1)).as("n_uniq"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+      .select(col("doc_id"), col("n_toks"), col("n_uniq"),
+        round(lit(1e-9) + log(col("n_toks").cast("double")) -
+          col("slc") / col("n_toks"), 5).as("entropy"),
+        when(col("n_uniq") > 1,
+          round(lit(1e-9) +
+            (log(col("n_toks").cast("double")) - col("slc") / col("n_toks")) /
+              log(col("n_uniq").cast("double")), 5))
+          .otherwise(lit(0.0)).as("evenness"))
+      .orderBy(col("doc_id"))
+
+  val q94Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |    x -> len(x) > 0)) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, sum(c)::BIGINT AS n_toks, count(*) AS n_uniq,
+      |    sum(c::DOUBLE * ln(c::DOUBLE)) AS slc
+      |  FROM cnt GROUP BY 1)
+      |SELECT doc_id, n_toks, n_uniq,
+      |  round(1e-9 + ln(n_toks::DOUBLE) - slc / n_toks, 5) AS entropy,
+      |  CASE WHEN n_uniq > 1 THEN
+      |    round(1e-9 + (ln(n_toks::DOUBLE) - slc / n_toks)
+      |      / ln(n_uniq::DOUBLE), 5)
+      |  ELSE 0.0 END AS evenness
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q23_token_stats" -> (q23TokenStats _),
     "q24_quality_score" -> (q24QualityScore _),
@@ -611,7 +711,9 @@ object TextAnalysis {
     "q71_boilerplate" -> (q71Boilerplate _),
     "q72_tfidf" -> (q72Tfidf _),
     "q74_vocab_coverage" -> (q74VocabCoverage _),
-    "q86_lang_vocab_hll" -> (q86LangVocabHll _)
+    "q86_lang_vocab_hll" -> (q86LangVocabHll _),
+    "q92_context_chunks" -> (q92ContextChunks _),
+    "q94_token_entropy" -> (q94TokenEntropy _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -627,6 +729,8 @@ object TextAnalysis {
     "q71_boilerplate" -> q71Sql,
     "q72_tfidf" -> q72Sql,
     "q74_vocab_coverage" -> q74Sql,
-    "q86_lang_vocab_hll" -> q86Sql
+    "q86_lang_vocab_hll" -> q86Sql,
+    "q92_context_chunks" -> q92Sql,
+    "q94_token_entropy" -> q94Sql
   )
 }

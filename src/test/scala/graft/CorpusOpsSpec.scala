@@ -1,0 +1,91 @@
+package graft
+
+/** Semantic invariants for the round-4 pack (q89-q95) — properties the
+  * DuckDB oracle can't see because both engines could get them wrong the
+  * same way (graph identities, Bloom guarantees, entropy bounds). */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q89 triangle participation sums to a multiple of 3") {
+    val rows = run("q89_triangle_count").collect()
+    assert(rows.nonEmpty)
+    // each triangle contributes exactly one count to each of its 3 corners
+    val tot = rows.map(_.getAs[Long]("n_tri")).sum
+    assert(tot % 3 == 0, s"total participation $tot not a multiple of 3")
+    // degree is bounded by the number of other nodes
+    rows.foreach(r => assert(r.getAs[Long]("degree") <= rows.length - 1))
+  }
+
+  test("q90 retention is 1.0 at offset 0 and never exceeds cohort size") {
+    val rows = run("q90_retention_cohorts").collect()
+    val base = rows.filter(_.getAs[Long]("offset_wk") == 0L)
+    assert(base.nonEmpty, "no offset-0 cohort rows")
+    base.foreach(r =>
+      assert(math.abs(r.getAs[Double]("retention") - 1.0) < 1e-6))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("offset_wk") >= 0L)
+      assert(r.getAs[Double]("retention") <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q91 every reported outlier day is >= 2 sigma above its user mean") {
+    val rows = run("q91_outlier_days").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("z") >= 2.0,
+      s"z=${r.getAs[Double]("z")} below the 2-sigma cut"))
+  }
+
+  test("q92 chunk geometry is consistent (count, stride, padding)") {
+    val rows = run("q92_context_chunks").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_toks")
+      val c = r.getAs[Long]("n_chunks")
+      val pad = r.getAs[Long]("pad")
+      assert(c == (n - 1) / 24 + 1, s"n_chunks $c wrong for $n tokens")
+      assert(pad == math.max(0L, 32L - (n - 24L * (c - 1))),
+        s"pad $pad wrong for $n tokens / $c chunks")
+    }
+  }
+
+  test("q93 prefix pairs are strict (prefix shorter) and text-verified") {
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = run("q93_prefix_dup").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("prefix_toks") < r.getAs[Long]("full_toks"))
+      val a = d(r.getAs[Long]("prefix_doc"))
+      val b = d(r.getAs[Long]("full_doc"))
+      assert(b.startsWith(a + " "), "reported pair is not a token-boundary prefix")
+    }
+  }
+
+  test("q94 entropy is within [0, ln(n_uniq)] and evenness within [0, 1]") {
+    run("q94_token_entropy").collect().foreach { r =>
+      // 1e-5 epsilon: values are rounded to 5 dp, so a uniform document
+      // can land half an ulp-of-rounding above the exact ln(n_uniq)
+      val h = r.getAs[Double]("entropy")
+      val bound = math.log(r.getAs[Long]("n_uniq").toDouble)
+      assert(h >= -1e-5 && h <= bound + 1e-5,
+        s"entropy $h outside [0, $bound]")
+      val e = r.getAs[Double]("evenness")
+      assert(e >= -1e-5 && e <= 1.0 + 1e-5)
+    }
+  }
+
+  test("q95 Bloom filter: no false negatives, bounded false-positive leakage") {
+    val rows = run("q95_bloom_prune").collect()
+    val urgent = rows.find(_.getAs[String]("o_orderpriority") == "1-URGENT").get
+    // the Bloom guarantee: every member key passes
+    assert(urgent.getAs[Long]("n_pass") == urgent.getAs[Long]("n_orders"))
+    val rest = rows.filter(_.getAs[String]("o_orderpriority") != "1-URGENT")
+    val fp = rest.map(_.getAs[Long]("n_pass")).sum.toDouble /
+      rest.map(_.getAs[Long]("n_orders")).sum
+    // 2^20 bits / 3 probes vs ~300 keys at sf0.001: FP rate ~1e-9
+    assert(fp < 0.01, s"false-positive leakage $fp")
+  }
+}

@@ -156,4 +156,53 @@ class PlanAuditSpec extends SparkSpec {
       "user x hour grid must come from a broadcast h0 + explode, not a cartesian")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q89 triangles: edge list built once, reused by every join side") {
+    val p = plan("q89_triangle_count")
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+      "edge list must be materialized once and reused")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q90 retention: cell table cached, size lookup broadcast") {
+    val p = plan("q90_retention_cohorts")
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      "cohort-cell table must be cached for the offset-0 size lookup")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q91 outliers: moments ride a single window pass, no join") {
+    val p = plan("q91_outlier_days")
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      "per-user moments must collapse into one Window operator")
+    assert(!p.contains("Join"), "moments must not come from a join")
+    assert(hashExchanges(p) == 2,
+      "expected exactly the daily-agg and window exchanges")
+  }
+
+  test("q92 chunking: pure narrow projection, zero hash exchanges") {
+    assert(hashExchanges(plan("q92_context_chunks")) == 0)
+  }
+
+  test("q93 prefix dup: verify rides the head-fingerprint equi-join") {
+    val p = plan("q93_prefix_dup")
+    assert(p.contains("StartsWith"),
+      "token-boundary verify predicate must sit in the join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the k8 equi-join, not an all-pairs join")
+  }
+
+  test("q94 entropy: one repartition serves both aggregations") {
+    assert(hashExchanges(plan("q94_token_entropy")) == 1,
+      "doc_id partitioning must satisfy both the token and the doc rollup")
+  }
+
+  test("q95 bloom prune: three broadcast probes, lane table built once") {
+    val p = plan("q95_bloom_prune")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 3)
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+      "lane table must be cached across the three probe joins")
+  }
 }
