@@ -479,6 +479,107 @@ object Curation {
       |FROM ranked WHERE rk <= 10
       |ORDER BY rk""".stripMargin
 
+  /** Per-source winsorized length statistics — the outlier-robust
+    * length-profile pass run before length-based filtering: each source's
+    * p90 document length (exact linear-interpolated quantile) becomes the
+    * clip ceiling, and the raw vs clipped means + the clipped-row count
+    * quantify how heavy each source's tail is.
+    *
+    * Scale design: quantiles are per-GROUP (source-sized, bounded),
+    * never corpus-wide — the one shape where exact percentile's
+    * collect-to-buffer is safe; sources too large for that switch to the
+    * q84 histogram sketch with the same output contract. The clip pass
+    * re-joins the 20-row stats table by broadcast. */
+  def q97WinsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast("double").as("len"))
+    val stats = d.groupBy(col("source").as("s_src"))
+      .agg(expr("percentile(len, 0.9)").as("p90"))
+    d.join(broadcast(stats), col("source") === col("s_src"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(lit(1e-9) + max(col("p90")), 4).as("p90"),
+        round(lit(1e-9) + avg(col("len")), 4).as("mean_raw"),
+        round(lit(1e-9) + avg(least(col("len"), col("p90"))), 4).as("mean_wins"),
+        sum(when(col("len") > col("p90"), 1L).otherwise(0L)).as("n_clipped"))
+      .orderBy(col("source"))
+  }
+
+  val q97Sql: String =
+    """WITH d AS (SELECT source, n_chars::DOUBLE AS len FROM documents),
+      |s AS (
+      |  SELECT source AS s_src, quantile_cont(len, 0.9) AS p90
+      |  FROM d GROUP BY 1)
+      |SELECT source, count(*) AS n_docs,
+      |  round(1e-9 + max(p90), 4) AS p90,
+      |  round(1e-9 + avg(len), 4) AS mean_raw,
+      |  round(1e-9 + avg(least(len, p90)), 4) AS mean_wins,
+      |  sum(CASE WHEN len > p90 THEN 1 ELSE 0 END)::BIGINT AS n_clipped
+      |FROM d JOIN s ON source = s_src
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Cross-source shingle-overlap matrix — the corpus-level contamination
+    * view (q56 is doc-level): for every source pair, the Jaccard overlap
+    * of their distinct 3-gram shingle sets. High-overlap pairs mean
+    * double-counted content when mixing sources (q62) or train/eval
+    * leakage when sources sit on opposite sides of a split.
+    *
+    * Scale design: the postings collapse to DISTINCT (source, shingle)
+    * first — map-side-combined, so the self-join key (shingle) appears at
+    * most n_sources times and the join fan-out is bounded by C(20,2) per
+    * shingle BY CONSTRUCTION, with no df-cap needed (contrast q29, where
+    * per-document postings make hot shingles quadratic). Per-source set
+    * sizes broadcast back onto the 190-row pair table. */
+  def q98SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("source"), explode(shingleH32(col("text"), 3)).as("h"))
+      .distinct()
+      // one materialization serves the size aggregation and both join sides
+      .persist()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("sa"), col("n_sh").as("na"))),
+        col("src_a") === col("sa"))
+      .join(broadcast(sizes.select(col("source").as("sb"), col("n_sh").as("nb"))),
+        col("src_b") === col("sb"))
+      .select(col("src_a"), col("src_b"), col("inter"), col("na"), col("nb"),
+        round(lit(1e-9) +
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5)
+          .as("jac"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q98Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source,
+      |    ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+      |  FROM (
+      |    SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |    FROM t)),
+      |sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, inter, na.n_sh AS na, nb.n_sh AS nb,
+      |  round(1e-9 + inter::DOUBLE / (na.n_sh + nb.n_sh - inter), 5) AS jac
+      |FROM pairs
+      |JOIN sizes na ON src_a = na.source
+      |JOIN sizes nb ON src_b = nb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
@@ -488,7 +589,9 @@ object Curation {
     "q65_sequence_packing" -> (q65SequencePacking _),
     "q73_weighted_sample" -> (q73WeightedSample _),
     "q75_shard_assign" -> (q75ShardAssign _),
-    "q88_importance_weights" -> (q88ImportanceWeights _)
+    "q88_importance_weights" -> (q88ImportanceWeights _),
+    "q97_winsorized_stats" -> (q97WinsorizedStats _),
+    "q98_source_overlap" -> (q98SourceOverlap _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -500,6 +603,8 @@ object Curation {
     "q65_sequence_packing" -> q65Sql,
     "q73_weighted_sample" -> q73Sql,
     "q75_shard_assign" -> q75Sql,
-    "q88_importance_weights" -> q88Sql
+    "q88_importance_weights" -> q88Sql,
+    "q97_winsorized_stats" -> q97Sql,
+    "q98_source_overlap" -> q98Sql
   )
 }

@@ -712,6 +712,86 @@ object Dedup {
       |  ON a.k8 = b.k8 AND starts_with(b.text, a.text || ' ')
       |ORDER BY prefix_doc, full_doc""".stripMargin
 
+  /** Sorted-neighborhood dedup — the third blocking family next to hashing
+    * (q28/q30) and inverted indexes (q29): sort the corpus by a content
+    * key (the space-joined sorted distinct token set, i.e. the
+    * bag-of-words normal form) and compare each document only to its w=3
+    * successors in sort order; near-identical documents sort adjacent.
+    * Candidates verify with exact Jaccard over the distinct-token hash
+    * sets and survive at jac ≥ 0.8.
+    *
+    * Scale design: the global rank is the two-phase prefix-sum shape of
+    * q65, with blocks that FOLLOW the sort order (first byte of the key)
+    * so block-local ranks + broadcast block offsets compose to the exact
+    * global rank — no single-partition window over the corpus. The
+    * neighbor join is an equi-join on rank (w exploded offsets), so the
+    * whole pipeline is sort + two bounded shuffles — the classic
+    * merge-purge pass, and the only family whose cost is O(N log N)
+    * rather than key-distribution-dependent. */
+  def q96SortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    val w = 3
+    val toks = tokens(col("text"))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_join(array_sort(array_distinct(toks)), " ").as("key"),
+        array_sort(array_distinct(transform(toks, h32 _))).as("th"))
+      .withColumn("bk", substring(col("key"), 1, 1))
+    val inBlock = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bk")).orderBy(col("key"), col("doc_id"))
+    val blockTotals = d.groupBy(col("bk").as("b_bk")).agg(count(lit(1)).as("b_n"))
+    val blockPrefix = org.apache.spark.sql.expressions.Window.orderBy(col("b_bk"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val offsets = blockTotals
+      .withColumn("block_off", sum(col("b_n")).over(blockPrefix) - col("b_n"))
+      .select(col("b_bk"), col("block_off"))
+    val ranked = d.join(broadcast(offsets), col("bk") === col("b_bk"))
+      .withColumn("rk", col("block_off") +
+        row_number().over(inBlock).cast("long"))
+      .select(col("doc_id"), col("th"), col("rk"))
+      // consumed by both sides of the neighbor join; rank-sized rows
+      .persist()
+    val probes = ranked.select(col("doc_id").as("da"), col("th").as("tha"),
+      explode(sequence(col("rk") + 1, col("rk") + w)).as("nrk"))
+    probes.join(ranked, col("nrk") === col("rk"))
+      .select(least(col("da"), col("doc_id")).as("lo"),
+        greatest(col("da"), col("doc_id")).as("hi"),
+        size(array_intersect(col("tha"), col("th"))).cast("long").as("inter"),
+        size(col("tha")).as("na"), size(col("th")).as("nb"))
+      .withColumn("jac", round(lit(1e-9) +
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5))
+      .filter(col("jac") >= 0.8)
+      .select(col("lo"), col("hi"), col("inter"), col("jac"))
+      .orderBy(col("lo"), col("hi"))
+  }
+
+  val q96Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_sort(list_distinct(toks)), ' ') AS key,
+      |    list_sort(list_distinct(list_transform(toks,
+      |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT))) AS th
+      |  FROM d),
+      |r AS (
+      |  SELECT doc_id, th, row_number() OVER (ORDER BY key, doc_id) AS rk
+      |  FROM n),
+      |cand AS (
+      |  SELECT a.doc_id AS da, a.th AS tha, b.doc_id AS db, b.th AS thb
+      |  FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 3),
+      |j AS (
+      |  SELECT least(da, db) AS lo, greatest(da, db) AS hi,
+      |    len(list_intersect(tha, thb))::BIGINT AS inter,
+      |    len(tha) AS na, len(thb) AS nb
+      |  FROM cand)
+      |SELECT lo, hi, inter,
+      |  round(1e-9 + inter::DOUBLE / (na + nb - inter), 5) AS jac
+      |FROM j
+      |WHERE round(1e-9 + inter::DOUBLE / (na + nb - inter), 5) >= 0.8
+      |ORDER BY lo, hi""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
@@ -722,7 +802,8 @@ object Dedup {
     "q76_cdc_chunking" -> (q76CdcChunking _),
     "q80_semdedup" -> (q80SemDedup _),
     "q83_dup_spans" -> (q83DupSpans _),
-    "q93_prefix_dup" -> (q93PrefixDup _)
+    "q93_prefix_dup" -> (q93PrefixDup _),
+    "q96_sorted_neighborhood" -> (q96SortedNeighborhood _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -735,6 +816,7 @@ object Dedup {
     "q76_cdc_chunking" -> q76Sql,
     "q80_semdedup" -> q80Sql,
     "q83_dup_spans" -> q83Sql,
-    "q93_prefix_dup" -> q93Sql
+    "q93_prefix_dup" -> q93Sql,
+    "q96_sorted_neighborhood" -> q96Sql
   )
 }

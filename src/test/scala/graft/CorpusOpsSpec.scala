@@ -77,6 +77,42 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q96 sorted neighborhood finds every exact-dup adjacency at jac 1.0") {
+    val pairs = run("q96_sorted_neighborhood").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getAs[Double]("jac") >= 0.8))
+    // q28's content key IS q96's sort key (bag-of-words normal form), so
+    // each exact-dup group of size g sorts contiguously and contributes
+    // at least g-1 unit-Jaccard neighbor pairs
+    val expected = run("q28_exact_dedup").collect()
+      .map(_.getAs[Long]("n_docs") - 1).sum
+    val unit = pairs.count(_.getAs[Double]("jac") >= 1.0 - 1e-9)
+    assert(unit >= expected,
+      s"$unit unit-Jaccard pairs < $expected exact-dup adjacencies")
+  }
+
+  test("q97 winsorized mean never exceeds the raw mean, clipping bounded") {
+    val rows = run("q97_winsorized_stats").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_wins") <= r.getAs[Double]("mean_raw") + 1e-9)
+      // at most ~10% of a source sits strictly above its own p90
+      assert(r.getAs[Long]("n_clipped") <=
+        math.ceil(0.1 * r.getAs[Long]("n_docs")).toLong)
+    }
+  }
+
+  test("q98 overlap matrix covers all source pairs with valid Jaccards") {
+    val rows = run("q98_source_overlap").collect()
+    assert(rows.length == 20 * 19 / 2)
+    rows.foreach { r =>
+      val inter = r.getAs[Long]("inter")
+      assert(inter <= math.min(r.getAs[Long]("na"), r.getAs[Long]("nb")))
+      val j = r.getAs[Double]("jac")
+      assert(j >= 0.0 && j <= 1.0 + 1e-9)
+    }
+  }
+
   test("q95 Bloom filter: no false negatives, bounded false-positive leakage") {
     val rows = run("q95_bloom_prune").collect()
     val urgent = rows.find(_.getAs[String]("o_orderpriority") == "1-URGENT").get

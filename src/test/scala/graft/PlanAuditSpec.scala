@@ -205,4 +205,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
       "lane table must be cached across the three probe joins")
   }
+
+  test("q96 sorted neighborhood: two-phase rank, no corpus-wide window") {
+    val p = plan("q96_sorted_neighborhood")
+    // block-local row_number + tiny block-prefix sum; a single global
+    // Window.orderBy would show an un-partitioned corpus-sized window.
+    // (The cached rank subtree prints once per consumer, so count per
+    // kind, not total.) Every window is either partitioned by the sort
+    // block or runs over the ~40-row block-totals table.
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("[bk#") || w.contains("b_bk#"),
+      s"corpus-wide window crept in: $w"))
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      "ranked table must be cached for both neighbor-join sides")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q97 winsorized stats: per-group percentile partial-aggregated, stats broadcast") {
+    val p = plan("q97_winsorized_stats")
+    assert(p.contains("partial_percentile"),
+      "percentile must keep its map-side partial")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q98 source overlap: distinct postings built once, sizes broadcast") {
+    val p = plan("q98_source_overlap")
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      "source-shingle postings must be cached across all consumers")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
