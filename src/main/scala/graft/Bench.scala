@@ -19,7 +19,12 @@ object Bench {
     // this host carries fluctuating background load, so single-shot
     // timings swing up to 10x on identical plans; the minimum of two runs
     // reports the plan's actual cost (standard bench practice)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_ONLY=q30,q35 restricts the run to the named
+    // query prefixes (unset for the driver's full run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

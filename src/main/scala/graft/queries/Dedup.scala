@@ -123,18 +123,22 @@ object Dedup {
       .crossJoin(broadcast(nd))
       .filter(col("df") * 100 > greatest(lit(2500L), col("ndocs")))
       .select(col("h"))
-    // per-doc shingle counts ride along as a window over the postings —
-    // the broadcast anti-join preserves the doc_id partitioning, so the
-    // count is computed in place and no count-lookup join appears
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    // the self-join carries ONLY (doc_id, h): per-doc retained-shingle
+    // counts are a separate 1-row-per-doc aggregate broadcast onto the
+    // aggregated pairs afterwards (the oracle's cnt-join shape). The
+    // earlier form rode the count through the join as a window column —
+    // that ran the window exec once per join side and shipped the extra
+    // column through every candidate row; counts-after-agg touches
+    // |pairs| rows instead of |candidate rows|.
     val sh = raw.join(broadcast(hot), Seq("h"), "left_anti")
-      .withColumn("n_sh", count(lit(1)).over(w))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     sh.as("a")
       .join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"),
-        max(col("a.n_sh")).as("na"), max(col("b.n_sh")).as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(cnt.select(col("doc_id").as("da"), col("n_sh").as("na"))), Seq("da"))
+      .join(broadcast(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb"))), Seq("db"))
       .withColumn("jac",
         round(lit(1e-9) + col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5))
       .filter(col("jac") >= 0.6)
@@ -193,14 +197,17 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val shc = sh.withColumn("n_sh", count(lit(1)).over(w))
-    shc.as("a")
+    // verify join carries only (doc_id, h); per-doc set sizes are a tiny
+    // aggregate broadcast onto the aggregated candidate pairs (the
+    // oracle's cnt-join shape — no window exec on either join side)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    sh.as("a")
       .join(cand, col("da") === col("a.doc_id"))
-      .join(shc.as("b"), col("db") === col("b.doc_id") && col("a.h") === col("b.h"))
+      .join(sh.as("b"), col("db") === col("b.doc_id") && col("a.h") === col("b.h"))
       .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("inter"),
-        max(col("a.n_sh")).as("na"), max(col("b.n_sh")).as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(cnt.select(col("doc_id").as("da"), col("n_sh").as("na"))), Seq("da"))
+      .join(broadcast(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb"))), Seq("db"))
       .withColumn("jac",
         round(lit(1e-9) + col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5))
       .filter(col("jac") >= 0.6)
