@@ -580,6 +580,107 @@ object Curation {
       |JOIN sizes nb ON src_b = nb.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** Multi-signal quality blending — the selection stage that modern
+    * corpus curation (FineWeb / DataComp style) runs after individual
+    * scorers: z-normalize each signal over the corpus, blend them with
+    * fixed weights, and keep documents whose composite is above the mean.
+    * Signals here are the q24 heuristic quality score (higher = better)
+    * and the q61 self-trained bigram cross-entropy (lower = better), both
+    * already rounded by their producers so the two engines blend
+    * identical inputs.
+    *
+    * Scale design: each signal pass is the (linear) plan its own query
+    * runs; normalization needs one single-row moments aggregate that
+    * broadcasts back — no window over the corpus, no sort. Selection is a
+    * per-row predicate on the rounded composite, so the whole decision
+    * re-runs identically on any cluster shape. */
+  def q101QualityBlend(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextAnalysis.q24QualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val x = TextAnalysis.q61LmScore(spark, dir)
+      .select(col("doc_id"), col("xent"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(q, Seq("doc_id")).join(x, Seq("doc_id"))
+      .persist() // feeds the moments agg and the per-source report
+    val stats = scored.agg(
+      avg(col("quality")).as("mq"), stddev_samp(col("quality")).as("sq"),
+      avg(col("xent")).as("mx"), stddev_samp(col("xent")).as("sx"))
+    scored.crossJoin(broadcast(stats))
+      .withColumn("zq", round((col("quality") - col("mq")) / col("sq"), 6))
+      .withColumn("zx", round((col("xent") - col("mx")) / col("sx"), 6))
+      .withColumn("blend", round(lit(1e-9) + lit(0.5) * col("zq") - lit(0.5) * col("zx"), 4))
+      .withColumn("sel", when(col("blend") > 0, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sel")).as("n_sel"),
+        round(lit(1e-9) + sum(col("blend") * col("sel")), 2).as("sel_blend_sum"),
+        aggregate(
+          sort_array(collect_list(when(col("sel") === 1, col("doc_id")))),
+          lit(0L),
+          (acc, k) => (acc * 131 + k % 1000000007L) % 1000000007L).as("sel_fp"))
+      .orderBy(col("source"))
+  }
+
+  val q101Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |qual AS (
+      |  SELECT doc_id,
+      |    round(1e-9 + 0.3 * least(1.0, CAST(n_words AS DOUBLE) / 100.0)
+      |        + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_words)
+      |        + 0.4 * least(1.0, (CAST(word_chars AS DOUBLE) / n_words) / 8.0),
+      |      5) AS quality
+      |  FROM (
+      |    SELECT doc_id,
+      |      len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_words,
+      |      length(replace(text, ' ', '')) AS word_chars,
+      |      len(list_filter(string_split(text, ' '),
+      |          t -> list_contains(['the', 'a', 'data', 'value'], t))) AS n_stop
+      |    FROM documents)),
+      |pairs AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM d),
+      |uni AS (SELECT w1 AS u_w, count(*) AS cu FROM pairs GROUP BY 1),
+      |bi AS (SELECT bg AS b_bg, count(*) AS cb FROM pairs GROUP BY 1),
+      |vocab AS (
+      |  SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM d)),
+      |lm AS (
+      |  SELECT doc_id, round(1e-9 - avg(ln((cb + 1.0) / (cu + v))), 4) AS xent
+      |  FROM pairs
+      |  JOIN bi ON bg = b_bg
+      |  JOIN uni ON w1 = u_w
+      |  CROSS JOIN vocab
+      |  GROUP BY doc_id),
+      |scored AS (
+      |  SELECT doc_id, source, quality, xent
+      |  FROM documents JOIN qual USING (doc_id) JOIN lm USING (doc_id)),
+      |stats AS (
+      |  SELECT avg(quality) AS mq, stddev_samp(quality) AS sq,
+      |         avg(xent) AS mx, stddev_samp(xent) AS sx
+      |  FROM scored),
+      |blended AS (
+      |  SELECT doc_id, source,
+      |    round(1e-9 + 0.5 * round((quality - mq) / sq, 6)
+      |               - 0.5 * round((xent - mx) / sx, 6), 4) AS blend
+      |  FROM scored CROSS JOIN stats),
+      |flagged AS (
+      |  SELECT doc_id, source, blend,
+      |    CASE WHEN blend > 0 THEN 1 ELSE 0 END AS sel
+      |  FROM blended)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(sel) AS BIGINT) AS n_sel,
+      |  round(1e-9 + sum(blend * sel), 2) AS sel_blend_sum,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    coalesce(list(doc_id ORDER BY doc_id) FILTER (sel = 1), [])),
+      |    (a, k) -> (a * 131 + k % 1000000007) % 1000000007) AS sel_fp
+      |FROM flagged
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
@@ -591,7 +692,8 @@ object Curation {
     "q75_shard_assign" -> (q75ShardAssign _),
     "q88_importance_weights" -> (q88ImportanceWeights _),
     "q97_winsorized_stats" -> (q97WinsorizedStats _),
-    "q98_source_overlap" -> (q98SourceOverlap _)
+    "q98_source_overlap" -> (q98SourceOverlap _),
+    "q101_quality_blend" -> (q101QualityBlend _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -605,6 +707,7 @@ object Curation {
     "q75_shard_assign" -> q75Sql,
     "q88_importance_weights" -> q88Sql,
     "q97_winsorized_stats" -> q97Sql,
-    "q98_source_overlap" -> q98Sql
+    "q98_source_overlap" -> q98Sql,
+    "q101_quality_blend" -> q101Sql
   )
 }

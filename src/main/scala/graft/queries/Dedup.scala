@@ -799,6 +799,107 @@ object Dedup {
       |WHERE round(1e-9 + inter::DOUBLE / (na + nb - inter), 5) >= 0.8
       |ORDER BY lo, hi""".stripMargin
 
+  /** Incremental-ingest dedup — the admission pass a growing corpus runs
+    * on every new batch: an incoming delivery (here `source = 'src0'`)
+    * is checked against the ALREADY-INGESTED corpus (every other source)
+    * by exact content key (q28's bag-of-words fingerprint), and only
+    * unseen documents are admitted. Reports per-language admission
+    * counts plus an order-independent fingerprint of the admitted ids.
+    *
+    * Scale design: the corpus side NEVER shuffles. A left-semi join
+    * ("batch doc already in corpus?") would build on the corpus side —
+    * backwards when the corpus is 100 TB and the delivery a few GB — so
+    * the membership probe is written as corpus-keys ⋈ broadcast(batch)
+    * + a batch-sized distinct: every corpus partition probes the
+    * broadcast batch map-side and emits only matching batch doc_ids.
+    * (The q95 Bloom pass is the same idea one step earlier — prune the
+    * corpus scan before the join; here the corpus side is a bare key
+    * projection so the join IS the prune.) */
+  def q100IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    def keyed(df: DataFrame) = df.select(col("doc_id"), col("lang"),
+      rollingFp(array_sort(array_distinct(toks))).as("k"))
+    val docs = Tables.documents(spark, dir)
+    val batch = keyed(docs.filter(col("source") === "src0"))
+    val corpusKeys = keyed(docs.filter(col("source") =!= "src0")).select(col("k"))
+    val dup = corpusKeys
+      .join(broadcast(batch.select(col("doc_id"), col("k"))), Seq("k"))
+      .select(col("doc_id")).distinct()
+    batch
+      .join(broadcast(dup.withColumn("is_dup", lit(1L))), Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(0L)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(col("is_dup")).as("n_dup"),
+        (count(lit(1)) - sum(col("is_dup"))).as("n_admitted"),
+        aggregate(
+          sort_array(collect_list(when(col("is_dup") === 0, col("doc_id")))),
+          lit(0L),
+          (acc, k) => (acc * 131 + k % 1000000007L) % 1000000007L).as("admitted_fp"))
+      .orderBy(col("lang"))
+  }
+
+  val q100Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      list_sort(list_distinct(list_filter(string_split(text, ' '), t -> len(t) > 0))),
+      |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS k
+      |  FROM documents),
+      |batch AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN k IN (SELECT k FROM d WHERE source <> 'src0')
+      |         THEN 1 ELSE 0 END AS is_dup
+      |  FROM d WHERE source = 'src0')
+      |SELECT lang, count(*) AS n_batch,
+      |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
+      |  count(*) - CAST(sum(is_dup) AS BIGINT) AS n_admitted,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    coalesce(list(doc_id ORDER BY doc_id) FILTER (is_dup = 0), [])),
+      |    (a, k) -> (a * 131 + k % 1000000007) % 1000000007) AS admitted_fp
+      |FROM batch
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Cross-language duplicate leak — exact-duplicate groups whose members
+    * claim DIFFERENT languages. In a multilingual corpus these are almost
+    * always mislabeled language tags or templated boilerplate, and they
+    * silently poison per-language statistics (q86) and language-stratified
+    * splits; this is the dedup-side audit that finds them. One shuffle on
+    * the content key; groups with a single language are discarded by the
+    * HAVING before anything wide is materialized. */
+  def q104CrossLangDup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        rollingFp(array_sort(array_distinct(toks))).as("content_key"))
+      .groupBy(col("content_key"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        array_join(array_sort(collect_set(col("lang"))), ",").as("langs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_langs") > 1)
+      .orderBy(col("content_key"))
+  }
+
+  val q104Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      list_sort(list_distinct(list_filter(string_split(text, ' '), t -> len(t) > 0))),
+      |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS content_key
+      |  FROM documents)
+      |SELECT content_key, count(*) AS n_docs,
+      |  count(DISTINCT lang) AS n_langs,
+      |  array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+      |  min(doc_id) AS first_doc
+      |FROM d
+      |GROUP BY content_key
+      |HAVING count(DISTINCT lang) > 1
+      |ORDER BY content_key""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
@@ -810,7 +911,9 @@ object Dedup {
     "q80_semdedup" -> (q80SemDedup _),
     "q83_dup_spans" -> (q83DupSpans _),
     "q93_prefix_dup" -> (q93PrefixDup _),
-    "q96_sorted_neighborhood" -> (q96SortedNeighborhood _)
+    "q96_sorted_neighborhood" -> (q96SortedNeighborhood _),
+    "q100_incremental_dedup" -> (q100IncrementalDedup _),
+    "q104_crosslang_dup" -> (q104CrossLangDup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -824,6 +927,8 @@ object Dedup {
     "q80_semdedup" -> q80Sql,
     "q83_dup_spans" -> q83Sql,
     "q93_prefix_dup" -> q93Sql,
-    "q96_sorted_neighborhood" -> q96Sql
+    "q96_sorted_neighborhood" -> q96Sql,
+    "q100_incremental_dedup" -> q100Sql,
+    "q104_crosslang_dup" -> q104Sql
   )
 }

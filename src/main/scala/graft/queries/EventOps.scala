@@ -475,6 +475,71 @@ object EventOps {
       |WHERE cnt > mu + 2.0 * sd
       |ORDER BY user_id, day""".stripMargin
 
+  /** Key-skew profiler — the audit a pipeline runs on a join/agg key
+    * BEFORE choosing a partitioning strategy (plain hash vs salted vs
+    * AQE skew-split, see [[graft.operators.Salting]]). Per event_type it
+    * reports the per-user-key row distribution: key count, total rows,
+    * max/mean per-key rows, the skew factor (max ÷ mean — the straggler
+    * multiplier a plain hash shuffle would suffer), the share of the
+    * single hottest key, and how many keys exceed 2× the mean (the
+    * "needs salting/AQE-split" set). The suggested salt fan-out is the
+    * skew factor rounded up — enough splits to level the hottest key.
+    *
+    * Scale design: two hash aggregations — events → (type, key) counts
+    * (map-side combined), then (type, key) → per-type moments; nothing
+    * after the first agg is events-sized. Hot-key detection compares
+    * c·n_keys > 2·n_rows in integers, so both engines decide ties
+    * identically (no division in the predicate). */
+  def q103KeySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .persist() // keys-sized; feeds the totals agg AND the hot-key pass
+    val totals = perKey.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_rows"))
+    perKey.join(broadcast(totals), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_keys")).as("n_keys"),
+        max(col("n_rows")).as("n_rows"),
+        max(col("max_rows")).as("max_rows"),
+        sum(when(col("c") * col("n_keys") > col("n_rows") * 2, 1L)
+          .otherwise(0L)).as("n_hot"))
+      .select(col("event_type"), col("n_keys"), col("n_rows"),
+        col("max_rows"), col("n_hot"),
+        round(lit(1e-9) + col("n_rows").cast("double") / col("n_keys"), 5)
+          .as("mean_rows"),
+        round(lit(1e-9) +
+          col("max_rows").cast("double") * col("n_keys") / col("n_rows"), 5)
+          .as("skew"),
+        round(lit(1e-9) + col("max_rows").cast("double") / col("n_rows"), 5)
+          .as("top_share"),
+        expr("(max_rows * n_keys + n_rows - 1) div n_rows").as("salt_n"))
+      .orderBy(col("event_type"))
+  }
+
+  val q103Sql: String =
+    """WITH perkey AS (
+      |  SELECT event_type, user_id, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT event_type, count(*) AS n_keys,
+      |    CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_rows
+      |  FROM perkey GROUP BY 1)
+      |SELECT p.event_type, max(n_keys) AS n_keys, max(n_rows) AS n_rows,
+      |  max(max_rows) AS max_rows,
+      |  CAST(sum(CASE WHEN c * n_keys > n_rows * 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hot,
+      |  round(1e-9 + CAST(max(n_rows) AS DOUBLE) / max(n_keys), 5) AS mean_rows,
+      |  round(1e-9 + CAST(max(max_rows) AS DOUBLE) * max(n_keys) / max(n_rows), 5)
+      |    AS skew,
+      |  round(1e-9 + CAST(max(max_rows) AS DOUBLE) / max(n_rows), 5) AS top_share,
+      |  (max(max_rows) * max(n_keys) + max(n_rows) - 1) // max(n_rows) AS salt_n
+      |FROM perkey p JOIN totals t ON p.event_type = t.event_type
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q17_event_json" -> (q17EventJson _),
     "q18_hourly_volume" -> (q18HourlyVolume _),
@@ -488,7 +553,8 @@ object EventOps {
     "q82_gap_fill" -> (q82GapFill _),
     "q85_rolling_actives" -> (q85RollingActives _),
     "q90_retention_cohorts" -> (q90RetentionCohorts _),
-    "q91_outlier_days" -> (q91OutlierDays _)
+    "q91_outlier_days" -> (q91OutlierDays _),
+    "q103_key_skew" -> (q103KeySkewProfile _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -504,6 +570,7 @@ object EventOps {
     "q82_gap_fill" -> q82Sql,
     "q85_rolling_actives" -> q85Sql,
     "q90_retention_cohorts" -> q90Sql,
-    "q91_outlier_days" -> q91Sql
+    "q91_outlier_days" -> q91Sql,
+    "q103_key_skew" -> q103Sql
   )
 }

@@ -651,6 +651,65 @@ object Similarity {
       |FROM pos JOIN neg ON pos.qid = neg.qid
       |ORDER BY qid""".stripMargin
 
+  /** Label-noise audit (Confident-Learning shape): for every vector, check
+    * whether its SEMANTIC neighborhood agrees with its label — a vector
+    * whose close neighbors mostly carry a different label is a suspected
+    * annotation error. Neighborhoods come from the q34 LSH buckets
+    * (8-bit hyperplane signature) with an exact-cosine ≥ 0.2 gate, so
+    * candidate generation is the same signature equi-join as ANN search —
+    * never an N² pass. The suspect predicate compares 2·n_same < n_nb in
+    * integers (no division), and only vectors with ≥ 2 gated neighbors
+    * are judged (a 1-neighbor disagreement is noise, not evidence).
+    *
+    * Scale design: bucket equi-join on the signature + per-vector
+    * aggregation — identical cost shape to q34; the verdict table is one
+    * row per vector. At 100 TB the signature table is the (persisted)
+    * index; here it is rebuilt inline like the other ANN queries. */
+  def q99LabelErrors(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val withSig = e.join(hyperSig(spark, e), col("vec_id") === col("s_vec"))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("sig"))
+      .persist() // both sides of the bucket self-join
+    withSig.as("x").join(withSig.as("y"),
+        col("x.sig") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id"))
+      .withColumn("cos_raw",
+        dotCol(col("x.v"), col("y.v")) / sqrt(col("x.nrm") * col("y.nrm")))
+      .filter(round(lit(1e-9) + col("cos_raw"), 5) >= 0.2)
+      .groupBy(col("x.vec_id").as("vec_id"), col("x.label").as("label"))
+      .agg(count(lit(1)).as("n_nb"),
+        sum(when(col("x.label") === col("y.label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .filter(col("n_nb") >= 2)
+      .select(col("vec_id"), col("label"), col("n_nb"), col("n_same"),
+        round(lit(1e-9) + col("n_same").cast("double") / col("n_nb"), 5)
+          .as("agree"),
+        when(col("n_same") * 2 < col("n_nb"), 1L).otherwise(0L).as("suspect"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q99Sql: String =
+    s"""WITH $vecsSql,
+      |$sigSqlCtes,
+      |es AS (SELECT e.vec_id, e.label, e.embedding, e.nrm, sig.sig
+      |       FROM e JOIN sig ON vec_id = s_vec),
+      |pairs AS (
+      |  SELECT x.vec_id, x.label AS xl, y.label AS yl,
+      |    list_reduce(list_transform(range(1, len(x.embedding) + 1),
+      |      i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (a, b) -> a + b)
+      |      / sqrt(x.nrm * y.nrm) AS cos_raw
+      |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
+      |gated AS (SELECT * FROM pairs WHERE round(1e-9 + cos_raw, 5) >= 0.2),
+      |agg AS (
+      |  SELECT vec_id, xl AS label, count(*) AS n_nb,
+      |    CAST(sum(CASE WHEN xl = yl THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+      |  FROM gated GROUP BY 1, 2)
+      |SELECT vec_id, label, n_nb, n_same,
+      |  round(1e-9 + CAST(n_same AS DOUBLE) / n_nb, 5) AS agree,
+      |  CASE WHEN n_same * 2 < n_nb THEN 1 ELSE 0 END::BIGINT AS suspect
+      |FROM agg
+      |WHERE n_nb >= 2
+      |ORDER BY vec_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q33_ann_bruteforce" -> (q33AnnBruteforce _),
     "q34_ann_lsh" -> (q34AnnLsh _),
@@ -660,7 +719,8 @@ object Similarity {
     "q68_ann_recall" -> (q68AnnRecall _),
     "q69_kmeans_refine" -> (q69KmeansRefine _),
     "q70_ivfpq_adc" -> (q70IvfPqAdc _),
-    "q87_contrastive_mining" -> (q87ContrastiveMining _)
+    "q87_contrastive_mining" -> (q87ContrastiveMining _),
+    "q99_label_errors" -> (q99LabelErrors _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -672,6 +732,7 @@ object Similarity {
     "q68_ann_recall" -> q68Sql,
     "q69_kmeans_refine" -> q69Sql,
     "q70_ivfpq_adc" -> q70Sql,
-    "q87_contrastive_mining" -> q87Sql
+    "q87_contrastive_mining" -> q87Sql,
+    "q99_label_errors" -> q99Sql
   )
 }

@@ -698,6 +698,73 @@ object TextAnalysis {
       |FROM agg
       |ORDER BY doc_id""".stripMargin
 
+  /** Count-min-sketch heavy hitters — the streaming-compatible frequency
+    * estimator (4 hash rows × 1024 buckets) next to the HLL (q78) and KMV
+    * (q64) sketches: estimate token frequencies from fixed-size mergeable
+    * state and report estimate vs truth for the top-20 tokens.
+    *
+    * Scale design: the sketch is built FROM the per-token partial counts
+    * (map-side combine first, then 4 bucket rows per distinct token —
+    * never 4× the raw token stream), and at most 4×1024 cells cross the
+    * final exchange regardless of corpus size — that bounded state is the
+    * whole point of the sketch (it is what a streaming stage would keep
+    * per trigger; cells are mergeable by addition). The probe side is the
+    * top-20 tokens × 4 rows joined against the 4096-cell sketch — both
+    * broadcast-sized. Estimates are upward-biased only (est ≥ true by
+    * construction); `err` quantifies the collision bias at this width. */
+  def q102CountMinHitters(spark: SparkSession, dir: String): DataFrame = {
+    val depth = 4
+    val width = 1024
+    val toks = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .persist() // distinct-token-sized; feeds sketch, top-20 and probe
+    val rows = (0 until depth).map { j =>
+      struct(lit(j).as("j"),
+        (h32(concat(lit(s"cm${j}_"), col("tok"))) % width).as("b"))
+    }
+    val sketch = toks
+      .select(col("c"), explode(array(rows: _*)).as("jb"))
+      .groupBy(col("jb.j").as("s_j"), col("jb.b").as("s_b"))
+      .agg(sum(col("c")).as("cell"))
+    val top = toks
+      .orderBy(col("c").desc, col("tok"))
+      .limit(20)
+    top
+      .select(col("tok"), col("c"), explode(array(rows: _*)).as("jb"))
+      .join(sketch,
+        col("jb.j") === col("s_j") && col("jb.b") === col("s_b"))
+      .groupBy(col("tok"))
+      .agg(max(col("c")).as("exact"),
+        min(col("cell")).as("est"))
+      .select(col("tok"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("err"))
+      .orderBy(col("exact").desc, col("tok"))
+  }
+
+  val q102Sql: String =
+    """WITH toks AS (
+      |  SELECT tok, count(*) AS c FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+      |    FROM documents)
+      |  GROUP BY 1),
+      |cells AS (
+      |  SELECT j, ('0x' || substr(md5('cm' || j || '_' || tok), 1, 8))::BIGINT % 1024 AS b,
+      |    tok, c
+      |  FROM toks CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+      |sketch AS (
+      |  SELECT j AS s_j, b AS s_b, CAST(sum(c) AS BIGINT) AS cell
+      |  FROM cells GROUP BY 1, 2),
+      |top AS (SELECT tok, c FROM toks ORDER BY c DESC, tok LIMIT 20)
+      |SELECT t.tok AS tok, max(t.c) AS exact, min(cell) AS est,
+      |  min(cell) - max(t.c) AS err
+      |FROM top t
+      |JOIN cells p ON p.tok = t.tok
+      |JOIN sketch s ON s.s_j = p.j AND s.s_b = p.b
+      |GROUP BY 1
+      |ORDER BY exact DESC, t.tok""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q23_token_stats" -> (q23TokenStats _),
     "q24_quality_score" -> (q24QualityScore _),
@@ -713,7 +780,8 @@ object TextAnalysis {
     "q74_vocab_coverage" -> (q74VocabCoverage _),
     "q86_lang_vocab_hll" -> (q86LangVocabHll _),
     "q92_context_chunks" -> (q92ContextChunks _),
-    "q94_token_entropy" -> (q94TokenEntropy _)
+    "q94_token_entropy" -> (q94TokenEntropy _),
+    "q102_countmin_hitters" -> (q102CountMinHitters _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -731,6 +799,7 @@ object TextAnalysis {
     "q74_vocab_coverage" -> q74Sql,
     "q86_lang_vocab_hll" -> q86Sql,
     "q92_context_chunks" -> q92Sql,
-    "q94_token_entropy" -> q94Sql
+    "q94_token_entropy" -> q94Sql,
+    "q102_countmin_hitters" -> q102Sql
   )
 }

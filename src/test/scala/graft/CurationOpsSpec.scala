@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Semantic invariants for the round-5 pack (q99-q104) — properties the
+  * DuckDB oracle can't see because both engines could get them wrong the
+  * same way (sketch guarantees, admission arithmetic, skew identities). */
+class CurationOpsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q99 label-error audit: counts consistent, suspects = minority vote") {
+    val rows = run("q99_label_errors").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nNb = r.getAs[Long]("n_nb")
+      val nSame = r.getAs[Long]("n_same")
+      assert(nNb >= 2, "reported a vector with < 2 gated neighbors")
+      assert(nSame >= 0 && nSame <= nNb)
+      assert(r.getAs[Long]("suspect") == (if (nSame * 2 < nNb) 1L else 0L))
+      val agree = r.getAs[Double]("agree")
+      assert(agree >= 0.0 && agree <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q100 incremental admission partitions the batch exactly") {
+    val rows = run("q100_incremental_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_batch") ==
+        r.getAs[Long]("n_dup") + r.getAs[Long]("n_admitted"))
+    }
+    val batchTotal = graft.sources.Tables.documents(spark, sf)
+      .filter(col("source") === "src0").count()
+    assert(rows.map(_.getAs[Long]("n_batch")).sum == batchTotal)
+  }
+
+  test("q101 blend selection never selects more than it scores") {
+    val rows = run("q101_quality_blend").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sel") >= 0)
+      assert(r.getAs[Long]("n_sel") <= r.getAs[Long]("n_docs"))
+    }
+    // z-scored composite: some but not all documents clear the mean
+    val sel = rows.map(_.getAs[Long]("n_sel")).sum
+    val all = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(sel > 0 && sel < all, s"degenerate selection $sel of $all")
+  }
+
+  test("q102 count-min estimates never undercount (one-sided error)") {
+    val rows = run("q102_countmin_hitters").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"),
+        s"CM underestimated '${r.getAs[String]("tok")}'")
+      assert(r.getAs[Long]("err") ==
+        r.getAs[Long]("est") - r.getAs[Long]("exact"))
+    }
+  }
+
+  test("q103 skew profile identities hold against the raw events table") {
+    val rows = run("q103_key_skew").collect()
+    assert(rows.nonEmpty)
+    val evTotal = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == evTotal)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_rows") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Double]("skew") >= 1.0 - 1e-9)
+      assert(r.getAs[Double]("top_share") <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("salt_n") >= 1L)
+      assert(r.getAs[Long]("n_hot") <= r.getAs[Long]("n_keys"))
+    }
+  }
+
+  test("q104 every reported group spans more than one language") {
+    val rows = run("q104_crosslang_dup").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_langs") >= 2)
+      assert(r.getAs[Long]("n_docs") >= r.getAs[Long]("n_langs"))
+      assert(r.getAs[String]("langs").split(",").length ==
+        r.getAs[Long]("n_langs"))
+    }
+  }
+}

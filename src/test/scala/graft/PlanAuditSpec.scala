@@ -235,4 +235,53 @@ class PlanAuditSpec extends SparkSpec {
       "source-shingle postings must be cached across all consumers")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q99 label errors: signature table cached for both bucket-join sides") {
+    val p = plan("q99_label_errors")
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      "signature table recomputed per self-join side instead of persisted")
+    assert(!p.contains("CartesianProduct"),
+      "neighborhood candidates must come from the signature equi-join")
+  }
+
+  test("q100 incremental dedup: batch broadcasts, corpus side never shuffles") {
+    val p = plan("q100_incremental_dedup")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "batch probe / dup-mark joins lost their broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus keys must stream past the broadcast batch, never sort-merge")
+  }
+
+  test("q101 quality blend: moments broadcast back, scored pass cached") {
+    val p = plan("q101_quality_blend")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "single-row moments aggregate must be broadcast")
+    assert(p.contains("InMemoryTableScan"),
+      "scored table recomputed for the moments agg and the report")
+    assert(!p.contains("Window ["),
+      "normalization must not rank/window the corpus")
+  }
+
+  test("q102 count-min: sketch built from pre-aggregated counts, probes broadcast") {
+    val p = plan("q102_countmin_hitters")
+    assert(p.contains("InMemoryTableScan"),
+      "per-token counts must be cached (sketch, top-20 and probe reuse them)")
+    assert(p.contains("BroadcastHashJoin"), "probe join lost its broadcast")
+    // the 4-row-per-token explode must sit ABOVE the token aggregation:
+    // a generate over raw tokens would 4x the corpus-sized stream
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q103 skew profile: totals broadcast, nothing events-sized after first agg") {
+    val p = plan("q103_key_skew")
+    assert(p.contains("BroadcastHashJoin"), "per-type totals lost their broadcast")
+    assert(p.contains("InMemoryTableScan"),
+      "per-key counts must be cached for the totals agg and the hot-key pass")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q104 cross-language leak: one shuffle on the content key") {
+    val p = plan("q104_crosslang_dup")
+    assert(!p.contains("Join"), "cross-lang audit must be a pure aggregation")
+  }
 }
