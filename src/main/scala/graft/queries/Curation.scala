@@ -681,6 +681,69 @@ object Curation {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Corpus novelty curve — how much genuinely NEW content each ingestion
+    * decile contributes: a document's novelty is the fraction of its
+    * 8-token shingles whose FIRST occurrence (minimum doc_id, with doc_id
+    * as ingestion order) is the document itself. Plotted over deciles this
+    * is the dedup-aware growth curve (C4/RefinedWeb-style): a source whose
+    * tail deciles go stale is re-crawling what the corpus already holds —
+    * the signal for stopping or re-weighting ingestion.
+    *
+    * Scale design: the inverted-index shape again — one shingle expansion,
+    * a min(doc_id) aggregation per shingle hash (map-side combinable), and
+    * one equi-join of the postings against that first-seen table on the
+    * 8-byte hash; per-doc and per-decile rollups are narrow. Nothing is
+    * ever pairwise. Decile boundaries use integer arithmetic on doc_id
+    * (doc·10 ÷ (max+1)) so both engines bucket identically. */
+  def q107NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(shingleH32(col("text"), 8)).as("h"))
+      .distinct()
+      .persist() // feeds first-seen agg AND the probe side
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val mx = Tables.documents(spark, dir).agg(max(col("doc_id")).as("mx"))
+    val perDoc = sh.join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    perDoc.crossJoin(broadcast(mx))
+      .groupBy(expr("doc_id * 10 div (mx + 1)").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_sh"),
+        sum(col("n_novel")).as("n_novel"))
+      .select(col("decile"), col("n_docs"), col("n_sh"), col("n_novel"),
+        round(lit(1e-9) + col("n_novel").cast("double") / col("n_sh"), 5)
+          .as("novelty"))
+      .orderBy(col("decile"))
+  }
+
+  val q107Sql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+      |      i -> array_to_string(toks[i:i+7], ' '))) AS s
+      |    FROM (SELECT doc_id,
+      |            list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |          FROM documents))),
+      |first AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+      |mx AS (SELECT max(doc_id) AS mx FROM documents),
+      |perdoc AS (
+      |  SELECT doc_id, count(*) AS n_sh,
+      |    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_novel
+      |  FROM sh JOIN first USING (h)
+      |  GROUP BY 1)
+      |SELECT doc_id * 10 // (mx + 1) AS decile, count(*) AS n_docs,
+      |  CAST(sum(n_sh) AS BIGINT) AS n_sh,
+      |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+      |  round(1e-9 + CAST(sum(n_novel) AS DOUBLE) / sum(n_sh), 5) AS novelty
+      |FROM perdoc CROSS JOIN mx
+      |GROUP BY 1
+      |ORDER BY decile""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
@@ -693,7 +756,8 @@ object Curation {
     "q88_importance_weights" -> (q88ImportanceWeights _),
     "q97_winsorized_stats" -> (q97WinsorizedStats _),
     "q98_source_overlap" -> (q98SourceOverlap _),
-    "q101_quality_blend" -> (q101QualityBlend _)
+    "q101_quality_blend" -> (q101QualityBlend _),
+    "q107_novelty_curve" -> (q107NoveltyCurve _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -708,6 +772,7 @@ object Curation {
     "q88_importance_weights" -> q88Sql,
     "q97_winsorized_stats" -> q97Sql,
     "q98_source_overlap" -> q98Sql,
-    "q101_quality_blend" -> q101Sql
+    "q101_quality_blend" -> q101Sql,
+    "q107_novelty_curve" -> q107Sql
   )
 }

@@ -710,6 +710,78 @@ object Similarity {
       |WHERE n_nb >= 2
       |ORDER BY vec_id""".stripMargin
 
+  /** Embedding-space correlation audit — the d×d second-moment pass run
+    * before whitening / PCA / product quantization: population Pearson
+    * correlation for every dimension pair, reported as the top-10 most
+    * correlated off-diagonal pairs. Highly correlated dimensions mean the
+    * PQ subspace split (q70) wastes codebook entropy and an IVF residual
+    * (q36) is anisotropic — this query is how you find out cheaply.
+    *
+    * Scale design: ONE linear pass builds all d·(d+1)/2 pair products via
+    * a per-row nested-transform explode (no self-join of the exploded
+    * component table — that would shuffle N·d rows to pair N·d² — and no
+    * driver-side matrix), aggregating into d²-bounded state exactly like
+    * a distributed Gram-matrix computation; means/variances ride the same
+    * aggregate. At any corpus size the exchange carries ≤ 2080 rows. */
+  def q106CorrAudit(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    val pairsCol = flatten(transform(sequence(lit(0), lit(63)), i =>
+      transform(sequence(i, lit(63)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("v"), i + 1) * element_at(col("v"), j + 1))
+            .as("xy")))))
+    val mom = vecs(spark, dir)
+      .select(explode(pairsCol).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(sum(col("p.xy")).as("sxy"))
+      .persist() // 2080 rows; diagonal feeds the mean/var lookup below
+    val m1 = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(sum(col("x")).as("sx"))
+    val diag = mom.filter(col("i") === col("j"))
+      .join(m1, col("i") === col("d"))
+      .select(col("i").as("dd"),
+        (col("sxy") / n - (col("sx") / n) * (col("sx") / n)).as("vr"),
+        (col("sx") / n).as("mean"))
+    mom.filter(col("i") < col("j"))
+      .join(broadcast(diag.select(col("dd").as("i"), col("vr").as("vi"),
+        col("mean").as("mi"))), Seq("i"))
+      .join(broadcast(diag.select(col("dd").as("j"), col("vr").as("vj"),
+        col("mean").as("mj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        round(lit(1e-9) +
+          (col("sxy") / n - col("mi") * col("mj")) / sqrt(col("vi") * col("vj")),
+          4).as("corr"))
+      .orderBy(abs(col("corr")).desc, col("i"), col("j"))
+      .limit(10)
+  }
+
+  val q106Sql: String =
+    """WITH n AS (SELECT count(*) AS n FROM embeddings),
+      |comp AS (
+      |  SELECT vec_id, d - 1 AS d, embedding[d]::DOUBLE AS x
+      |  FROM (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d, embedding
+      |        FROM embeddings)),
+      |mom AS (
+      |  SELECT a.d AS i, b.d AS j, sum(a.x * b.x) AS sxy
+      |  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.d <= b.d
+      |  GROUP BY 1, 2),
+      |m1 AS (SELECT d, sum(x) AS sx FROM comp GROUP BY 1),
+      |diag AS (
+      |  SELECT i AS dd, sxy / n - (sx / n) * (sx / n) AS vr, sx / n AS mean
+      |  FROM mom JOIN m1 ON i = d AND i = j CROSS JOIN n)
+      |SELECT i, j,
+      |  round(1e-9 + (sxy / n - di.mean * dj.mean) / sqrt(di.vr * dj.vr), 4)
+      |    AS corr
+      |FROM mom
+      |JOIN diag di ON di.dd = i
+      |JOIN diag dj ON dj.dd = j
+      |CROSS JOIN n
+      |WHERE i < j
+      |ORDER BY abs(round(1e-9 + (sxy / n - di.mean * dj.mean)
+      |  / sqrt(di.vr * dj.vr), 4)) DESC, i, j
+      |LIMIT 10""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q33_ann_bruteforce" -> (q33AnnBruteforce _),
     "q34_ann_lsh" -> (q34AnnLsh _),
@@ -720,7 +792,8 @@ object Similarity {
     "q69_kmeans_refine" -> (q69KmeansRefine _),
     "q70_ivfpq_adc" -> (q70IvfPqAdc _),
     "q87_contrastive_mining" -> (q87ContrastiveMining _),
-    "q99_label_errors" -> (q99LabelErrors _)
+    "q99_label_errors" -> (q99LabelErrors _),
+    "q106_corr_audit" -> (q106CorrAudit _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -733,6 +806,7 @@ object Similarity {
     "q69_kmeans_refine" -> q69Sql,
     "q70_ivfpq_adc" -> q70Sql,
     "q87_contrastive_mining" -> q87Sql,
-    "q99_label_errors" -> q99Sql
+    "q99_label_errors" -> q99Sql,
+    "q106_corr_audit" -> q106Sql
   )
 }

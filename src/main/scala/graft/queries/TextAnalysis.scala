@@ -765,6 +765,70 @@ object TextAnalysis {
       |GROUP BY 1
       |ORDER BY exact DESC, t.tok""".stripMargin
 
+  /** Zipf-law audit — fit ln(freq) = a + s·ln(rank) over each language's
+    * top-50 tokens by closed-form least squares. Natural corpora follow
+    * s ≈ −1; a corpus whose slope drifts toward 0 is template/boilerplate
+    * heavy, one that steepens is topic-collapsed — a one-row-per-language
+    * distribution health check run after ingestion.
+    *
+    * Scale design: token counts aggregate map-side; the rank window is
+    * partitioned BY LANGUAGE over the vocab-sized count table (never the
+    * corpus), and the regression consumes 50 rows per language. ln()
+    * values are rounded to 6 dp before summation (q88's defense: libm's
+    * last-ulp differences must not reach the oracle compare), and the
+    * fold order of every regression sum is fixed by the rank. */
+  def q105ZipfAudit(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tok"))
+    val pts = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50)
+      .select(col("lang"),
+        round(log(col("rk").cast("double")), 6).as("x"),
+        round(log(col("c").cast("double")), 6).as("y"))
+    pts.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lang"), col("n_pts"),
+        round(lit(1e-9) +
+          (col("n_pts") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_pts") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        round(lit(1e-9) +
+          (col("sy") - col("sx") *
+            ((col("n_pts") * col("sxy") - col("sx") * col("sy")) /
+             (col("n_pts") * col("sxx") - col("sx") * col("sx")))) / col("n_pts"),
+          4).as("intercept"))
+      .orderBy(col("lang"))
+  }
+
+  val q105Sql: String =
+    """WITH counts AS (
+      |  SELECT lang, tok, count(*) AS c FROM (
+      |    SELECT lang, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT lang, round(ln(rk::DOUBLE), 6) AS x, round(ln(c::DOUBLE), 6) AS y
+      |  FROM (
+      |    SELECT lang, c,
+      |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rk
+      |    FROM counts)
+      |  WHERE rk <= 50),
+      |s AS (
+      |  SELECT lang, count(*) AS n_pts,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+      |  FROM pts GROUP BY 1)
+      |SELECT lang, n_pts,
+      |  round(1e-9 + (n_pts * sxy - sx * sy) / (n_pts * sxx - sx * sx), 4)
+      |    AS slope,
+      |  round(1e-9 + (sy - sx * ((n_pts * sxy - sx * sy)
+      |    / (n_pts * sxx - sx * sx))) / n_pts, 4) AS intercept
+      |FROM s
+      |ORDER BY lang""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q23_token_stats" -> (q23TokenStats _),
     "q24_quality_score" -> (q24QualityScore _),
@@ -781,7 +845,8 @@ object TextAnalysis {
     "q86_lang_vocab_hll" -> (q86LangVocabHll _),
     "q92_context_chunks" -> (q92ContextChunks _),
     "q94_token_entropy" -> (q94TokenEntropy _),
-    "q102_countmin_hitters" -> (q102CountMinHitters _)
+    "q102_countmin_hitters" -> (q102CountMinHitters _),
+    "q105_zipf_audit" -> (q105ZipfAudit _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -800,6 +865,7 @@ object TextAnalysis {
     "q86_lang_vocab_hll" -> q86Sql,
     "q92_context_chunks" -> q92Sql,
     "q94_token_entropy" -> q94Sql,
-    "q102_countmin_hitters" -> q102Sql
+    "q102_countmin_hitters" -> q102Sql,
+    "q105_zipf_audit" -> q105Sql
   )
 }

@@ -73,6 +73,44 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q105 Zipf fit: frequencies decay (negative slope, sane intercept)") {
+    val rows = run("q105_zipf_audit").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pts") >= 2 && r.getAs[Long]("n_pts") <= 50)
+      assert(r.getAs[Double]("slope") < 0.0,
+        s"${r.getAs[String]("lang")} slope not negative")
+      // intercept = ln(freq) at rank 1 — must dominate the tail
+      assert(r.getAs[Double]("intercept") > 0.0)
+    }
+  }
+
+  test("q106 correlation audit: valid Pearson range, strict upper triangle") {
+    val rows = run("q106_corr_audit").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("i") < r.getAs[Int]("j"))
+      val c = r.getAs[Double]("corr")
+      assert(c >= -1.0 - 1e-6 && c <= 1.0 + 1e-6, s"corr $c out of range")
+    }
+  }
+
+  test("q107 novelty totals equal the distinct-shingle count") {
+    val rows = run("q107_novelty_curve").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_sh"))
+      val nv = r.getAs[Double]("novelty")
+      assert(nv > 0.0 && nv <= 1.0 + 1e-9)
+    }
+    // every distinct shingle is novel exactly once (at its first doc)
+    import org.apache.spark.sql.functions.{col, explode}
+    val distinctSh = graft.sources.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFns.shingleH32(col("text"), 8)).as("h"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum == distinctSh)
+  }
+
   test("q104 every reported group spans more than one language") {
     val rows = run("q104_crosslang_dup").collect()
     rows.foreach { r =>

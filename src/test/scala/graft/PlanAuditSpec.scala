@@ -284,4 +284,29 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q104_crosslang_dup")
     assert(!p.contains("Join"), "cross-lang audit must be a pure aggregation")
   }
+
+  test("q105 Zipf: rank windows are per-language, never corpus-wide") {
+    val p = plan("q105_zipf_audit")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("lang#"),
+      s"un-partitioned vocab window crept in: $w"))
+  }
+
+  test("q106 correlation: moment table cached, diagonal lookups broadcast") {
+    val p = plan("q106_corr_audit")
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      "d² moment table must be cached for the diagonal and off-diagonal reads")
+    assert(p.contains("BroadcastHashJoin"), "diagonal stats lost their broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be a bounded take, not a full sort")
+  }
+
+  test("q107 novelty: postings built once, no pairwise join") {
+    val p = plan("q107_novelty_curve")
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      "shingle postings must be cached for first-seen agg and probe side")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
