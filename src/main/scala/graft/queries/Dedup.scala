@@ -314,7 +314,7 @@ object Dedup {
 
   /** Embedding-cosine near-dup, blocked by a multi-probe LSH bucket: each
     * vector gets the 8-bit random-hyperplane signature shared with the ANN
-    * pack ([[Similarity.hyperSig]]), and a pair is a candidate iff their
+    * pack ([[Similarity.sigCol]]), and a pair is a candidate iff their
     * signatures differ in ≤ 1 bit. Candidate generation is an equi-join —
     * each vector probes its own bucket plus the 8 one-bit flips, so the
     * probe key of one side meets the home key of the other exactly when
@@ -330,8 +330,7 @@ object Dedup {
     // signature computed once (one row per vector); joined three times
     // below — persist the signature table (cache keeps the partitioning;
     // a local checkpoint would drop it and re-shuffle each consumer)
-    val es = e.join(Similarity.hyperSig(spark, e), col("vec_id") === col("s_vec"))
-      .drop("s_vec")
+    val es = e.withColumn("sig", Similarity.sigCol(col("v")))
       .persist()
     val skinny = es.select(col("vec_id"), col("sig"))
     val probes = skinny.select(col("vec_id").as("pa"),

@@ -88,27 +88,37 @@ object Similarity {
     * match (equi-join on the bucket key) → exact cosine re-rank, top-5 via
     * the bounded [[graft.operators.TopK]] aggregation (no window sort —
     * same shape as q33). */
-  /** (p, d, w, pp): plane p's weight on dimension d, derived from md5 so
-    * both engines construct identical planes. 8 × 64 literal rows —
-    * broadcast. Shared by q34 here and q32 (embedding near-dup) in
-    * [[Dedup]]. */
-  private def planes(spark: SparkSession): DataFrame =
-    spark.range(8).toDF("p").crossJoin(spark.range(1, 65).toDF("d"))
-      .withColumn("w",
-        ((h32(concat_ws("_", lit("plane"), col("p"), col("d"))) % 2001 - 1000) / 1000.0))
-      .withColumn("pp", expr("shiftleft(cast(1 as bigint), cast(p as int))"))
+  /** Plan-time md5-h32 (same value as `TextFns.h32` / the oracle's
+    * `('0x' || substr(md5(x), 1, 8))::BIGINT`): the plane weights are
+    * CONSTANTS, so they are computed once here instead of per-row in the
+    * cluster. */
+  private def h32Const(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(4)
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
 
-  /** (s_vec, sig): 8-bit random-hyperplane signature per vector (sign of
-    * w·v per plane). Two aggregations, both pre-partitioned by vec_id. */
-  private[queries] def hyperSig(spark: SparkSession, e: DataFrame): DataFrame =
-    e.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      .withColumn("d", col("pos") + 1)
-      .join(broadcast(planes(spark)), "d")
-      .groupBy(col("vec_id").as("s_vec"), col("p"), col("pp"))
-      .agg(sum(col("w") * col("x")).as("s"))
-      .groupBy(col("s_vec"))
-      .agg(sum(when(col("s") > 0, col("pp")).otherwise(lit(0L))).as("sig"))
+  /** planeW(p)(d-1): plane p's weight on dimension d — md5-derived, so
+    * both engines construct identical planes (the oracle rebuilds them in
+    * SQL, see [[sigSqlCtes]]). Shared by q34/q99 here and q32 (embedding
+    * near-dup) in [[Dedup]]. */
+  private val planeW: Array[Array[Double]] =
+    Array.tabulate(8)(p => Array.tabulate(64)(i =>
+      ((h32Const(s"plane_${p}_${i + 1}") % 2001) - 1000) / 1000.0))
+
+  /** 8-bit random-hyperplane signature (sign of wₚ·v per plane) as a PURE
+    * PROJECTION: eight `dot_f64` calls against literal weight arrays — no
+    * explode, no plane join, no aggregation. The earlier form exploded
+    * N·64 component rows and ran two aggregations; this is a narrow map
+    * inside whole-stage codegen, and every float sequence is unchanged
+    * (`dot_f64` folds dimensions in ascending order — exactly the order
+    * the oracle's grouped `sum(w * x)` accumulates, which is why the
+    * hash compare stays bit-identical). */
+  private[queries] def sigCol(v: Column): Column =
+    (0 until 8).map { p =>
+      when(dotCol(v, lit(planeW(p))) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** DuckDB CTE fragment computing the same planes → signature chain;
     * expects a CTE `e(vec_id, …, embedding, nrm)` in scope and leaves
@@ -133,7 +143,7 @@ object Similarity {
 
   def q34AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val withSig = e.join(hyperSig(spark, e), col("vec_id") === col("s_vec")).drop("s_vec")
+    val withSig = e.withColumn("sig", sigCol(col("v")))
     val q = withSig.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("sig").as("qsig"))
@@ -667,7 +677,7 @@ object Similarity {
     * index; here it is rebuilt inline like the other ANN queries. */
   def q99LabelErrors(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val withSig = e.join(hyperSig(spark, e), col("vec_id") === col("s_vec"))
+    val withSig = e.withColumn("sig", sigCol(col("v")))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("sig"))
       .persist() // both sides of the bucket self-join
     withSig.as("x").join(withSig.as("y"),
