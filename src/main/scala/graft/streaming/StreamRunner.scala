@@ -182,6 +182,32 @@ object StreamRunner {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n_events"))
 
+  /** Streaming count-min sketch — the streaming face of the batch heavy-
+    * hitter pass (q102): every token hashes into depth×width cells and the
+    * grouped counts ARE the sketch, so aggregation state is bounded by
+    * depth·width CELLS regardless of stream length or key cardinality —
+    * the property that makes frequency tracking viable on an unbounded
+    * stream (per-token state would grow with the vocabulary forever).
+    * Works on a static frame too (the parity test runs both); on a
+    * stream, run with complete/update mode — cells only ever increase.
+    *
+    * Unlike the batch q102 (which pre-aggregates per-token counts before
+    * fanning out ×depth), a streaming query gets ONE aggregation, so the
+    * fan-out happens on the raw token stream — the constant-factor price
+    * of the single-agg restriction, paid map-side. */
+  def countMinCells(tokens: DataFrame, tokenCol: String = "tok",
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val rows = (0 until depth).map { j =>
+      struct(lit(j).as("j"),
+        (graft.functions.TextFns.h32(concat(lit(s"cm${j}_"), col(tokenCol)))
+          % width).as("b"))
+    }
+    tokens
+      .select(explode(array(rows: _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("cell"))
+  }
+
   /** Graceful drain: finish the in-flight batch, then stop — the SIGTERM
     * contract (launcher.py:151-157). `awaitTermination` after `stop()` is
     * what "finish in-flight" means for a micro-batch engine. */

@@ -227,6 +227,49 @@ class StreamRunnerSpec extends SparkSpec {
       s"streamed ${streamed.size} users vs batch ${closed.size}")
   }
 
+  test("streaming count-min sketch matches the batch sketch cell-for-cell") {
+    val src = Files.createTempDirectory("graft_cm_src")
+    val ckp = Files.createTempDirectory("graft_cm_ckp")
+    // stage the documents fixture as two arriving files: the sketch must
+    // accumulate across micro-batches (cells are mergeable by addition)
+    val docsFile = Paths.get(s"$sf/documents.parquet")
+    (1 to 2).foreach { i =>
+      Files.copy(docsFile, src.resolve(s"docs_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val docsSchema = spark.read.parquet(docsFile.toString).schema
+    def toks(df: org.apache.spark.sql.DataFrame) = df.select(
+      explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+    val stream = StreamRunner.fileStream(spark, src.toString, docsSchema)
+    val q = StreamRunner.runAggregate(
+      StreamRunner.countMinCells(toks(stream)), "cm_test", ckp.toString)
+    q.awaitTermination(120000)
+    val streamed = spark.table("cm_test")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // bounded state: never more than depth x width cells
+    assert(streamed.size <= 4 * 1024)
+    val batch = StreamRunner.countMinCells(
+      toks(spark.read.parquet(docsFile.toString)))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // two copies of the fixture streamed in -> exactly 2x every batch cell
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (k, v) => assert(streamed(k) == 2 * v) }
+    // one-sided error: the sketch estimate of any token >= its true count
+    val exact = toks(spark.read.parquet(docsFile.toString))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(5).collect()
+    exact.foreach { r =>
+      val est = (0 until 4).map { j =>
+        val b = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"cm${j}_${r.getString(0)}".getBytes("UTF-8")).take(4)
+            .map(x => f"$x%02x").mkString, 16) % 1024
+        batch((j, b))
+      }.min
+      assert(est >= r.getLong(1), s"CM underestimated '${r.getString(0)}'")
+    }
+  }
+
   test("graceful stop terminates a continuous query") {
     val (src, ckp) = stageMessages(1)
     val stream = StreamRunner.fileStream(spark, src, eventsSchema)
