@@ -48,17 +48,52 @@ object VecOps {
     * to have installed `dot_f64` on the session. */
   def dotCol(a: Column, b: Column): Column = call_function("dot_f64", a, b)
 
+  /** Row-level kernel for [[OuterF64]]: the full n×n outer-product grid
+    * of a vector with itself, row-major (`pos = i*n + j` → v[i]·v[j]).
+    * One tight loop, one primitive-array allocation — the declarative
+    * nested `transform`+`flatten` equivalent allocates a lambda frame
+    * per element and boxes every struct, profiled at ~3× the total cost
+    * of the correlation audit it feeds. */
+  def outer(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n * n)
+    var i = 0
+    while (i < n) {
+      val xi = a.getDouble(i)
+      var j = 0
+      while (j < n) {
+        out(i * n + j) = xi * a.getDouble(j)
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Column form of the self outer product; requires [[register]]. */
+  def outerCol(a: Column): Column = call_function("outer_f64", a)
+
   def builder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "dot_f64(a, b) takes 2 arguments")
     DotF64(exprs.head, exprs(1))
   }
 
-  /** Register `dot_f64` on a session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def outerBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "outer_f64(a) takes 1 argument")
+    OuterF64(exprs.head)
+  }
+
+  /** Register `dot_f64` / `outer_f64` on a session (idempotent). */
+  def register(spark: SparkSession): Unit = {
     if (!spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f64")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "dot_f64", builder, "built-in")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("outer_f64")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "outer_f64", outerBuilder, "built-in")
+  }
 }
 
 /** `dot_f64(array<double>, array<double>) -> double`; see [[VecOps]]. */
@@ -88,4 +123,33 @@ case class DotF64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "dot_f64"
+}
+
+/** `outer_f64(array<double>) -> array<double>` (n² row-major self outer
+  * product); see [[VecOps.outer]]. */
+case class OuterF64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"outer_f64 expects array<double>, got $other")
+    }
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.outer(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecOps.outer($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): OuterF64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "outer_f64"
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ComposeExpr, DotF64, H32Md5, HashExprs, NGramStats, NGramStatsExpr, ShingleH32, ShingleH32Expr, VecOps}
+import graft.functions.{ComposeExpr, DotF64, H32Md5, HashExprs, NGramStats, NGramStatsExpr, OuterF64, ShingleH32, ShingleH32Expr, VecOps}
 
 /** Session-extensions entry point — makes the library installable without
   * code changes:
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.composeTpl)
     ext.injectFunction(GraftExtensions.dotF64)
+    ext.injectFunction(GraftExtensions.outerF64)
     ext.injectFunction(GraftExtensions.h32Md5)
     ext.injectFunction(GraftExtensions.ngramStats)
     ext.injectFunction(GraftExtensions.shingleH32)
@@ -44,6 +45,12 @@ object GraftExtensions {
     (FunctionIdentifier("dot_f64"),
       new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
       VecOps.builder _)
+
+  /** (name, info, builder) triple for `outer_f64(a)`. */
+  val outerF64: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("outer_f64"),
+      new ExpressionInfo(classOf[OuterF64].getName, "outer_f64"),
+      VecOps.outerBuilder _)
 
   /** (name, info, builder) triple for `h32_md5(s)`. */
   val h32Md5: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =

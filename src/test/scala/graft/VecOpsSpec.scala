@@ -31,6 +31,25 @@ class VecOpsSpec extends SparkSpec {
     intercept[Exception] { bad.collect() }
   }
 
+  test("outer_f64 is bit-identical to the declarative nested transform") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val decl = flatten(transform(sequence(lit(0), size(col("v")) - 1), i =>
+      transform(sequence(lit(0), size(col("v")) - 1), j =>
+        element_at(col("v"), i + 1) * element_at(col("v"), j + 1))))
+    val both = e
+      .withColumn("native", VecOps.outerCol(col("v")))
+      .withColumn("fold", decl)
+    assert(both.filter(col("native") =!= col("fold")).count() == 0)
+    assert(both.count() > 0)
+    // row-major layout: pos = i*n + j
+    val r = both.select(col("v"), col("native")).head()
+    val v = r.getSeq[Double](0)
+    val o = r.getSeq[Double](1)
+    assert(o.length == v.length * v.length)
+    assert(o(5 * v.length + 7) == v(5) * v(7))
+  }
+
   test("dot_f64 stays inside whole-stage codegen") {
     val e = graft.sources.Tables.embeddings(spark, sf)
       .select(VecOps.dotCol(
