@@ -899,6 +899,84 @@ object Dedup {
       |HAVING count(DISTINCT lang) > 1
       |ORDER BY content_key""".stripMargin
 
+  /** Asymmetric containment dedup — the partial-copy detector symmetric
+    * Jaccard misses: a short document quoted inside a much longer one has
+    * jac = |A|/|B| ≈ 0 but containment |A∩B|/|A| ≈ 1. Reports ordered
+    * pairs where ≥ 90% of the smaller document's shingles appear in the
+    * larger one (the threshold as a cross-multiplied integer predicate —
+    * no float boundary can disagree between engines), with the symmetric
+    * Jaccard alongside so downstream policy can distinguish full dups
+    * (jac also high) from true partial copies (jac low). The fixture's
+    * duplicates are full copies, so here every reported pair also has
+    * high Jaccard; on a real corpus the jac column is what separates
+    * quotes/excerpts from mirrors.
+    *
+    * Scale design: identical cost shape to q29 — the same df-capped
+    * postings self-join and pair aggregation (one more narrow projection
+    * on the aggregated pairs); candidate generation stays bounded by the
+    * stop-shingle cap, and orientation (small ⊆ big) is decided per
+    * aggregated pair, never by re-joining. */
+  def q108Containment(spark: SparkSession, dir: String): DataFrame = {
+    val raw = shPostings(spark, dir)
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
+    val hot = raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") * 100 > greatest(lit(2500L), col("ndocs")))
+      .select(col("h"))
+    val sh = raw.join(broadcast(hot), Seq("h"), "left_anti")
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(cnt.select(col("doc_id").as("da"), col("n_sh").as("na"))), Seq("da"))
+      .join(broadcast(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb"))), Seq("db"))
+      .select(
+        when(col("na") <= col("nb"), col("da")).otherwise(col("db")).as("small_doc"),
+        when(col("na") <= col("nb"), col("db")).otherwise(col("da")).as("big_doc"),
+        least(col("na"), col("nb")).as("n_small"),
+        greatest(col("na"), col("nb")).as("n_big"),
+        col("inter"))
+      // containment >= 0.9 of the smaller side, in integers
+      .filter(col("inter") * 10 >= col("n_small") * 9)
+      .withColumn("containment",
+        round(lit(1e-9) + col("inter").cast("double") / col("n_small"), 5))
+      .withColumn("jac",
+        round(lit(1e-9) + col("inter").cast("double") /
+          (col("n_small") + col("n_big") - col("inter")), 5))
+      .orderBy(col("small_doc"), col("big_doc"))
+  }
+
+  val q108Sql: String =
+    s"""WITH $shPostingsSql,
+      |nd AS (SELECT count(*) AS ndocs FROM documents),
+      |hot AS (
+      |  SELECT h FROM sh CROSS JOIN nd
+      |  GROUP BY h, ndocs
+      |  HAVING count(*) * 100 > greatest(2500, ndocs)),
+      |shc AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sized AS (
+      |  SELECT CASE WHEN ca.n_sh <= cb.n_sh THEN da ELSE db END AS small_doc,
+      |    CASE WHEN ca.n_sh <= cb.n_sh THEN db ELSE da END AS big_doc,
+      |    least(ca.n_sh, cb.n_sh) AS n_small,
+      |    greatest(ca.n_sh, cb.n_sh) AS n_big,
+      |    inter
+      |  FROM pairs
+      |  JOIN cnt ca ON ca.doc_id = da
+      |  JOIN cnt cb ON cb.doc_id = db)
+      |SELECT small_doc, big_doc, n_small, n_big, inter,
+      |  round(1e-9 + CAST(inter AS DOUBLE) / n_small, 5) AS containment,
+      |  round(1e-9 + CAST(inter AS DOUBLE) / (n_small + n_big - inter), 5) AS jac
+      |FROM sized
+      |WHERE inter * 10 >= n_small * 9
+      |ORDER BY small_doc, big_doc""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
@@ -912,6 +990,7 @@ object Dedup {
     "q93_prefix_dup" -> (q93PrefixDup _),
     "q96_sorted_neighborhood" -> (q96SortedNeighborhood _),
     "q100_incremental_dedup" -> (q100IncrementalDedup _),
+    "q108_containment" -> (q108Containment _),
     "q104_crosslang_dup" -> (q104CrossLangDup _)
   )
 
@@ -928,6 +1007,7 @@ object Dedup {
     "q93_prefix_dup" -> q93Sql,
     "q96_sorted_neighborhood" -> q96Sql,
     "q100_incremental_dedup" -> q100Sql,
+    "q108_containment" -> q108Sql,
     "q104_crosslang_dup" -> q104Sql
   )
 }

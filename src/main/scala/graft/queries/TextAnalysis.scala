@@ -829,6 +829,77 @@ object TextAnalysis {
       |FROM s
       |ORDER BY lang""".stripMargin
 
+  /** PMI collocation mining — pointwise mutual information over adjacent
+    * token pairs: pmi(a,b) = ln( P(ab) / (P(a)·P(b)) ). High-PMI pairs
+    * are multiword units ("new york"); in a curation pipeline they feed
+    * tokenizer merge candidates (q66's counts-based first merge is the
+    * BPE view; PMI is the association view) and template detection
+    * (boilerplate has pathological PMI structure). Pairs below 20
+    * occurrences are dropped — PMI's known low-count instability.
+    *
+    * Scale design: two map-side-combined aggregations (bigram counts,
+    * unigram counts) + two counts-table joins and broadcast total rows —
+    * nothing after the first aggregation is corpus-sized; the top-20 is
+    * a bounded TakeOrdered, not a sort of the bigram table. */
+  def q109PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val d = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), toks.as("toks"))
+    val bi = d
+      .select(posexplode(slice(col("toks"), lit(1), size(col("toks")) - 1))
+        .as(Seq("i", "w1")), col("toks"))
+      .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= 20)
+    val uni = d.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      .persist() // vocab-sized; joined twice (w1 and w2 sides)
+    val totals = uni.agg(sum(col("cu")).as("nu"))
+      .crossJoin(d.select(posexplode(slice(col("toks"), lit(1),
+        size(col("toks")) - 1)).as(Seq("i", "w")))
+        .agg(count(lit(1)).as("nb")))
+    bi.join(uni.select(col("tok").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(lit(1e-9) +
+        log((col("cb").cast("double") / col("nb")) /
+          ((col("c1").cast("double") / col("nu")) *
+           (col("c2").cast("double") / col("nu")))), 4))
+      .select(col("w1"), col("w2"), col("cb"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val q109Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |bi AS (
+      |  SELECT w1, w2, count(*) AS cb FROM (
+      |    SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+      |      unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+      |    FROM d)
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 20),
+      |uni AS (
+      |  SELECT tok, count(*) AS cu FROM (SELECT unnest(toks) AS tok FROM d)
+      |  GROUP BY 1),
+      |totals AS (
+      |  SELECT (SELECT CAST(sum(cu) AS BIGINT) FROM uni) AS nu,
+      |    (SELECT count(*) FROM (
+      |      SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w
+      |      FROM d)) AS nb)
+      |SELECT w1, w2, cb,
+      |  round(1e-9 + ln((CAST(cb AS DOUBLE) / nb) /
+      |    ((CAST(c1 AS DOUBLE) / nu) * (CAST(c2 AS DOUBLE) / nu))), 4) AS pmi
+      |FROM bi
+      |JOIN (SELECT tok AS w1, cu AS c1 FROM uni) u1 USING (w1)
+      |JOIN (SELECT tok AS w2, cu AS c2 FROM uni) u2 USING (w2)
+      |CROSS JOIN totals
+      |ORDER BY pmi DESC, w1, w2
+      |LIMIT 20""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q23_token_stats" -> (q23TokenStats _),
     "q24_quality_score" -> (q24QualityScore _),
@@ -846,7 +917,8 @@ object TextAnalysis {
     "q92_context_chunks" -> (q92ContextChunks _),
     "q94_token_entropy" -> (q94TokenEntropy _),
     "q102_countmin_hitters" -> (q102CountMinHitters _),
-    "q105_zipf_audit" -> (q105ZipfAudit _)
+    "q105_zipf_audit" -> (q105ZipfAudit _),
+    "q109_pmi_collocations" -> (q109PmiCollocations _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -866,6 +938,7 @@ object TextAnalysis {
     "q92_context_chunks" -> q92Sql,
     "q94_token_entropy" -> q94Sql,
     "q102_countmin_hitters" -> q102Sql,
-    "q105_zipf_audit" -> q105Sql
+    "q105_zipf_audit" -> q105Sql,
+    "q109_pmi_collocations" -> q109Sql
   )
 }

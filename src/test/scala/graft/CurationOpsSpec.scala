@@ -111,6 +111,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_novel")).sum == distinctSh)
   }
 
+  test("q108 containment pairs are oriented and dominate Jaccard") {
+    val rows = run("q108_containment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_small") <= r.getAs[Long]("n_big"))
+      assert(r.getAs[Long]("inter") <= r.getAs[Long]("n_small"),
+        "intersection larger than the smaller set")
+      val cont = r.getAs[Double]("containment")
+      assert(cont >= 0.9 - 1e-9 && cont <= 1.0 + 1e-9)
+      // containment of the smaller side always >= symmetric Jaccard
+      assert(cont >= r.getAs[Double]("jac") - 1e-9)
+    }
+  }
+
+  test("q109 PMI pairs clear the count floor; PMI consistent with counts") {
+    val rows = run("q109_pmi_collocations").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("cb") >= 20))
+    // ordering: non-increasing pmi with (w1, w2) tie-break
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q104 every reported group spans more than one language") {
     val rows = run("q104_crosslang_dup").collect()
     rows.foreach { r =>

@@ -285,6 +285,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "cross-lang audit must be a pure aggregation")
   }
 
+  test("q108 containment: postings cached, counts broadcast onto pairs") {
+    val p = plan("q108_containment")
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      "postings must be cached across the self-join sides")
+    assert(p.contains("LeftAnti"), "stop-shingle cap lost its anti-join")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "per-doc counts must broadcast onto the aggregated pairs")
+  }
+
+  test("q109 PMI: unigram table cached, totals broadcast, bounded top-20") {
+    val p = plan("q109_pmi_collocations")
+    assert(p.contains("InMemoryTableScan"),
+      "unigram counts must be cached for the w1/w2 joins")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be a bounded take, not a full sort")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "single-row totals must be broadcast")
+  }
+
   test("q105 Zipf: rank windows are per-language, never corpus-wide") {
     val p = plan("q105_zipf_audit")
     val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
