@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -744,6 +744,128 @@ object Curation {
       |GROUP BY 1
       |ORDER BY decile""".stripMargin
 
+  /** Distributed logistic-regression training step — the FineWeb-edu /
+    * fastText-quality-classifier pattern: learn to predict a document
+    * property (here: is the language tag `en`) from the q24 heuristic
+    * features, with three full-batch gradient-descent steps. Each step is
+    * ONE aggregation over the corpus (grad_j = Σ (σ(w·x) − y)·x_j / n);
+    * the 4 weights are control-plane scalars exactly like a parameter
+    * vector on a driver — the corpus never moves, only 4 doubles do.
+    *
+    * Cross-engine determinism: features are rounded at source, z and
+    * σ(z) are rounded to 6 dp per row (libm exp may differ in the last
+    * ulp between engines — rounding kills it before it can compound),
+    * gradients are rounded to 6 dp before the update, and the learning
+    * rate is 4.0 (a power of two: w − 4·g is exact float arithmetic, so
+    * both engines carry bit-identical weights into the next step). */
+  def q110LogisticStep(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val feat = Tables.documents(spark, dir)
+      .select(
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
+        size(toks).as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).as("word_chars"),
+        size(filter(toks, t =>
+          array_contains(array(lit("the"), lit("a"), lit("data"), lit("value")), t)))
+          .as("n_stop"))
+      .select(col("y"),
+        round(lit(1e-9) +
+          least(lit(1.0), col("n_words").cast("double") / 100.0), 5).as("x1"),
+        round(lit(1e-9) +
+          col("n_stop").cast("double") / col("n_words"), 5).as("x2"),
+        round(lit(1e-9) + least(lit(1.0),
+          (col("word_chars").cast("double") / col("n_words")) / 8.0), 5).as("x3"))
+      .persist() // 3 gradient passes + the final accuracy pass
+    val lr = 4.0
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    def zCol = round(lit(1e-9) + lit(w(0)) + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3"), 6)
+    for (_ <- 1 to 3) {
+      val p = round(lit(1e-9) + lit(1.0) / (lit(1.0) + exp(-zCol)), 6)
+      def grad(x: Column) = round(lit(1e-9) +
+        sum((p - col("y")) * x) / count(lit(1)), 6)
+      val g = feat.agg(grad(lit(1.0)), grad(col("x1")),
+        grad(col("x2")), grad(col("x3"))).first()
+      w = Array.tabulate(4)(j => w(j) - lr * g.getDouble(j))
+    }
+    feat.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when((zCol > 0) === (col("y") === 1.0), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("n_docs"), col("n_correct"),
+        round(lit(1e-9) + col("n_correct").cast("double") / col("n_docs"), 5)
+          .as("train_acc"),
+        round(lit(1e-9) + lit(w(0)), 6).as("w_bias"),
+        round(lit(1e-9) + lit(w(1)), 6).as("w_len"),
+        round(lit(1e-9) + lit(w(2)), 6).as("w_stop"),
+        round(lit(1e-9) + lit(w(3)), 6).as("w_awl"))
+  }
+
+  val q110Sql: String =
+    """WITH feat AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+      |    round(1e-9 + least(1.0, CAST(n_words AS DOUBLE) / 100.0), 5) AS x1,
+      |    round(1e-9 + CAST(n_stop AS DOUBLE) / n_words, 5) AS x2,
+      |    round(1e-9 + least(1.0,
+      |      (CAST(word_chars AS DOUBLE) / n_words) / 8.0), 5) AS x3
+      |  FROM (
+      |    SELECT lang,
+      |      len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_words,
+      |      length(replace(text, ' ', '')) AS word_chars,
+      |      len(list_filter(string_split(text, ' '),
+      |          t -> list_contains(['the', 'a', 'data', 'value'], t))) AS n_stop
+      |    FROM documents)),
+      |g1 AS (
+      |  SELECT
+      |    round(1e-9 + sum((round(1e-9 + 1.0/(1.0 + exp(-round(1e-9, 6))), 6) - y) * 1.0)
+      |      / count(*), 6) AS gb,
+      |    round(1e-9 + sum((round(1e-9 + 1.0/(1.0 + exp(-round(1e-9, 6))), 6) - y) * x1)
+      |      / count(*), 6) AS g1,
+      |    round(1e-9 + sum((round(1e-9 + 1.0/(1.0 + exp(-round(1e-9, 6))), 6) - y) * x2)
+      |      / count(*), 6) AS g2,
+      |    round(1e-9 + sum((round(1e-9 + 1.0/(1.0 + exp(-round(1e-9, 6))), 6) - y) * x3)
+      |      / count(*), 6) AS g3
+      |  FROM feat),
+      |w1 AS (SELECT 0.0 - 4.0 * gb AS wb, 0.0 - 4.0 * g1 AS w1,
+      |              0.0 - 4.0 * g2 AS w2, 0.0 - 4.0 * g3 AS w3 FROM g1),
+      |g2 AS (
+      |  SELECT wb, w1, w2, w3,
+      |    round(1e-9 + sum((p - y) * 1.0) / count(*), 6) AS gb2,
+      |    round(1e-9 + sum((p - y) * x1) / count(*), 6) AS g12,
+      |    round(1e-9 + sum((p - y) * x2) / count(*), 6) AS g22,
+      |    round(1e-9 + sum((p - y) * x3) / count(*), 6) AS g32
+      |  FROM (
+      |    SELECT f.*, w1.*,
+      |      round(1e-9 + 1.0/(1.0 + exp(-round(1e-9 + wb + w1*x1 + w2*x2 + w3*x3, 6))), 6) AS p
+      |    FROM feat f CROSS JOIN w1)
+      |  GROUP BY 1, 2, 3, 4),
+      |w2 AS (SELECT wb - 4.0 * gb2 AS wb, w1 - 4.0 * g12 AS w1,
+      |              w2 - 4.0 * g22 AS w2, w3 - 4.0 * g32 AS w3 FROM g2),
+      |g3 AS (
+      |  SELECT wb, w1, w2, w3,
+      |    round(1e-9 + sum((p - y) * 1.0) / count(*), 6) AS gb3,
+      |    round(1e-9 + sum((p - y) * x1) / count(*), 6) AS g13,
+      |    round(1e-9 + sum((p - y) * x2) / count(*), 6) AS g23,
+      |    round(1e-9 + sum((p - y) * x3) / count(*), 6) AS g33
+      |  FROM (
+      |    SELECT f.*, w2.*,
+      |      round(1e-9 + 1.0/(1.0 + exp(-round(1e-9 + wb + w1*x1 + w2*x2 + w3*x3, 6))), 6) AS p
+      |    FROM feat f CROSS JOIN w2)
+      |  GROUP BY 1, 2, 3, 4),
+      |w3 AS (SELECT wb - 4.0 * gb3 AS wb, w1 - 4.0 * g13 AS w1,
+      |              w2 - 4.0 * g23 AS w2, w3 - 4.0 * g33 AS w3 FROM g3)
+      |SELECT count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN (round(1e-9 + wb + w1*x1 + w2*x2 + w3*x3, 6) > 0)
+      |                     = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  round(1e-9 + CAST(sum(CASE WHEN (round(1e-9 + wb + w1*x1 + w2*x2 + w3*x3, 6) > 0)
+      |                              = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 5) AS train_acc,
+      |  round(1e-9 + max(wb), 6) AS w_bias,
+      |  round(1e-9 + max(w1), 6) AS w_len,
+      |  round(1e-9 + max(w2), 6) AS w_stop,
+      |  round(1e-9 + max(w3), 6) AS w_awl
+      |FROM feat CROSS JOIN w3""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
@@ -757,7 +879,8 @@ object Curation {
     "q97_winsorized_stats" -> (q97WinsorizedStats _),
     "q98_source_overlap" -> (q98SourceOverlap _),
     "q101_quality_blend" -> (q101QualityBlend _),
-    "q107_novelty_curve" -> (q107NoveltyCurve _)
+    "q107_novelty_curve" -> (q107NoveltyCurve _),
+    "q110_logistic_step" -> (q110LogisticStep _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -773,6 +896,7 @@ object Curation {
     "q97_winsorized_stats" -> q97Sql,
     "q98_source_overlap" -> q98Sql,
     "q101_quality_blend" -> q101Sql,
-    "q107_novelty_curve" -> q107Sql
+    "q107_novelty_curve" -> q107Sql,
+    "q110_logistic_step" -> q110Sql
   )
 }

@@ -134,6 +134,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q110 logistic step: weights moved, accuracy arithmetic consistent") {
+    val r = run("q110_logistic_step").collect().head
+    val n = r.getAs[Long]("n_docs")
+    val c = r.getAs[Long]("n_correct")
+    assert(n > 0 && c >= 0 && c <= n)
+    assert(math.abs(r.getAs[Double]("train_acc") - (1e-9 + c.toDouble / n)) < 1e-4)
+    // three gradient steps from w=0 must move every weight off zero
+    Seq("w_bias", "w_len", "w_stop", "w_awl").foreach { k =>
+      val w = r.getAs[Double](k)
+      assert(!w.isNaN && !w.isInfinite && w != 0.0, s"$k did not train")
+    }
+  }
+
   test("q104 every reported group spans more than one language") {
     val rows = run("q104_crosslang_dup").collect()
     rows.foreach { r =>
