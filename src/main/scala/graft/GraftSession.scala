@@ -43,6 +43,7 @@ object GraftSession {
     graft.functions.HashExprs.register(spark)
     graft.functions.NGramStats.register(spark)
     graft.functions.ShingleH32.register(spark)
+    graft.functions.RollingFp.register(spark)
   }
 
   /** Make an externally-created session (e.g. the driver's) safe for graft

@@ -56,12 +56,11 @@ object TextFns {
     call_function("shingle_h32", c.cast("string"), lit(n))
 
   /** Rolling polynomial fingerprint of a string array:
-    * fold (acc * b + h32(t)) % P with acc0 = 0.
+    * fold (acc * b + h32(t)) % P with acc0 = 0 — native [[RollingFp]]
+    * kernel, numerically identical to the declarative
+    * `aggregate(transform(toks, h32), 0L, (acc, h) -> (acc*b + h) % P)`.
     * DuckDB: `list_reduce(list_prepend(0::BIGINT, list_transform(toks,
     *            t -> h32(t))), (a, b) -> (a * B + b) % P)`. */
   def rollingFp(toks: Column, b: Long = 131L): Column =
-    aggregate(
-      transform(toks, h32 _),
-      lit(0L),
-      (acc, h) => (acc * b + h) % P)
+    call_function("rolling_fp", toks, lit(b))
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ComposeExpr, DotF64, H32Md5, HashExprs, NGramStats, NGramStatsExpr, OuterF64, ShingleH32, ShingleH32Expr, VecOps}
+import graft.functions.{ComposeExpr, DotF64, H32Md5, HashExprs, NGramStats, NGramStatsExpr, OuterF64, RollingFp, RollingFpExpr, ShingleH32, ShingleH32Expr, VecOps}
 
 /** Session-extensions entry point — makes the library installable without
   * code changes:
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.h32Md5)
     ext.injectFunction(GraftExtensions.ngramStats)
     ext.injectFunction(GraftExtensions.shingleH32)
+    ext.injectFunction(GraftExtensions.rollingFp)
   }
 }
 
@@ -63,6 +64,12 @@ object GraftExtensions {
     (FunctionIdentifier("ngram_stats"),
       new ExpressionInfo(classOf[NGramStatsExpr].getName, "ngram_stats"),
       NGramStats.builder _)
+
+  /** (name, info, builder) triple for `rolling_fp(toks, b)`. */
+  val rollingFp: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("rolling_fp"),
+      new ExpressionInfo(classOf[RollingFpExpr].getName, "rolling_fp"),
+      RollingFp.builder _)
 
   /** (name, info, builder) triple for `shingle_h32(text, n)`. */
   val shingleH32: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =

@@ -58,6 +58,22 @@ class TextFnsSpec extends SparkSpec {
       one(h32(lit("a"))).asInstanceOf[Long] % P)
   }
 
+  test("native rolling_fp kernel matches the declarative fold on the fixture") {
+    val toks = tokens(col("text"))
+    val decl = aggregate(transform(array_sort(array_distinct(toks)), h32 _),
+      lit(0L), (acc, h) => (acc * 131L + h) % P)
+    val df = graft.sources.Tables.documents(spark, sf)
+      .withColumn("native", rollingFp(array_sort(array_distinct(toks))))
+      .withColumn("decl", decl)
+    assert(df.filter(col("native") =!= col("decl")).count() == 0)
+    assert(df.count() > 0)
+    // null contract: a null element nulls the fingerprint
+    val r = spark.range(1)
+      .select(rollingFp(array(lit("a"), lit(null).cast("string"))).as("fp"))
+      .head()
+    assert(r.isNullAt(0))
+  }
+
   test("native h32 kernel is bit-identical to the declarative md5 chain") {
     val chain = conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
     val df = graft.sources.Tables.documents(spark, sf)
