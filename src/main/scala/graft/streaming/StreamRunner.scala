@@ -208,6 +208,28 @@ object StreamRunner {
       .agg(count(lit(1)).as("cell"))
   }
 
+  /** Streaming windowed approximate-distinct via the [[graft.functions.Hll]]
+    * sketch — `count(distinct user)` per event-time window on a stream,
+    * with 64 bytes of aggregation state per open window instead of a
+    * per-user state map (an exact streaming distinct keeps every key it
+    * has seen inside the watermark horizon; the sketch is the version
+    * whose state does not grow with cardinality). Watermark bounds how
+    * long windows stay open; the register buffers are mergeable by max,
+    * so partial aggregation works across micro-batches exactly as it
+    * does map-side in batch. Expects a `ts_ns` int64 nanos column. */
+  def approxDistinctUsers(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", watermark)
+      .withColumn("h",
+        graft.functions.TextFns.h32(concat(lit("u_"), col("user_id"))))
+      .groupBy(window(col("ts"), window_).as("w"))
+      .agg(graft.functions.Hll.approxDistinct(col("h")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("win_start"), col("approx_users"),
+        col("n_events"))
+
   /** Graceful drain: finish the in-flight batch, then stop — the SIGTERM
     * contract (launcher.py:151-157). `awaitTermination` after `stop()` is
     * what "finish in-flight" means for a micro-batch engine. */

@@ -270,6 +270,45 @@ class StreamRunnerSpec extends SparkSpec {
     }
   }
 
+  test("streaming HLL windowed distinct matches batch exactly per window") {
+    val (src, ckp) = stageMessages(1)
+    val stream = StreamRunner.fileStream(spark, src, eventsSchema)
+      .withColumnRenamed("ts", "ts_ns")
+    val q = StreamRunner.runAggregate(
+      StreamRunner.approxDistinctUsers(stream), "hll_test", ckp)
+    q.awaitTermination(120000)
+    val streamed = spark.table("hll_test")
+      .collect().map(r => r.getTimestamp(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    // batch runs the SAME sketch (deterministic: register maxima are
+    // partitioning-invariant and the harmonic sum is exact), so the
+    // streaming estimate must agree bit-for-bit window by window
+    val batch = StreamRunner.approxDistinctUsers(
+      graft.sources.Tables.events(spark, sf).withColumnRenamed("ts", "ignored"))
+      .collect().map(r => r.getTimestamp(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+    // exact per-window counts via the SAME window grouping (avoids any
+    // driver-side timestamp/timezone reconstruction)
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("d"))
+      .select(col("w.start"), col("d"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    streamed.foreach { case (k, (est, n)) =>
+      assert(batch(k)._1 == est, s"window $k estimate diverged")
+      assert(batch(k)._2 == n)
+      // sanity: estimate within HLL error of the exact distinct count.
+      // Only meaningful above the sketch's small-range floor (the raw
+      // estimator without linear-counting correction reads ~0.7·m ≈ 46
+      // for near-empty registers, m = 64) — same contract as q78/q86,
+      // which sketch large cardinalities.
+      if (exact(k) >= 100)
+        assert(est > exact(k) * 0.5 && est < exact(k) * 2.0,
+          s"window $k: est $est vs exact ${exact(k)}")
+    }
+  }
+
   test("graceful stop terminates a continuous query") {
     val (src, ckp) = stageMessages(1)
     val stream = StreamRunner.fileStream(spark, src, eventsSchema)
