@@ -977,6 +977,99 @@ object Dedup {
       |WHERE inter * 10 >= n_small * 9
       |ORDER BY small_doc, big_doc""".stripMargin
 
+  /** MinHash drift audit — the sketch-replaces-exact story measured:
+    * estimate every source-pair Jaccard from 16-permutation MinHash
+    * signatures (est = matching components / 16) and report it NEXT TO
+    * the exact q98 overlap, with the absolute error. Operationally this
+    * is cross-batch drift monitoring: at 100 TB you keep one 128-byte
+    * signature per ingestion batch and compare signatures — this query
+    * is the calibration run that tells you what accuracy those 128
+    * bytes buy before you rely on them.
+    *
+    * Scale design: the signature build is 16 parallel min-aggregations
+    * over the source postings (ONE shuffle, 17-column rows out — never
+    * a postings×16 explode), the pair compare is a broadcast join of two
+    * signature tables of |sources| rows, and the exact side is q98's
+    * postings equi-join reusing the SAME persisted postings. */
+  def q111MinhashDrift(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("source"), explode(shingleH32(col("text"), 3)).as("h"))
+      .distinct()
+      .persist() // signature build + exact sides all read this once
+    val mhCols = perms.map { case (i, a, b) =>
+      min((col("h") * a + b) % P).as(s"mh$i")
+    }
+    val sig = sh.groupBy(col("source")).agg(mhCols.head, mhCols.tail: _*)
+    val matches = perms.map { case (i, _, _) =>
+      when(col(s"x.mh$i") === col(s"y.mh$i"), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    val est = sig.as("x")
+      .join(broadcast(sig.as("y")), col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        matches.as("m"))
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    est
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_sh").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_sh").as("nb"))), Seq("src_b"))
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("src_a"), col("src_b"),
+        round(lit(1e-9) + col("m").cast("double") / 16.0, 5).as("est_jac"),
+        round(lit(1e-9) +
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5)
+          .as("jac"),
+        round(lit(1e-9) + abs(col("m").cast("double") / 16.0 -
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter"))), 5)
+          .as("abs_err"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q111Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source,
+      |    ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+      |  FROM (
+      |    SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |    FROM t)),
+      |perms(i, pa, pb) AS (VALUES $permsValues),
+      |sig AS (
+      |  SELECT source, i, min((pa * h + pb) % 1000000007) AS mh
+      |  FROM sh CROSS JOIN perms
+      |  GROUP BY 1, 2),
+      |estp AS (
+      |  SELECT x.source AS src_a, y.source AS src_b,
+      |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS m
+      |  FROM sig x JOIN sig y ON x.i = y.i AND x.source < y.source
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT e.src_a, e.src_b,
+      |  round(1e-9 + CAST(m AS DOUBLE) / 16.0, 5) AS est_jac,
+      |  round(1e-9 + CAST(coalesce(inter, 0) AS DOUBLE)
+      |    / (na.n_sh + nb.n_sh - coalesce(inter, 0)), 5) AS jac,
+      |  round(1e-9 + abs(CAST(m AS DOUBLE) / 16.0
+      |    - CAST(coalesce(inter, 0) AS DOUBLE)
+      |      / (na.n_sh + nb.n_sh - coalesce(inter, 0))), 5) AS abs_err
+      |FROM estp e
+      |LEFT JOIN inter USING (src_a, src_b)
+      |JOIN sizes na ON e.src_a = na.source
+      |JOIN sizes nb ON e.src_b = nb.source
+      |ORDER BY e.src_a, e.src_b""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
@@ -991,6 +1084,7 @@ object Dedup {
     "q96_sorted_neighborhood" -> (q96SortedNeighborhood _),
     "q100_incremental_dedup" -> (q100IncrementalDedup _),
     "q108_containment" -> (q108Containment _),
+    "q111_minhash_drift" -> (q111MinhashDrift _),
     "q104_crosslang_dup" -> (q104CrossLangDup _)
   )
 
@@ -1008,6 +1102,7 @@ object Dedup {
     "q96_sorted_neighborhood" -> q96Sql,
     "q100_incremental_dedup" -> q100Sql,
     "q108_containment" -> q108Sql,
+    "q111_minhash_drift" -> q111Sql,
     "q104_crosslang_dup" -> q104Sql
   )
 }

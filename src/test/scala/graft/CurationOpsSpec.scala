@@ -147,6 +147,22 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q111 sketch calibration: valid ranges, all source pairs present") {
+    val rows = run("q111_minhash_drift").collect()
+    val n = graft.sources.Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(rows.length == n * (n - 1) / 2, "missing source pairs")
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jac")
+      val jac = r.getAs[Double]("jac")
+      assert(est >= 0.0 && est <= 1.0 + 1e-9)
+      assert(jac >= 0.0 && jac <= 1.0 + 1e-9)
+      // est is quantized to 16ths of the match count
+      assert(math.abs(est * 16 - math.rint(est * 16)) < 1e-4)
+      assert(math.abs(r.getAs[Double]("abs_err") - math.abs(est - jac)) < 1e-4)
+    }
+  }
+
   test("q104 every reported group spans more than one language") {
     val rows = run("q104_crosslang_dup").collect()
     rows.foreach { r =>
