@@ -47,15 +47,27 @@ object Curation {
 
   /** Language-balanced sampling: top-5 documents per language by a quality
     * proxy (longest average word length, doc_id tie-break) — the
-    * window-rank shape of per-stratum corpus selection. One shuffle on the
-    * stratum key regardless of corpus size. */
+    * window-rank shape of per-stratum corpus selection.
+    *
+    * Two-phase rank: a per-language window would drag every document of
+    * a language into ONE partition (at corpus scale the largest stratum
+    * is a straggler), so a salted window first keeps each
+    * (lang, h32(doc_id) % 64) bucket's top-5 — the global per-language
+    * top-5 is necessarily inside that union — and the final window ranks
+    * ≤ 320 survivors per language. Identical output, bounded partitions. */
   def q53BalancedSample(spark: SparkSession, dir: String): DataFrame = {
     val nWords = size(tokens(col("text")))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("awl").desc, col("doc_id"))
-    Tables.documents(spark, dir)
+    val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         (length(regexp_replace(col("text"), " ", "")).cast("double") / nWords).as("awl"))
+    val wSalt = Window
+      .partitionBy(col("lang"), h32(col("doc_id").cast("string")) % 64)
+      .orderBy(col("awl").desc, col("doc_id"))
+    val survivors = scored.withColumn("srk", row_number().over(wSalt))
+      .filter(col("srk") <= 5)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("awl").desc, col("doc_id"))
+    survivors
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("lang"), col("rk"), col("doc_id"),

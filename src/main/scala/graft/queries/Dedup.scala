@@ -807,10 +807,14 @@ object Dedup {
     *
     * Scale design: the corpus side NEVER shuffles. A left-semi join
     * ("batch doc already in corpus?") would build on the corpus side —
-    * backwards when the corpus is 100 TB and the delivery a few GB — so
-    * the membership probe is written as corpus-keys ⋈ broadcast(batch)
-    * + a batch-sized distinct: every corpus partition probes the
-    * broadcast batch map-side and emits only matching batch doc_ids.
+    * backwards when the corpus is 100 TB — so the membership probe is
+    * written as corpus-keys ⋈ broadcast(batch keys) + a batch-sized
+    * distinct: what broadcasts is the batch's (doc_id, 8-byte key)
+    * projection, ~16 bytes/doc however large the delivery's payload, and
+    * every corpus partition probes it map-side, emitting only matching
+    * batch doc_ids. (A delivery too large even as bare keys falls back
+    * to the q95 Bloom shape: same no-corpus-shuffle property, constant
+    * broadcast size, FP-verified afterwards.)
     * (The q95 Bloom pass is the same idea one step earlier — prune the
     * corpus scan before the join; here the corpus side is a bare key
     * projection so the join IS the prune.) */

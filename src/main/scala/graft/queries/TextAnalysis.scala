@@ -771,18 +771,27 @@ object TextAnalysis {
     * heavy, one that steepens is topic-collapsed — a one-row-per-language
     * distribution health check run after ingestion.
     *
-    * Scale design: token counts aggregate map-side; the rank window is
-    * partitioned BY LANGUAGE over the vocab-sized count table (never the
-    * corpus), and the regression consumes 50 rows per language. ln()
-    * values are rounded to 6 dp before summation (q88's defense: libm's
+    * Scale design: token counts aggregate map-side; the top-50 selection
+    * is TWO-PHASE so no single partition ever sorts a whole language's
+    * vocabulary (at corpus scale one language can hold 10⁸ distinct
+    * tokens — a per-lang window would be a straggler): a salted window
+    * ranks (lang, h32(tok) % 64) buckets in parallel and keeps each
+    * bucket's top-50 — the global top-50 is necessarily contained in
+    * that union — then the final window ranks ≤ 3200 survivors per
+    * language. Identical output, bounded partition size. ln() values
+    * are rounded to 6 dp before summation (q88's defense: libm's
     * last-ulp differences must not reach the oracle compare), and the
     * fold order of every regression sum is fixed by the rank. */
   def q105ZipfAudit(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(spark, dir)
       .select(col("lang"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val wSalt = Window.partitionBy(col("lang"), h32(col("tok")) % 64)
+      .orderBy(col("c").desc, col("tok"))
+    val survivors = counts.withColumn("srk", row_number().over(wSalt))
+      .filter(col("srk") <= 50)
     val w = Window.partitionBy(col("lang")).orderBy(col("c").desc, col("tok"))
-    val pts = counts.withColumn("rk", row_number().over(w))
+    val pts = survivors.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 50)
       .select(col("lang"),
         round(log(col("rk").cast("double")), 6).as("x"),
