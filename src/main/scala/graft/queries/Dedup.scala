@@ -741,7 +741,10 @@ object Dedup {
       .select(col("doc_id"),
         array_join(array_sort(array_distinct(toks)), " ").as("key"),
         array_sort(array_distinct(transform(toks, h32 _))).as("th"))
-      .withColumn("bk", substring(col("key"), 1, 1))
+      // two-char block prefix: ~729 sort-order-aligned blocks bound the
+      // per-partition rank window at corpus scale (one char left ~1/27th
+      // of the corpus in a single reducer)
+      .withColumn("bk", substring(col("key"), 1, 2))
     val inBlock = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bk")).orderBy(col("key"), col("doc_id"))
     val blockTotals = d.groupBy(col("bk").as("b_bk")).agg(count(lit(1)).as("b_n"))

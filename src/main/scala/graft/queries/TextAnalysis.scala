@@ -518,9 +518,18 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val tot = cnt.agg(sum(col("cnt")).as("total"))
+    // two-phase: only ranks <= 16 are consumed, and their cumulative sums
+    // involve only tokens ranked above them — all of which survive a
+    // salted per-bucket top-16 — so the global windows below run over
+    // <= 64·16 survivor rows instead of single-partitioning the whole
+    // vocabulary (1e8 rows per reducer at corpus scale)
+    val wSalt = Window.partitionBy(h32(col("tok")) % 64)
+      .orderBy(col("cnt").desc, col("tok"))
+    val surv = cnt.withColumn("srk", row_number().over(wSalt))
+      .filter(col("srk") <= 16)
     val w = Window.orderBy(col("cnt").desc, col("tok"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cnt.withColumn("cum", sum(col("cnt")).over(w))
+    surv.withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
       .filter(col("rk").isin(1, 2, 4, 8, 16))
       .crossJoin(broadcast(tot))
