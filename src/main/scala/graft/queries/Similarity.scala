@@ -793,6 +793,61 @@ object Similarity {
       |  / sqrt(di.vr * dj.vr), 4)) DESC, i, j
       |LIMIT 10""".stripMargin
 
+  /** Hubness audit — the k-NN pathology check for retrieval quality: a
+    * "hub" vector appears as the nearest neighbor of disproportionately
+    * many others (a known high-dimensional effect that skews both ANN
+    * retrieval and k-NN label inference, q99). Builds the top-1-neighbor
+    * graph inside the LSH buckets and reports the 10 most-pointed-at
+    * vectors with their in-degree.
+    *
+    * Scale design: same signature equi-join as q34/q99 for candidates;
+    * the per-vector top-1 is the bounded [[graft.operators.TopK]]
+    * aggregation (map-side partials, never a window sort), the in-degree
+    * is one count aggregation over N rows, and the report is a bounded
+    * top-10 take. */
+  def q112Hubness(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val withSig = e.withColumn("sig", sigCol(col("v")))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("sig"))
+      .persist() // both bucket-join sides + the label lookup
+    val top1 = withSig.as("x").join(withSig.as("y"),
+        col("x.sig") === col("y.sig") && col("x.vec_id") =!= col("y.vec_id"))
+      .withColumn("cos_raw",
+        dotCol(col("x.v"), col("y.v")) / sqrt(col("x.nrm") * col("y.nrm")))
+      .groupBy(col("x.vec_id").as("src"))
+      .agg(graft.operators.TopK.topk(1)(col("cos_raw"), col("y.vec_id")).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t._2").as("nn"))
+    top1.groupBy(col("nn"))
+      .agg(count(lit(1)).as("indeg"))
+      .join(withSig.select(col("vec_id").as("nn"), col("label")), Seq("nn"))
+      .select(col("nn").as("vec_id"), col("label"), col("indeg"))
+      .orderBy(col("indeg").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val q112Sql: String =
+    s"""WITH $vecsSql,
+      |$sigSqlCtes,
+      |es AS (SELECT e.vec_id, e.label, e.embedding, e.nrm, sig.sig
+      |       FROM e JOIN sig ON vec_id = s_vec),
+      |scored AS (
+      |  SELECT x.vec_id AS src, y.vec_id AS dst,
+      |    list_reduce(list_transform(range(1, len(x.embedding) + 1),
+      |      i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (a, b) -> a + b)
+      |      / sqrt(x.nrm * y.nrm) AS cos_raw
+      |  FROM es x JOIN es y ON x.sig = y.sig AND x.vec_id <> y.vec_id),
+      |top1 AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      row_number() OVER (PARTITION BY src ORDER BY cos_raw DESC, dst) AS rk
+      |    FROM scored) WHERE rk = 1),
+      |indeg AS (SELECT dst AS vec_id, count(*) AS indeg FROM top1 GROUP BY 1)
+      |SELECT i.vec_id, es.label, i.indeg
+      |FROM indeg i JOIN es ON i.vec_id = es.vec_id
+      |ORDER BY indeg DESC, i.vec_id
+      |LIMIT 10""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q33_ann_bruteforce" -> (q33AnnBruteforce _),
     "q34_ann_lsh" -> (q34AnnLsh _),
@@ -804,7 +859,8 @@ object Similarity {
     "q70_ivfpq_adc" -> (q70IvfPqAdc _),
     "q87_contrastive_mining" -> (q87ContrastiveMining _),
     "q99_label_errors" -> (q99LabelErrors _),
-    "q106_corr_audit" -> (q106CorrAudit _)
+    "q106_corr_audit" -> (q106CorrAudit _),
+    "q112_hubness" -> (q112Hubness _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -818,6 +874,7 @@ object Similarity {
     "q70_ivfpq_adc" -> q70Sql,
     "q87_contrastive_mining" -> q87Sql,
     "q99_label_errors" -> q99Sql,
-    "q106_corr_audit" -> q106Sql
+    "q106_corr_audit" -> q106Sql,
+    "q112_hubness" -> q112Sql
   )
 }

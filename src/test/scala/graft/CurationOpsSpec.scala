@@ -163,6 +163,19 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q112 hubness: in-degrees positive, bounded by candidates, sorted") {
+    val rows = run("q112_hubness").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val n = graft.sources.Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      val d = r.getAs[Long]("indeg")
+      // a vector can be top-1 of at most every other vector
+      assert(d >= 1 && d < n)
+    }
+    val degs = rows.map(_.getAs[Long]("indeg"))
+    assert(degs.zip(degs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q104 every reported group spans more than one language") {
     val rows = run("q104_crosslang_dup").collect()
     rows.foreach { r =>
