@@ -878,6 +878,119 @@ object Curation {
       |  round(1e-9 + max(w3), 6) AS w_awl
       |FROM feat CROSS JOIN w3""".stripMargin
 
+  /** Effective (dedup-weighted) corpus size — the number that matters
+    * when mixing sources (q62) or budgeting training epochs: per source,
+    * how many documents/tokens REMAIN once every duplicate cluster
+    * (q59's connected components over the union of blocking keys) is
+    * collapsed to its canonical member. A source with a large raw size
+    * but low effective share is re-crawl/mirror-heavy, and weighting by
+    * raw size would over-train on its content.
+    *
+    * Scale design: the cluster labels are q59's plan (star edges, label
+    * propagation); the kill-list of non-canonical members is
+    * corpus-fraction-sized and broadcast onto the anti-join; everything
+    * after is one aggregation on (source). */
+  def q113EffectiveSize(spark: SparkSession, dir: String): DataFrame = {
+    val dupKill = Dedup.dupLabels(spark, dir)
+      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_toks"))
+    val kept = docs.join(broadcast(dupKill.withColumn("killed", lit(1L))),
+        Seq("doc_id"), "left")
+      .withColumn("keep", when(col("killed").isNull, 1L).otherwise(0L))
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_eff_docs"),
+        sum(col("n_toks")).as("n_toks"),
+        sum(col("n_toks") * col("keep")).as("n_eff_toks"))
+      .withColumn("eff_ratio",
+        round(lit(1e-9) + col("n_eff_toks").cast("double") / col("n_toks"), 5))
+      .orderBy(col("source"))
+  }
+
+  val q113Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |keys AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      list_sort(list_distinct(toks)), t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS k1,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      toks[1:8], t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS k2
+      |  FROM d),
+      |star AS (
+      |  SELECT min(doc_id) OVER (PARTITION BY k1) AS src, doc_id AS dst FROM keys
+      |  UNION
+      |  SELECT min(doc_id) OVER (PARTITION BY k2) AS src, doc_id AS dst FROM keys),
+      |edges AS (SELECT src, dst FROM star WHERE src <> dst),
+      |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+      |nodes AS (SELECT DISTINCT src AS id FROM und),
+      |walk AS (
+      |  WITH RECURSIVE reach(id, r) AS (
+      |    SELECT id, id FROM nodes
+      |    UNION
+      |    SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id)
+      |  SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      |dupkill AS (SELECT id AS doc_id FROM walk WHERE id <> comp),
+      |sized AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_toks,
+      |    CASE WHEN doc_id IN (SELECT doc_id FROM dupkill) THEN 0 ELSE 1 END AS keep
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(keep) AS BIGINT) AS n_eff_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS n_toks,
+      |  CAST(sum(n_toks * keep) AS BIGINT) AS n_eff_toks,
+      |  round(1e-9 + CAST(sum(n_toks * keep) AS DOUBLE) / sum(n_toks), 5)
+      |    AS eff_ratio
+      |FROM sized
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Top-k key concentration — the abuse/bot-traffic audit on an event
+    * stream: what share of all events do the 10 heaviest users generate?
+    * A healthy product has a long tail; a concentration spike is
+    * scraping, a runaway client, or a key-collapse bug upstream.
+    *
+    * Scale design: per-user counts aggregate map-side; the top-10 is the
+    * bounded [[graft.operators.TopK]] aggregation over (count, user) —
+    * never a sort of the user table — and the total rides a broadcast
+    * single-row aggregate. Integer share arithmetic until the final
+    * rounded division. */
+  def q114Concentration(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val total = Tables.events(spark, dir).agg(count(lit(1)).as("n_events"))
+    perUser
+      .agg(graft.operators.TopK.topk(10)(col("c").cast("double"), col("user_id"))
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "t")))
+      .select((col("i") + 1).cast("int").as("rk"),
+        col("t._2").as("user_id"), col("t._1").cast("long").as("n_events_user"))
+      .crossJoin(broadcast(total))
+      .select(col("rk"), col("user_id"), col("n_events_user"),
+        round(lit(1e-9) +
+          col("n_events_user").cast("double") / col("n_events"), 5).as("share"))
+      .orderBy(col("rk"))
+  }
+
+  val q114Sql: String =
+    """WITH pu AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_events FROM events),
+      |ranked AS (
+      |  SELECT user_id, c,
+      |    row_number() OVER (ORDER BY c DESC, user_id) AS rk
+      |  FROM pu)
+      |SELECT rk, user_id, c AS n_events_user,
+      |  round(1e-9 + CAST(c AS DOUBLE) / n_events, 5) AS share
+      |FROM ranked CROSS JOIN tot
+      |WHERE rk <= 10
+      |ORDER BY rk""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
@@ -892,7 +1005,9 @@ object Curation {
     "q98_source_overlap" -> (q98SourceOverlap _),
     "q101_quality_blend" -> (q101QualityBlend _),
     "q107_novelty_curve" -> (q107NoveltyCurve _),
-    "q110_logistic_step" -> (q110LogisticStep _)
+    "q110_logistic_step" -> (q110LogisticStep _),
+    "q113_effective_size" -> (q113EffectiveSize _),
+    "q114_concentration" -> (q114Concentration _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -909,6 +1024,8 @@ object Curation {
     "q98_source_overlap" -> q98Sql,
     "q101_quality_blend" -> q101Sql,
     "q107_novelty_curve" -> q107Sql,
-    "q110_logistic_step" -> q110Sql
+    "q110_logistic_step" -> q110Sql,
+    "q113_effective_size" -> q113Sql,
+    "q114_concentration" -> q114Sql
   )
 }

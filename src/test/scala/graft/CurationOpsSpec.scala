@@ -176,6 +176,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(degs.zip(degs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q113 effective size never exceeds raw size; totals match corpus") {
+    val rows = run("q113_effective_size").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_eff_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_eff_toks") <= r.getAs[Long]("n_toks"))
+      val ratio = r.getAs[Double]("eff_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0 + 1e-9)
+    }
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // the fixture has known duplicate groups -> some source loses docs
+    assert(rows.exists(r =>
+      r.getAs[Long]("n_eff_docs") < r.getAs[Long]("n_docs")))
+  }
+
+  test("q114 concentration shares are ranked and sum below 1") {
+    val rows = run("q114_concentration").collect()
+    assert(rows.length == 10)
+    val shares = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b - 1e-9 })
+    assert(shares.sum < 1.0)
+    val counts = rows.map(_.getAs[Long]("n_events_user"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q104 every reported group spans more than one language") {
     val rows = run("q104_crosslang_dup").collect()
     rows.foreach { r =>
