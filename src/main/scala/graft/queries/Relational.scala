@@ -917,6 +917,64 @@ object Relational {
       |FROM hits GROUP BY 1
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Min-cost supplier per part (the TPC-H Q2 shape): for every size-1
+    * part, the supplier offering the lowest observed unit price, ties
+    * broken to the smallest supplier key. This is the correlated-scalar-
+    * subquery pattern (`price = (SELECT min(price) ... WHERE same
+    * part)`) DECORRELATED by hand into the plan Catalyst would also
+    * rewrite it to: aggregate per (part, supplier), re-aggregate per
+    * part, and join the minimum back — two map-side-combinable
+    * aggregations and one equi-join on the part key, no per-row
+    * subquery execution ever. Dimension lookups (part filter, supplier
+    * names) broadcast. Unit prices round at 4 dp BEFORE any min, so the
+    * min value and the equality join-back compare identical doubles in
+    * both engines. */
+  def q115MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val offers = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(lit(1e-9) + col("l_extendedprice") / col("l_quantity"), 4)
+          .as("unit"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit")).as("best_offer"))
+    val minPer = offers.groupBy(col("l_partkey"))
+      .agg(min(col("best_offer")).as("min_price"))
+    val chosen = offers
+      .join(minPer, Seq("l_partkey"))
+      .filter(col("best_offer") === col("min_price"))
+      .groupBy(col("l_partkey"), col("min_price"))
+      .agg(min(col("l_suppkey")).as("s_suppkey"))
+    chosen
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_size") === 1)
+        .select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))), Seq("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("min_price"),
+        col("s_suppkey"), col("s_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val q115Sql: String =
+    """WITH offers AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(round(1e-9 + l_extendedprice / l_quantity, 4)) AS best_offer
+      |  FROM lineitem
+      |  GROUP BY 1, 2),
+      |minper AS (
+      |  SELECT l_partkey, min(best_offer) AS min_price
+      |  FROM offers GROUP BY 1),
+      |chosen AS (
+      |  SELECT o.l_partkey, min_price, min(l_suppkey) AS s_suppkey
+      |  FROM offers o JOIN minper m
+      |    ON o.l_partkey = m.l_partkey AND best_offer = min_price
+      |  GROUP BY 1, 2)
+      |SELECT p_partkey, p_name, min_price, s_suppkey, s_name
+      |FROM chosen
+      |JOIN part ON l_partkey = p_partkey AND p_size = 1
+      |JOIN supplier USING (s_suppkey)
+      |ORDER BY p_partkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_selective_revenue" -> (q02SelectiveRevenue _),
@@ -944,7 +1002,8 @@ object Relational {
     "q81_pagerank" -> (q81PageRank _),
     "q84_quantile_sketch" -> (q84QuantileSketch _),
     "q89_triangle_count" -> (q89TriangleCount _),
-    "q95_bloom_prune" -> (q95BloomPrune _)
+    "q95_bloom_prune" -> (q95BloomPrune _),
+    "q115_min_cost_supplier" -> (q115MinCostSupplier _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -974,6 +1033,7 @@ object Relational {
     "q81_pagerank" -> q81Sql,
     "q84_quantile_sketch" -> q84Sql,
     "q89_triangle_count" -> q89Sql,
-    "q95_bloom_prune" -> q95Sql
+    "q95_bloom_prune" -> q95Sql,
+    "q115_min_cost_supplier" -> q115Sql
   )
 }
