@@ -48,15 +48,19 @@ trait Plugin extends Serializable {
 object Plugins {
 
   /** `create_scene` (plugins/__init__.py:86-99): open inputs with a named
-    * reader into the native-projection frame. Reader failure aborts the
-    * job, matching the reference's AbortProcessing. */
-  final case class CreateScene(paths: Seq[String], reader: String = "parquet")
+    * reader into the native-projection frame; `options` carries the
+    * reference's `reader_kwargs` (launcher.py passes them through to the
+    * satpy reader — here they become Spark reader options, e.g.
+    * `header`/`inferSchema` for csv). Reader failure aborts the job,
+    * matching the reference's AbortProcessing. */
+  final case class CreateScene(paths: Seq[String], reader: String = "parquet",
+      options: Map[String, String] = Map.empty)
       extends Plugin {
     val name = "create_scene"
     def apply(ctx: PipelineContext): PipelineContext =
       if (ctx.aborted.isDefined) ctx
       else try {
-        val df = ctx.spark.read.format(reader).load(paths: _*)
+        val df = ctx.spark.read.format(reader).options(options).load(paths: _*)
         ctx.copy(frames = ctx.frames + (None -> df))
       } catch {
         case e: Exception => ctx.abort(s"create_scene failed: ${e.getMessage}")

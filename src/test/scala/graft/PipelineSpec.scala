@@ -114,6 +114,28 @@ class PipelineSpec extends SparkSpec {
     assert(reread.count() == m1.find(_.format == "parquet").get.rows)
   }
 
+  test("create_scene reads non-parquet sources (json and csv readers)") {
+    val dir = Files.createTempDirectory("graft_src_fmt")
+    // stage the same rows as json-lines and headered csv
+    val rows = spark.read.parquet(s"$sf/region.parquet")
+    rows.coalesce(1).write.mode("overwrite").json(s"$dir/j")
+    rows.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/c")
+    val base = PipelineContext(spark, spec, metadata = Map.empty,
+      frames = Map.empty, worklist = Seq.empty)
+    val viaJson = CreateScene(Seq(s"$dir/j"), reader = "json")(base)
+    assert(viaJson.aborted.isEmpty)
+    assert(viaJson.frames(None).count() == rows.count())
+    val viaCsv = CreateScene(Seq(s"$dir/c"), reader = "csv",
+      options = Map("header" -> "true"))(base) // reader_kwargs pass-through
+    assert(viaCsv.aborted.isEmpty)
+    assert(viaCsv.frames(None).count() == rows.count())
+    assert(viaCsv.frames(None).columns.toSet == rows.columns.toSet)
+    // unknown reader aborts the job like the reference's AbortProcessing
+    val bad = CreateScene(Seq(s"$dir/j"), reader = "no_such_format")(base)
+    assert(bad.aborted.isDefined)
+  }
+
   test("valid-fraction pruning drops failing products from the worklist") {
     import spark.implicits._
     val frame = Seq(
