@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.ngramStats)
     ext.injectFunction(GraftExtensions.shingleH32)
     ext.injectFunction(GraftExtensions.rollingFp)
+    ext.injectOptimizerRule(_ => RewriteMd5H32)
   }
 }
 

@@ -75,13 +75,23 @@ class TextFnsSpec extends SparkSpec {
   }
 
   test("native h32 kernel is bit-identical to the declarative md5 chain") {
-    val chain = conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
-    val df = graft.sources.Tables.documents(spark, sf)
-      .select(explode(tokens(col("text"))).as("s"))
-      .withColumn("native", h32(col("s")))
-      .withColumn("decl", chain)
-    assert(df.filter(col("native") =!= col("decl")).count() == 0)
-    assert(df.count() > 0)
+    // suspend the RewriteMd5H32 optimizer rule for this test: it would
+    // rewrite the declarative side to the kernel too, making the
+    // comparison a tautology instead of an equivalence proof
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == graft.plans.RewriteMd5H32)
+    try {
+      val chain = conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
+      val df = graft.sources.Tables.documents(spark, sf)
+        .select(explode(tokens(col("text"))).as("s"))
+        .withColumn("native", h32(col("s")))
+        .withColumn("decl", chain)
+      assert(df.queryExecution.executedPlan.toString.contains("conv("),
+        "declarative side was rewritten; comparison would be vacuous")
+      assert(df.filter(col("native") =!= col("decl")).count() == 0)
+      assert(df.count() > 0)
+    } finally spark.experimental.extraOptimizations = saved
   }
 
   test("ngram_stats kernel matches the declarative hashed-shingle form") {
