@@ -991,6 +991,70 @@ object Curation {
       |WHERE rk <= 10
       |ORDER BY rk""".stripMargin
 
+  /** Curriculum ordering — rank the corpus by the q24 quality score and
+    * report each training decile's composition (the easy→hard schedule a
+    * curriculum run feeds the data loader). The interesting part at
+    * scale is the GLOBAL rank without a global sort: quality is bounded
+    * in [0,1] and rounded to 5 dp, so floor(quality·10) gives 11
+    * order-aligned blocks whose totals broadcast; block-local
+    * row_numbers plus block offsets compose to the exact global rank
+    * (the q96 two-phase shape). Deciles are integer arithmetic on that
+    * rank — reproducible on any cluster shape.
+    *
+    * (At 100 TB the 11 fixed blocks are still corpus/11-sized windows;
+    * the same composition extends to finer buckets — floor(quality·1000)
+    * — without changing the shape: offsets stay a broadcast table.) */
+  def q116Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.q24QualityScore(spark, dir)
+      .select(col("doc_id"), col("n_words"), col("quality"))
+      .withColumn("blk", floor(col("quality") * 10).cast("int"))
+    val totals = scored.groupBy(col("blk")).agg(count(lit(1)).as("b_n"))
+    val offPrefix = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = totals
+      .withColumn("off", sum(col("b_n")).over(offPrefix) - col("b_n"))
+      .select(col("blk"), col("off"))
+    val inBlk = Window.partitionBy(col("blk"))
+      .orderBy(col("quality"), col("doc_id"))
+    val n = scored.agg(count(lit(1)).as("n_docs"))
+    scored.join(broadcast(offsets), Seq("blk"))
+      .withColumn("rk", col("off") + row_number().over(inBlk).cast("long") - 1)
+      .crossJoin(broadcast(n))
+      .groupBy(expr("rk * 10 div n_docs").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(lit(1e-9) + min(col("quality")), 5).as("min_q"),
+        round(lit(1e-9) + max(col("quality")), 5).as("max_q"),
+        sum(col("n_words")).as("token_mass"))
+      .orderBy(col("decile"))
+  }
+
+  val q116Sql: String =
+    """WITH q AS (
+      |  SELECT doc_id, n_words,
+      |    round(1e-9 + 0.3 * least(1.0, CAST(n_words AS DOUBLE) / 100.0)
+      |        + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_words)
+      |        + 0.4 * least(1.0, (CAST(word_chars AS DOUBLE) / n_words) / 8.0),
+      |      5) AS quality
+      |  FROM (
+      |    SELECT doc_id,
+      |      len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_words,
+      |      length(replace(text, ' ', '')) AS word_chars,
+      |      len(list_filter(string_split(text, ' '),
+      |          t -> list_contains(['the', 'a', 'data', 'value'], t))) AS n_stop
+      |    FROM documents)),
+      |ranked AS (
+      |  SELECT doc_id, n_words, quality,
+      |    row_number() OVER (ORDER BY quality, doc_id) - 1 AS rk
+      |  FROM q),
+      |n AS (SELECT count(*) AS n_docs FROM q)
+      |SELECT rk * 10 // n_docs AS decile, count(*) AS n_docs,
+      |  round(1e-9 + min(quality), 5) AS min_q,
+      |  round(1e-9 + max(quality), 5) AS max_q,
+      |  CAST(sum(n_words) AS BIGINT) AS token_mass
+      |FROM ranked CROSS JOIN n
+      |GROUP BY 1
+      |ORDER BY decile""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
@@ -1007,6 +1071,7 @@ object Curation {
     "q107_novelty_curve" -> (q107NoveltyCurve _),
     "q110_logistic_step" -> (q110LogisticStep _),
     "q113_effective_size" -> (q113EffectiveSize _),
+    "q116_curriculum" -> (q116Curriculum _),
     "q114_concentration" -> (q114Concentration _)
   )
 
@@ -1026,6 +1091,7 @@ object Curation {
     "q107_novelty_curve" -> q107Sql,
     "q110_logistic_step" -> q110Sql,
     "q113_effective_size" -> q113Sql,
+    "q116_curriculum" -> q116Sql,
     "q114_concentration" -> q114Sql
   )
 }

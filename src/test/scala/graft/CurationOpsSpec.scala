@@ -202,6 +202,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q116 curriculum deciles partition the corpus in quality order") {
+    val rows = run("q116_curriculum").collect().sortBy(_.getAs[Int]("decile"))
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // deciles are quality-ordered and non-overlapping: each decile's max
+    // quality never exceeds the next decile's min
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("max_q") <= b.getAs[Double]("min_q") + 1e-9,
+          s"decile ${a.getAs[Int]("decile")} overlaps the next")
+      case _ => ()
+    }
+    rows.foreach(r =>
+      assert(r.getAs[Double]("min_q") <= r.getAs[Double]("max_q")))
+  }
+
   test("q104 every reported group spans more than one language") {
     val rows = run("q104_crosslang_dup").collect()
     rows.foreach { r =>
