@@ -203,7 +203,7 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("q116 curriculum deciles partition the corpus in quality order") {
-    val rows = run("q116_curriculum").collect().sortBy(_.getAs[Int]("decile"))
+    val rows = run("q116_curriculum").collect().sortBy(_.getAs[Long]("decile"))
     assert(rows.nonEmpty)
     val total = graft.sources.Tables.documents(spark, sf).count()
     assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
@@ -212,7 +212,7 @@ class CurationOpsSpec extends SparkSpec {
     rows.sliding(2).foreach {
       case Array(a, b) =>
         assert(a.getAs[Double]("max_q") <= b.getAs[Double]("min_q") + 1e-9,
-          s"decile ${a.getAs[Int]("decile")} overlaps the next")
+          s"decile ${a.getAs[Long]("decile")} overlaps the next")
       case _ => ()
     }
     rows.foreach(r =>
