@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions.col
 
-/** Semantic invariants for the round-5 pack (q99-q104) — properties the
-  * DuckDB oracle can't see because both engines could get them wrong the
-  * same way (sketch guarantees, admission arithmetic, skew identities). */
+/** Semantic invariants for the round-4 additions (q99-q116) — properties
+  * the DuckDB oracle can't see because both engines could get them wrong
+  * the same way (sketch guarantees, admission arithmetic, skew
+  * identities, decile partitions). */
 class CurationOpsSpec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
