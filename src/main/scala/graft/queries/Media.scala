@@ -75,13 +75,81 @@ object Media {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Perceptual-hash near-dup for media payloads — the dHash shape: read
+    * an 8×9 grid of "pixels" (payload bytes at fixed strides; here the
+    * code points of the stand-in text), set bit (r,c) iff
+    * px(r,c) > px(r,c+1), giving a 64-bit signature that is stable under
+    * the small payload perturbations cryptographic hashing (q37's md5)
+    * is maximally sensitive to. Candidates share either 32-bit half
+    * (q31's SimHash band blocking), verified by Hamming distance ≤ 10.
+    *
+    * Scale design: signature is a pure projection (64 comparisons inside
+    * whole-stage codegen, no explode); candidate generation is the
+    * half-band equi-join, so cost concentrates in buckets exactly like
+    * every other blocked dedup pass — never N². The 64 bit terms are
+    * GENERATED from one Scala definition into both the Column tree and
+    * the oracle SQL, so the two engines share the grid by construction. */
+  private val dhashBits: Seq[(Int, Int)] =
+    for (r <- 0 until 8; c <- 0 until 8) yield (r, c)
+
+  def q117PerceptualDup(spark: SparkSession, dir: String): DataFrame = {
+    def px(r: Int, c: Int) =
+      ascii(substring(col("text"), r * 10 + c + 1, 1))
+    val sig = dhashBits.map { case (r, c) =>
+      when(px(r, c) > px(r, c + 1), lit(1L << (r * 8 + c))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val d = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 80)
+      .select(col("doc_id"), sig.as("sig"))
+      .withColumn("hi", expr("sig div 4294967296"))
+      .withColumn("lo", col("sig") % 4294967296L)
+      .persist() // both sides of the band self-join
+    val bands = d.select(col("doc_id"), col("sig"),
+      explode(array(
+        struct(col("hi").as("v"), lit(0).as("half")),
+        struct(col("lo").as("v"), lit(1).as("half")))).as("b"))
+      .select(col("doc_id"), col("sig"),
+        col("b.v").as("bv"), col("b.half").as("half"))
+    bands.as("x").join(bands.as("y"),
+        col("x.bv") === col("y.bv") && col("x.half") === col("y.half") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        expr("bit_count(x.sig ^ y.sig)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 10)
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val dhashSqlTerms: String = dhashBits.map { case (r, c) =>
+    val p1 = r * 10 + c + 1
+    val p2 = r * 10 + c + 2
+    s"CASE WHEN ascii(substr(text, $p1, 1)) > ascii(substr(text, $p2, 1)) " +
+      s"THEN ${1L << (r * 8 + c)} ELSE 0 END"
+  }.mkString(" + ")
+
+  val q117Sql: String =
+    s"""WITH s AS (
+      |  SELECT doc_id, CAST($dhashSqlTerms AS BIGINT) AS sig
+      |  FROM documents WHERE length(text) >= 80),
+      |k AS (
+      |  SELECT doc_id, sig, sig // 4294967296 AS hi, sig % 4294967296 AS lo
+      |  FROM s)
+      |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+      |  CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+      |FROM k x JOIN k y
+      |  ON (x.hi = y.hi OR x.lo = y.lo) AND x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.sig, y.sig)) <= 10
+      |ORDER BY da, db""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q37_media_metadata" -> (q37MediaMetadata _),
-    "q38_frame_checksum" -> (q38FrameChecksum _)
+    "q38_frame_checksum" -> (q38FrameChecksum _),
+    "q117_perceptual_dup" -> (q117PerceptualDup _)
   )
 
   val oracles: Map[String, String] = Map(
     "q37_media_metadata" -> q37Sql,
-    "q38_frame_checksum" -> q38Sql
+    "q38_frame_checksum" -> q38Sql,
+    "q117_perceptual_dup" -> q117Sql
   )
 }
