@@ -309,6 +309,76 @@ class StreamRunnerSpec extends SparkSpec {
     }
   }
 
+  test("rate limiter admits the same events under any micro-batch slicing") {
+    import spark.implicits._
+    import graft.streaming.RateLimiter
+    // reference simulation over the globally-sorted event stream
+    val all = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_ns"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    def simulate(evs: Seq[(Long, Long, Long)]): Set[Long] = {
+      val admitted = scala.collection.mutable.Set.empty[Long]
+      evs.groupBy(_._1).foreach { case (_, g) =>
+        val sorted = g.sortBy(e => (e._2, e._3))
+        var tokens = 2.0
+        var last = sorted.head._2
+        sorted.foreach { case (_, ts, eid) =>
+          tokens = (tokens + (ts - last).max(0L) / 1e9 * 2e-5).min(2.0)
+          last = ts
+          if (tokens >= 1.0) { tokens -= 1.0; admitted += eid }
+        }
+      }
+      admitted.toSet
+    }
+    val expected = simulate(all.toSeq)
+    assert(expected.nonEmpty && expected.size < all.length,
+      "throttle degenerate: nothing or everything admitted")
+    // batch mode (one big group pass)
+    val batchAdmitted = RateLimiter.rateLimitFrame(
+      graft.sources.Tables.events(spark, sf),
+      capacity = 2.0, perSecond = 2e-5)
+      .select("event_id").as[Long].collect().toSet
+    assert(batchAdmitted == expected)
+    // streaming mode: two micro-batches must admit the SAME set (state
+    // carries tokens/last across batches; event-time refill makes the
+    // decision independent of batch slicing)
+    val (src, ckp) = stageMessages(1)
+    // second file: same events shifted +30 days (the fixture spans ~17
+    // days, so the shift must exceed that for the second batch to be
+    // strictly later in EVENT time - the invariance claim needs batch
+    // order to agree with event order); keep `ts` as raw int64 nanos
+    val shift = 30L * 86400L * 1000000000L
+    val shifted = graft.sources.Tables.events(spark, sf)
+      .select((col("ts_ns") + shift).as("ts"), col("event_id") + 1000000L,
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .toDF("ts", "event_id", "user_id", "event_type", "value", "props")
+    // the file source lists FILES, not directories: write to a scratch
+    // dir and stage the single part-file as src/msg_2.parquet
+    val scratch = Files.createTempDirectory("graft_rl_scratch")
+    shifted.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part, Paths.get(s"$src/msg_2.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = StreamRunner.fileStream(spark, src, eventsSchema)
+      .withColumnRenamed("ts", "ts_ns")
+    val q = RateLimiter.rateLimitFrame(stream, capacity = 2.0,
+      perSecond = 2e-5)
+      .writeStream.queryName("rl_test").outputMode("append").format("memory")
+      .option("checkpointLocation", ckp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("rl_test")
+      .select("event_id").as[Long].collect().toSet
+    val shiftedEvs = shifted
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val expectedAll = simulate((all ++ shiftedEvs).toSeq)
+    assert(streamed == expectedAll,
+      s"streamed ${streamed.size} vs expected ${expectedAll.size}")
+  }
+
   test("graceful stop terminates a continuous query") {
     val (src, ckp) = stageMessages(1)
     val stream = StreamRunner.fileStream(spark, src, eventsSchema)
