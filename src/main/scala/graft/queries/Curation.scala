@@ -1055,6 +1055,90 @@ object Curation {
       |GROUP BY 1
       |ORDER BY decile""".stripMargin
 
+  /** Epoch allocation under a token budget — the data-constrained-scaling
+    * decision (Muennighoff et al.: repeating good data beats adding bad
+    * data, up to ~4 epochs): given a training budget of 2× the corpus
+    * token mass, fill from the highest q116 quality decile down, capping
+    * every tier at 4 epochs; the first tier the budget cannot cover in
+    * full gets a fractional epoch count and everything below gets zero.
+    *
+    * Scale design: the expensive pass is q116's decile table (already a
+    * two-phase rank, never a global sort); the allocation itself runs on
+    * TEN rows — a reverse-cumulative window over the decile table —
+    * so the planner costs nothing beyond the audit it consumes. Epoch
+    * arithmetic: budget and token masses are exact integers; only the
+    * final fractional epoch divides, rounded at 4 dp. */
+  def q118EpochAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val tiers = q116Curriculum(spark, dir)
+      .select(col("decile"), col("token_mass"))
+    val total = tiers.agg(sum(col("token_mass")).as("corpus_toks"))
+    // tokens of all STRICTLY higher-quality tiers (reverse prefix sum
+    // over the 10-row decile table)
+    val wDesc = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tiers
+      .withColumn("cum_incl", sum(col("token_mass")).over(wDesc))
+      .withColumn("cum_above", col("cum_incl") - col("token_mass"))
+      .crossJoin(broadcast(total))
+      .withColumn("budget", col("corpus_toks") * 2)
+      .withColumn("remaining",
+        greatest(lit(0L), col("budget") - col("cum_above") * 4))
+      .withColumn("epochs",
+        when(col("remaining") >= col("token_mass") * 4, lit(4.0))
+          .otherwise(round(lit(1e-9) +
+            col("remaining").cast("double") / col("token_mass"), 4)))
+      .select(col("decile"), col("token_mass"), col("epochs"),
+        round(lit(1e-9) + col("token_mass") * col("epochs"), 1)
+          .as("allocated_toks"))
+      .orderBy(col("decile").desc)
+  }
+
+  val q118Sql: String =
+    """WITH q AS (
+      |  SELECT doc_id, n_words,
+      |    round(1e-9 + 0.3 * least(1.0, CAST(n_words AS DOUBLE) / 100.0)
+      |        + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_words)
+      |        + 0.4 * least(1.0, (CAST(word_chars AS DOUBLE) / n_words) / 8.0),
+      |      5) AS quality
+      |  FROM (
+      |    SELECT doc_id,
+      |      len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_words,
+      |      length(replace(text, ' ', '')) AS word_chars,
+      |      len(list_filter(string_split(text, ' '),
+      |          t -> list_contains(['the', 'a', 'data', 'value'], t))) AS n_stop
+      |    FROM documents)),
+      |ranked AS (
+      |  SELECT doc_id, n_words, quality,
+      |    row_number() OVER (ORDER BY quality, doc_id) - 1 AS rk
+      |  FROM q),
+      |n AS (SELECT count(*) AS n_docs FROM q),
+      |tiers AS (
+      |  SELECT rk * 10 // n_docs AS decile,
+      |    CAST(sum(n_words) AS BIGINT) AS token_mass
+      |  FROM ranked CROSS JOIN n
+      |  GROUP BY 1),
+      |total AS (SELECT CAST(sum(token_mass) AS BIGINT) AS corpus_toks FROM tiers),
+      |alloc AS (
+      |  SELECT decile, token_mass,
+      |    CAST(sum(token_mass) OVER (ORDER BY decile DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      - token_mass AS cum_above
+      |  FROM tiers)
+      |SELECT decile, token_mass,
+      |  CASE WHEN greatest(0, corpus_toks * 2 - cum_above * 4) >= token_mass * 4
+      |       THEN 4.0
+      |       ELSE round(1e-9 +
+      |         CAST(greatest(0, corpus_toks * 2 - cum_above * 4) AS DOUBLE)
+      |           / token_mass, 4) END AS epochs,
+      |  round(1e-9 + token_mass *
+      |    (CASE WHEN greatest(0, corpus_toks * 2 - cum_above * 4) >= token_mass * 4
+      |          THEN 4.0
+      |          ELSE round(1e-9 +
+      |            CAST(greatest(0, corpus_toks * 2 - cum_above * 4) AS DOUBLE)
+      |              / token_mass, 4) END), 1) AS allocated_toks
+      |FROM alloc CROSS JOIN total
+      |ORDER BY decile DESC""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
@@ -1072,6 +1156,7 @@ object Curation {
     "q110_logistic_step" -> (q110LogisticStep _),
     "q113_effective_size" -> (q113EffectiveSize _),
     "q116_curriculum" -> (q116Curriculum _),
+    "q118_epoch_alloc" -> (q118EpochAllocation _),
     "q114_concentration" -> (q114Concentration _)
   )
 
@@ -1092,6 +1177,7 @@ object Curation {
     "q110_logistic_step" -> q110Sql,
     "q113_effective_size" -> q113Sql,
     "q116_curriculum" -> q116Sql,
+    "q118_epoch_alloc" -> q118Sql,
     "q114_concentration" -> q114Sql
   )
 }

@@ -220,6 +220,21 @@ class CurationOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("min_q") <= r.getAs[Double]("max_q")))
   }
 
+  test("q118 epoch allocation: caps, monotone by quality, budget-exact") {
+    val rows = run("q118_epoch_alloc").collect()
+      .sortBy(-_.getAs[Long]("decile"))
+    assert(rows.length == 10)
+    val epochs = rows.map(_.getAs[Double]("epochs"))
+    epochs.foreach(e => assert(e >= 0.0 && e <= 4.0))
+    // higher-quality tiers never get fewer epochs
+    assert(epochs.zip(epochs.tail).forall { case (a, b) => a >= b - 1e-9 })
+    // total allocation equals the 2x budget (up to the 4dp epoch rounding)
+    val corpus = rows.map(_.getAs[Long]("token_mass")).sum.toDouble
+    val allocated = rows.map(_.getAs[Double]("allocated_toks")).sum
+    assert(math.abs(allocated - 2 * corpus) < corpus * 1e-3,
+      s"allocated $allocated vs budget ${2 * corpus}")
+  }
+
   test("q104 every reported group spans more than one language") {
     val rows = run("q104_crosslang_dup").collect()
     rows.foreach { r =>
