@@ -172,13 +172,11 @@ object Dedup {
     * exact Jaccard verification of candidates only. This is the 100 TB
     * path: signature cost is linear, candidate generation is an equi-join
     * on the band key, and the quadratic verify touches only collisions. */
-  def q30MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sh = shPostings(spark, dir)
-    // ONE shuffle for the whole signature: the 16 permutation minima are
-    // parallel aggregates over the postings (instead of exploding postings
-    // × 16 rows and shuffling 16× the data), and each band fingerprint is
-    // then a pure projection — no second aggregation, no collect_list.
+  /** q30's candidate stage, shared with the q119 recall audit: band
+    * fingerprints as projections over the 16 parallel signature minima,
+    * candidates = band-fingerprint equi-join. ONE shuffle for the whole
+    * signature (no postings × 16 explode). */
+  private def mhCands(spark: SparkSession, sh: DataFrame): DataFrame = {
     val mhCols = perms.map { case (i, a, b) =>
       min((col("h") * a + b) % P).as(s"mh$i")
     }
@@ -191,12 +189,17 @@ object Dedup {
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), bandFp(b).as("bfp"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bfp").as("bfp"))
-    val cand = bands.as("x")
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bfp") === col("y.bfp") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
+  }
+
+  def q30MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shPostings(spark, dir)
+    val cand = mhCands(spark, sh)
     // verify join carries only (doc_id, h); per-doc set sizes are a tiny
     // aggregate broadcast onto the aggregated candidate pairs (the
     // oracle's cnt-join shape — no window exec on either join side)
@@ -1077,6 +1080,80 @@ object Dedup {
       |JOIN sizes nb ON e.src_b = nb.source
       |ORDER BY e.src_a, e.src_b""".stripMargin
 
+  /** LSH recall audit — does the deployed MinHash configuration actually
+    * catch the near-duplicates it is supposed to? For every ground-truth
+    * pair (q29's exact Jaccard ≥ 0.6 over the df-capped postings), report
+    * whether q30's band candidates contained it, next to the analytic
+    * detection probability of the (16 hashes, 4 bands × 4 rows) family:
+    * p = 1 − (1 − s⁴)⁴. Comparing the `caught` column against `p_detect`
+    * is how an operator decides whether the signature budget needs to
+    * grow before trusting LSH alone at 100 TB (where the exact join that
+    * produced the ground truth is no longer affordable — this audit runs
+    * on a sample there).
+    *
+    * Determinism: p is computed by explicit multiplication (no libm pow)
+    * from the 5-dp-rounded Jaccard, so both engines see identical floats
+    * before the final rounding. One extra broadcast join over the plans
+    * q29/q30 already run. */
+  def q119LshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = q29NgramJaccard(spark, dir)
+      .select(col("da"), col("db"), col("jac"))
+    val cand = mhCands(spark, shPostings(spark, dir))
+      .withColumn("caught", lit(1L))
+    val s4 = col("jac") * col("jac") * col("jac") * col("jac")
+    val miss1 = lit(1.0) - s4
+    truth
+      .join(broadcast(cand), Seq("da", "db"), "left")
+      .withColumn("caught", coalesce(col("caught"), lit(0L)))
+      .withColumn("p_detect", round(lit(1e-9) + (lit(1.0) -
+        miss1 * miss1 * miss1 * miss1), 4))
+      .select(col("da"), col("db"), col("jac"), col("caught"), col("p_detect"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q119Sql: String =
+    s"""WITH $shPostingsSql,
+      |nd AS (SELECT count(*) AS ndocs FROM documents),
+      |hot AS (
+      |  SELECT h FROM sh CROSS JOIN nd
+      |  GROUP BY h, ndocs
+      |  HAVING count(*) * 100 > greatest(2500, ndocs)),
+      |shc AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT da, db,
+      |    round(1e-9 + CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) AS jac
+      |  FROM pairs
+      |  JOIN cnt ca ON ca.doc_id = da
+      |  JOIN cnt cb ON cb.doc_id = db
+      |  WHERE round(1e-9 + CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) >= 0.6),
+      |perms(i, pa, pb) AS (VALUES $permsValues),
+      |sig AS (
+      |  SELECT doc_id, i, min((pa * h + pb) % 1000000007) AS mh
+      |  FROM sh CROSS JOIN perms
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY i)),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS bfp
+      |  FROM sig
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bfp = y.bfp AND x.doc_id < y.doc_id)
+      |SELECT t.da, t.db, t.jac,
+      |  CASE WHEN c.da IS NULL THEN 0 ELSE 1 END::BIGINT AS caught,
+      |  round(1e-9 + (1.0 - (1.0 - jac*jac*jac*jac) * (1.0 - jac*jac*jac*jac)
+      |    * (1.0 - jac*jac*jac*jac) * (1.0 - jac*jac*jac*jac)), 4) AS p_detect
+      |FROM truth t
+      |LEFT JOIN cand c ON t.da = c.da AND t.db = c.db
+      |ORDER BY t.da, t.db""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
@@ -1092,6 +1169,7 @@ object Dedup {
     "q100_incremental_dedup" -> (q100IncrementalDedup _),
     "q108_containment" -> (q108Containment _),
     "q111_minhash_drift" -> (q111MinhashDrift _),
+    "q119_lsh_recall" -> (q119LshRecall _),
     "q104_crosslang_dup" -> (q104CrossLangDup _)
   )
 
@@ -1110,6 +1188,7 @@ object Dedup {
     "q100_incremental_dedup" -> q100Sql,
     "q108_containment" -> q108Sql,
     "q111_minhash_drift" -> q111Sql,
+    "q119_lsh_recall" -> q119Sql,
     "q104_crosslang_dup" -> q104Sql
   )
 }

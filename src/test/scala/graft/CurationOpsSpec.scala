@@ -235,6 +235,25 @@ class CurationOpsSpec extends SparkSpec {
       s"allocated $allocated vs budget ${2 * corpus}")
   }
 
+  test("q119 LSH recall audit: flags binary, p monotone in similarity") {
+    val rows = run("q119_lsh_recall").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("caught")
+      assert(c == 0L || c == 1L)
+      val p = r.getAs[Double]("p_detect")
+      assert(p > 0.0 && p <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("jac") >= 0.6 - 1e-9)
+    }
+    // detection probability is monotone in the similarity
+    val byJac = rows.sortBy(_.getAs[Double]("jac"))
+      .map(_.getAs[Double]("p_detect"))
+    assert(byJac.zip(byJac.tail).forall { case (a, b) => a <= b + 1e-9 })
+    // at jac >= 0.6 with (4,4) bands the analytic floor is ~41%; the
+    // fixture's pairs are nearly exact, so empirical recall should be high
+    assert(rows.count(_.getAs[Long]("caught") == 1L) * 2 > rows.length)
+  }
+
   test("q104 every reported group spans more than one language") {
     val rows = run("q104_crosslang_dup").collect()
     rows.foreach { r =>
