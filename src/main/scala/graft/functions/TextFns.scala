@@ -28,10 +28,11 @@ object TextFns {
   def h32(c: Column): Column =
     call_function("h32_md5", c.cast("string"))
 
-  /** Whitespace tokens, empties dropped.
+  /** Whitespace tokens, empties dropped — native [[WsTokens]] kernel,
+    * byte-identical to `filter(split(x, " "), t -> length(t) > 0)`.
     * DuckDB: `list_filter(string_split(x, ' '), t -> len(t) > 0)`. */
   def tokens(c: Column): Column =
-    filter(split(c, " "), t => length(t) > lit(0))
+    call_function("ws_tokens", c.cast("string"))
 
   /** Word-level n-gram shingles (space-joined).
     * DuckDB: `list_transform(range(1, len(toks) - n + 2),

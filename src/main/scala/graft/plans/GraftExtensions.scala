@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ComposeExpr, DotF64, H32Md5, HashExprs, NGramStats, NGramStatsExpr, OuterF64, RollingFp, RollingFpExpr, ShingleH32, ShingleH32Expr, VecOps}
+import graft.functions.{ComposeExpr, DotF64, H32Md5, HashExprs, NGramStats, NGramStatsExpr, OuterF64, RollingFp, RollingFpExpr, ShingleH32, ShingleH32Expr, VecOps, WsTokens, WsTokensExpr}
 
 /** Session-extensions entry point — makes the library installable without
   * code changes:
@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.ngramStats)
     ext.injectFunction(GraftExtensions.shingleH32)
     ext.injectFunction(GraftExtensions.rollingFp)
+    ext.injectFunction(GraftExtensions.wsTokens)
     ext.injectOptimizerRule(_ => RewriteMd5H32)
   }
 }
@@ -71,6 +72,12 @@ object GraftExtensions {
     (FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(classOf[RollingFpExpr].getName, "rolling_fp"),
       RollingFp.builder _)
+
+  /** (name, info, builder) triple for `ws_tokens(text)`. */
+  val wsTokens: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("ws_tokens"),
+      new ExpressionInfo(classOf[WsTokensExpr].getName, "ws_tokens"),
+      WsTokens.builder _)
 
   /** (name, info, builder) triple for `shingle_h32(text, n)`. */
   val shingleH32: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =

@@ -58,6 +58,24 @@ class TextFnsSpec extends SparkSpec {
       one(h32(lit("a"))).asInstanceOf[Long] % P)
   }
 
+  test("native ws_tokens kernel matches the declarative split+filter") {
+    val decl = filter(split(col("text"), " "), t => length(t) > lit(0))
+    val df = graft.sources.Tables.documents(spark, sf)
+      .withColumn("native", tokens(col("text")))
+      .withColumn("decl", decl)
+    assert(df.filter(col("native") =!= col("decl")).count() == 0)
+    assert(df.count() > 0)
+    // edge shapes: leading/trailing/multiple spaces, empty string
+    val edges = Seq("", " ", "  a  b ", "a", " x").map(lit)
+    edges.foreach { s =>
+      val r = spark.range(1)
+        .select(tokens(s).as("n"),
+          filter(split(s, " "), t => length(t) > lit(0)).as("d"))
+        .head()
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"diverged on $s")
+    }
+  }
+
   test("native rolling_fp kernel matches the declarative fold on the fixture") {
     val toks = tokens(col("text"))
     val decl = aggregate(transform(array_sort(array_distinct(toks)), h32 _),
