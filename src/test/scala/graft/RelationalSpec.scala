@@ -41,4 +41,25 @@ class RelationalSpec extends SparkSpec {
       .select($"s_nationkey").distinct().as[Int].collect().toSet
     assert(got.subsetOf(cust & supp))
   }
+
+  test("q115 min-cost supplier: chosen offer is the true per-part minimum") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q115_min_cost_supplier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute each reported part's minimum unit price directly
+    val mins = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        round(lit(1e-9) + col("l_extendedprice") / col("l_quantity"), 4)
+          .as("unit"))
+      .groupBy(col("l_partkey")).agg(min(col("unit")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val pk = r.getAs[Long]("p_partkey")
+      assert(math.abs(r.getAs[Double]("min_price") - mins(pk)) < 1e-9,
+        s"part $pk: reported min is not the true minimum")
+    }
+    // one row per part, parts unique
+    val parts = rows.map(_.getAs[Long]("p_partkey"))
+    assert(parts.distinct.length == parts.length)
+  }
 }
