@@ -1154,6 +1154,60 @@ object Dedup {
       |LEFT JOIN cand c ON t.da = c.da AND t.db = c.db
       |ORDER BY t.da, t.db""".stripMargin
 
+  /** Stop-shingle cap audit — operational introspection of the q29/q108
+    * df-cap: how many distinct shingles exceed the frequency threshold,
+    * what fraction of postings they carry, and the worst fan-out the
+    * candidate join WOULD have suffered without the cap (max df² vs the
+    * capped maximum). At 100 TB this is the dashboard number that says
+    * whether the skew defense is actually load-bearing on today's corpus
+    * or the threshold can be tightened.
+    *
+    * One postings aggregation + one 10-ish-row summary — strictly
+    * cheaper than the dedup pass it audits. */
+  def q120CapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val raw = shPostings(spark, dir)
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
+    raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .withColumn("hot",
+        when(col("df") * 100 > greatest(lit(2500L), col("ndocs")), 1L)
+          .otherwise(0L))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("hot")).as("n_hot"),
+        sum(col("df")).as("postings"),
+        sum(col("df") * col("hot")).as("postings_hot"),
+        max(col("df")).as("max_df"),
+        max(col("df") * (lit(1L) - col("hot"))).as("max_df_kept"))
+      .select(col("n_shingles"), col("n_hot"), col("postings"),
+        col("postings_hot"),
+        round(lit(1e-9) +
+          col("postings_hot").cast("double") / col("postings"), 5)
+          .as("hot_share"),
+        col("max_df"),
+        col("max_df_kept"),
+        (col("max_df") * col("max_df")).as("worst_fanout_uncapped"),
+        (col("max_df_kept") * col("max_df_kept")).as("worst_fanout_capped"))
+  }
+
+  val q120Sql: String =
+    s"""WITH $shPostingsSql,
+      |nd AS (SELECT count(*) AS ndocs FROM documents),
+      |df AS (
+      |  SELECT h, count(*) AS df,
+      |    CASE WHEN count(*) * 100 > greatest(2500, max(ndocs)) THEN 1 ELSE 0 END AS hot
+      |  FROM sh CROSS JOIN nd
+      |  GROUP BY h)
+      |SELECT count(*) AS n_shingles,
+      |  CAST(sum(hot) AS BIGINT) AS n_hot,
+      |  CAST(sum(df) AS BIGINT) AS postings,
+      |  CAST(sum(df * hot) AS BIGINT) AS postings_hot,
+      |  round(1e-9 + CAST(sum(df * hot) AS DOUBLE) / sum(df), 5) AS hot_share,
+      |  max(df) AS max_df,
+      |  max(df * (1 - hot)) AS max_df_kept,
+      |  max(df) * max(df) AS worst_fanout_uncapped,
+      |  max(df * (1 - hot)) * max(df * (1 - hot)) AS worst_fanout_capped
+      |FROM df""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
@@ -1170,6 +1224,7 @@ object Dedup {
     "q108_containment" -> (q108Containment _),
     "q111_minhash_drift" -> (q111MinhashDrift _),
     "q119_lsh_recall" -> (q119LshRecall _),
+    "q120_cap_audit" -> (q120CapAudit _),
     "q104_crosslang_dup" -> (q104CrossLangDup _)
   )
 
@@ -1189,6 +1244,7 @@ object Dedup {
     "q108_containment" -> q108Sql,
     "q111_minhash_drift" -> q111Sql,
     "q119_lsh_recall" -> q119Sql,
+    "q120_cap_audit" -> q120Sql,
     "q104_crosslang_dup" -> q104Sql
   )
 }

@@ -263,4 +263,19 @@ class CurationOpsSpec extends SparkSpec {
         r.getAs[Long]("n_langs"))
     }
   }
+
+  test("q120 cap audit: shares and fan-outs internally consistent") {
+    val r = run("q120_cap_audit").collect().head
+    assert(r.getAs[Long]("n_hot") <= r.getAs[Long]("n_shingles"))
+    assert(r.getAs[Long]("postings_hot") <= r.getAs[Long]("postings"))
+    assert(r.getAs[Long]("max_df_kept") <= r.getAs[Long]("max_df"))
+    assert(r.getAs[Long]("worst_fanout_capped") <=
+      r.getAs[Long]("worst_fanout_uncapped"))
+    val share = r.getAs[Double]("hot_share")
+    assert(share >= 0.0 && share <= 1.0 + 1e-9)
+    // the audited threshold must agree with q29's actual cap arithmetic
+    val ndocs = graft.sources.Tables.documents(spark, sf).count()
+    if (r.getAs[Long]("n_hot") == 0)
+      assert(r.getAs[Long]("max_df") * 100 <= math.max(2500L, ndocs))
+  }
 }
