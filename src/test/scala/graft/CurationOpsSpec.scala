@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions.col
 
-/** Semantic invariants for the round-4 additions (q99-q116) — properties
+/** Semantic invariants for the round-4 additions (q99-q120) — properties
   * the DuckDB oracle can't see because both engines could get them wrong
   * the same way (sketch guarantees, admission arithmetic, skew
   * identities, decile partitions). */
