@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global row_number WITHOUT a global sort — the two-phase rank
+  * every "order the whole corpus" pass in this engine uses (sorted-
+  * neighborhood dedup q96, curriculum ordering q116, sequence packing's
+  * prefix sums are the same idea one level up).
+  *
+  * A naive `row_number().over(Window.orderBy(...))` moves every row into
+  * ONE partition — the canonical scale-killer. Instead the caller names
+  * a `block` column that is ORDER-ALIGNED with the sort key (every row
+  * of a lower block sorts strictly before every row of a higher block —
+  * e.g. a leading key prefix, or an integer bucket of the sort value).
+  * Phase 1 counts rows per block and turns the tiny per-block totals
+  * into broadcast offsets (prefix sum over the block table — block-count
+  * rows, not corpus rows); phase 2 ranks rows INSIDE each block in
+  * parallel and adds the offset. The result is bit-identical to the
+  * naive global window; partition size is bounded by the largest block,
+  * which the caller controls by choosing block granularity.
+  */
+object Ranking {
+
+  /** Append a 1-based exact global rank column `out`, ordering by
+    * `order` (which must already embed any tie-break). `block` MUST be
+    * order-aligned with `order` (see object docs) — that property is the
+    * caller's contract; the arithmetic here is exact either way, but
+    * misaligned blocks rank a different total order. */
+  def globalRank(df: DataFrame, block: Column, order: Seq[Column],
+      out: String = "rk"): DataFrame = {
+    val withBlock = df.withColumn("__rk_block", block)
+    val totals = withBlock.groupBy(col("__rk_block").as("__rk_b"))
+      .agg(count(lit(1)).as("__rk_n"))
+    // prefix sum over the BLOCK TABLE (block-count rows; the single
+    // partition here holds one row per block, never corpus rows)
+    val offPrefix = Window.orderBy(col("__rk_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = totals
+      .withColumn("__rk_off", sum(col("__rk_n")).over(offPrefix) - col("__rk_n"))
+      .select(col("__rk_b"), col("__rk_off"))
+    val inBlock = Window.partitionBy(col("__rk_block")).orderBy(order: _*)
+    withBlock
+      .join(broadcast(offsets), col("__rk_block") === col("__rk_b"))
+      .withColumn(out,
+        col("__rk_off") + row_number().over(inBlock).cast("long"))
+      .drop("__rk_block", "__rk_b", "__rk_off")
+  }
+}

@@ -1007,18 +1007,11 @@ object Curation {
   def q116Curriculum(spark: SparkSession, dir: String): DataFrame = {
     val scored = TextAnalysis.q24QualityScore(spark, dir)
       .select(col("doc_id"), col("n_words"), col("quality"))
-      .withColumn("blk", floor(col("quality") * 10).cast("int"))
-    val totals = scored.groupBy(col("blk")).agg(count(lit(1)).as("b_n"))
-    val offPrefix = Window.orderBy(col("blk"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = totals
-      .withColumn("off", sum(col("b_n")).over(offPrefix) - col("b_n"))
-      .select(col("blk"), col("off"))
-    val inBlk = Window.partitionBy(col("blk"))
-      .orderBy(col("quality"), col("doc_id"))
     val n = scored.agg(count(lit(1)).as("n_docs"))
-    scored.join(broadcast(offsets), Seq("blk"))
-      .withColumn("rk", col("off") + row_number().over(inBlk).cast("long") - 1)
+    graft.operators.Ranking.globalRank(
+        scored, floor(col("quality") * 10).cast("int"),
+        Seq(col("quality"), col("doc_id")))
+      .withColumn("rk", col("rk") - 1)
       .crossJoin(broadcast(n))
       .groupBy(expr("rk * 10 div n_docs").as("decile"))
       .agg(count(lit(1)).as("n_docs"),

@@ -744,22 +744,11 @@ object Dedup {
       .select(col("doc_id"),
         array_join(array_sort(array_distinct(toks)), " ").as("key"),
         array_sort(array_distinct(transform(toks, h32 _))).as("th"))
-      // two-char block prefix: ~729 sort-order-aligned blocks bound the
-      // per-partition rank window at corpus scale (one char left ~1/27th
-      // of the corpus in a single reducer)
-      .withColumn("bk", substring(col("key"), 1, 2))
-    val inBlock = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bk")).orderBy(col("key"), col("doc_id"))
-    val blockTotals = d.groupBy(col("bk").as("b_bk")).agg(count(lit(1)).as("b_n"))
-    val blockPrefix = org.apache.spark.sql.expressions.Window.orderBy(col("b_bk"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val offsets = blockTotals
-      .withColumn("block_off", sum(col("b_n")).over(blockPrefix) - col("b_n"))
-      .select(col("b_bk"), col("block_off"))
-    val ranked = d.join(broadcast(offsets), col("bk") === col("b_bk"))
-      .withColumn("rk", col("block_off") +
-        row_number().over(inBlock).cast("long"))
+    // two-char block prefix: ~729 sort-order-aligned blocks bound the
+    // per-partition rank (see operators.Ranking — one char would leave
+    // ~1/27th of the corpus in a single reducer)
+    val ranked = graft.operators.Ranking.globalRank(
+        d, substring(col("key"), 1, 2), Seq(col("key"), col("doc_id")))
       .select(col("doc_id"), col("th"), col("rk"))
       // consumed by both sides of the neighbor join; rank-sized rows
       .persist()

@@ -215,7 +215,7 @@ class PlanAuditSpec extends SparkSpec {
     // block or runs over the ~40-row block-totals table.
     val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
     assert(windows.nonEmpty)
-    windows.foreach(w => assert(w.contains("[bk#") || w.contains("b_bk#"),
+    windows.foreach(w => assert(w.contains("__rk_b"),
       s"corpus-wide window crept in: $w"))
     assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
       "ranked table must be cached for both neighbor-join sides")
