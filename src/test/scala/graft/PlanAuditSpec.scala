@@ -280,6 +280,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q115 min-cost supplier: dimension lookups broadcast, no window") {
+    val p = plan("q115_min_cost_supplier")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "part/supplier dimensions lost their broadcast")
+    assert(!p.contains("Window ["),
+      "min-per-group must be aggregation + join-back, not a window rank")
+  }
+
+  test("q117 perceptual dup: signature table cached, banded equi-join only") {
+    val p = plan("q117_perceptual_dup")
+    assert(p.contains("InMemoryTableScan"),
+      "signature table recomputed per band-join side instead of persisted")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the half-band equi-join")
+  }
+
   test("q104 cross-language leak: one shuffle on the content key") {
     val p = plan("q104_crosslang_dup")
     assert(!p.contains("Join"), "cross-lang audit must be a pure aggregation")
