@@ -15,15 +15,18 @@ object Bench {
     // warmup: a scan+agg touches the parquet footer cache, codegen, and
     // shuffle machinery once before anything is timed
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // best-of-2 per query: a long 48-query session accumulates GC debt and
+    // best-of-2 per query: a long 120-query session accumulates GC debt and
     // this host carries fluctuating background load, so single-shot
     // timings swing up to 10x on identical plans; the minimum of two runs
     // reports the plan's actual cost (standard bench practice)
     // dev aid: SPARK_GRAFT_ONLY=q30,q35 restricts the run to the named
-    // query prefixes (unset for the driver's full run)
+    // queries; a value matches the qNN id exactly or up to its underscore
+    // (so "q11" selects q11_big_spenders, never q110-q119)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) =>
+        only.forall(_.exists(p => n == p || n.startsWith(p + "_")))
+      }
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -43,11 +46,14 @@ object Bench {
       System.gc()
       name -> best
     }
-    // 3-decimal values keep the JSON line short enough for tail-based
-    // log scrapers (full precision adds ~1.5KB across 68 queries)
-    def f(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    // keys are the short qNN ids (the part before the first underscore)
+    // and values are 2-decimal seconds: the driver captures this line from
+    // a bounded log tail, and at 120 queries the full-name/3-decimal form
+    // overflowed the window (r4 kept only 75 of 120 numbers)
+    def f(v: Double): String = "%.2f".format(v)
+    val qs = results.map { case (k, v) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + f(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -27,7 +27,9 @@ object Ranking {
     * `order` (which must already embed any tie-break). `block` MUST be
     * order-aligned with `order` (see object docs) — that property is the
     * caller's contract; the arithmetic here is exact either way, but
-    * misaligned blocks rank a different total order. */
+    * misaligned blocks rank a different total order. A null-valued block
+    * forms its own block (the offset join is null-safe) and sorts first,
+    * matching a NULLS FIRST ascending order over the block expression. */
   def globalRank(df: DataFrame, block: Column, order: Seq[Column],
       out: String = "rk"): DataFrame = {
     val withBlock = df.withColumn("__rk_block", block)
@@ -42,7 +44,7 @@ object Ranking {
       .select(col("__rk_b"), col("__rk_off"))
     val inBlock = Window.partitionBy(col("__rk_block")).orderBy(order: _*)
     withBlock
-      .join(broadcast(offsets), col("__rk_block") === col("__rk_b"))
+      .join(broadcast(offsets), col("__rk_block") <=> col("__rk_b"))
       .withColumn(out,
         col("__rk_off") + row_number().over(inBlock).cast("long"))
       .drop("__rk_block", "__rk_b", "__rk_off")

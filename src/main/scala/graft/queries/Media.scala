@@ -101,8 +101,11 @@ object Media {
     val d = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 80)
       .select(col("doc_id"), sig.as("sig"))
-      .withColumn("hi", expr("sig div 4294967296"))
-      .withColumn("lo", col("sig") % 4294967296L)
+      // sign-free half split: sig's top bit (r=7,c=7 term = 1L<<63) can
+      // make it negative, so extract halves with shifts+masks rather than
+      // div/% (whose negative-operand behavior the engines need not share)
+      .withColumn("hi", shiftrightunsigned(col("sig"), 32))
+      .withColumn("lo", col("sig").bitwiseAND(lit(4294967295L)))
       .persist() // both sides of the band self-join
     val bands = d.select(col("doc_id"), col("sig"),
       explode(array(
@@ -132,7 +135,7 @@ object Media {
       |  SELECT doc_id, CAST($dhashSqlTerms AS BIGINT) AS sig
       |  FROM documents WHERE length(text) >= 80),
       |k AS (
-      |  SELECT doc_id, sig, sig // 4294967296 AS hi, sig % 4294967296 AS lo
+      |  SELECT doc_id, sig, (sig >> 32) & 4294967295 AS hi, sig & 4294967295 AS lo
       |  FROM s)
       |SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
       |  CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming

@@ -13,9 +13,15 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * numbers (tokens, last event-time nanos) — O(active keys) state, like
   * [[StatefulSessionize]]. Refill is EVENT-TIME driven (tokens accrue
   * with the stream's own clock, not arrival time), which makes admission
-  * a pure function of the event sequence: replaying the stream in
-  * different micro-batch slicings admits exactly the same events, which
-  * is what the spec asserts.
+  * a pure function of the event sequence AS DELIVERED: replaying the
+  * stream in different micro-batch slicings admits exactly the same
+  * events PROVIDED batch boundaries respect event-time order. Events are
+  * sorted by event time only WITHIN a batch; a late event arriving in a
+  * later micro-batch is folded after state already advanced past it, so
+  * a slicing that lets late data cross batches can admit a different
+  * set. Front the operator with a watermark (drop events with ts before
+  * the state's last refill instant) when the transport can reorder
+  * across batch boundaries.
   *
   * Batch-mode note: `flatMapGroupsWithState` also runs on a static
   * Dataset (state lives for the single "batch"), so the same operator
