@@ -6,10 +6,10 @@ package graft.pipeline
   * A 3-level tree — root → areas → products → formats — where every level
   * may set arbitrary string settings and inner levels override outer ones.
   * Differences from the reference, by design:
-  *   - parsed from typed case classes (or JSON), never from YAML with
-  *     arbitrary-code constructors (`!!python/name:` — launcher.py:404's
-  *     UnsafeLoader is a non-goal; plugin names resolve against
-  *     [[Plugins.registry]] at analysis time instead);
+  *   - parsed from typed case classes, or from YAML/JSON via the safe
+  *     [[ProductListLoader]] — never with arbitrary-code constructors
+  *     (`!!python/name:` — launcher.py:404's UnsafeLoader is a non-goal;
+  *     plugin names resolve against the plugin registry instead);
   *   - the config is immutable; "pruning" plugins filter the expanded
   *     work-list rather than mutating the tree (the reference mutates via
   *     dpath.delete, plugins/__init__.py:668-669).

@@ -1,0 +1,167 @@
+package graft.pipeline
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.pipeline.Plugins._
+
+/** Plugin registry — resolves a [[LoadedConfig]]'s `workers:` chain into
+  * live [[Plugin]] instances, the safe analog of the reference's
+  * `fun: !!python/name:trollflow2.plugins.create_scene` entries
+  * (examples/pl.yaml:195-210): names resolve against this table at build
+  * time instead of importing arbitrary code at parse time.
+  *
+  * Each factory reads its parameters the way the reference plugin does —
+  * from the product list's root settings (`get_config_value(...,
+  * '/product_list', key)`: check_metadata at plugins/__init__.py:697,
+  * metadata_aliases at :721, aggregate kwargs at :129) — with the worker
+  * entry's inline options taking precedence (most-local-wins, the same
+  * rule the tree itself uses). Nested config values arrive as the
+  * loader's compact-JSON strings and are decoded here.
+  *
+  * Documented divergence: the reference's `resample` and coverage
+  * plugins get area geometry from satpy's areas.yaml registry; there is
+  * no such registry here, so `resample` reads its target grids from the
+  * `resample_targets` setting and plugins needing lon/lat bounds
+  * ([[Covers]], [[SunlightCoverage]]) must be constructed in code. */
+object PluginRegistry {
+
+  /** Names this registry can build. */
+  def names: Set[String] = Set(
+    "create_scene", "load_composites", "check_metadata", "metadata_alias",
+    "aggregate", "resample", "check_valid_data_fraction", "sza_check",
+    "save_datasets", "format_decoration", "check_results", "file_publisher")
+
+  /** Build the full worker chain; `inputPaths` are the per-job input
+    * files carried by the triggering message (launcher.py:287), the one
+    * parameter that cannot come from the config file. */
+  def chain(cfg: LoadedConfig, inputPaths: Seq[String]): Seq[Plugin] =
+    cfg.workers.map(build(cfg, _, inputPaths))
+
+  def build(cfg: LoadedConfig, worker: WorkerSpec, inputPaths: Seq[String]): Plugin = {
+    // most-local-wins: worker inline options > product-list root settings,
+    // with /common as fallback (dict_tools.py:93-96)
+    val settings = cfg.productList.common ++ cfg.productList.settings ++ worker.options
+    def str(key: String): Option[String] = settings.get(key)
+    def required(key: String): String = str(key).getOrElse(
+      throw ConfigException(s"${worker.fun}: missing required setting '$key'"))
+    def bool(key: String): Boolean = str(key).exists(_.toBoolean)
+    def json(key: String): Option[JsonNode] = str(key).map { raw =>
+      try new ObjectMapper().readTree(raw)
+      catch {
+        case e: Exception =>
+          throw ConfigException(
+            s"${worker.fun}: setting '$key' is not valid JSON: $raw", e)
+      }
+    }
+
+    worker.fun match {
+      case "create_scene" =>
+        CreateScene(inputPaths,
+          reader = str("reader").getOrElse("parquet"),
+          options = json("reader_kwargs").map(objAsStringMap(_, "reader_kwargs"))
+            .getOrElse(Map.empty))
+
+      case "load_composites" =>
+        // graft convention: each worker option is product-name -> SQL
+        // expression (the satpy composite recipes live in code here)
+        LoadComposites(derived = worker.options)
+
+      case "check_metadata" =>
+        // {platform_name: [noaa15, ...], start_time: -40} — the numeric
+        // start_time entry is the max-age-minutes rule (plugins/__init__.py:705-711)
+        json("check_metadata") match {
+          case None => CheckMetadata()
+          case Some(conf) =>
+            val fields = conf.properties().asScala.map(e => e.getKey -> e.getValue)
+            val allowed = fields.collect {
+              case (k, v) if v.isArray =>
+                k -> v.elements().asScala.map(_.asText).toSeq
+            }.toMap
+            val maxAge = fields.collectFirst {
+              case ("start_time", v) if v.isNumber => v.asLong
+            }
+            CheckMetadata(allowed = allowed, maxAgeMinutes = maxAge)
+        }
+
+      case "metadata_alias" =>
+        MetadataAlias(aliases = json("metadata_aliases")
+          .map(n => n.properties().asScala.map(e =>
+            e.getKey -> objAsStringMap(e.getValue, "metadata_aliases")).toMap)
+          .getOrElse(Map.empty))
+
+      case "aggregate" =>
+        // the reference passes the `aggregate:` mapping straight to
+        // Scene.aggregate(x=…, y=…) (plugins/__init__.py:129-130)
+        val kw = json("aggregate").map(objAsStringMap(_, "aggregate"))
+          .getOrElse(Map.empty)
+        Aggregate(
+          xFactor = kw.get("x").map(_.toInt).getOrElse(1),
+          yFactor = kw.get("y").map(_.toInt).getOrElse(1))
+
+      case "resample" =>
+        val targets = json("resample_targets").map { node =>
+          if (!node.isArray)
+            throw ConfigException("resample: 'resample_targets' must be a JSON list")
+          node.elements().asScala.map { t =>
+            def i(f: String): Long =
+              Option(t.get(f)).map(_.asLong).getOrElse(
+                throw ConfigException(s"resample target missing '$f': $t"))
+            ResampleTarget(
+              area = Option(t.get("area")).map(_.asText).getOrElse(
+                throw ConfigException(s"resample target missing 'area': $t")),
+              width = i("width").toInt, height = i("height").toInt,
+              srcYMin = i("src_y_min"), srcYMax = i("src_y_max"),
+              srcXMin = i("src_x_min"), srcXMax = i("src_x_max"),
+              mode = Option(t.get("mode")).map(_.asText)
+                .orElse(str("resampler")).getOrElse("average"))
+          }.toSeq
+        }.getOrElse(
+          throw ConfigException(
+            "resample: no 'resample_targets' setting — area geometry has no " +
+              "satpy registry analog, declare target grids in the config " +
+              "or construct Resample in code"))
+        Resample(targets, reduceData = str("reduce_data").forall(_.toBoolean))
+
+      case "check_valid_data_fraction" =>
+        CheckValidDataFraction(
+          minFraction = required("min_valid_data_fraction").toDouble)
+
+      case "sza_check" => SzaCheck()
+
+      case "save_datasets" =>
+        SaveDatasets(
+          outDir = required("output_dir"),
+          fnamePattern = str("fname_pattern")
+            .getOrElse("{area}_{product}.{format}"),
+          eagerWriting = bool("eager_writing"),
+          stagingZone = str("staging_zone"),
+          overviews = json("overviews").map { n =>
+            if (!n.isArray)
+              throw ConfigException("save_datasets: 'overviews' must be a list")
+            n.elements().asScala.map(_.asInt).toSeq
+          }.getOrElse(Seq.empty))
+
+      case "format_decoration" => FormatDecoration()
+      case "check_results" => CheckResults()
+
+      case "file_publisher" =>
+        FilePublisher(topicPattern = str("publish_topic")
+          .getOrElse("/file/{product}"))
+
+      case other =>
+        throw ConfigException(
+          s"unknown plugin '$other' — registry knows: ${names.toSeq.sorted.mkString(", ")}")
+    }
+  }
+
+  private def objAsStringMap(node: JsonNode, where: String): Map[String, String] = {
+    if (!node.isObject)
+      throw ConfigException(s"'$where' must be a JSON object, got: $node")
+    node.properties().asScala.map { e =>
+      e.getKey -> (if (e.getValue.isTextual) e.getValue.asText
+                   else e.getValue.toString)
+    }.toMap
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.pipeline._
+import graft.pipeline.Plugins._
+
+/** [[PluginRegistry]]: a reference-shaped YAML document drives the same
+  * end-to-end chain PipelineSpec builds in code — the full launcher path
+  * (read_config → workers → process_jobs, launcher.py:403-408) with the
+  * safe loader in front. */
+class RegistrySpec extends SparkSpec {
+
+  test("YAML config end-to-end: load -> build chain -> run -> files written") {
+    val outDir = Files.createTempDirectory("graft_reg").toString
+    val cfg = ProductListLoader.fromYaml(
+      s"""product_list:
+         |  output_dir: $outDir
+         |  fname_pattern: "{area}_{product}.{format}"
+         |  reader: parquet
+         |  aggregate:
+         |    x: 2
+         |    y: 2
+         |  resample_targets:
+         |    - {area: euro, width: 16, height: 16,
+         |       src_y_min: 0, src_y_max: 32, src_x_min: 0, src_x_max: 32}
+         |  metadata_aliases:
+         |    platform:
+         |      sat1: SAT-1
+         |  areas:
+         |    euro:
+         |      priority: 1
+         |      products:
+         |        N:
+         |          formats:
+         |            - format: parquet
+         |            - format: csv
+         |              writer: csv
+         |workers:
+         |  - fun: create_scene
+         |  - fun: metadata_alias
+         |  - fun: load_composites
+         |    product: l_returnflag
+         |    y: l_orderkey % 64
+         |    x: (l_partkey * 7 + l_linenumber) % 64
+         |    value: cast(l_quantity as double)
+         |  - fun: aggregate
+         |  - fun: resample
+         |  - fun: save_datasets
+         |  - fun: check_results
+         |""".stripMargin)
+
+    val chain = PluginRegistry.chain(cfg, Seq(s"$sf/lineitem.parquet"))
+    assert(chain.map(_.name) == Seq("create_scene", "metadata_alias",
+      "load_composites", "aggregate", "resample", "save_datasets",
+      "check_results"))
+
+    val ctx0 = PipelineContext(spark, cfg.productList,
+      metadata = Map("platform" -> "sat1"),
+      frames = Map.empty, worklist = Worklist.expand(cfg.productList))
+    val reports = Runner.processJobs(ctx0, chain)
+    assert(reports.map(_.priority) == Seq(1))
+    val ctx = reports.head.finalCtx
+    assert(ctx.aborted.isEmpty, s"unexpected abort: ${ctx.aborted}")
+    // metadata_alias applied the configured alias map
+    assert(ctx.metadata("platform") == "SAT-1")
+    // both formats of euro/N written
+    assert(ctx.manifest.map(f => (f.area.get, f.product, f.format)).toSet ==
+      Set(("euro", "N", "parquet"), ("euro", "N", "csv")))
+    ctx.manifest.foreach(f => assert(Files.exists(Paths.get(f.path)), f.path))
+  }
+
+  test("factories decode config shapes: check_metadata, save_datasets, resample") {
+    val cfg = ProductListLoader.fromYaml(
+      """product_list:
+        |  output_dir: /tmp/out
+        |  eager_writing: true
+        |  staging_zone: /tmp/staging
+        |  overviews: [4, 8]
+        |  check_metadata:
+        |    platform_name: [noaa15, noaa18]
+        |    start_time: -40
+        |  min_valid_data_fraction: 10.0
+        |  areas: {}
+        |workers:
+        |  - fun: check_metadata
+        |  - fun: check_valid_data_fraction
+        |  - fun: save_datasets
+        |""".stripMargin)
+    val chain = PluginRegistry.chain(cfg, Seq.empty)
+    val cm = chain(0).asInstanceOf[CheckMetadata]
+    assert(cm.allowed == Map("platform_name" -> Seq("noaa15", "noaa18")))
+    assert(cm.maxAgeMinutes.contains(-40L))
+    assert(chain(1).asInstanceOf[CheckValidDataFraction].minFraction == 10.0)
+    val sd = chain(2).asInstanceOf[SaveDatasets]
+    assert(sd.outDir == "/tmp/out" && sd.eagerWriting)
+    assert(sd.stagingZone.contains("/tmp/staging"))
+    assert(sd.overviews == Seq(4, 8))
+  }
+
+  test("worker inline options override product-list settings") {
+    val cfg = ProductListLoader.fromYaml(
+      """product_list:
+        |  output_dir: /tmp/root_dir
+        |  areas: {}
+        |workers:
+        |  - fun: save_datasets
+        |    output_dir: /tmp/worker_dir
+        |""".stripMargin)
+    val sd = PluginRegistry.chain(cfg, Seq.empty).head.asInstanceOf[SaveDatasets]
+    assert(sd.outDir == "/tmp/worker_dir")
+  }
+
+  test("unknown plugin and missing required settings raise ConfigException") {
+    val base = ProductListLoader.fromYaml("product_list:\n  areas: {}\n")
+    val unknown = intercept[ConfigException] {
+      PluginRegistry.build(base, WorkerSpec("no_such_plugin"), Seq.empty)
+    }
+    assert(unknown.getMessage.contains("registry knows"))
+    intercept[ConfigException] {
+      PluginRegistry.build(base, WorkerSpec("save_datasets"), Seq.empty)
+    }
+    // resample without geometry: the documented areas.yaml divergence
+    val r = intercept[ConfigException] {
+      PluginRegistry.build(base, WorkerSpec("resample"), Seq.empty)
+    }
+    assert(r.getMessage.contains("resample_targets"))
+  }
+}
