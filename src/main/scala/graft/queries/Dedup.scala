@@ -68,6 +68,38 @@ object Dedup {
       // the doc_id partitioning, so those stay exchange-free.
       .persist()
 
+  /** Per-shingle document frequencies (h, df) of the raw postings,
+    * persisted: the df-cap's hot-set (q29/q108), and the q120 cap audit
+    * all need this one narrow aggregation — computing it against the
+    * cached postings once per session replaces the per-query re-agg the
+    * round-4 bench charged to q29. The groupBy(h) is the postings pack's
+    * single unavoidable re-shuffle (postings are doc_id-partitioned). */
+  private def shDfCounts(spark: SparkSession, dir: String): DataFrame =
+    shPostings(spark, dir)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .persist()
+
+  /** Stop-shingles over the df cap — tiny by construction (≤ 1/cap of
+    * shingle mass can exceed the cap), hence always broadcastable. */
+  private def hotShingles(spark: SparkSession, dir: String): DataFrame = {
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
+    shDfCounts(spark, dir)
+      .crossJoin(broadcast(nd))
+      .filter(col("df") * 100 > greatest(lit(2500L), col("ndocs")))
+      .select(col("h"))
+  }
+
+  /** Df-capped postings, persisted AFTER the anti-join: every consumer
+    * (q29's self-join sides and per-doc counts, q108's containment join,
+    * q119's ground truth) reads the capped table straight from storage
+    * instead of re-running the anti-join per use. The broadcast anti-join
+    * preserves the doc_id partitioning of the raw postings, so per-doc
+    * aggregations over the capped table stay exchange-free. */
+  private def cappedShPostings(spark: SparkSession, dir: String): DataFrame =
+    shPostings(spark, dir)
+      .join(broadcast(hotShingles(spark, dir)), Seq("h"), "left_anti")
+      .persist()
+
   /** Exact dedup via content-key groupBy: key = rolling fingerprint of the
     * sorted distinct token set (bag-of-words identity). One shuffle on the
     * 8-byte key; the 100 TB version is identical. */
@@ -115,14 +147,6 @@ object Dedup {
     * threshold). At the test SFs the measured max df IS 25, so the cap
     * drops nothing and the result is identical to the uncapped form. */
   def q29NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val raw = shPostings(spark, dir)
-    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
-    // hot = stop-shingles over the df cap: tiny by construction → broadcast
-    // anti-join, so the cap costs one narrow agg over the postings
-    val hot = raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nd))
-      .filter(col("df") * 100 > greatest(lit(2500L), col("ndocs")))
-      .select(col("h"))
     // the self-join carries ONLY (doc_id, h): per-doc retained-shingle
     // counts are a separate 1-row-per-doc aggregate broadcast onto the
     // aggregated pairs afterwards (the oracle's cnt-join shape). The
@@ -130,7 +154,7 @@ object Dedup {
     // that ran the window exec once per join side and shipped the extra
     // column through every candidate row; counts-after-agg touches
     // |pairs| rows instead of |candidate rows|.
-    val sh = raw.join(broadcast(hot), Seq("h"), "left_anti")
+    val sh = cappedShPostings(spark, dir)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     sh.as("a")
       .join(sh.as("b"),
@@ -916,13 +940,7 @@ object Dedup {
     * stop-shingle cap, and orientation (small ⊆ big) is decided per
     * aggregated pair, never by re-joining. */
   def q108Containment(spark: SparkSession, dir: String): DataFrame = {
-    val raw = shPostings(spark, dir)
-    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
-    val hot = raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nd))
-      .filter(col("df") * 100 > greatest(lit(2500L), col("ndocs")))
-      .select(col("h"))
-    val sh = raw.join(broadcast(hot), Seq("h"), "left_anti")
+    val sh = cappedShPostings(spark, dir)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     sh.as("a")
       .join(sh.as("b"),
@@ -1154,9 +1172,8 @@ object Dedup {
     * One postings aggregation + one 10-ish-row summary — strictly
     * cheaper than the dedup pass it audits. */
   def q120CapAudit(spark: SparkSession, dir: String): DataFrame = {
-    val raw = shPostings(spark, dir)
     val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
-    raw.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    shDfCounts(spark, dir)
       .crossJoin(broadcast(nd))
       .withColumn("hot",
         when(col("df") * 100 > greatest(lit(2500L), col("ndocs")), 1L)
