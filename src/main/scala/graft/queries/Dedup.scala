@@ -347,22 +347,26 @@ object Dedup {
     * probe key of one side meets the home key of the other exactly when
     * Hamming ≤ 1, and each qualifying pair meets on exactly ONE key (no
     * dedup pass needed). At 100 TB this is the scale path the old 10-ary
-    * label block was not: bucket population is N/256 (and the bit width
-    * grows with the corpus), while a label block kept N/10 per block and
-    * went quadratic. Survivors are re-ranked by exact cosine; dot
+    * label block was not: the signature width is corpus-derived
+    * ([[Similarity.sigBits]] — smallest k with 64·2^k ≥ N), so bucket
+    * population stays ≈64 no matter the corpus size, while a label block
+    * kept N/10 per block and went quadratic. Survivors are re-ranked by
+    * exact cosine; dot
     * products are explicit left-to-right double folds in both engines, so
     * the floating result is bit-identical before rounding. */
   def q32EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = Similarity.vecs(spark, dir)
+    // width derived from the corpus at plan time (Similarity.sigBits)
+    val nbits = Similarity.sigBits(e.count())
     // signature computed once (one row per vector); joined three times
     // below — persist the signature table (cache keeps the partitioning;
     // a local checkpoint would drop it and re-shuffle each consumer)
-    val es = e.withColumn("sig", Similarity.sigCol(col("v")))
+    val es = e.withColumn("sig", Similarity.sigCol(col("v"), nbits))
       .persist()
     val skinny = es.select(col("vec_id"), col("sig"))
     val probes = skinny.select(col("vec_id").as("pa"),
       explode(array(col("sig") +:
-        (0 until 8).map(b => col("sig").bitwiseXOR(lit(1L << b))): _*)).as("probe"))
+        (0 until nbits).map(b => col("sig").bitwiseXOR(lit(1L << b))): _*)).as("probe"))
     val cand = probes
       .join(skinny.select(col("vec_id").as("vb"), col("sig").as("hsig")),
         col("probe") === col("hsig") && col("pa") < col("vb"))
@@ -387,9 +391,10 @@ object Dedup {
       |es AS (SELECT e.*, sig.sig FROM e JOIN sig ON vec_id = s_vec),
       |probes AS (
       |  SELECT vec_id AS pa,
-      |    CASE WHEN b = 8 THEN sig
+      |    CASE WHEN b = (SELECT nbits FROM nb) THEN sig
       |         ELSE xor(sig, (CAST(1 AS BIGINT) << b)) END AS probe
-      |  FROM es CROSS JOIN range(0, 9) t(b)),
+      |  FROM es CROSS JOIN range(0, 31) t(b)
+      |  WHERE b <= (SELECT nbits FROM nb)),
       |cand AS (
       |  SELECT pa AS va, h.vec_id AS vb
       |  FROM probes JOIN es h ON probe = h.sig AND pa < h.vec_id)

@@ -101,34 +101,55 @@ object Similarity {
 
   /** planeW(p)(d-1): plane p's weight on dimension d — md5-derived, so
     * both engines construct identical planes (the oracle rebuilds them in
-    * SQL, see [[sigSqlCtes]]). Shared by q34/q99 here and q32 (embedding
-    * near-dup) in [[Dedup]]. */
+    * SQL, see [[sigSqlCtes]]). 30 planes are pre-built; [[sigBits]] picks
+    * how many a given corpus uses. Shared by q34/q99/q112 here and q32
+    * (embedding near-dup) in [[Dedup]]. */
   private val planeW: Array[Array[Double]] =
-    Array.tabulate(8)(p => Array.tabulate(64)(i =>
+    Array.tabulate(30)(p => Array.tabulate(64)(i =>
       ((h32Const(s"plane_${p}_${i + 1}") % 2001) - 1000) / 1000.0))
 
-  /** 8-bit random-hyperplane signature (sign of wₚ·v per plane) as a PURE
-    * PROJECTION: eight `dot_f64` calls against literal weight arrays — no
-    * explode, no plane join, no aggregation. The earlier form exploded
-    * N·64 component rows and ran two aggregations; this is a narrow map
-    * inside whole-stage codegen, and every float sequence is unchanged
-    * (`dot_f64` folds dimensions in ascending order — exactly the order
-    * the oracle's grouped `sum(w * x)` accumulates, which is why the
-    * hash compare stays bit-identical). */
-  private[queries] def sigCol(v: Column): Column =
-    (0 until 8).map { p =>
+  /** Corpus-derived signature width: the smallest k with 64·2^k ≥ N
+    * (floored at 8, capped at 30), i.e. expected bucket population ≈ 64
+    * vectors no matter the corpus size — the property that keeps the
+    * within-bucket verify linear-ish at 100 TB instead of re-quadratifying
+    * at N/256 per bucket. Pure integer arithmetic so the oracle's SQL
+    * twin (the `nb` CTE in [[sigSqlCtes]]) computes the identical width
+    * with no float-log boundary to disagree over. */
+  private[graft] def sigBits(n: Long): Int = {
+    var k = 0
+    while (k < 30 && (64L << k) < n) k += 1
+    math.max(8, k)
+  }
+
+  /** `nbits`-bit random-hyperplane signature (sign of wₚ·v per plane) as
+    * a PURE PROJECTION: one `dot_f64` call per plane against literal
+    * weight arrays — no explode, no plane join, no aggregation. The
+    * earlier form exploded N·64 component rows and ran two aggregations;
+    * this is a narrow map inside whole-stage codegen, and every float
+    * sequence is unchanged (`dot_f64` folds dimensions in ascending
+    * order — exactly the order the oracle's grouped `sum(w * x)`
+    * accumulates, which is why the hash compare stays bit-identical). */
+  private[queries] def sigCol(v: Column, nbits: Int = 8): Column =
+    (0 until nbits).map { p =>
       when(dotCol(v, lit(planeW(p))) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** DuckDB CTE fragment computing the same planes → signature chain;
-    * expects a CTE `e(vec_id, …, embedding, nrm)` in scope and leaves
-    * `sig(s_vec, sig)`. Shared with the q32 oracle. */
+  /** DuckDB CTE fragment computing the same width → planes → signature
+    * chain; expects a CTE `e(vec_id, …, embedding, nrm)` in scope and
+    * leaves `nb(nbits)` and `sig(s_vec, sig)`. The `nb` CTE is the SQL
+    * twin of [[sigBits]] — same integer search, same floor and cap.
+    * Shared with the q32 oracle. */
   private[queries] val sigSqlCtes: String =
-    """planes AS (
+    """nb AS (
+      |  SELECT greatest(8, coalesce((
+      |    SELECT min(k)::INT FROM range(0, 31) t(k)
+      |    WHERE (CAST(64 AS BIGINT) << k) >= (SELECT count(*) FROM e)), 30)) AS nbits),
+      |planes AS (
       |  SELECT p, d,
       |    (('0x' || substr(md5(concat_ws('_', 'plane', p, d)), 1, 8))::BIGINT % 2001 - 1000) / 1000.0 AS w,
       |    (CAST(1 AS BIGINT) << p) AS pp
-      |  FROM range(0, 8) tp(p), range(1, 65) td(d)),
+      |  FROM range(0, 30) tp(p), range(1, 65) td(d)
+      |  WHERE p < (SELECT nbits FROM nb)),
       |sigcompu AS (
       |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS d, embedding FROM e),
       |sigcomp AS (
@@ -143,7 +164,9 @@ object Similarity {
 
   def q34AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val withSig = e.withColumn("sig", sigCol(col("v")))
+    // plan-time width from the corpus size (one count action; the planes
+    // themselves are literals, so the signature stays a pure projection)
+    val withSig = e.withColumn("sig", sigCol(col("v"), sigBits(e.count())))
     val q = withSig.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("sig").as("qsig"))
@@ -677,7 +700,7 @@ object Similarity {
     * index; here it is rebuilt inline like the other ANN queries. */
   def q99LabelErrors(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val withSig = e.withColumn("sig", sigCol(col("v")))
+    val withSig = e.withColumn("sig", sigCol(col("v"), sigBits(e.count())))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("sig"))
       .persist() // both sides of the bucket self-join
     withSig.as("x").join(withSig.as("y"),
@@ -807,7 +830,7 @@ object Similarity {
     * top-10 take. */
   def q112Hubness(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val withSig = e.withColumn("sig", sigCol(col("v")))
+    val withSig = e.withColumn("sig", sigCol(col("v"), sigBits(e.count())))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("sig"))
       .persist() // both bucket-join sides + the label lookup
     val top1 = withSig.as("x").join(withSig.as("y"),

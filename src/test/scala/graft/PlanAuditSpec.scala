@@ -345,4 +345,31 @@ class PlanAuditSpec extends SparkSpec {
       "shingle postings must be cached for first-seen agg and probe side")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("LSH signature width is corpus-derived: bucket population stays ~64") {
+    import graft.queries.Similarity.sigBits
+    // the scale law: smallest k with 64·2^k >= N, floor 8, cap 30
+    assert(sigBits(1000) == 8) // test-SF corpora stay at the 8-bit floor
+    assert(sigBits(64L << 8) == 8) // boundary: exactly 2^8 buckets of 64
+    assert(sigBits((64L << 8) + 1) == 9) // one past -> width grows
+    assert(sigBits(1L << 26) == 20) // 67M vectors -> 2^20 buckets
+    assert(sigBits(100L * 1000 * 1000 * 1000) == 30) // capped (100B vectors)
+    // monotone non-decreasing, and population N/2^k never exceeds 64
+    // once past the floor region
+    var prev = 8
+    for (e <- 10 to 40) {
+      val n = 1L << e
+      val k = sigBits(n)
+      assert(k >= prev, s"width must not shrink as N grows (N=2^$e)")
+      prev = k
+      if (k > 8 && k < 30)
+        assert(n.toDouble / (1L << k) <= 64.0 + 1e-9,
+          s"bucket population exceeds target at N=2^$e")
+    }
+    // the q32/q34 plans carry the width as literals: at test SF the
+    // signature is the 8-bit floor, so exactly 8 plane dot-products
+    // appear as dot_f64 calls in the projection
+    val p = plan("q34_ann_lsh")
+    assert(p.contains("dot_f64"))
+  }
 }
