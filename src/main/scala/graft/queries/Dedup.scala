@@ -528,32 +528,36 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   /** SemDeDup — semantic deduplication via cluster-scoped cosine pruning
-    * (Abbas et al. 2023): cluster the embedding space (here: nearest
-    * per-label centroid, the same coarse quantizer q36/q69 build), then
-    * within each cluster remove every vector whose cosine similarity to a
-    * lower-id member reaches the threshold — pairwise comparison never
-    * crosses a cluster boundary. Reports per-cluster member/removed
-    * counts plus an exact fingerprint of the removed set.
+    * (Abbas et al. 2023): cluster the embedding space, then within each
+    * cluster remove every vector whose cosine similarity to a lower-id
+    * member reaches the threshold — pairwise comparison never crosses a
+    * cluster boundary. Reports per-cluster member/removed counts plus an
+    * exact fingerprint of the removed set.
     *
-    * Scale design: assignment is a broadcast join against k centroids;
-    * the pairwise stage is an equi-join on the cluster id, so its cost is
-    * Σ|cluster|² — bounded by choosing k ≈ √N clusters (here k = 10
-    * labels over 500-5000 vectors), never the corpus-wide N². The member
-    * table is persisted once and self-joined, not recomputed per side. */
+    * Scale design: k = ⌈√N⌉ clusters from one k-means assignment pass
+    * over hash-sampled seeds (the k smallest md5-h32 of vec_id — a
+    * deterministic uniform sample both engines replay), NOT the label
+    * column: k ≈ √N bounds the pairwise stage at Σ|cluster|² ≈ N·√N,
+    * where any fixed k (the old 10-label assignment) degrades to N²/k.
+    * Distances use ‖a‖²+‖s‖²−2a·s with the seed table broadcast, so
+    * assignment is a broadcast nested-loop + one min(struct) aggregation
+    * — no component explode, no window, nothing corpus-quadratic. The
+    * member table is persisted once and self-joined, not recomputed per
+    * side. */
   def q80SemDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Similarity.vecs(spark, dir)
-    val comp = e.select(col("vec_id"), col("label"),
-      posexplode(col("v")).as(Seq("pos", "x")))
-    val cent = comp.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
-      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
-    val d2 = comp.join(broadcast(cent), col("pos") === col("c_pos"))
-      .groupBy(col("vec_id").as("a_vec"), col("c_label"))
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a_vec")).orderBy(col("d2"), col("c_label"))
-    val assign = d2.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("a_vec"), col("c_label").as("cluster"))
+    val e = Similarity.vecs(spark, dir).persist() // count + seeds + d2 + members
+    val k = math.ceil(math.sqrt(e.count().toDouble)).toInt
+    val seeds = e
+      .select(col("vec_id").as("s_vec"), col("v").as("sv"), col("nrm").as("snrm"))
+      .orderBy(graft.functions.TextFns.h32(col("s_vec")), col("s_vec"))
+      .limit(k)
+    val d2 = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("s_vec"),
+        (col("nrm") + col("snrm") -
+          lit(2.0) * graft.functions.VecOps.dotCol(col("v"), col("sv"))).as("d2"))
+    val assign = d2.groupBy(col("vec_id").as("a_vec"))
+      .agg(min(struct(col("d2"), col("s_vec"))).as("m"))
+      .select(col("a_vec"), col("m.s_vec").as("cluster"))
     val mem = e.join(assign, col("vec_id") === col("a_vec"))
       .select(col("cluster"), col("vec_id"), col("v"), col("nrm"))
       .persist()
@@ -582,22 +586,22 @@ object Dedup {
       |    list_reduce(list_transform(range(1, len(embedding) + 1),
       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) AS nrm
       |  FROM embeddings),
-      |compu AS (
-      |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS d, embedding
-      |  FROM embeddings),
-      |comp AS (
-      |  SELECT vec_id, label, d - 1 AS pos, embedding[d]::DOUBLE AS x FROM compu),
-      |cent AS (
-      |  SELECT label AS c_label, pos AS c_pos, round(1e-9 + avg(x), 6) AS c
-      |  FROM comp GROUP BY 1, 2),
+      |nk AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS k FROM embeddings),
+      |seeds AS (
+      |  SELECT vec_id AS s_vec, embedding AS sv, nrm AS snrm
+      |  FROM e
+      |  QUALIFY row_number() OVER (
+      |    ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT, vec_id)
+      |    <= (SELECT k FROM nk)),
       |d2 AS (
-      |  SELECT vec_id, c_label, sum((x - c) * (x - c)) AS d2
-      |  FROM comp JOIN cent ON comp.pos = cent.c_pos
-      |  GROUP BY 1, 2),
+      |  SELECT vec_id, s_vec,
+      |    (nrm + snrm) - 2.0 * list_reduce(list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE * sv[i]::DOUBLE), (x, y) -> x + y) AS d2
+      |  FROM e CROSS JOIN seeds),
       |assign AS (
-      |  SELECT vec_id AS a_vec, c_label AS cluster FROM (
-      |    SELECT vec_id, c_label,
-      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      |  SELECT vec_id AS a_vec, s_vec AS cluster FROM (
+      |    SELECT vec_id, s_vec,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, s_vec) AS rn
       |    FROM d2) WHERE rn = 1),
       |mem AS (
       |  SELECT cluster, e.vec_id, e.embedding, e.nrm
