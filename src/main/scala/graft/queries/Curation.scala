@@ -995,21 +995,22 @@ object Curation {
     * report each training decile's composition (the easy→hard schedule a
     * curriculum run feeds the data loader). The interesting part at
     * scale is the GLOBAL rank without a global sort: quality is bounded
-    * in [0,1] and rounded to 5 dp, so floor(quality·10) gives 11
+    * in [0,1] and rounded to 5 dp, so floor(quality·1000) gives 1001
     * order-aligned blocks whose totals broadcast; block-local
     * row_numbers plus block offsets compose to the exact global rank
-    * (the q96 two-phase shape). Deciles are integer arithmetic on that
-    * rank — reproducible on any cluster shape.
-    *
-    * (At 100 TB the 11 fixed blocks are still corpus/11-sized windows;
-    * the same composition extends to finer buckets — floor(quality·1000)
-    * — without changing the shape: offsets stay a broadcast table.) */
+    * (the q96 two-phase shape). The 1000-way bucketing caps any single
+    * window partition at the documents sharing one 3-dp quality slice —
+    * ~N/1000 under any non-degenerate score distribution — where the
+    * earlier 10-way split held ~N/10 in one partition at scale (any
+    * monotone bucketing of the leading sort key is order-aligned, so
+    * granularity is free). Deciles are integer arithmetic on that rank —
+    * reproducible on any cluster shape. */
   def q116Curriculum(spark: SparkSession, dir: String): DataFrame = {
     val scored = TextAnalysis.q24QualityScore(spark, dir)
       .select(col("doc_id"), col("n_words"), col("quality"))
     val n = scored.agg(count(lit(1)).as("n_docs"))
     graft.operators.Ranking.globalRank(
-        scored, floor(col("quality") * 10).cast("int"),
+        scored, floor(col("quality") * 1000).cast("int"),
         Seq(col("quality"), col("doc_id")))
       .withColumn("rk", col("rk") - 1)
       .crossJoin(broadcast(n))

@@ -346,6 +346,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q116 curriculum: rank windows are block-partitioned, never corpus-wide") {
+    val p = plan("q116_curriculum")
+    // the global rank must be the q96 two-phase composition: every
+    // Window either partitions by the quality block (__rk_block) or runs
+    // over the ~1001-row block-offsets table (__rk_b) — a bare
+    // Window.orderBy would hold the whole corpus in one partition
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("__rk_b"),
+      s"corpus-wide window crept in: $w"))
+  }
+
   test("LSH signature width is corpus-derived: bucket population stays ~64") {
     import graft.queries.Similarity.sigBits
     // the scale law: smallest k with 64·2^k >= N, floor 8, cap 30
