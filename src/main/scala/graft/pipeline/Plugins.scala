@@ -288,25 +288,37 @@ object Plugins {
       if (ctx.aborted.isDefined) ctx
       else {
         val checked = ctx.frames.toSeq.collect {
-          case (area @ Some(_), df) => (area: Option[String]) -> df
+          case (Some(name), df) => name -> df
         }
-        val fractions: Map[(Option[String], String), Double] = checked.flatMap {
-          case (area, df) =>
-            val persisted = df.persist()
+        if (checked.isEmpty) ctx
+        else {
+          // ALL areas in ONE aggregation over one unioned, persisted plan
+          // — the reference persists every checked product at once
+          // (plugins/__init__.py:1014-1032) precisely so shared inputs
+          // compute together; the per-area sequential loop this replaces
+          // ran one Spark job per area and recomputed shared upstream
+          // frames per iteration. The collect() is config-sized: one row
+          // per (area, product).
+          val tagged = checked.map { case (name, df) =>
+            df.select(lit(name).as("__cvdf_area"),
+              col(productCol).cast("string").as("__cvdf_product"),
+              col(valueCol).isNotNull.cast("double").as("__cvdf_valid"))
+          }
+          val all = tagged.reduce(_.unionAll(_)).persist()
+          val fractions: Map[(Option[String], String), Double] =
             try {
-              persisted
-                .groupBy(col(productCol))
-                .agg(avg(col(valueCol).isNotNull.cast("double")).as("frac"))
+              all.groupBy(col("__cvdf_area"), col("__cvdf_product"))
+                .agg(avg(col("__cvdf_valid")).as("frac"))
                 .collect()
-                .map(r => (area, r.getString(0)) -> r.getDouble(1))
-                .toSeq
-            } finally { persisted.unpersist() }
-        }.toMap
-        val pruned = ctx.worklist.filter { item =>
-          item.area.isEmpty ||
-            fractions.get((item.area, item.product)).forall(_ >= minFraction)
+                .map(r => (Option(r.getString(0)), r.getString(1)) -> r.getDouble(2))
+                .toMap
+            } finally { all.unpersist() }
+          val pruned = ctx.worklist.filter { item =>
+            item.area.isEmpty ||
+              fractions.get((item.area, item.product)).forall(_ >= minFraction)
+          }
+          ctx.copy(worklist = pruned)
         }
-        ctx.copy(worklist = pruned)
       }
   }
 

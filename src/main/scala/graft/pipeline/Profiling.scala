@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Profiling/audit hooks — the analog of the reference's dask
+  * `Profiler → bokeh HTML` wiring (cli.py:35-42), re-expressed over
+  * Spark's two listener surfaces:
+  *
+  *   - [[JobCounter]] (a `SparkListener`): counts jobs/stages and sums
+  *     shuffle bytes. [[Profiling.measure]] wraps a block with one and
+  *     returns the delta — which also makes claims like "the valid-data
+  *     check runs ONE job for any number of areas" or "one action per
+  *     sink" machine-checkable in tests instead of manually observed.
+  *   - [[AuditLogListener]] (a `QueryExecutionListener`): one log line
+  *     per completed ACTION (sink write, collect) with the action name,
+  *     wall time, and the executed plan's exchange count — the per-sink
+  *     dashboard line an operator tails in production.
+  *
+  * (The Spark UI covers interactive profiling; these hooks exist for
+  * headless runs — GraftSession disables the UI — and for asserting job
+  * counts in specs.) */
+object Profiling {
+
+  final case class Snapshot(jobs: Int, stages: Int,
+      shuffleWriteBytes: Long, shuffleReadBytes: Long)
+
+  /** Job/stage/shuffle counter. Listener callbacks are async (the
+    * listener bus), so readers must drain before trusting totals —
+    * [[Profiling.measure]] handles that. */
+  final class JobCounter extends SparkListener {
+    private[Profiling] val jobs = new AtomicInteger
+    private[Profiling] val stages = new AtomicInteger
+    private[Profiling] val shuffleWrite = new AtomicLong
+    private[Profiling] val shuffleRead = new AtomicLong
+
+    override def onJobStart(job: SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
+
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+
+    def snapshot: Snapshot =
+      Snapshot(jobs.get, stages.get, shuffleWrite.get, shuffleRead.get)
+  }
+
+  /** Run `body` under a fresh [[JobCounter]] and return its result with
+    * the jobs/stages/shuffle-bytes the block cost. Waits for the async
+    * listener bus to drain (two consecutive identical snapshots) before
+    * reporting, so counts are exact, not racy. */
+  def measure[T](spark: SparkSession)(body: => T): (T, Snapshot) = {
+    val counter = new JobCounter
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val result = body
+      var prev = counter.snapshot
+      var stable = false
+      var tries = 0
+      while (!stable && tries < 50) {
+        Thread.sleep(100)
+        val cur = counter.snapshot
+        stable = cur == prev
+        prev = cur
+        tries += 1
+      }
+      (result, prev)
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
+
+  /** Per-action audit line: `action=save wall_ms=123 exchanges=2
+    * rows_out=456` — rows when the root plan node exposes a
+    * `numOutputRows` metric (writes and aggregates do). */
+  final class AuditLogListener(log: String => Unit) extends QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit = {
+      val plan = qe.executedPlan
+      val exchanges = plan.toString.linesIterator.count(_.contains("Exchange"))
+      val rows = plan.metrics.get("numOutputRows").map(_.value)
+      log(s"action=$funcName wall_ms=${durationNs / 1000000} " +
+        s"exchanges=$exchanges${rows.map(r => s" rows_out=$r").getOrElse("")}")
+    }
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit =
+      log(s"action=$funcName FAILED: ${exception.getMessage}")
+  }
+
+  /** Install an [[AuditLogListener]]; returns it so callers can remove
+    * it via `spark.listenerManager.unregister`. */
+  def installAuditLog(spark: SparkSession, log: String => Unit): AuditLogListener = {
+    val l = new AuditLogListener(log)
+    spark.listenerManager.register(l)
+    l
+  }
+}

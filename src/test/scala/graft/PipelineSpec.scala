@@ -152,6 +152,61 @@ class PipelineSpec extends SparkSpec {
     assert(pruned.worklist.exists(_.area.contains("pacific")))
   }
 
+  test("valid-fraction check: one action, job count independent of area count") {
+    import spark.implicits._
+    val frame = Seq(
+      ("N", 1, 1, Some(1.0)), ("N", 1, 2, Some(2.0)),
+      ("R", 1, 1, None), ("R", 1, 2, Some(3.0))
+    ).toDF("product", "y", "x", "value")
+    val ctx = PipelineContext(spark, spec, Map.empty,
+      frames = Map(Option("euro") -> frame, Option("pacific") -> frame,
+        None -> frame),
+      worklist = Worklist.expand(spec))
+    // the batched form unions all checked areas into one aggregation —
+    // ONE collect action whose Spark-job count does not grow with the
+    // area count (AQE splits any shuffling action into one job per query
+    // stage, so raw job count is a property of the plan depth, not of
+    // how many areas are checked — the reference's single dask.persist
+    // over all checked products, plugins/__init__.py:1014-1032).
+    // Asserted via the Profiling listeners, not manual observation.
+    def actionsAndJobs(areas: Map[Option[String], org.apache.spark.sql.DataFrame])
+        : (PipelineContext, Int, Int) = {
+      val actions = new java.util.concurrent.atomic.AtomicInteger
+      val l = Profiling.installAuditLog(spark, _ => actions.incrementAndGet())
+      try {
+        val (out, cost) = Profiling.measure(spark) {
+          CheckValidDataFraction(minFraction = 0.8)(
+            ctx.copy(frames = areas))
+        }
+        (out, actions.get, cost.jobs)
+      } finally spark.listenerManager.unregister(l)
+    }
+    val (pruned, _, jobsTwo) = actionsAndJobs(
+      Map(Option("euro") -> frame, Option("pacific") -> frame, None -> frame))
+    val (_, _, jobsOne) = actionsAndJobs(Map(Option("euro") -> frame))
+    assert(jobsTwo == jobsOne,
+      s"job count must not grow with area count: 1 area -> $jobsOne, 2 areas -> $jobsTwo")
+    assert(pruned.worklist.filter(_.area.contains("euro")).map(_.product).toSet == Set("N"))
+    assert(pruned.worklist.filter(_.area.contains("pacific")).map(_.product).toSet == Set("N"))
+  }
+
+  test("audit log listener emits one line per action with exchange count") {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val l = Profiling.installAuditLog(spark, s => lines.synchronized { lines += s })
+    try {
+      spark.read.parquet(s"$sf/region.parquet")
+        .groupBy(col("r_regionkey")).count().collect()
+      // QueryExecutionListener delivery is async — poll briefly
+      var tries = 0
+      while (lines.synchronized(lines.isEmpty) && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+    } finally spark.listenerManager.unregister(l)
+    val got = lines.synchronized(lines.toList)
+    assert(got.nonEmpty, "no audit line arrived")
+    assert(got.exists(s => s.contains("action=") && s.contains("exchanges=")), got.mkString("; "))
+  }
+
   test("aborted context short-circuits downstream plugins") {
     val ctx = PipelineContext(spark, spec, Map.empty, Map.empty,
       Worklist.expand(spec)).abort("boom")
