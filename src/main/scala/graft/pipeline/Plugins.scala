@@ -179,13 +179,91 @@ object Plugins {
   final case class Resample(
       targets: Seq[ResampleTarget],
       yCol: String = "y", xCol: String = "x", valueCol: String = "value",
-      reduceData: Boolean = true) extends Plugin {
+      reduceData: Boolean = true,
+      /** `use_coarsest_area` / `use_finest_area` (plugins/__init__.py:
+        * 171-186): for the native (None) area, re-grid every product onto
+        * the coarsest ("coarsest") or finest ("finest") member product's
+        * grid — satpy's native resampling for sensors whose channels come
+        * at multiple resolutions. Integer factors only (the native
+        * resampler's contract): block-mean when shrinking, replication
+        * when growing. */
+      nativeMode: Option[String] = None) extends Plugin {
+    require(nativeMode.forall(Set("coarsest", "finest")),
+      s"nativeMode must be coarsest|finest: $nativeMode")
     val name = "resample"
+
+    /** One axis of the native re-grid: n → t cells. */
+    private def regridAxis(df: DataFrame, keys: Seq[String], cSrc: String,
+        otherCoord: String, n: Long, t: Long): DataFrame =
+      if (t == n) df
+      else if (n % t == 0) {
+        val f = n / t
+        df.groupBy((keys.map(col) :+ col(otherCoord)
+            :+ expr(s"$cSrc div $f").as(cSrc)): _*)
+          .agg(avg(col(valueCol)).as(valueCol))
+      } else {
+        // t % n == 0 checked by the caller: replicate each source cell
+        val f = t / n
+        df.withColumn("__r", explode(sequence(lit(0L), lit(f - 1))))
+          .select((keys.map(col) :+ col(otherCoord)
+            :+ (col(cSrc) * f + col("__r")).as(cSrc) :+ col(valueCol)): _*)
+      }
+
+    /** Native re-grid of the whole scene onto the coarsest/finest member
+      * grid. Per-product grid discovery is one config-sized collect (a
+      * row per product); the re-grid itself is per-product block-mean /
+      * replication — distributed, never a driver-side raster. */
+    private def resampleNative(src: DataFrame, mode: String,
+        keys: Seq[String]): Either[String, DataFrame] = {
+      val grids = src.groupBy(keys.map(col): _*)
+        .agg((max(col(yCol)) + 1).as("__h"), (max(col(xCol)) + 1).as("__w"))
+        .collect()
+        .map(r => keys.map(k => r.getAs[Any](k)).toSeq ->
+          (r.getAs[Number]("__h").longValue, r.getAs[Number]("__w").longValue))
+      if (grids.isEmpty) Right(src)
+      else {
+        // deterministic pick: min/max cell count, ties by (h, w, key)
+        val ordered = grids.sortBy { case (k, (h, w)) => (h * w, h, w, k.mkString(" ")) }
+        val (_, (th, tw)) = if (mode == "coarsest") ordered.head else ordered.last
+        val bad = grids.collectFirst {
+          case (k, (h, w)) if (h % th != 0 && th % h != 0) ||
+            (w % tw != 0 && tw % w != 0) =>
+            s"product ${k.mkString("/")} grid ${h}x$w has no integer factor vs target ${th}x$tw"
+        }
+        bad match {
+          case Some(msg) => Left(s"resample $mode: $msg")
+          case None =>
+            val parts = grids.map { case (kv, (h, w)) =>
+              val member = keys.zip(kv)
+                .foldLeft(lit(true))((c, p) => c && col(p._1) <=> lit(p._2))
+              val slice = src.filter(member)
+              regridAxis(
+                regridAxis(slice, keys, yCol, xCol, h, th),
+                keys, xCol, yCol, w, tw)
+            }
+            Right(parts.reduce(_.unionByName(_)))
+        }
+      }
+    }
+
     def apply(ctx: PipelineContext): PipelineContext =
       if (ctx.aborted.isDefined) ctx
       else ctx.frames.get(None) match {
         case None => ctx.abort("resample: no scene")
-        case Some(src) =>
+        case Some(src0) =>
+          val keyCols = src0.columns
+            .filterNot(c => c == yCol || c == xCol || c == valueCol).toSeq
+          val nativeResult = nativeMode match {
+            case Some(mode) => resampleNative(src0, mode, keyCols)
+            case None => Right(src0)
+          }
+          nativeResult match {
+            case Left(err) => ctx.abort(err)
+            case Right(src) => resampleTargets(ctx, src)
+          }
+      }
+
+    private def resampleTargets(ctx: PipelineContext, src: DataFrame): PipelineContext = {
           val resampled = targets.map { t =>
             val cropped =
               if (reduceData)
@@ -269,8 +347,12 @@ object Plugins {
             }
             Option(t.area) -> out
           }
-          ctx.copy(frames = ctx.frames ++ resampled)
-      }
+          // native mode also republishes the re-gridded None frame (the
+          // reference stores it in resampled_scenes, plugins/__init__.py:175)
+          val nativeFrame: Map[Option[String], DataFrame] =
+            if (nativeMode.isDefined) Map((None: Option[String]) -> src) else Map.empty
+          ctx.copy(frames = ctx.frames ++ resampled ++ nativeFrame)
+    }
   }
   final case class ResampleTarget(area: String, width: Int, height: Int,
       srcYMin: Long, srcYMax: Long, srcXMin: Long, srcXMax: Long,

@@ -101,6 +101,12 @@ object PluginRegistry {
           yFactor = kw.get("y").map(_.toInt).getOrElse(1))
 
       case "resample" =>
+        // use_coarsest_area/use_min_area and use_finest_area/use_max_area
+        // (plugins/__init__.py:171-186) select the native re-grid mode
+        val nativeMode =
+          if (bool("use_coarsest_area") || bool("use_min_area")) Some("coarsest")
+          else if (bool("use_finest_area") || bool("use_max_area")) Some("finest")
+          else None
         val targets = json("resample_targets").map { node =>
           if (!node.isArray)
             throw ConfigException("resample: 'resample_targets' must be a JSON list")
@@ -117,12 +123,16 @@ object PluginRegistry {
               mode = Option(t.get("mode")).map(_.asText)
                 .orElse(str("resampler")).getOrElse("average"))
           }.toSeq
-        }.getOrElse(
-          throw ConfigException(
+        }.getOrElse {
+          if (nativeMode.isDefined) Seq.empty[ResampleTarget]
+          else throw ConfigException(
             "resample: no 'resample_targets' setting — area geometry has no " +
               "satpy registry analog, declare target grids in the config " +
-              "or construct Resample in code"))
-        Resample(targets, reduceData = str("reduce_data").forall(_.toBoolean))
+              "(or use_coarsest_area/use_finest_area for native re-gridding), " +
+              "or construct Resample in code")
+        }
+        Resample(targets, reduceData = str("reduce_data").forall(_.toBoolean),
+          nativeMode = nativeMode)
 
       case "check_valid_data_fraction" =>
         CheckValidDataFraction(

@@ -113,6 +113,50 @@ class PluginChecksSpec extends SparkSpec {
 
   private def saveSpec = oneProductSpec()
 
+  test("resample use_coarsest_area / use_finest_area re-grid the native scene") {
+    import spark.implicits._
+    // two products at different native resolutions over the same extent:
+    // A on a 4x4 grid (values = y*4+x), B on 2x2 (values = y*2+x) — the
+    // multi-resolution-channel case of test_trollflow2's resample-mode
+    // tests (test_trollflow2.py:1032-1050)
+    val a = for { y <- 0 to 3; x <- 0 to 3 }
+      yield ("A", y.toLong, x.toLong, (y * 4 + x).toDouble)
+    val b = for { y <- 0 to 1; x <- 0 to 1 }
+      yield ("B", y.toLong, x.toLong, (y * 2 + x).toDouble)
+    val scene = (a ++ b).toDF("product", "y", "x", "value")
+    val spec = oneProductSpec()
+    val base = ctxOf(spec, Map((None: Option[String]) -> scene))
+
+    // coarsest: target = B's 2x2 grid; A block-means 2x2 cells
+    val coarse = Resample(Seq.empty, nativeMode = Some("coarsest"))(base)
+    assert(coarse.aborted.isEmpty)
+    val cFrame = coarse.frames(None)
+    val cA = cFrame.filter($"product" === "A").orderBy($"y", $"x")
+      .select($"value").as[Double].collect().toSeq
+    // block means of [[0,1,4,5]] etc: (0+1+4+5)/4 = 2.5 ...
+    assert(cA == Seq(2.5, 4.5, 10.5, 12.5))
+    assert(cFrame.filter($"product" === "B").count() == 4) // untouched grid
+    // every product now shares the 2x2 grid
+    assert(cFrame.agg(org.apache.spark.sql.functions.max($"y")).as[Long].head == 1L)
+
+    // finest: target = A's 4x4 grid; B replicates each cell 2x2
+    val fine = Resample(Seq.empty, nativeMode = Some("finest"))(base)
+    assert(fine.aborted.isEmpty)
+    val fFrame = fine.frames(None)
+    val fB = fFrame.filter($"product" === "B").orderBy($"y", $"x")
+      .select($"value").as[Double].collect().toSeq
+    assert(fB == Seq(0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0,
+      2.0, 2.0, 3.0, 3.0, 2.0, 2.0, 3.0, 3.0))
+    assert(fFrame.filter($"product" === "A").count() == 16)
+
+    // non-integer factor aborts (the native resampler's contract)
+    val odd = (for { y <- 0 to 2; x <- 0 to 2 }
+      yield ("C", y.toLong, x.toLong, 1.0)).toDF("product", "y", "x", "value")
+    val mixed = ctxOf(spec, Map((None: Option[String]) -> scene.unionByName(odd)))
+    val bad = Resample(Seq.empty, nativeMode = Some("coarsest"))(mixed)
+    assert(bad.aborted.exists(_.contains("integer factor")))
+  }
+
   test("save_datasets runs exactly one Spark job per sink (observed count)") {
     import spark.implicits._
     val frame = Seq(("N", 1.0), ("N", 2.0), ("R", 3.0)).toDF("product", "value")
