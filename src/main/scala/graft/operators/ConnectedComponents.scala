@@ -62,6 +62,25 @@ object ConnectedComponents {
       s"connected components did not converge in $maxIters rounds")
   }
 
+  /** Diameter-guarded dispatch: min-label propagation has the cheaper
+    * rounds and wins on the shallow star graphs the dedup pipeline
+    * builds (≤3 rounds in practice), but needs O(diameter) rounds in
+    * general; the alternating star variant costs more per round and
+    * converges in O(log² n) regardless of diameter. The choice is made
+    * by MEASURED round count, not a guess: propagation runs under a
+    * bounded round budget, and if the budget is exhausted — the graph
+    * just told us its diameter is long — the alternating variant
+    * restarts from the (persisted) edge list. Both produce identical
+    * labels (proven equivalent on adversarial diameters in
+    * ConnectedComponentsSpec), so the switch is invisible to callers;
+    * the wasted work on fallback is the bounded propagation prefix. */
+  def runAuto(edges: DataFrame, propagationBudget: Int = 5,
+      maxIters: Int = 25): DataFrame =
+    try run(edges, propagationBudget)
+    catch {
+      case _: IllegalStateException => runAlternating(edges, maxIters)
+    }
+
   /** The large-star/small-star variant (Kiveris et al., "Connected
     * Components in MapReduce and Beyond"): alternately hang every node's
     * larger neighbors (large-star) and its smaller neighbors

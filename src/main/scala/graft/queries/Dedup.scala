@@ -441,7 +441,10 @@ object Dedup {
       col("doc_id").as("dst"))
     val edges = star("k1").union(star("k2"))
       .filter(col("src") =!= col("dst"))
-    graft.operators.ConnectedComponents.run(edges)
+    // star edges keep diameters tiny, so propagation normally wins; the
+    // guarded dispatch falls back to the alternating variant if this
+    // corpus's evidence graph turns out long (measured, not assumed)
+    graft.operators.ConnectedComponents.runAuto(edges)
   }
 
   def q59DupClusters(spark: SparkSession, dir: String): DataFrame =

@@ -50,6 +50,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("runAuto switches to the alternating variant when the budget is exhausted") {
+    import spark.implicits._
+    // diameter-40 path: propagation under a 2-round budget cannot finish
+    // (asserted by the maxIters test above), so the guarded dispatch must
+    // measure that and fall back — and still produce the exact labels
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = ConnectedComponents.runAuto(edges, propagationBudget = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == (0L to 40L).map(_ -> 0L).toMap)
+    // a shallow star graph stays on the propagation fast path (converges
+    // inside the same tiny budget, so no fallback can have happened)
+    val star = Seq((0L, 5L), (0L, 9L), (0L, 7L)).toDF("src", "dst")
+    val viaAuto = ConnectedComponents.runAuto(star, propagationBudget = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAuto == Map(0L -> 0L, 5L -> 0L, 9L -> 0L, 7L -> 0L))
+  }
+
   test("alternating variant collapses a long path in few rounds") {
     import spark.implicits._
     // diameter-40 path: label propagation would need > 25 rounds, the
