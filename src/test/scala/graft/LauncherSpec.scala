@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import graft.pipeline._
+import graft.streaming.StreamRunner
+
+/** [[Launcher]]: the reference's full entry path — YAML config → safe
+  * load → registry chain → message-driven runs (launcher.py:500-514,
+  * 403-408) — with nothing constructed in code but the message. */
+class LauncherSpec extends SparkSpec {
+
+  private def configText(outDir: String): String =
+    s"""product_list:
+       |  output_dir: $outDir
+       |  fname_pattern: "{area}_{product}.{format}"
+       |  metadata_aliases:
+       |    platform_name:
+       |      noaa15: NOAA-15
+       |  areas:
+       |    euro:
+       |      products:
+       |        N:
+       |          formats:
+       |            - format: parquet
+       |workers:
+       |  - fun: create_scene
+       |  - fun: metadata_alias
+       |  - fun: load_composites
+       |    product: "'N'"
+       |    y: r_regionkey
+       |    x: r_regionkey
+       |    value: cast(r_regionkey as double)
+       |  - fun: save_datasets
+       |  - fun: check_results
+       |""".stripMargin
+
+  test("runOnce: test-message path runs the YAML-configured chain") {
+    val outDir = Files.createTempDirectory("graft_launch1").toString
+    val cfg = Launcher.load(configText(outDir))
+    val reports = Launcher.runOnce(spark, cfg,
+      s"""{"type": "file", "data": {"uri": "$sf/region.parquet",
+         |  "platform_name": "noaa15"}}""".stripMargin)
+    assert(reports.size == 1)
+    val ctx = reports.head.finalCtx
+    assert(ctx.aborted.isEmpty, s"aborted: ${ctx.aborted}")
+    assert(ctx.metadata("platform_name") == "NOAA-15") // alias applied
+    assert(ctx.manifest.map(f => (f.area, f.product, f.format)) ==
+      Seq((Some("euro"), "N", "parquet")))
+    ctx.manifest.foreach(f => assert(Files.exists(Paths.get(f.path))))
+  }
+
+  test("run: message stream drives one configured pipeline per message") {
+    val outDir = Files.createTempDirectory("graft_launch2").toString
+    val src = Files.createTempDirectory("graft_launch_msgs")
+    val ckp = Files.createTempDirectory("graft_launch_ckp")
+    Seq("noaa15", "noaa19").zipWithIndex.foreach { case (platform, i) =>
+      Files.writeString(src.resolve(s"msg_$i.json"),
+        s"""{"type": "file", "data": {"uri": "$sf/region.parquet",
+           |  "platform_name": "$platform"}}""".stripMargin)
+    }
+    val cfg = Launcher.load(configText(outDir))
+    val seen = new ConcurrentLinkedQueue[String]()
+    val q = Launcher.run(spark, cfg,
+      StreamRunner.messageStream(spark, src.toString), ckp.toString) {
+      (_, reports) =>
+        val ctx = reports.head.finalCtx
+        assert(ctx.aborted.isEmpty, s"aborted: ${ctx.aborted}")
+        seen.add(ctx.metadata("platform_name"))
+    }
+    q.awaitTermination(120000)
+    // metadata_alias rewrote noaa15 only; both messages ran
+    assert(seen.toArray(Array.empty[String]).toSet == Set("NOAA-15", "noaa19"))
+  }
+}
