@@ -98,13 +98,32 @@ class PlanAuditSpec extends SparkSpec {
       "latest-per-key must be a window, never a join against the maxima")
   }
 
-  test("q80 SemDeDup: centroids broadcast, member table persisted once") {
+  test("q80 SemDeDup: seeds broadcast, argmin without window, members persisted") {
     val p = plan("q80_semdedup")
-    assert(p.contains("BroadcastHashJoin"), "centroid assignment lost its broadcast")
+    // k=sqrt(N) seed distances ride a broadcast nested-loop (seeds are
+    // the tiny side), and the per-vector argmin is a min(struct) hash
+    // aggregation — a Window here would re-shuffle N*k rows into
+    // per-vector partitions
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "seed distance stage lost its broadcast")
+    assert(!p.contains("Window ["),
+      "assignment argmin must be an aggregation, not a window rank")
     assert(p.contains("InMemoryTableScan"),
       "member table recomputed per self-join side instead of persisted")
     assert(!p.contains("CartesianProduct"),
       "pairwise stage must stay an equi-join on the cluster id")
+  }
+
+  test("q29 jaccard: capped postings cached for both join sides and counts") {
+    val p = plan("q29_ngram_jaccard")
+    // the df-capped postings are persisted post-anti-join: the self-join
+    // sides and the per-doc count aggregate all read the cache instead
+    // of re-running the explode+md5+anti-join chain
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+      "capped postings must be cached across self-join sides and counts")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      "per-doc counts must broadcast onto the aggregated pairs")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("q81 PageRank: dims broadcast, transition matrix reused across iterations") {
