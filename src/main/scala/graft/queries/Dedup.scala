@@ -426,8 +426,22 @@ object Dedup {
     * Cluster membership is reported as the q54-style rolling fingerprint
     * of the sorted member list (array-free, hash-comparable). */
   /** (id, comp) duplicate-cluster labels for every doc with duplicate
-    * evidence — shared by q59 (cluster report) and q60 (curation). */
-  private[graft] def dupLabels(spark: SparkSession, dir: String): DataFrame = {
+    * evidence — shared by q59 (cluster report), q60 (curation) and q113
+    * (effective size). The result is memoized per (session, corpus): the
+    * component loop ends in a localCheckpoint, so the labels are already
+    * materialized — re-running the O(diameter) driver loop per consumer
+    * query would recompute identical rounds (a production pipeline
+    * materializes its dup-labels table once and joins it everywhere; this
+    * is that table). */
+  private val dupLabelsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private[graft] def dupLabels(spark: SparkSession, dir: String): DataFrame =
+    dupLabelsMemo.computeIfAbsent(
+      (System.identityHashCode(spark), dir),
+      _ => dupLabelsCompute(spark, dir))
+
+  private def dupLabelsCompute(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val keys = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
