@@ -542,11 +542,16 @@ object Curation {
     * most n_sources times and the join fan-out is bounded by C(20,2) per
     * shingle BY CONSTRUCTION, with no df-cap needed (contrast q29, where
     * per-document postings make hot shingles quadratic). Per-source set
-    * sizes broadcast back onto the 190-row pair table. */
+    * sizes broadcast back onto the 190-row pair table. The (doc, shingle)
+    * expansion itself is the dedup pack's shared persisted postings — the
+    * doc→source attachment is a co-partitioned join (both sides keyed by
+    * doc_id), so this query adds no second md5 expansion to a session. */
   def q98SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("source"), explode(shingleH32(col("text"), 3)).as("h"))
+    val sh = Dedup.shPostings(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("h"))
       .distinct()
       // one materialization serves the size aggregation and both join sides
       .persist()

@@ -48,7 +48,7 @@ object Dedup {
     * partitioning key (doc_id) is a prefix of every downstream per-doc
     * grouping — distinct(doc_id, h), signature mins, postings counts —
     * Catalyst satisfies all of them with ZERO further shuffles. */
-  private def shPostings(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def shPostings(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       // explicit count: a bare repartition(col) is AQE-coalescable and the
       // tiny pre-explode byte size would collapse it to ~1 partition,
