@@ -19,9 +19,11 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * sorted by event time only WITHIN a batch; a late event arriving in a
   * later micro-batch is folded after state already advanced past it, so
   * a slicing that lets late data cross batches can admit a different
-  * set. Front the operator with a watermark (drop events with ts before
-  * the state's last refill instant) when the transport can reorder
-  * across batch boundaries.
+  * set. `dropLate = true` installs the watermark-style guard: an event
+  * with ts before the state's last refill instant is discarded instead
+  * of folded, so the admitted set equals the one where the straggler
+  * never arrived — admission becomes monotone in event time, which is
+  * exactly the guarantee a watermark in front of the operator provides.
   *
   * Batch-mode note: `flatMapGroupsWithState` also runs on a static
   * Dataset (state lives for the single "batch"), so the same operator
@@ -37,9 +39,12 @@ object RateLimiter {
   /** Admit up to `capacity` burst events per key, refilling at
     * `perSecond` tokens/s of EVENT time. Events inside a group are
     * processed in (ts, event_id) order so admission is deterministic
-    * under any partition/arrival order. */
+    * under any partition/arrival order. With `dropLate`, an event older
+    * than the key's last refill instant (possible only across
+    * micro-batch boundaries — within a batch events fold sorted) is
+    * discarded rather than folded out of order. */
   def rateLimit(events: Dataset[Ev], capacity: Double = 5.0,
-      perSecond: Double = 0.5): Dataset[(Long, Long, Long)] = {
+      perSecond: Double = 0.5, dropLate: Boolean = false): Dataset[(Long, Long, Long)] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .flatMapGroupsWithState(
@@ -53,12 +58,15 @@ object RateLimiter {
               Bucket(capacity, sorted.head._2))
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
             sorted.foreach { case (_, ts, eid) =>
-              val refill = (ts - b.lastNs).max(0L) / 1e9 * perSecond
-              val tokens = (b.tokens + refill).min(capacity)
-              if (tokens >= 1.0) {
-                b = Bucket(tokens - 1.0, ts)
-                out += ((user, eid, ts))
-              } else b = Bucket(tokens, ts)
+              if (dropLate && ts < b.lastNs) () // cross-batch straggler
+              else {
+                val refill = (ts - b.lastNs).max(0L) / 1e9 * perSecond
+                val tokens = (b.tokens + refill).min(capacity)
+                if (tokens >= 1.0) {
+                  b = Bucket(tokens - 1.0, ts)
+                  out += ((user, eid, ts))
+                } else b = Bucket(tokens, ts)
+              }
             }
             state.update(b)
             out.iterator
@@ -68,11 +76,11 @@ object RateLimiter {
 
   /** Column-level convenience over the events schema (`ts_ns` int64). */
   def rateLimitFrame(events: DataFrame, capacity: Double = 5.0,
-      perSecond: Double = 0.5): DataFrame = {
+      perSecond: Double = 0.5, dropLate: Boolean = false): DataFrame = {
     import events.sparkSession.implicits._
     rateLimit(
       events.select(col("user_id"), col("ts_ns"), col("event_id"))
-        .as[Ev], capacity, perSecond)
+        .as[Ev], capacity, perSecond, dropLate)
       .toDF("user_id", "event_id", "ts_ns")
   }
 }

@@ -379,6 +379,48 @@ class StreamRunnerSpec extends SparkSpec {
       s"streamed ${streamed.size} vs expected ${expectedAll.size}")
   }
 
+  test("dropLate discards cross-batch stragglers instead of rewinding the clock") {
+    import spark.implicits._
+    import graft.streaming.RateLimiter
+    val src = Files.createTempDirectory("graft_rl_late_src")
+    def stage(name: String, evs: Seq[(Long, Long, Long)]): Unit = {
+      val scratch = Files.createTempDirectory("graft_rl_late_scratch")
+      evs.toDF("user_id", "ts", "event_id").coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, Paths.get(s"$src/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val G = 1000000000L
+    // batch 1: e1 at t=100s (drains the single token, lastNs=100s);
+    // batch 2: e2 at t=90s is LATE (before lastNs) and e3 at t=290s
+    stage("msg_1.parquet", Seq((1L, 100L * G, 1L)))
+    Thread.sleep(50) // file source orders batches by modification time
+    stage("msg_2.parquet", Seq((1L, 90L * G, 2L), (1L, 290L * G, 3L)))
+    val schema = spark.read.parquet(s"$src/msg_1.parquet").schema
+    def run(name: String, dropLate: Boolean): Set[Long] = {
+      val ckp = Files.createTempDirectory(s"graft_rl_late_ckp_$name")
+      val stream = StreamRunner.fileStream(spark, src.toString, schema)
+        .withColumnRenamed("ts", "ts_ns")
+      val q = RateLimiter.rateLimitFrame(stream,
+          capacity = 1.0, perSecond = 0.005, dropLate = dropLate)
+        .writeStream.queryName(name).outputMode("append").format("memory")
+        .option("checkpointLocation", ckp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.table(name).select("event_id").as[Long].collect().toSet
+    }
+    // guarded: e2 is discarded, so e3 accrues from lastNs=100s
+    // (190 s * 0.005/s = 0.95 tokens < 1) and is NOT admitted — exactly
+    // the straggler-free outcome
+    assert(run("rl_late_guarded", dropLate = true) == Set(1L))
+    // unguarded: folding e2 rewinds lastNs to 90s, so e3 sees
+    // 200 s * 0.005/s = 1.0 tokens and is wrongly admitted
+    assert(run("rl_late_unguarded", dropLate = false) == Set(1L, 3L))
+  }
+
   test("graceful stop terminates a continuous query") {
     val (src, ckp) = stageMessages(1)
     val stream = StreamRunner.fileStream(spark, src, eventsSchema)
