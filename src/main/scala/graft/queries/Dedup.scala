@@ -357,7 +357,7 @@ object Dedup {
   def q32EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = Similarity.vecs(spark, dir)
     // width derived from the corpus at plan time (Similarity.sigBits)
-    val nbits = Similarity.sigBits(e.count())
+    val nbits = Similarity.sigBits(Similarity.nVecs(spark, dir))
     // signature computed once (one row per vector); joined three times
     // below — persist the signature table (cache keeps the partitioning;
     // a local checkpoint would drop it and re-shuffle each consumer)

@@ -36,6 +36,17 @@ object Similarity {
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", dotCol(col("v"), col("v")))
 
+  /** Corpus vector count, memoized per (session, corpus): [[sigBits]]
+    * needs it at plan time in four queries — one metadata-cheap count
+    * per session, not one per query. */
+  private val nVecsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+
+  private[queries] def nVecs(spark: SparkSession, dir: String): Long =
+    nVecsMemo.computeIfAbsent(
+      (System.identityHashCode(spark), dir),
+      _ => Tables.embeddings(spark, dir).count())
+
   private val vecsSql: String =
     """e AS (
       |  SELECT vec_id, label, embedding,
@@ -166,7 +177,7 @@ object Similarity {
     val e = vecs(spark, dir)
     // plan-time width from the corpus size (one count action; the planes
     // themselves are literals, so the signature stays a pure projection)
-    val withSig = e.withColumn("sig", sigCol(col("v"), sigBits(e.count())))
+    val withSig = e.withColumn("sig", sigCol(col("v"), sigBits(nVecs(spark, dir))))
     val q = withSig.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("sig").as("qsig"))
@@ -700,7 +711,7 @@ object Similarity {
     * index; here it is rebuilt inline like the other ANN queries. */
   def q99LabelErrors(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val withSig = e.withColumn("sig", sigCol(col("v"), sigBits(e.count())))
+    val withSig = e.withColumn("sig", sigCol(col("v"), sigBits(nVecs(spark, dir))))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("sig"))
       .persist() // both sides of the bucket self-join
     withSig.as("x").join(withSig.as("y"),
@@ -830,7 +841,7 @@ object Similarity {
     * top-10 take. */
   def q112Hubness(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val withSig = e.withColumn("sig", sigCol(col("v"), sigBits(e.count())))
+    val withSig = e.withColumn("sig", sigCol(col("v"), sigBits(nVecs(spark, dir))))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("sig"))
       .persist() // both bucket-join sides + the label lookup
     val top1 = withSig.as("x").join(withSig.as("y"),
