@@ -15,7 +15,7 @@ object Bench {
     // warmup: a scan+agg touches the parquet footer cache, codegen, and
     // shuffle machinery once before anything is timed
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // best-of-2 per query: a long 120-query session accumulates GC debt and
+    // best-of-2 per query: a long 121-query session accumulates GC debt and
     // this host carries fluctuating background load, so single-shot
     // timings swing up to 10x on identical plans; the minimum of two runs
     // reports the plan's actual cost (standard bench practice)
@@ -48,7 +48,7 @@ object Bench {
     }
     // keys are the short qNN ids (the part before the first underscore)
     // and values are 2-decimal seconds: the driver captures this line from
-    // a bounded log tail, and at 120 queries the full-name/3-decimal form
+    // a bounded log tail, and at 120+ queries the full-name/3-decimal form
     // overflowed the window (r4 kept only 75 of 120 numbers)
     def f(v: Double): String = "%.2f".format(v)
     val qs = results.map { case (k, v) =>

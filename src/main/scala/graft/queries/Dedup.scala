@@ -1240,7 +1240,78 @@ object Dedup {
       |  max(df * (1 - hot)) * max(df * (1 - hot)) AS worst_fanout_capped
       |FROM df""".stripMargin
 
+  /** Winnowing fingerprint matches (Schleimer et al., "Winnowing: Local
+    * Algorithms for Document Fingerprinting" — the MOSS algorithm): hash
+    * every 5-gram, slide a window of 4 consecutive hashes, select each
+    * window's minimum (ties by position, i.e. min over the (hash, pos)
+    * pair) — the classic guarantee that any shared token run of length
+    * ≥ w + k − 1 = 8 shares at least one selected fingerprint, while only
+    * ~1/w of all shingles are kept. Reported: document pairs sharing ≥ 2
+    * selected fingerprints, i.e. q83's candidate generation at a ~4×
+    * smaller index (density is the winnowing trade: fewer postings, same
+    * detection guarantee for spans ≥ 8 tokens).
+    *
+    * Scale design: selection is a per-document sliding window (partitioned
+    * by doc — never corpus-wide); the (hash, pos) argmin rides ONE int64
+    * (h·2²⁰ + pos — exact while pos < 2²⁰; positions here are token
+    * indexes in one document) so the window min needs no struct ordering
+    * in either engine; the pair join is the df-capped (>32 docs) inverted
+    * index equi-join of q83. */
+  def q121Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), posexplode(shingleH32(col("text"), 5)).as(Seq("pos", "h")))
+    val w4 = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 3)
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val sel = g
+      .withColumn("comb", col("h") * 1048576L + col("pos"))
+      .withColumn("wmin", min(col("comb")).over(w4))
+      .withColumn("maxpos", max(col("pos")).over(perDoc))
+      .filter(col("pos") <= col("maxpos") - 3) // full windows only
+      .select(col("doc_id"), expr("wmin div 1048576").as("fp"))
+      .distinct()
+      .persist() // hot-set agg + both pair-join sides
+    val hot = sel.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 32).select(col("fp"))
+    val p = sel.join(broadcast(hot), Seq("fp"), "left_anti")
+    p.as("a")
+      .join(p.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q121Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 8))::BIGINT AS h
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t)),
+      |win AS (
+      |  SELECT doc_id, pos,
+      |    min(h * 1048576 + pos) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+      |    max(pos) OVER (PARTITION BY doc_id) AS maxpos
+      |  FROM g),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, wmin // 1048576 AS fp
+      |  FROM win WHERE pos <= maxpos - 3),
+      |hot AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) > 32),
+      |p AS (SELECT * FROM sel ANTI JOIN hot USING (fp))
+      |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+      |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 2
+      |ORDER BY da, db""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q121_winnowing" -> (q121Winnowing _),
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
     "q30_minhash_lsh" -> (q30MinhashLsh _),
@@ -1261,6 +1332,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q121_winnowing" -> q121Sql,
     "q28_exact_dedup" -> q28Sql,
     "q29_ngram_jaccard" -> q29Sql,
     "q30_minhash_lsh" -> q30Sql,
