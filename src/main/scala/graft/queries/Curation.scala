@@ -914,8 +914,11 @@ object Curation {
       .orderBy(col("source"))
   }
 
-  val q113Sql: String =
-    """WITH d AS (
+  /** DuckDB twin of [[Dedup.dupLabels]]: star edges over the two blocking
+    * keys, recursive-CTE component walk → `walk(id, comp)`. Shared by the
+    * q113 and q122 oracles. */
+  private val dupWalkSqlCtes: String =
+    """d AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
       |  FROM documents),
       |keys AS (
@@ -939,7 +942,10 @@ object Curation {
       |    SELECT id, id FROM nodes
       |    UNION
       |    SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id)
-      |  SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      |  SELECT id, min(r) AS comp FROM reach GROUP BY id)""".stripMargin
+
+  val q113Sql: String =
+    s"""WITH $dupWalkSqlCtes,
       |dupkill AS (SELECT id AS doc_id FROM walk WHERE id <> comp),
       |sized AS (
       |  SELECT doc_id, source,
@@ -954,6 +960,63 @@ object Curation {
       |    AS eff_ratio
       |FROM sized
       |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Per-source dedup stratification — the audit that tells a curator
+    * WHERE the duplicates live: for every source, how many docs the
+    * dedup pass kills, and how many of those kills are CROSS-source (the
+    * canonical copy lives in a different source — mirror/scrape leakage,
+    * the q98 overlap matrix seen at per-document resolution). A high
+    * kill_rate flags a redundant source; a high n_cross flags one that
+    * republishes another's content.
+    *
+    * Scale design: joins the memoized dup-labels table ([[Dedup.dupLabels]]
+    * — computed once per session) to the doc→source projection; canonical
+    * sources arrive by a second join on the component id (components are
+    * label-count-sized, not corpus-sized). Nothing here re-runs the
+    * component loop. */
+  def q122DedupBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val lab = Dedup.dupLabels(spark, dir)
+      .join(docs, col("id") === col("doc_id"))
+      .select(col("id"), col("comp"), col("source"))
+      .persist() // canonical lookup + kill aggregation
+    val canon = lab.filter(col("id") === col("comp"))
+      .select(col("comp").as("c2"), col("source").as("canon_source"))
+    val kills = lab.filter(col("id") =!= col("comp"))
+      .join(broadcast(canon), col("comp") === col("c2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_killed"),
+        sum(when(col("source") =!= col("canon_source"), 1L).otherwise(0L))
+          .as("n_cross"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(kills, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_killed"), lit(0L)).as("n_killed"),
+        coalesce(col("n_cross"), lit(0L)).as("n_cross"),
+        round(lit(1e-9) +
+          coalesce(col("n_killed"), lit(0L)).cast("double") / col("n_docs"), 5)
+          .as("kill_rate"))
+      .orderBy(col("source"))
+  }
+
+  val q122Sql: String =
+    s"""WITH $dupWalkSqlCtes,
+      |lab AS (
+      |  SELECT id, comp, source FROM walk JOIN documents ON id = doc_id),
+      |canon AS (SELECT comp AS c2, source AS canon_source FROM lab WHERE id = comp),
+      |kills AS (
+      |  SELECT l.source, count(*) AS n_killed,
+      |    sum(CASE WHEN l.source <> canon_source THEN 1 ELSE 0 END) AS n_cross
+      |  FROM lab l JOIN canon ON l.comp = c2
+      |  WHERE l.id <> l.comp
+      |  GROUP BY 1),
+      |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT tot.source AS source, n_docs,
+      |  coalesce(n_killed, 0)::BIGINT AS n_killed,
+      |  coalesce(n_cross, 0)::BIGINT AS n_cross,
+      |  round(1e-9 + coalesce(n_killed, 0)::DOUBLE / n_docs, 5) AS kill_rate
+      |FROM tot LEFT JOIN kills ON tot.source = kills.source
       |ORDER BY source""".stripMargin
 
   /** Top-k key concentration — the abuse/bot-traffic audit on an event
@@ -1139,6 +1202,7 @@ object Curation {
       |ORDER BY decile DESC""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "q122_dedup_by_source" -> (q122DedupBySource _),
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
     "q56_contamination" -> (q56Contamination _),
@@ -1160,6 +1224,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "q122_dedup_by_source" -> q122Sql,
     "q52_data_split" -> q52Sql,
     "q53_balanced_sample" -> q53Sql,
     "q56_contamination" -> q56Sql,
