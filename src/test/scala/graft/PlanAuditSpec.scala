@@ -377,6 +377,29 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus-wide window crept in: $w"))
   }
 
+  test("q121 winnowing: per-doc selection windows, cached postings, capped join") {
+    val p = plan("q121_winnowing")
+    // selection windows partition by doc_id — a corpus-wide window here
+    // would serialize the whole fingerprint selection
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.contains("doc_id"),
+      s"corpus-wide window crept in: $w"))
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      "selected fingerprints must be cached for hot-set agg + join sides")
+    assert(p.contains("LeftAnti"), "fingerprint df-cap lost its anti-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q122 dedup stratification: canonical lookup broadcast, labels cached") {
+    val p = plan("q122_dedup_by_source")
+    assert(p.contains("BroadcastHashJoin"),
+      "canonical-source lookup must broadcast (component-count-sized)")
+    assert(p.contains("InMemoryTableScan"),
+      "labeled docs must be cached for canonical + kill passes")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("LSH signature width is corpus-derived: bucket population stays ~64") {
     import graft.queries.Similarity.sigBits
     // the scale law: smallest k with 64·2^k >= N, floor 8, cap 30
