@@ -51,8 +51,12 @@ object Bench {
     // a bounded log tail, and at 120+ queries the full-name/3-decimal form
     // overflowed the window (r4 kept only 75 of 120 numbers)
     def f(v: Double): String = "%.2f".format(v)
-    val qs = results.map { case (k, v) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":" + f(v)
+    val shortIds = results.map(_._1.takeWhile(_ != '_'))
+    require(shortIds.distinct.size == shortIds.size,
+      s"duplicate qNN bench keys would silently drop timings: " +
+        shortIds.diff(shortIds.distinct).distinct.mkString(","))
+    val qs = shortIds.zip(results).map { case (id, (_, v)) =>
+      s"\"" + id + "\":" + f(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

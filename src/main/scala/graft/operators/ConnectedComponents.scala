@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Non-convergence within the round budget. A subtype of
+    * IllegalStateException (so callers treating it as a generic failure
+    * keep working), but distinct enough that [[runAuto]]'s dispatch never
+    * confuses it with unrelated runtime IllegalStateExceptions (e.g.
+    * "methods on a stopped SparkContext"). */
+  final class NotConverged(msg: String) extends IllegalStateException(msg)
+
   /** `edges`: two long columns (`src`, `dst`), undirected semantics.
     * Returns (`id`, `comp`): every node appearing in an edge, labeled
     * with the minimum node id reachable from it. Throws if not
@@ -58,7 +65,7 @@ object ConnectedComponents {
       prev = cur
       round += 1
     }
-    throw new IllegalStateException(
+    throw new NotConverged(
       s"connected components did not converge in $maxIters rounds")
   }
 
@@ -78,7 +85,7 @@ object ConnectedComponents {
       maxIters: Int = 25): DataFrame =
     try run(edges, propagationBudget)
     catch {
-      case _: IllegalStateException => runAlternating(edges, maxIters)
+      case _: NotConverged => runAlternating(edges, maxIters)
     }
 
   /** The large-star/small-star variant (Kiveris et al., "Connected
@@ -131,7 +138,7 @@ object ConnectedComponents {
       }
       round += 1
     }
-    throw new IllegalStateException(
+    throw new NotConverged(
       s"alternating connected components did not converge in $maxIters rounds")
   }
 }

@@ -240,11 +240,15 @@ object ProductListLoader {
       throw ConfigException(s"$where must be a mapping, got: ${typeName(other)}")
   }
 
+  /** Document-ordered (ListMap): worker options drive column-building
+    * folds (load_composites), where a dependent expression must see the
+    * columns declared before it — hash order would break that
+    * non-deterministically past 4 entries. */
   private def settingsOf(fields: Vector[(Any, Any)], exclude: Set[String]): Map[String, String] =
-    fields.collect {
+    scala.collection.immutable.ListMap(fields.collect {
       case (k, v) if k != null && !exclude(scalarString(k, "setting key")) && v != null =>
         scalarString(k, "setting key") -> valueString(v)
-    }.toMap
+    }: _*)
 
   private def scalarString(v: Any, where: String): String = v match {
     case s: String => s

@@ -73,6 +73,12 @@ object Profiling {
         prev = cur
         tries += 1
       }
+      // an unstabilized snapshot is a measurement failure, not a smaller
+      // measurement — surfacing it beats returning an undercount that
+      // reads as a product regression
+      if (!stable)
+        throw new IllegalStateException(
+          s"listener bus did not stabilize within 5s; last snapshot: $prev")
       (result, prev)
     } finally spark.sparkContext.removeSparkListener(counter)
   }

@@ -46,7 +46,18 @@ object PluginRegistry {
     def str(key: String): Option[String] = settings.get(key)
     def required(key: String): String = str(key).getOrElse(
       throw ConfigException(s"${worker.fun}: missing required setting '$key'"))
-    def bool(key: String): Boolean = str(key).exists(_.toBoolean)
+    // scalar conversions surface as ConfigException, never parser internals
+    def conv[T](key: String, raw: String, what: String)(f: String => T): T =
+      try f(raw.trim)
+      catch {
+        case e: IllegalArgumentException =>
+          throw ConfigException(
+            s"${worker.fun}: setting '$key' must be $what, got: '$raw'", e)
+      }
+    def bool(key: String): Boolean =
+      str(key).exists(conv(key, _, "a boolean")(_.toBoolean))
+    def num(key: String, raw: String): Double = conv(key, raw, "a number")(_.toDouble)
+    def int(key: String, raw: String): Int = conv(key, raw, "an integer")(_.toInt)
     def json(key: String): Option[JsonNode] = str(key).map { raw =>
       try new ObjectMapper().readTree(raw)
       catch {
@@ -97,8 +108,8 @@ object PluginRegistry {
         val kw = json("aggregate").map(objAsStringMap(_, "aggregate"))
           .getOrElse(Map.empty)
         Aggregate(
-          xFactor = kw.get("x").map(_.toInt).getOrElse(1),
-          yFactor = kw.get("y").map(_.toInt).getOrElse(1))
+          xFactor = kw.get("x").map(int("aggregate.x", _)).getOrElse(1),
+          yFactor = kw.get("y").map(int("aggregate.y", _)).getOrElse(1))
 
       case "resample" =>
         // use_coarsest_area/use_min_area and use_finest_area/use_max_area
@@ -131,12 +142,18 @@ object PluginRegistry {
               "(or use_coarsest_area/use_finest_area for native re-gridding), " +
               "or construct Resample in code")
         }
-        Resample(targets, reduceData = str("reduce_data").forall(_.toBoolean),
+        Resample(targets,
+          reduceData = str("reduce_data")
+            .forall(conv("reduce_data", _, "a boolean")(_.toBoolean)),
           nativeMode = nativeMode)
 
       case "check_valid_data_fraction" =>
+        // the reference's setting is a PERCENT (doc/source/plugins.rst:
+        // "min_valid_data_fraction: 10.0" = 10%); the plugin's parameter
+        // is a [0,1] fraction compared against avg(value IS NOT NULL)
         CheckValidDataFraction(
-          minFraction = required("min_valid_data_fraction").toDouble)
+          minFraction =
+            num("min_valid_data_fraction", required("min_valid_data_fraction")) / 100.0)
 
       case "sza_check" => SzaCheck()
 

@@ -434,12 +434,24 @@ object Dedup {
     * materializes its dup-labels table once and joins it everywhere; this
     * is that table). */
   private val dupLabelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
-  private[graft] def dupLabels(spark: SparkSession, dir: String): DataFrame =
-    dupLabelsMemo.computeIfAbsent(
-      (System.identityHashCode(spark), dir),
-      _ => dupLabelsCompute(spark, dir))
+  private[graft] def dupLabels(spark: SparkSession, dir: String): DataFrame = {
+    // weakly keyed by the session INSTANCE (identityHashCode would both
+    // collide across sessions and pin stopped sessions forever); per-dir
+    // map so multiple corpora coexist within one session
+    val perDir = dupLabelsMemo.synchronized {
+      var m = dupLabelsMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, DataFrame]
+        dupLabelsMemo.put(spark, m)
+      }
+      m
+    }
+    perDir.synchronized {
+      perDir.getOrElseUpdate(dir, dupLabelsCompute(spark, dir))
+    }
+  }
 
   private def dupLabelsCompute(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))

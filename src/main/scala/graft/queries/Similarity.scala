@@ -38,14 +38,25 @@ object Similarity {
 
   /** Corpus vector count, memoized per (session, corpus): [[sigBits]]
     * needs it at plan time in four queries — one metadata-cheap count
-    * per session, not one per query. */
+    * per session, not one per query. Weakly keyed by the session
+    * instance (an identity-hash key would collide across sessions and
+    * pin stopped ones). */
   private val nVecsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Long]]()
 
-  private[queries] def nVecs(spark: SparkSession, dir: String): Long =
-    nVecsMemo.computeIfAbsent(
-      (System.identityHashCode(spark), dir),
-      _ => Tables.embeddings(spark, dir).count())
+  private[queries] def nVecs(spark: SparkSession, dir: String): Long = {
+    val perDir = nVecsMemo.synchronized {
+      var m = nVecsMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, Long]
+        nVecsMemo.put(spark, m)
+      }
+      m
+    }
+    perDir.synchronized {
+      perDir.getOrElseUpdate(dir, Tables.embeddings(spark, dir).count())
+    }
+  }
 
   private val vecsSql: String =
     """e AS (

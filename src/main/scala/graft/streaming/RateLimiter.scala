@@ -33,8 +33,12 @@ object RateLimiter {
   /** (user_id, ts_ns, event_id) → admitted (user_id, event_id, ts_ns). */
   type Ev = (Long, Long, Long)
 
-  /** tokens remaining + last refill instant (event-time nanos). */
-  final case class Bucket(tokens: Double, lastNs: Long)
+  /** tokens remaining + last folded event's (event-time nanos, event id).
+    * The id rides along so the `dropLate` guard can order equal-timestamp
+    * events exactly the way the in-batch (ts, event_id) sort does —
+    * lastNs alone cannot tell a tie-breaking straggler from a legitimate
+    * same-instant successor. */
+  final case class Bucket(tokens: Double, lastNs: Long, lastEid: Long = Long.MinValue)
 
   /** Admit up to `capacity` burst events per key, refilling at
     * `perSecond` tokens/s of EVENT time. Events inside a group are
@@ -58,14 +62,18 @@ object RateLimiter {
               Bucket(capacity, sorted.head._2))
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
             sorted.foreach { case (_, ts, eid) =>
-              if (dropLate && ts < b.lastNs) () // cross-batch straggler
-              else {
+              // straggler = ordered before the last folded event in the
+              // same (ts, event_id) order the in-batch sort uses; can only
+              // occur across micro-batch boundaries
+              val late = dropLate &&
+                (ts < b.lastNs || (ts == b.lastNs && eid < b.lastEid))
+              if (!late) {
                 val refill = (ts - b.lastNs).max(0L) / 1e9 * perSecond
                 val tokens = (b.tokens + refill).min(capacity)
                 if (tokens >= 1.0) {
-                  b = Bucket(tokens - 1.0, ts)
+                  b = Bucket(tokens - 1.0, ts, eid)
                   out += ((user, eid, ts))
-                } else b = Bucket(tokens, ts)
+                } else b = Bucket(tokens, ts, eid)
               }
             }
             state.update(b)

@@ -90,7 +90,9 @@ class RegistrySpec extends SparkSpec {
     val cm = chain(0).asInstanceOf[CheckMetadata]
     assert(cm.allowed == Map("platform_name" -> Seq("noaa15", "noaa18")))
     assert(cm.maxAgeMinutes.contains(-40L))
-    assert(chain(1).asInstanceOf[CheckValidDataFraction].minFraction == 10.0)
+    // the reference's setting is a PERCENT; the plugin compares a [0,1]
+    // fraction — 10.0 means 10%, not a 10x-impossible bar
+    assert(chain(1).asInstanceOf[CheckValidDataFraction].minFraction == 0.1)
     val sd = chain(2).asInstanceOf[SaveDatasets]
     assert(sd.outDir == "/tmp/out" && sd.eagerWriting)
     assert(sd.stagingZone.contains("/tmp/staging"))
@@ -108,6 +110,54 @@ class RegistrySpec extends SparkSpec {
         |""".stripMargin)
     val sd = PluginRegistry.chain(cfg, Seq.empty).head.asInstanceOf[SaveDatasets]
     assert(sd.outDir == "/tmp/worker_dir")
+  }
+
+  test("scalar conversion failures surface as ConfigException, not parser internals") {
+    val base = ProductListLoader.fromYaml(
+      """product_list:
+        |  output_dir: /tmp/out
+        |  eager_writing: maybe
+        |  areas: {}
+        |""".stripMargin)
+    val e = intercept[ConfigException] {
+      PluginRegistry.build(base, WorkerSpec("save_datasets"), Seq.empty)
+    }
+    assert(e.getMessage.contains("eager_writing"))
+    val agg = ProductListLoader.fromYaml(
+      "product_list:\n  aggregate: {x: 2.5}\n  areas: {}\n")
+    val e2 = intercept[ConfigException] {
+      PluginRegistry.build(agg, WorkerSpec("aggregate"), Seq.empty)
+    }
+    assert(e2.getMessage.contains("aggregate.x"))
+  }
+
+  test("worker options keep document order (load_composites with 5+ columns)") {
+    // a derived expression may reference a column declared before it;
+    // hash-ordered options would plan the dependent column first for
+    // some key sets — the loader must preserve document order
+    val cfg = ProductListLoader.fromYaml(
+      """product_list:
+        |  areas: {}
+        |workers:
+        |  - fun: load_composites
+        |    product: "'N'"
+        |    y: r_regionkey
+        |    x: r_regionkey * 2
+        |    value: cast(r_regionkey as double)
+        |    doubled: value * 2
+        |    shifted: doubled + 1
+        |""".stripMargin)
+    val opts = cfg.workers.head.options.toSeq
+    assert(opts.map(_._1) ==
+      Seq("product", "y", "x", "value", "doubled", "shifted"))
+    // and the chain actually resolves the dependent columns in order
+    val ctx0 = PipelineContext(spark, cfg.productList, Map.empty,
+      frames = Map((None: Option[String]) ->
+        spark.read.parquet(s"$sf/region.parquet")),
+      worklist = Seq.empty)
+    val out = PluginRegistry.chain(cfg, Seq.empty).head(ctx0)
+    assert(out.aborted.isEmpty, s"aborted: ${out.aborted}")
+    assert(out.frames(None).columns.contains("shifted"))
   }
 
   test("unknown plugin and missing required settings raise ConfigException") {

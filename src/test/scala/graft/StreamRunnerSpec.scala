@@ -421,6 +421,46 @@ class StreamRunnerSpec extends SparkSpec {
     assert(run("rl_late_unguarded", dropLate = false) == Set(1L, 3L))
   }
 
+  test("dropLate orders equal-timestamp stragglers by event id, like the in-batch sort") {
+    import spark.implicits._
+    import graft.streaming.RateLimiter
+    val src = Files.createTempDirectory("graft_rl_tie_src")
+    def stage(name: String, evs: Seq[(Long, Long, Long)]): Unit = {
+      val scratch = Files.createTempDirectory("graft_rl_tie_scratch")
+      evs.toDF("user_id", "ts", "event_id").coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, Paths.get(s"$src/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val G = 1000000000L
+    // same instant, ids out of order across batches: e2 folds first
+    // (admitted, one token left), then the straggler e1 arrives
+    stage("msg_1.parquet", Seq((1L, 100L * G, 2L)))
+    Thread.sleep(50)
+    stage("msg_2.parquet", Seq((1L, 100L * G, 1L)))
+    val schema = spark.read.parquet(s"$src/msg_1.parquet").schema
+    def run(name: String, dropLate: Boolean): Set[Long] = {
+      val ckp = Files.createTempDirectory(s"graft_rl_tie_ckp_$name")
+      val stream = StreamRunner.fileStream(spark, src.toString, schema)
+        .withColumnRenamed("ts", "ts_ns")
+      val q = RateLimiter.rateLimitFrame(stream,
+          capacity = 2.0, perSecond = 1e-9, dropLate = dropLate)
+        .writeStream.queryName(name).outputMode("append").format("memory")
+        .option("checkpointLocation", ckp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.table(name).select("event_id").as[Long].collect().toSet
+    }
+    // a bare lastNs guard (ts < lastNs) would let e1 fold and take the
+    // second token; the (ts, event_id) guard discards it — the
+    // straggler-free outcome
+    assert(run("rl_tie_guarded", dropLate = true) == Set(2L))
+    assert(run("rl_tie_unguarded", dropLate = false) == Set(1L, 2L))
+  }
+
   test("graceful stop terminates a continuous query") {
     val (src, ckp) = stageMessages(1)
     val stream = StreamRunner.fileStream(spark, src, eventsSchema)
