@@ -114,13 +114,14 @@ class PipelineSpec extends SparkSpec {
     assert(reread.count() == m1.find(_.format == "parquet").get.rows)
   }
 
-  test("create_scene reads non-parquet sources (json and csv readers)") {
+  test("create_scene reads non-parquet sources (json, csv, orc readers)") {
     val dir = Files.createTempDirectory("graft_src_fmt")
-    // stage the same rows as json-lines and headered csv
+    // stage the same rows as json-lines, headered csv, and orc
     val rows = spark.read.parquet(s"$sf/region.parquet")
     rows.coalesce(1).write.mode("overwrite").json(s"$dir/j")
     rows.coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(s"$dir/c")
+    rows.coalesce(1).write.mode("overwrite").orc(s"$dir/o")
     val base = PipelineContext(spark, spec, metadata = Map.empty,
       frames = Map.empty, worklist = Seq.empty)
     val viaJson = CreateScene(Seq(s"$dir/j"), reader = "json")(base)
@@ -131,9 +132,35 @@ class PipelineSpec extends SparkSpec {
     assert(viaCsv.aborted.isEmpty)
     assert(viaCsv.frames(None).count() == rows.count())
     assert(viaCsv.frames(None).columns.toSet == rows.columns.toSet)
+    val viaOrc = CreateScene(Seq(s"$dir/o"), reader = "orc")(base)
+    assert(viaOrc.aborted.isEmpty)
+    assert(viaOrc.frames(None).count() == rows.count())
     // unknown reader aborts the job like the reference's AbortProcessing
     val bad = CreateScene(Seq(s"$dir/j"), reader = "no_such_format")(base)
     assert(bad.aborted.isDefined)
+  }
+
+  test("save_datasets writes any Spark sink format (orc round-trip)") {
+    val outDir = Files.createTempDirectory("graft_orc_sink").toString
+    val orcSpec = ProductList(areas = Seq(
+      AreaSpec(Some("euro"), products = Seq(
+        ProductSpec("N", formats = Seq(FormatSpec("orc")))))))
+    val ctx0 = PipelineContext(spark, orcSpec, Map.empty,
+      frames = Map.empty, worklist = Worklist.expand(orcSpec))
+    val chain = Seq(
+      CreateScene(Seq(s"$sf/lineitem.parquet")),
+      LoadComposites(Map(
+        "product" -> "l_returnflag",
+        "y" -> "l_orderkey % 8", "x" -> "l_partkey % 8",
+        "value" -> "cast(l_quantity as double)")),
+      Resample(Seq(ResampleTarget("euro", 8, 8, 0, 8, 0, 8))),
+      SaveDatasets(outDir))
+    val reports = Runner.processJobs(ctx0, chain)
+    val m = reports.head.finalCtx.manifest
+    assert(m.map(_.format) == Seq("orc"))
+    // the unrecognized format passed straight through as the writer name
+    val reread = spark.read.orc(m.head.path)
+    assert(reread.count() == m.head.rows && m.head.rows > 0)
   }
 
   test("valid-fraction pruning drops failing products from the worklist") {
