@@ -26,6 +26,45 @@ object Launcher {
   def load(configText: String): LoadedConfig =
     ProductListLoader.fromYaml(configText)
 
+  /** Resolve the config's `crash_handlers:` section into the
+    * [[Runner.CrashHandler]] chain (the reference hooks these at
+    * launcher.py:411-416, each handler called with the section's config
+    * and the traceback).
+    *
+    * `sendmail` (launcher.py:483-497) composes the same
+    * header/from/to/subject + trace message; the TRANSPORT is injected
+    * (`transport` — default stderr) because spawning `/usr/bin/sendmail`
+    * is the documented out-of-scope edge (W9). `log` writes the plugin
+    * name and error through the same transport. Unknown names are a
+    * config error at build time, not at crash time. */
+  def crashChain(config: LoadedConfig,
+      transport: String => Unit = s => Console.err.println(s)): Seq[Runner.CrashHandler] =
+    config.crashHandlers.map { h =>
+      val conf = config.crashConfig ++ h.options
+      h.fun match {
+        case "sendmail" =>
+          (plugin: String, e: Throwable) => {
+            val header = conf.getOrElse("header", "trollflow2spark crashed")
+            val msg =
+              s"""From: ${conf.getOrElse("from", "pipeline@localhost")}
+                 |To: ${conf.getOrElse("to", "ops@localhost")}
+                 |Subject: ${conf.getOrElse("subject", "Pipeline crash")}
+                 |
+                 |$header
+                 |
+                 |plugin: $plugin
+                 |${e.toString}""".stripMargin
+            transport(msg)
+          }
+        case "log" =>
+          (plugin: String, e: Throwable) =>
+            transport(s"crash in $plugin: ${e.getMessage}")
+        case other =>
+          throw ConfigException(
+            s"unknown crash handler '$other' — known: log, sendmail")
+      }
+    }
+
   /** One message (the `--test-message` path, launcher.py:259-266):
     * build the chain for the message's files and run every priority
     * slice. */
@@ -33,8 +72,11 @@ object Launcher {
       timeoutPerPlugin: Duration = Duration.Inf,
       crashHandlers: Seq[Runner.CrashHandler] = Seq.empty): Seq[Runner.JobReport] = {
     val (ctx, paths) = Messages.toContext(spark, config.productList, messageJson)
+    // explicit handlers win; otherwise the config's crash_handlers section
+    val handlers =
+      if (crashHandlers.nonEmpty) crashHandlers else crashChain(config)
     Runner.processJobs(ctx, PluginRegistry.chain(config, paths),
-      timeoutPerPlugin, crashHandlers)
+      timeoutPerPlugin, handlers)
   }
 
   /** The subscriber loop: one pipeline run per message row, sequential
@@ -50,5 +92,7 @@ object Launcher {
       (onReport: (String, Seq[Runner.JobReport]) => Unit): StreamingQuery =
     StreamRunner.runMessages(messages, config.productList, checkpointDir,
       paths => PluginRegistry.chain(config, paths),
-      timeoutPerPlugin, crashHandlers, availableNow)(onReport)
+      timeoutPerPlugin,
+      if (crashHandlers.nonEmpty) crashHandlers else crashChain(config),
+      availableNow)(onReport)
 }

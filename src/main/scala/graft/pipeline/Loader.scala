@@ -23,11 +23,14 @@ final case class ConfigException(message: String, cause: Throwable = null)
 final case class WorkerSpec(fun: String,
     options: Map[String, String] = Map.empty)
 
-/** A fully-loaded config document: the product-list tree plus the
-  * worker chain (the two sections `process_files` consumes,
-  * launcher.py:403-408). */
+/** A fully-loaded config document: the product-list tree, the worker
+  * chain (the two sections `process_files` consumes, launcher.py:
+  * 403-408), and the crash-handler section (launcher.py:411-416:
+  * `crash_handlers: {config: {...}, handlers: [{fun: ...}]}`). */
 final case class LoadedConfig(productList: ProductList,
-    workers: Seq[WorkerSpec])
+    workers: Seq[WorkerSpec],
+    crashHandlers: Seq[WorkerSpec] = Seq.empty,
+    crashConfig: Map[String, String] = Map.empty)
 
 /** Safe config-file loader — the analog of the reference's primary entry
   * point `read_config` (launcher.py:460-480), which parses the YAML
@@ -124,7 +127,16 @@ object ProductListLoader {
         .getOrElse(Map.empty))
 
     val workers = rootMap.get("workers").map(workerList).getOrElse(Nil)
-    LoadedConfig(productList, workers)
+    val (crashHandlers, crashConfig) = rootMap.get("crash_handlers") match {
+      case None => (Nil, Map.empty[String, String])
+      case Some(ch) =>
+        val fields = entries(ch, "crash_handlers").toMap
+        (fields.get("handlers").map(workerList).getOrElse(Nil),
+          fields.get("config")
+            .map(c => settingsOf(entries(c, "crash_handlers.config"), Set.empty))
+            .getOrElse(Map.empty))
+    }
+    LoadedConfig(productList, workers, crashHandlers, crashConfig)
   }
 
   private def area(key: Any, value: Any, outerFormats: Seq[FormatSpec]): AreaSpec = {

@@ -51,6 +51,42 @@ class LauncherSpec extends SparkSpec {
     ctx.manifest.foreach(f => assert(Files.exists(Paths.get(f.path))))
   }
 
+  test("crash_handlers section: sendmail-shaped message reaches the transport") {
+    val cfg = Launcher.load(
+      """product_list:
+        |  areas:
+        |    euro:
+        |      products: {N: {productname: N}}
+        |crash_handlers:
+        |  config:
+        |    from: pipeline@sat.example
+        |    to: ops@sat.example
+        |    subject: "Processing crashed"
+        |    header: "The chain failed"
+        |  handlers:
+        |    - fun: sendmail
+        |workers:
+        |  - fun: create_scene
+        |  - fun: load_composites
+        |    broken: "this is ( not sql"
+        |""".stripMargin)
+    val mails = scala.collection.mutable.ArrayBuffer.empty[String]
+    val reports = Launcher.runOnce(spark, cfg,
+      s"""{"type": "file", "data": {"uri": "$sf/region.parquet"}}""",
+      crashHandlers = Launcher.crashChain(cfg, m => mails.synchronized { mails += m }))
+    // the broken expression crashed load_composites; the job aborted
+    // instead of crashing the runner, and the handler fired once
+    assert(reports.head.finalCtx.aborted.exists(_.contains("load_composites")))
+    val mail = mails.synchronized(mails.toList)
+    assert(mail.size == 1)
+    assert(mail.head.contains("Subject: Processing crashed"))
+    assert(mail.head.contains("The chain failed"))
+    assert(mail.head.contains("plugin: load_composites"))
+    // unknown handler names fail at build time
+    val bad = cfg.copy(crashHandlers = Seq(WorkerSpec("pager_duty")))
+    intercept[ConfigException](Launcher.crashChain(bad))
+  }
+
   test("run: message stream drives one configured pipeline per message") {
     val outDir = Files.createTempDirectory("graft_launch2").toString
     val src = Files.createTempDirectory("graft_launch_msgs")
