@@ -171,11 +171,15 @@ object Plugins {
     *     surrounding source cells (weight-renormalized where corners are
     *     missing — the NaN-fill behavior), four corner equi-joins, no
     *     window (see [[graft.queries.Trollflow.q63ResampleBilinear]]).
+    *   - `ewa` (the reference's elliptical-weighted-average swath
+    *     resampler, plugins/__init__.py:134-146): scatter-splat — each
+    *     source cell contributes gaussian-weighted values to the target
+    *     cells inside its footprint, one bounded explode then one hash
+    *     aggregate (see the mode body for the weight model and the
+    *     circular-footprint divergence).
     * `reduceData=true` crops the source to the target bounding box first —
     * the predicate pushes into the parquet scan. The native (None) frame
-    * passes through, as the reference's `null` area does. The reference's
-    * ewa mode interpolates in satellite swath geometry (pyresample
-    * kd-trees) — out of scope, documented divergence. */
+    * passes through, as the reference's `null` area does. */
   final case class Resample(
       targets: Seq[ResampleTarget],
       yCol: String = "y", xCol: String = "x", valueCol: String = "value",
@@ -342,6 +346,80 @@ object Plugins {
                   .filter(col("__den") > 0)
                   .select((keys.map(col) :+ col("__ty").as(yCol)
                     :+ col("__tx").as(xCol) :+ (num / col("__den")).as(valueCol)): _*)
+              case "ewa" =>
+                // EWA (plugins/__init__.py:134-146 — the reference's
+                // elliptical-weighted-average swath resampler): SCATTER
+                // resampling. Each source cell splats a gaussian-weighted
+                // contribution onto every target cell whose center lies
+                // within `weight_distance_max` target-cell units of the
+                // cell's continuous target-space position, and each target
+                // cell blends what landed on it:
+                //   w = exp(-d² · ln(1/weight_min) / r²)   (w = weight_min
+                // exactly at d = r). `maximum_weight_mode` keeps the single
+                // heaviest contribution instead of blending; cells whose
+                // accumulated weight is below `weight_sum_min` are dropped.
+                // Divergence: the reference's footprint is the elliptical
+                // per-scan ellipse from swath geometry; the grid model has
+                // no scan metadata, so the footprint is circular.
+                //
+                // Plan: bounded explode ((2·ceil(r)+1)² candidates per
+                // source cell, 9 at the default r=1) → ONE hash aggregate
+                // on the target key. One shuffle, no window, no self-join —
+                // the scatter direction is what keeps it linear at swath
+                // scale (the gather modes would need a per-target radius
+                // search).
+                val h = t.height.toLong; val wd = t.width.toLong
+                val ry = t.srcYMax - t.srcYMin; val rx = t.srcXMax - t.srcXMin
+                val r = t.weightDistanceMax
+                require(r > 0 && t.weightMin > 0 && t.weightMin < 1,
+                  s"ewa: need weight_distance_max > 0 and weight_min in (0,1): $t")
+                val reach = math.ceil(r).toInt
+                val negLnOverR2 = -math.log(1.0 / t.weightMin) / (r * r)
+                val cells = cropped
+                  .groupBy((keys.map(col) :+ col(yCol) :+ col(xCol)): _*)
+                  .agg(avg(col(valueCol)).as(valueCol))
+                // continuous target-space position of the source center:
+                // py = __ny / (2·ry) with __ny = ((y-y0)·2+1)·H — integer
+                // numerators so the base candidate floor(py - 0.5) is
+                // exact integer division (positive-biased: both engines
+                // agree on non-negative operands)
+                val bias = 1L << 20
+                val splat = cells
+                  .withColumn("__ny", (col(yCol) - t.srcYMin) * 2 * h + h)
+                  .withColumn("__nx", (col(xCol) - t.srcXMin) * 2 * wd + wd)
+                  .withColumn("__tyb",
+                    expr(s"(__ny - $ry + ${2 * ry * bias}) div ${2 * ry} - $bias"))
+                  .withColumn("__txb",
+                    expr(s"(__nx - $rx + ${2 * rx * bias}) div ${2 * rx} - $bias"))
+                  .withColumn("__ky", explode(sequence(lit(-reach), lit(reach))))
+                  .withColumn("__kx", explode(sequence(lit(-reach), lit(reach))))
+                  .withColumn("__ty", col("__tyb") + col("__ky"))
+                  .withColumn("__tx", col("__txb") + col("__kx"))
+                  .withColumn("__dy", col("__ny") / (2.0 * ry) - (col("__ty") + 0.5))
+                  .withColumn("__dx", col("__nx") / (2.0 * rx) - (col("__tx") + 0.5))
+                  .withColumn("__d2",
+                    col("__dy") * col("__dy") + col("__dx") * col("__dx"))
+                  .filter(col("__d2") <= r * r &&
+                    col("__ty") >= 0 && col("__ty") < h &&
+                    col("__tx") >= 0 && col("__tx") < wd)
+                  .withColumn("__w", exp(col("__d2") * negLnOverR2))
+                val grouped = splat.groupBy(
+                  (keys.map(col) :+ col("__ty") :+ col("__tx")): _*)
+                val blended =
+                  if (t.maximumWeightMode)
+                    // deterministic ties: heaviest weight, then (y, x)
+                    grouped.agg(
+                      max_by(col(valueCol),
+                        struct(col("__w"), col(yCol), col(xCol))).as(valueCol),
+                      sum(col("__w")).as("__wsum"))
+                  else
+                    grouped.agg(
+                      (sum(col("__w") * col(valueCol)) / sum(col("__w")))
+                        .as(valueCol),
+                      sum(col("__w")).as("__wsum"))
+                blended.filter(col("__wsum") >= t.weightSumMin)
+                  .select((keys.map(col) :+ col("__ty").as(yCol)
+                    :+ col("__tx").as(xCol) :+ col(valueCol)): _*)
               case other =>
                 throw new IllegalArgumentException(s"unknown resample mode: $other")
             }
@@ -356,7 +434,16 @@ object Plugins {
   }
   final case class ResampleTarget(area: String, width: Int, height: Int,
       srcYMin: Long, srcYMax: Long, srcXMin: Long, srcXMax: Long,
-      mode: String = "average")
+      mode: String = "average",
+      /** ewa knobs (plugins/__init__.py:134-146 defaults): footprint
+        * radius in target-cell units, the weight at that radius, the
+        * minimum accumulated weight for a target cell to be emitted
+        * (-1 = emit all), and maximum_weight_mode (keep the heaviest
+        * contribution instead of blending). */
+      weightDistanceMax: Double = 1.0,
+      weightMin: Double = 0.01,
+      weightSumMin: Double = -1.0,
+      maximumWeightMode: Boolean = false)
 
   /** `check_valid_data_fraction` (plugins/__init__.py:955-1079): persist
     * the scene once, compute per-product valid fractions in ONE aggregate

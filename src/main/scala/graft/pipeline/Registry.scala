@@ -125,6 +125,13 @@ object PluginRegistry {
             def i(f: String): Long =
               Option(t.get(f)).map(_.asLong).getOrElse(
                 throw ConfigException(s"resample target missing '$f': $t"))
+            // ewa knobs: per-target JSON field, falling back to the
+            // product-list setting of the same name, then the reference's
+            // RESAMPLER_DEFAULT_OPTIONS["ewa"] defaults
+            // (plugins/__init__.py:134-146)
+            def ewaNum(f: String, dflt: Double): Double =
+              Option(t.get(f)).map(_.asDouble)
+                .orElse(str(f).map(num(f, _))).getOrElse(dflt)
             ResampleTarget(
               area = Option(t.get("area")).map(_.asText).getOrElse(
                 throw ConfigException(s"resample target missing 'area': $t")),
@@ -132,7 +139,12 @@ object PluginRegistry {
               srcYMin = i("src_y_min"), srcYMax = i("src_y_max"),
               srcXMin = i("src_x_min"), srcXMax = i("src_x_max"),
               mode = Option(t.get("mode")).map(_.asText)
-                .orElse(str("resampler")).getOrElse("average"))
+                .orElse(str("resampler")).getOrElse("average"),
+              weightDistanceMax = ewaNum("weight_distance_max", 1.0),
+              weightMin = ewaNum("weight_min", 0.01),
+              weightSumMin = ewaNum("weight_sum_min", -1.0),
+              maximumWeightMode = Option(t.get("maximum_weight_mode"))
+                .map(_.asBoolean).getOrElse(bool("maximum_weight_mode")))
           }.toSeq
         }.getOrElse {
           if (nativeMode.isDefined) Seq.empty[ResampleTarget]

@@ -241,6 +241,86 @@ object Trollflow {
       |FROM b WHERE den > 0
       |ORDER BY area, ty, tx""".stripMargin
 
+  /** T2 `resample`, ewa mode (plugins/__init__.py:134-146 — the
+    * reference's elliptical-weighted-average swath resampler, here the
+    * circular-footprint grid form of [[graft.pipeline.Plugins.Resample]]):
+    * SCATTER resampling. Each source cell's center maps to a continuous
+    * position in the 100×100 target grid (py = ((2y+1)·100)/(2·128), a
+    * power-of-two denominator so the double is exact); the cell splats a
+    * gaussian-weighted contribution onto every target cell whose center
+    * is within r = weight_distance_max = 1.0 of that position,
+    *   w = exp(-d² · ln(1/weight_min))  with weight_min = 0.01
+    * (w = 0.01 exactly at d = r), and each target cell blends what landed
+    * on it: sum(w·v)/sum(w).
+    *
+    * Exactness: candidate generation is integer arithmetic (the base
+    * index floor(py − ½) via positive-biased integer division, identical
+    * in both engines); dy/dx are exact doubles (denominator 2⁸); the only
+    * engine-sensitive steps — exp and the summation order — sit under
+    * round(1e-9 + ·, 4), the pack-wide float guard. ln(1/0.01) is the
+    * shared double literal 4.605170185988092, not each engine's ln().
+    *
+    * Scale: the explode factor is the constant (2·ceil(r)+1)² = 9, then
+    * ONE hash aggregate on (area, ty, tx) — one shuffle, no window, no
+    * join. The scatter direction is what makes EWA linear over swath
+    * pixels; a gather formulation would need a radius search per target
+    * cell. */
+  def q123ResampleEwa(spark: SparkSession, dir: String): DataFrame = {
+    val lnInv = 4.605170185988092 // ln(1/0.01), shared literal
+    val cells = raster(spark, dir)
+      .filter(col("y") < 128 && col("x") < 128) // reduce_data crop
+      .groupBy(col("area"), col("y"), col("x"))
+      .agg(avg(col("value")).as("cell"))
+    val splat = cells
+      .withColumn("ny", col("y") * 200 + 100)  // ((2y+1)·100)
+      .withColumn("nx", col("x") * 200 + 100)
+      .withColumn("tyb", expr(s"(ny - 128 + ${256L * (1L << 20)}) div 256 - ${1L << 20}"))
+      .withColumn("txb", expr(s"(nx - 128 + ${256L * (1L << 20)}) div 256 - ${1L << 20}"))
+      .withColumn("ky", explode(sequence(lit(-1), lit(1))))
+      .withColumn("kx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("ty", col("tyb") + col("ky"))
+      .withColumn("tx", col("txb") + col("kx"))
+      .withColumn("dy", col("ny") / 256.0 - (col("ty") + lit(0.5)))
+      .withColumn("dx", col("nx") / 256.0 - (col("tx") + lit(0.5)))
+      .withColumn("d2", col("dy") * col("dy") + col("dx") * col("dx"))
+      .filter(col("d2") <= 1.0 &&
+        col("ty") >= 0 && col("ty") < 100 && col("tx") >= 0 && col("tx") < 100)
+      .withColumn("w", exp(col("d2") * lit(-lnInv)))
+    splat.groupBy(col("area"), col("ty"), col("tx"))
+      .agg(round(lit(1e-9) + sum(col("w") * col("cell")) / sum(col("w")), 4).as("ewa"),
+        count(lit(1)).as("n_contrib"))
+      .orderBy(col("area"), col("ty"), col("tx"))
+  }
+
+  val q123Sql: String =
+    s"""WITH $rasterSql,
+      |cells AS (
+      |  SELECT area, y, x, avg(value) AS cell
+      |  FROM raster WHERE y < 128 AND x < 128
+      |  GROUP BY 1, 2, 3),
+      |pos AS (
+      |  SELECT area, cell, y * 200 + 100 AS ny, x * 200 + 100 AS nx,
+      |    (y * 200 + 100 - 128 + ${256L * (1L << 20)}) // 256 - ${1L << 20} AS tyb,
+      |    (x * 200 + 100 - 128 + ${256L * (1L << 20)}) // 256 - ${1L << 20} AS txb
+      |  FROM cells),
+      |splat AS (
+      |  SELECT area, cell, ny, nx, tyb + ky AS ty, txb + kx AS tx,
+      |    (ny / 256.0 - (tyb + ky + 0.5)) AS dy,
+      |    (nx / 256.0 - (txb + kx + 0.5)) AS dx
+      |  FROM pos, range(-1, 2) g1(ky), range(-1, 2) g2(kx)),
+      |wtd AS (
+      |  SELECT area, ty, tx, cell,
+      |    exp((dy * dy + dx * dx) * -4.605170185988092) AS w
+      |  FROM splat
+      |  WHERE dy * dy + dx * dx <= 1.0
+      |    AND ty >= 0 AND ty < 100 AND tx >= 0 AND tx < 100)
+      |SELECT area, ty, tx,
+      |  round(1e-9 + sum(w * cell) / sum(w), 4) AS ewa,
+      |  count(*) AS n_contrib
+      |FROM wtd
+      |GROUP BY 1, 2, 3
+      |ORDER BY area, ty, tx""".stripMargin
+
   /** F6 `check_valid_data_fraction` (plugins/__init__.py:955-1079): treat
     * value as fill (NaN-analog) where disc > 0.08, compute per-(area,
     * product) valid fraction, keep only products meeting the threshold —
@@ -508,7 +588,8 @@ object Trollflow {
     "q44_worklist_expand" -> (q44WorklistExpand _),
     "q45_sunlight_coverage" -> (q45SunlightCoverage _),
     "q55_resample_nearest" -> (q55ResampleNearest _),
-    "q63_resample_bilinear" -> (q63ResampleBilinear _)
+    "q63_resample_bilinear" -> (q63ResampleBilinear _),
+    "q123_resample_ewa" -> (q123ResampleEwa _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -520,6 +601,7 @@ object Trollflow {
     "q44_worklist_expand" -> q44Sql,
     "q45_sunlight_coverage" -> q45Sql,
     "q55_resample_nearest" -> q55Sql,
-    "q63_resample_bilinear" -> q63Sql
+    "q63_resample_bilinear" -> q63Sql,
+    "q123_resample_ewa" -> q123Sql
   )
 }

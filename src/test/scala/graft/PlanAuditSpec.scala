@@ -426,4 +426,19 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q34_ann_lsh")
     assert(p.contains("dot_f64"))
   }
+
+  test("q123 ewa: scatter-splat — bounded explode into one aggregate, " +
+      "no join, no window") {
+    val p = plan("q123_resample_ewa")
+    // two generators (ky, kx) with a constant 3-element sequence each —
+    // the splat fan-out is the plan-time constant 9, not data-dependent
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 2,
+      "ewa must splat via the two bounded explodes")
+    // cells agg + splat agg: shuffles stay constant-count; the scatter
+    // direction means no join and no radius-search window anywhere
+    assert(hashExchanges(p) == 2,
+      "ewa should shuffle only for the cell agg and the target-key agg")
+    assert(!p.contains("Join"), "ewa is scatter — no gather join")
+    assert(!p.contains("Window ["), "ewa must not use a window")
+  }
 }

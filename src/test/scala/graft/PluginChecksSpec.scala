@@ -283,6 +283,52 @@ class PluginChecksSpec extends SparkSpec {
     assert(got.forall(_.getAs[Double]("value") == 7.0))
   }
 
+  test("resample ewa splats gaussian weights; distance-1 weight is weight_min") {
+    import spark.implicits._
+    // source row y=0 of [0,1)x[0,2) onto a 1x2 target: source centers land
+    // exactly ON target center 0 (d=0, w=1) and at distance 1 from it
+    // (d=1, w=weight_min=0.01), so target 0 blends
+    // (0*1 + 10*0.01) / 1.01 — the footprint edge sits exactly at r
+    val frame = Seq(("N", 0, 0, 0.0), ("N", 0, 1, 10.0))
+      .toDF("product", "y", "x", "value")
+    val ctx = ctxOf(oneProductSpec(), Map(None -> frame))
+    val out = Resample(Seq(
+      ResampleTarget("euro", 2, 1, 0, 1, 0, 2, mode = "ewa")))(ctx)
+    val got = out.frames(Some("euro")).collect()
+      .map(r => r.getAs[Long]("x") -> r.getAs[Double]("value")).toMap
+    assert(got.size == 2)
+    assert(math.abs(got(0L) - 0.1 / 1.01) < 1e-12)
+    assert(math.abs(got(1L) - (10.0 + 0.0 * 0.01) / 1.01) < 1e-12)
+  }
+
+  test("resample ewa maximum_weight_mode keeps the heaviest contribution") {
+    import spark.implicits._
+    val frame = Seq(("N", 0, 0, 0.0), ("N", 0, 1, 10.0))
+      .toDF("product", "y", "x", "value")
+    val ctx = ctxOf(oneProductSpec(), Map(None -> frame))
+    val out = Resample(Seq(
+      ResampleTarget("euro", 2, 1, 0, 1, 0, 2, mode = "ewa",
+        maximumWeightMode = true)))(ctx)
+    val got = out.frames(Some("euro")).collect()
+      .map(r => r.getAs[Long]("x") -> r.getAs[Double]("value")).toMap
+    assert(got == Map(0L -> 0.0, 1L -> 10.0))
+  }
+
+  test("resample ewa weight_sum_min drops under-covered target cells") {
+    import spark.implicits._
+    // single source cell: target 0 accumulates w=1, target 1 only the
+    // tail w=0.01 — a 0.5 threshold keeps the covered cell only
+    val frame = Seq(("N", 0, 0, 7.0)).toDF("product", "y", "x", "value")
+    val ctx = ctxOf(oneProductSpec(), Map(None -> frame))
+    val out = Resample(Seq(
+      ResampleTarget("euro", 2, 1, 0, 1, 0, 2, mode = "ewa",
+        weightSumMin = 0.5)))(ctx)
+    val got = out.frames(Some("euro")).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("x") == 0L)
+    assert(got.head.getAs[Double]("value") == 7.0)
+  }
+
   // ------------------------------------------------------ metadata_alias
 
   test("metadata_alias rewrites list-valued metadata element-wise") {
