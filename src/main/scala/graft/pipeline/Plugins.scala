@@ -529,7 +529,19 @@ object Plugins {
     * `stagingZone` (plugins/__init__.py:223-255, 317-327): when set, files
     * are written (tmp + rename) inside the staging directory and moved to
     * `outDir` only after the write succeeds — the reference's two-hop
-    * commit for sinks where the final location is slow/remote.
+    * commit for sinks where the final location is slow/remote. Publication
+    * timing follows `renamed_files` (plugins/__init__.py:318-327): by
+    * default every staged file moves to `outDir` together, AFTER the last
+    * sink's write — all-or-nothing publication, so a consumer watching
+    * `outDir` never sees a partial batch. `earlyMoving=true`
+    * (`early_moving`, plugins/__init__.py:377-381, the reference's
+    * `callback_move` contract) instead moves each file the moment its own
+    * write commits. On a mid-batch failure in deferred mode, already-
+    * written files stay in the staging zone — same as the reference's
+    * un-renamed tmp names — for inspection or re-run. Divergence: the
+    * reference's `early_moving` without `callback_move` leaves files in
+    * staging forever; here the move is native, so they always reach
+    * `outDir` on success.
     * `overviews` (W5, plugins/__init__.py:928-944): per written raster,
     * also write reduced-resolution copies (block-mean by each factor) as
     * `<fname>.ov<factor>` siblings — the columnar analog of embedded
@@ -539,6 +551,7 @@ object Plugins {
       productCol: String = "product", eagerWriting: Boolean = false,
       stagingZone: Option[String] = None, overviews: Seq[Int] = Seq.empty,
       callbacks: Seq[WrittenFile => Unit] = Seq.empty,
+      earlyMoving: Boolean = false,
       yCol: String = "y", xCol: String = "x", valueCol: String = "value")
       extends Plugin {
     require(overviews.forall(_ > 1), s"overview factors must be > 1: $overviews")
@@ -549,14 +562,26 @@ object Plugins {
       else {
         Files.createDirectories(Paths.get(outDir))
         stagingZone.foreach(s => Files.createDirectories(Paths.get(s)))
-        val manifest =
+        // without a staging zone the tmp->final rename IS the publication
+        // (the reference's direct final-name write); deferral only exists
+        // for the two-hop staged path
+        val immediate = earlyMoving || stagingZone.isEmpty
+        val pending = scala.collection.mutable.ArrayBuffer.empty[Staged]
+        def commit(sink: Sink): Option[WrittenFile] =
+          writeStaged(sink).flatMap { st =>
+            if (immediate) Some(publish(st)) else { pending += st; None }
+          }
+        val written =
           if (eagerWriting)
-            ctx.worklist.flatMap(item => planOne(ctx, item).flatMap(commitWrite))
+            ctx.worklist.flatMap(item => planOne(ctx, item).flatMap(commit))
           else {
             // force every plan before the first action (see class doc)
             val sinks = ctx.worklist.flatMap(item => planOne(ctx, item))
-            sinks.flatMap(commitWrite)
+            sinks.flatMap(commit)
           }
+        // renamed_files (plugins/__init__.py:318-327): publish the whole
+        // batch only after every write committed
+        val manifest = if (immediate) written else pending.map(publish).toSeq
         ctx.copy(manifest = ctx.manifest ++ manifest)
       }
 
@@ -589,12 +614,13 @@ object Plugins {
       }
     }
 
-    /** Execute one sink: write through the staging zone (if any) with
-      * tmp + atomic rename at every hop; returns the manifest entry for
-      * the final location, or None for the zero-row (product missing)
-      * skip. Exactly ONE Spark action — the row count is observed on the
-      * write itself. */
-    private def commitWrite(sink: Sink): Option[WrittenFile] = {
+    private case class Staged(path: Path, sink: Sink, rows: Long)
+
+    /** Execute one sink's write: tmp dir + atomic rename inside the stage
+      * directory (staging zone if set, else `outDir`); returns the staged
+      * location, or None for the zero-row (product missing) skip. Exactly
+      * ONE Spark action — the row count is observed on the write itself. */
+    private def writeStaged(sink: Sink): Option[Staged] = {
       val stageDir = stagingZone.getOrElse(outDir)
       val stagedPath = Paths.get(stageDir, sink.fname)
       val tmpPath = Paths.get(stageDir, s".tmp_${System.nanoTime()}_${sink.fname}")
@@ -608,16 +634,7 @@ object Plugins {
           None
         } else {
           atomicRename(tmpPath, stagedPath)
-          val finalPath =
-            if (stagingZone.isDefined) {
-              val dst = Paths.get(outDir, sink.fname)
-              atomicRename(stagedPath, dst)
-              dst
-            } else stagedPath
-          val written = WrittenFile(sink.item.area, sink.item.product,
-            sink.item.format, finalPath.toString, rows, dirSize(finalPath))
-          callbacks.foreach(_(written))
-          Some(written)
+          Some(Staged(stagedPath, sink, rows))
         }
       } catch {
         case e: Exception =>
@@ -625,6 +642,24 @@ object Plugins {
           throw new RuntimeException(
             s"save_datasets failed for ${sink.item.product}: ${e.getMessage}", e)
       }
+    }
+
+    /** Move a staged file to its final location (the staging→outDir hop,
+      * a no-op when there is no staging zone), record it, and fire the
+      * `call_on_done` chain — callbacks always see the FINAL path, the
+      * reference's "callback_log after callback_move" ordering made
+      * structural. */
+    private def publish(st: Staged): WrittenFile = {
+      val finalPath =
+        if (stagingZone.isDefined) {
+          val dst = Paths.get(outDir, st.sink.fname)
+          atomicRename(st.path, dst)
+          dst
+        } else st.path
+      val written = WrittenFile(st.sink.item.area, st.sink.item.product,
+        st.sink.item.format, finalPath.toString, st.rows, dirSize(finalPath))
+      callbacks.foreach(_(written))
+      written
     }
     private def formatWriter(format: String): String = format match {
       case "tif" | "parquet" => "parquet" // geotiff stand-in: columnar sink
@@ -647,6 +682,48 @@ object Plugins {
         .forEach(f => Files.deleteIfExists(f))
       finally s.close()
     }
+  }
+
+  /** The reference's three built-in `call_on_done` callbacks
+    * (plugins/__init__.py:1082-1140), resolvable by name from the
+    * `save_datasets` config (`call_on_done: [callback_close,
+    * callback_move, callback_log]`). Every callback receives the
+    * manifest entry of the file it fires for, after that file reached
+    * its FINAL path — see [[SaveDatasets]] `publish`. */
+  object Callbacks {
+    private lazy val log =
+      org.slf4j.LoggerFactory.getLogger("graft.pipeline.save_datasets")
+
+    /** `callback_log` (plugins/__init__.py:1082): INFO line with the
+      * final filename and its byte size. The reference's "must run after
+      * callback_move" footgun is structural here — callbacks only ever
+      * see final paths. */
+    val callbackLog: WrittenFile => Unit = f =>
+      log.info(s"Wrote ${f.path} successfully, total ${f.bytes} bytes.")
+
+    /** `callback_move` (plugins/__init__.py:1100): in the reference this
+      * performs the staging→output move itself and therefore REQUIRES
+      * `early_moving`. Here the move is native to the publish step, so
+      * the name is a validated marker: [[PluginRegistry]] rejects it
+      * without `early_moving: true` (the reference's contract), and the
+      * per-file early move is what `earlyMoving` already does. */
+    val callbackMove: WrittenFile => Unit = _ => ()
+
+    /** `callback_close` (plugins/__init__.py:1123): closes the writer's
+      * target handle before dependent callbacks. Spark writers close
+      * their streams when the write action completes, before `publish`
+      * runs — structurally a no-op, kept for config parity. */
+    val callbackClose: WrittenFile => Unit = _ => ()
+
+    /** Resolve a configured callback name (bare or dotted, the
+      * `trollflow2.plugins.callback_log` form) to its implementation. */
+    def byName(raw: String): Option[WrittenFile => Unit] =
+      raw.split('.').last match {
+        case "callback_log"   => Some(callbackLog)
+        case "callback_move"  => Some(callbackMove)
+        case "callback_close" => Some(callbackClose)
+        case _                => None
+      }
   }
 
   /** `format_decoration` (plugins/__init__.py:258-274): render decoration

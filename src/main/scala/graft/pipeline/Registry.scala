@@ -170,6 +170,25 @@ object PluginRegistry {
       case "sza_check" => SzaCheck()
 
       case "save_datasets" =>
+        val earlyMoving = bool("early_moving")
+        // call_on_done (plugins/__init__.py:350-364, 1082-1140): a list of
+        // callback names — bare or the reference's dotted
+        // `trollflow2.plugins.callback_*` form (its `!!python/name` tag is
+        // rejected by the safe loader, the name string is the surface)
+        val callOnDone = json("call_on_done").map { n =>
+          if (!n.isArray)
+            throw ConfigException("save_datasets: 'call_on_done' must be a list")
+          n.elements().asScala.map(_.asText).toSeq.map { cbName =>
+            if (cbName.split('.').last == "callback_move" && !earlyMoving)
+              throw ConfigException(
+                "save_datasets: callback_move requires early_moving: true " +
+                  "(plugins/__init__.py:1100 — the move happens per file, " +
+                  "not at end-of-batch)")
+            Plugins.Callbacks.byName(cbName).getOrElse(throw ConfigException(
+              s"save_datasets: unknown call_on_done callback '$cbName' — " +
+                "known: callback_close, callback_move, callback_log"))
+          }
+        }.getOrElse(Seq.empty)
         SaveDatasets(
           outDir = required("output_dir"),
           fnamePattern = str("fname_pattern")
@@ -180,7 +199,9 @@ object PluginRegistry {
             if (!n.isArray)
               throw ConfigException("save_datasets: 'overviews' must be a list")
             n.elements().asScala.map(_.asInt).toSeq
-          }.getOrElse(Seq.empty))
+          }.getOrElse(Seq.empty),
+          callbacks = callOnDone,
+          earlyMoving = earlyMoving)
 
       case "format_decoration" => FormatDecoration()
       case "check_results" => CheckResults()

@@ -226,6 +226,49 @@ class PluginChecksSpec extends SparkSpec {
     assert(calls.toSeq == Seq("close:N", "move:N:rows=1"))
   }
 
+  test("staging default publishes all-or-nothing; early_moving per sink") {
+    import spark.implicits._
+    // two areas, the second with a writer that fails AT WRITE TIME (after
+    // the first sink's write committed) — the renamed_files semantics say
+    // the first file must then stay in staging, unpublished; early_moving
+    // says it was already moved when its own write committed
+    val good = Seq(("N", 1.0)).toDF("product", "value")
+    val spec = ProductList(areas = Seq(
+      AreaSpec(Some("euro"), priority = Some(1), products = Seq(ProductSpec("N"))),
+      AreaSpec(Some("pacific"), priority = Some(2), products = Seq(
+        ProductSpec("N", settings = Map("writer" -> "no_such_writer"))))))
+    val frames = Map(Option("euro") -> good, Option("pacific") -> good)
+    def run(early: Boolean): (Int, Int) = {
+      val out = Files.createTempDirectory("graft_defer_out").toString
+      val stage = Files.createTempDirectory("graft_defer_stage").toString
+      intercept[Exception] {
+        SaveDatasets(out, stagingZone = Some(stage), earlyMoving = early)(
+          ctxOf(spec, frames))
+      }
+      (Files.list(Paths.get(out)).toArray.length,
+        Files.list(Paths.get(stage)).toArray.length)
+    }
+    assert(run(early = false) == ((0, 1)),
+      "deferred mode: written file held in staging, outDir untouched")
+    assert(run(early = true) == ((1, 0)),
+      "early_moving: first file already published when the second failed")
+  }
+
+  test("deferred publication fires callbacks with the final outDir path") {
+    import spark.implicits._
+    val frame = Seq(("N", 1.0)).toDF("product", "value")
+    val outDir = Files.createTempDirectory("graft_defer_cb_out").toString
+    val stage = Files.createTempDirectory("graft_defer_cb_stage").toString
+    val seen = ArrayBuffer.empty[String]
+    val out = SaveDatasets(outDir, stagingZone = Some(stage),
+      callbacks = Seq(f => seen += f.path))(ctxOf(saveSpec, Map(None -> frame)))
+    assert(out.manifest.size == 1)
+    assert(seen.toSeq == Seq(out.manifest.head.path))
+    assert(seen.head.startsWith(outDir),
+      "callbacks must observe the published location, never the staged one")
+    assert(Files.list(Paths.get(stage)).count() == 0)
+  }
+
   // ------------------------------------------------------------ resample
 
   test("resample nearest mode picks the center-nearest source cell") {

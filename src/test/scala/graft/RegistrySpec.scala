@@ -99,6 +99,35 @@ class RegistrySpec extends SparkSpec {
     assert(sd.overviews == Seq(4, 8))
   }
 
+  test("call_on_done resolves named callbacks; callback_move needs early_moving") {
+    def cfg(body: String) = ProductListLoader.fromYaml(
+      s"""product_list:
+        |  output_dir: /tmp/out
+        |  areas: {}
+        |workers:
+        |  - fun: save_datasets
+        |$body""".stripMargin)
+    // bare and dotted (the reference's !!python/name string) both resolve
+    val ok = PluginRegistry.chain(cfg(
+      """    early_moving: true
+        |    call_on_done: [callback_close, trollflow2.plugins.callback_move, callback_log]
+        |""".stripMargin), Seq.empty).head.asInstanceOf[SaveDatasets]
+    assert(ok.callbacks.size == 3 && ok.earlyMoving)
+    // the reference's contract: callback_move only works with early_moving
+    val e1 = intercept[ConfigException] {
+      PluginRegistry.chain(cfg(
+        """    call_on_done: [callback_move]
+          |""".stripMargin), Seq.empty)
+    }
+    assert(e1.getMessage.contains("early_moving"))
+    val e2 = intercept[ConfigException] {
+      PluginRegistry.chain(cfg(
+        """    call_on_done: [callback_teleport]
+          |""".stripMargin), Seq.empty)
+    }
+    assert(e2.getMessage.contains("callback_teleport"))
+  }
+
   test("worker inline options override product-list settings") {
     val cfg = ProductListLoader.fromYaml(
       """product_list:
