@@ -151,6 +151,171 @@ object Curation {
       |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
       |ORDER BY test_doc""".stripMargin
 
+  /** Bloom-filter decontamination — the broadcast-scale variant of
+    * [[q56Contamination]]: instead of joining test shingles against the
+    * train side's distinct-hash set (which grows with the corpus), the
+    * train side is collapsed into an m-bit Bloom filter (m = 2²⁰, k = 3
+    * hash functions) and membership is "all k bit positions occupied".
+    * The filter is modeled as the SET of occupied positions — bit-exact
+    * Bloom semantics including cross-shingle false positives, since
+    * membership is decided by position only. Output compares the bloom
+    * verdict against the exact join per test doc, so the false-positive
+    * rate of this (m, k) at this corpus size is itself part of the
+    * oracle-checked result.
+    *
+    * Scale design: the probe side NEVER shuffles against the train
+    * corpus — occupied positions are bounded by the plan constant m
+    * (2²⁰ ints ≈ 8 MB) no matter how large the train side grows, so the
+    * position join stays a broadcast at 100 TB, where q56's exact
+    * equi-join must repartition every probe batch by hash. The k-fan-out
+    * is a constant 3-element explode. This is the membership structure an
+    * incremental-ingest pipeline ships to every executor; q100's
+    * broadcast direction, made size-independent of the corpus. */
+  def q124BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1 << 20
+    val sh = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("bucket", h32(concat(lit("split_"), col("doc_id"))) % 100)
+      .select(col("doc_id"), col("bucket"),
+        explode(shingleH32(col("text"), 8)).as("h"))
+      .distinct()
+      .persist() // train positions + test probe + exact control share it
+    // k = 3 seeded positions per shingle: pos = h32("b<seed>_" || h) % m.
+    // Seeding re-hashes the 32-bit shingle hash, not the text — the
+    // filter builder only ever needs the postings.
+    def positions(df: DataFrame): DataFrame = df
+      .withColumn("seed", explode(sequence(lit(0), lit(2))))
+      .withColumn("pos",
+        h32(concat(lit("b"), col("seed"), lit("_"), col("h"))) % m)
+    val occupied = positions(sh.filter(col("bucket") < 90).select(col("h")).distinct())
+      .select(col("pos")).distinct()
+    val test = sh.filter(col("bucket") >= 95).select(col("doc_id"), col("h"))
+    // bloom hit = every one of the k positions is occupied
+    val bloomHits = positions(test)
+      .join(broadcast(occupied), Seq("pos"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("k_hits"))
+      .filter(col("k_hits") === 3)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom"))
+    val exactHits = test.join(
+        sh.filter(col("bucket") < 90).select(col("h")).distinct(), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
+    val tot = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    tot
+      .join(bloomHits, Seq("doc_id"), "left")
+      .join(exactHits, Seq("doc_id"), "left")
+      .select(col("doc_id").as("test_doc"), col("n_sh"),
+        coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .withColumn("n_false_pos", col("n_bloom") - col("n_exact"))
+      .withColumn("contaminated", (col("n_bloom") > 0).cast("int"))
+      .orderBy(col("test_doc"))
+  }
+
+  val q124Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    ('0x' || substr(md5('split_' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, bucket,
+      |    ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+      |  FROM (
+      |    SELECT doc_id, bucket, unnest(list_transform(range(1, len(toks) - 6),
+      |      i -> array_to_string(toks[i:i+7], ' '))) AS s
+      |    FROM (SELECT doc_id, bucket,
+      |            list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |          FROM d))),
+      |tr AS (SELECT DISTINCT h FROM sh WHERE bucket < 90),
+      |occupied AS (
+      |  SELECT DISTINCT
+      |    ('0x' || substr(md5('b' || seed || '_' || h), 1, 8))::BIGINT % 1048576 AS pos
+      |  FROM tr, range(0, 3) s(seed)),
+      |te AS (SELECT doc_id, h FROM sh WHERE bucket >= 95),
+      |probe AS (
+      |  SELECT doc_id, h,
+      |    ('0x' || substr(md5('b' || seed || '_' || h), 1, 8))::BIGINT % 1048576 AS pos
+      |  FROM te, range(0, 3) s(seed)),
+      |bloom AS (
+      |  SELECT doc_id, count(*) AS n_bloom FROM (
+      |    SELECT doc_id, h FROM probe JOIN occupied USING (pos)
+      |    GROUP BY doc_id, h HAVING count(*) = 3)
+      |  GROUP BY 1),
+      |exact AS (
+      |  SELECT te.doc_id, count(*) AS n_exact
+      |  FROM te JOIN tr USING (h) GROUP BY 1),
+      |tot AS (SELECT doc_id, count(*) AS n_sh FROM te GROUP BY 1)
+      |SELECT tot.doc_id AS test_doc, tot.n_sh,
+      |  coalesce(bloom.n_bloom, 0) AS n_bloom,
+      |  coalesce(exact.n_exact, 0) AS n_exact,
+      |  coalesce(bloom.n_bloom, 0) - coalesce(exact.n_exact, 0) AS n_false_pos,
+      |  (coalesce(bloom.n_bloom, 0) > 0)::INT AS contaminated
+      |FROM tot
+      |LEFT JOIN bloom ON tot.doc_id = bloom.doc_id
+      |LEFT JOIN exact ON tot.doc_id = exact.doc_id
+      |ORDER BY test_doc""".stripMargin
+
+  /** Retrieval/context chunking: split every document into sliding
+    * token windows of S = 64 tokens with stride T = 48 (16-token
+    * overlap) — the chunk table a RAG index or a fixed-window training
+    * loader consumes. Chunk count is the closed form
+    * 1 + ceil(max(0, n − S) / T) (every token lands in ≥ 1 chunk; the
+    * last window is the only short one), computed in integer arithmetic
+    * identical in both engines. Each chunk carries its token count and
+    * an md5-h32 fingerprint of the space-joined token slice, so the
+    * oracle verifies the exact text content of every chunk, not just
+    * the boundaries.
+    *
+    * Scale design: pure per-document arithmetic — tokenize once, one
+    * bounded explode (fan-out n/T chunks per doc), no shuffle at all
+    * until the presentation sort. At 100 TB this is the map-only pass it
+    * must be; chunk tables inherit the corpus partitioning, so the
+    * downstream embed/index stages see co-located chunks per doc. */
+  def q125ChunkSliding(spark: SparkSession, dir: String): DataFrame = {
+    val S = 64; val T = 48
+    Tables.documents(spark, dir)
+      .withColumn("toks",
+        filter(split(col("text"), " "), t => length(t) > 0))
+      .withColumn("n", size(col("toks")))
+      // ceil((n-S)/T) via positive-operand integer division — `div`, not
+      // `/` (which is double division on Spark columns)
+      .withColumn("n_chunks",
+        lit(1) + when(col("n") > S,
+          expr(s"(n - $S + ${T - 1}) div $T")).otherwise(lit(0)))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), col("n_chunks") - 1)))
+      .withColumn("piece",
+        slice(col("toks"), col("chunk_id") * T + 1, lit(S)))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * T).cast("long").as("tok_start"),
+        size(col("piece")).cast("long").as("n_tok"),
+        h32(concat_ws(" ", col("piece"))).as("chunk_h"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q125Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |sized AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    1 + CASE WHEN len(toks) > 64
+      |             THEN (len(toks) - 64 + 47) // 48 ELSE 0 END AS n_chunks
+      |  FROM d),
+      |ids AS (
+      |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id
+      |  FROM sized),
+      |chunks AS (
+      |  SELECT doc_id, chunk_id,
+      |    toks[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS piece
+      |  FROM ids)
+      |SELECT doc_id, chunk_id, chunk_id * 48 AS tok_start,
+      |  len(piece) AS n_tok,
+      |  ('0x' || substr(md5(array_to_string(piece, ' ')), 1, 8))::BIGINT AS chunk_h
+      |FROM chunks
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   /** End-to-end corpus curation — the composed pipeline a training run
     * actually consumes: drop repetition-flagged documents (q57's Gopher
     * rules), keep one canonical document per duplicate cluster (q59's
@@ -1220,7 +1385,9 @@ object Curation {
     "q113_effective_size" -> (q113EffectiveSize _),
     "q116_curriculum" -> (q116Curriculum _),
     "q118_epoch_alloc" -> (q118EpochAllocation _),
-    "q114_concentration" -> (q114Concentration _)
+    "q114_concentration" -> (q114Concentration _),
+    "q124_bloom_decontam" -> (q124BloomDecontam _),
+    "q125_chunk_sliding" -> (q125ChunkSliding _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1242,6 +1409,8 @@ object Curation {
     "q113_effective_size" -> q113Sql,
     "q116_curriculum" -> q116Sql,
     "q118_epoch_alloc" -> q118Sql,
-    "q114_concentration" -> q114Sql
+    "q114_concentration" -> q114Sql,
+    "q124_bloom_decontam" -> q124Sql,
+    "q125_chunk_sliding" -> q125Sql
   )
 }

@@ -427,6 +427,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("dot_f64"))
   }
 
+  test("q124 bloom: the occupied-position probe is a broadcast join — " +
+      "the probe side never shuffle-joins the train corpus") {
+    val p = plan("q124_bloom_decontam")
+    // the bloom membership join must broadcast the O(m)-bounded position
+    // set; only the exact-control join may shuffle by hash
+    assert(p.contains("BroadcastHashJoin"),
+      "bloom position probe lost its broadcast")
+    val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj <= 3, s"unexpected sort-merge joins ($smj) — the bloom " +
+      "path should join only against the broadcast position set")
+  }
+
+  test("q125 chunking: map-only — no join, no window, no hash exchange " +
+      "before the presentation sort") {
+    val p = plan("q125_chunk_sliding")
+    assert(hashExchanges(p) == 0,
+      "chunking must not shuffle — it is per-document arithmetic")
+    assert(!p.contains("Join"), "chunking needs no join")
+    assert(!p.contains("Window ["), "chunking needs no window")
+  }
+
   test("q123 ewa: scatter-splat — bounded explode into one aggregate, " +
       "no join, no window") {
     val p = plan("q123_resample_ewa")
