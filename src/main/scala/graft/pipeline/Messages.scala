@@ -96,13 +96,16 @@ object Messages {
     ParsedMessage(msgType, paths, metadata, dts.result())
   }
 
-  /** message → ready-to-run context + input paths: the caller puts the
-    * paths into the chain's [[Plugins.CreateScene]] (the `input_filenames`
-    * slot of the reference's job dict, launcher.py:287). */
+  /** message → ready-to-run context + input paths: the paths land both in
+    * the returned seq (the caller prepends a [[Plugins.CreateScene]]) and
+    * in the context's `inputs` slot (the `input_filenames` slot of the
+    * reference's job dict, launcher.py:287), which upstream plugins like
+    * [[Plugins.CacheInputs]] may rewrite before the scene opens. */
   def toContext(spark: SparkSession, spec: ProductList,
       json: String): (PipelineContext, Seq[String]) = {
     val m = parse(json)
-    (PipelineContext(spark, spec, m.metadata, Map.empty, Worklist.expand(spec)),
+    (PipelineContext(spark, spec, m.metadata, Map.empty, Worklist.expand(spec),
+      inputs = m.paths),
       m.paths)
   }
 }

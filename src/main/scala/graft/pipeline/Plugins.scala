@@ -31,6 +31,13 @@ final case class PipelineContext(
     frames: Map[Option[String], DataFrame],
     worklist: Seq[WorkItem],
     manifest: Seq[WrittenFile] = Seq.empty,
+    /** The job dict's `input_filenames` slot (launcher.py:287): the
+      * per-job input URIs, rewritable by upstream plugins — that is how
+      * the reference's `use_fsspec_cache` redirects `create_scene` to
+      * cached copies (plugins/__init__.py:1141-1158). When non-empty it
+      * takes precedence over [[Plugins.CreateScene]]'s constructor
+      * paths. */
+    inputs: Seq[String] = Seq.empty,
     /** Set by aborting plugins (`AbortProcessing`, launcher.py:456-457):
       * downstream plugins become no-ops; the runner logs and moves on. */
     aborted: Option[String] = None) {
@@ -52,7 +59,12 @@ object Plugins {
     * reference's `reader_kwargs` (launcher.py passes them through to the
     * satpy reader — here they become Spark reader options, e.g.
     * `header`/`inferSchema` for csv). Reader failure aborts the job,
-    * matching the reference's AbortProcessing. */
+    * matching the reference's AbortProcessing.
+    *
+    * A non-empty `ctx.inputs` takes precedence over the constructor
+    * `paths`: the reference's `create_scene` always reads the job dict's
+    * `input_filenames` slot (plugins/__init__.py:93), which upstream
+    * plugins like `use_fsspec_cache` rewrite in place. */
   final case class CreateScene(paths: Seq[String], reader: String = "parquet",
       options: Map[String, String] = Map.empty)
       extends Plugin {
@@ -60,11 +72,75 @@ object Plugins {
     def apply(ctx: PipelineContext): PipelineContext =
       if (ctx.aborted.isDefined) ctx
       else try {
-        val df = ctx.spark.read.format(reader).options(options).load(paths: _*)
+        val srcs = if (ctx.inputs.nonEmpty) ctx.inputs else paths
+        val df = ctx.spark.read.format(reader).options(options).load(srcs: _*)
         ctx.copy(frames = ctx.frames + (None -> df))
       } catch {
         case e: Exception => ctx.abort(s"create_scene failed: ${e.getMessage}")
       }
+  }
+
+  /** `use_fsspec_cache` (plugins/__init__.py:1141-1158): stage the job's
+    * input files into a cache before `create_scene` opens them. The
+    * reference wraps each URI in an fsspec caching filesystem
+    * (`blockcache::` / `filecache::`) so remote reads hit local copies;
+    * the Spark-native analog copies through Hadoop `FileSystem` — the
+    * same abstraction the readers use, so `s3a://`, `hdfs://` and
+    * `file://` URIs all work — into `cacheDir`, then rewrites
+    * `ctx.inputs` to the cached copies exactly as the reference rewrites
+    * `job["input_filenames"]`.
+    *
+    * Cache keys are content-addressed by source URI (md5 prefix +
+    * basename), so a file already staged is NOT re-copied — fsspec's
+    * `filecache` semantics. At cluster scale `cacheDir` must be a
+    * shared filesystem visible to all executors (the staged paths are
+    * read distributed by the scan); a driver-local temp dir only works
+    * in local mode. Copy failure aborts the job like any other plugin
+    * error. */
+  final case class CacheInputs(cacheDir: String) extends Plugin {
+    val name = "use_fsspec_cache"
+    def apply(ctx: PipelineContext): PipelineContext =
+      if (ctx.aborted.isDefined || ctx.inputs.isEmpty) ctx
+      else try {
+        val conf = ctx.spark.sparkContext.hadoopConfiguration
+        val dst = new org.apache.hadoop.fs.Path(cacheDir)
+        val dstFs = dst.getFileSystem(conf)
+        dstFs.mkdirs(dst)
+        val cached = ctx.inputs.map { uri =>
+          val src = new org.apache.hadoop.fs.Path(uri)
+          val srcFs = src.getFileSystem(conf)
+          val key = java.security.MessageDigest.getInstance("MD5")
+            .digest(uri.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+          val target = new org.apache.hadoop.fs.Path(dst, s"${key}_${src.getName}")
+          if (!dstFs.exists(target))
+            org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, target,
+              /*deleteSource=*/ false, /*overwrite=*/ true, conf)
+          target.toString
+        }
+        ctx.copy(inputs = cached)
+      } catch {
+        case e: Exception => ctx.abort(s"use_fsspec_cache failed: ${e.getMessage}")
+      }
+  }
+
+  /** `clear_fsspec_cache` (plugins/__init__.py:1161-1167): drop every
+    * staged copy in the cache directory (the reference calls
+    * `fs.clear_cache()` on each input's caching filesystem). Runs even
+    * for aborted jobs — cache hygiene is not part of the job's success
+    * path — and never aborts: a missing dir is already-clear.
+    *
+    * Place it AFTER the write stage, like the reference's worker lists
+    * do: frames are lazy plans over the staged paths, so clearing before
+    * `save_datasets` has run its actions would pull the files out from
+    * under the scan. */
+  final case class ClearInputCache(cacheDir: String) extends Plugin {
+    val name = "clear_fsspec_cache"
+    def apply(ctx: PipelineContext): PipelineContext = {
+      val dst = new org.apache.hadoop.fs.Path(cacheDir)
+      val fs = dst.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dst)) fs.delete(dst, /*recursive=*/ true)
+      ctx
+    }
   }
 
   /** `load_composites` (plugins/__init__.py:102-121): declare derived

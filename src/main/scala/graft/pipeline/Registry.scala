@@ -31,7 +31,8 @@ object PluginRegistry {
   def names: Set[String] = Set(
     "create_scene", "load_composites", "check_metadata", "metadata_alias",
     "aggregate", "resample", "check_valid_data_fraction", "sza_check",
-    "save_datasets", "format_decoration", "check_results", "file_publisher")
+    "save_datasets", "format_decoration", "check_results", "file_publisher",
+    "use_fsspec_cache", "clear_fsspec_cache")
 
   /** Build the full worker chain; `inputPaths` are the per-job input
     * files carried by the triggering message (launcher.py:287), the one
@@ -202,6 +203,22 @@ object PluginRegistry {
           }.getOrElse(Seq.empty),
           callbacks = callOnDone,
           earlyMoving = earlyMoving)
+
+      case "use_fsspec_cache" | "clear_fsspec_cache" =>
+        // the reference's root-level `fsspec_cache:` mapping
+        // (plugins/__init__.py:1149-1150): `type` picks the fsspec cache
+        // protocol; the storage location lives in `options.cache_storage`
+        // (fsspec filecache's knob). Here the staged-copy directory is the
+        // one parameter that matters; `type` is accepted and ignored.
+        val cacheDir = json("fsspec_cache").flatMap { n =>
+          Option(n.get("options")).flatMap(o => Option(o.get("cache_storage")))
+            .orElse(Option(n.get("cache_storage")))
+            .map(_.asText)
+        }.getOrElse(throw ConfigException(
+          s"${worker.fun}: missing 'fsspec_cache' setting with " +
+            "options.cache_storage (the staged-copy directory)"))
+        if (worker.fun == "use_fsspec_cache") CacheInputs(cacheDir)
+        else ClearInputCache(cacheDir)
 
       case "format_decoration" => FormatDecoration()
       case "check_results" => CheckResults()

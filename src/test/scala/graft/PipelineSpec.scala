@@ -234,6 +234,41 @@ class PipelineSpec extends SparkSpec {
     assert(got.exists(s => s.contains("action=") && s.contains("exchanges=")), got.mkString("; "))
   }
 
+  test("use_fsspec_cache stages inputs once; create_scene reads the copies") {
+    val cacheDir = Files.createTempDirectory("graft_fscache").toString
+    val srcFile = s"$sf/region.parquet"
+    val expected = spark.read.parquet(srcFile).count()
+    val base = PipelineContext(spark, spec, Map.empty, Map.empty, Seq.empty,
+      inputs = Seq(srcFile))
+
+    // stage + rewrite: ctx.inputs now point into the cache dir
+    val staged = CacheInputs(cacheDir)(base)
+    assert(staged.aborted.isEmpty)
+    assert(staged.inputs.size == 1 && staged.inputs.head.startsWith(cacheDir),
+      staged.inputs.toString)
+    val cachedPath = Paths.get(staged.inputs.head)
+    assert(Files.exists(cachedPath))
+
+    // ctx.inputs wins over constructor paths (the job-dict rewrite,
+    // plugins/__init__.py:93) — the bogus path is never opened
+    val scene = CreateScene(Seq("/nonexistent/never/read"))(staged)
+    assert(scene.aborted.isEmpty)
+    assert(scene.frames(None).count() == expected)
+
+    // filecache semantics: an already-staged file is not re-copied
+    val firstMtime = Files.getLastModifiedTime(cachedPath)
+    Thread.sleep(20)
+    val again = CacheInputs(cacheDir)(base)
+    assert(again.inputs == staged.inputs)
+    assert(Files.getLastModifiedTime(cachedPath) == firstMtime)
+
+    // clear_fsspec_cache drops the staged copies; empty inputs = no-op
+    val cleared = ClearInputCache(cacheDir)(staged)
+    assert(cleared.aborted.isEmpty)
+    assert(!Files.exists(cachedPath))
+    assert(CacheInputs(cacheDir)(base.copy(inputs = Seq.empty)).inputs.isEmpty)
+  }
+
   test("aborted context short-circuits downstream plugins") {
     val ctx = PipelineContext(spark, spec, Map.empty, Map.empty,
       Worklist.expand(spec)).abort("boom")

@@ -189,6 +189,49 @@ class RegistrySpec extends SparkSpec {
     assert(out.frames(None).columns.contains("shifted"))
   }
 
+  test("fsspec_cache config builds the cache/clear pair with the fsspec knob") {
+    val cacheDir = Files.createTempDirectory("graft_regcache").toString
+    // the reference's root-level mapping (plugins/__init__.py:1149-1150):
+    // `type` is the fsspec protocol (accepted, ignored here);
+    // options.cache_storage is fsspec filecache's storage-dir knob
+    val cfg = ProductListLoader.fromYaml(
+      s"""product_list:
+         |  fsspec_cache:
+         |    type: filecache
+         |    options:
+         |      cache_storage: $cacheDir
+         |  areas: {}
+         |workers:
+         |  - fun: use_fsspec_cache
+         |  - fun: create_scene
+         |  - fun: clear_fsspec_cache
+         |""".stripMargin)
+    val chain = PluginRegistry.chain(cfg, Seq(s"$sf/region.parquet"))
+    assert(chain.map(_.name) ==
+      Seq("use_fsspec_cache", "create_scene", "clear_fsspec_cache"))
+    assert(chain(0).asInstanceOf[CacheInputs].cacheDir == cacheDir)
+    assert(chain(2).asInstanceOf[ClearInputCache].cacheDir == cacheDir)
+    // end-to-end through the cache: scene rows come from the staged copy.
+    // The scan action must run BEFORE clear_fsspec_cache — frames are
+    // lazy, and the reference likewise runs the clear worker only after
+    // save_datasets has materialized everything.
+    val ctx0 = PipelineContext(spark, cfg.productList, Map.empty,
+      frames = Map.empty, worklist = Seq.empty,
+      inputs = Seq(s"$sf/region.parquet"))
+    val staged = chain(1)(chain(0)(ctx0))
+    assert(staged.aborted.isEmpty, s"aborted: ${staged.aborted}")
+    assert(staged.frames(None).count() ==
+      spark.read.parquet(s"$sf/region.parquet").count())
+    chain(2)(staged)
+    assert(!Files.exists(Paths.get(cacheDir)))
+    // missing fsspec_cache setting is a config error
+    val e = intercept[ConfigException] {
+      PluginRegistry.build(ProductListLoader.fromYaml(
+        "product_list:\n  areas: {}\n"), WorkerSpec("use_fsspec_cache"), Seq.empty)
+    }
+    assert(e.getMessage.contains("fsspec_cache"))
+  }
+
   test("unknown plugin and missing required settings raise ConfigException") {
     val base = ProductListLoader.fromYaml("product_list:\n  areas: {}\n")
     val unknown = intercept[ConfigException] {
