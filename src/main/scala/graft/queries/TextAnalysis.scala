@@ -918,6 +918,122 @@ object TextAnalysis {
       |ORDER BY pmi DESC, w1, w2
       |LIMIT 20""".stripMargin
 
+  /** PII detection + redaction — the scrubbing stage every training-data
+    * pipeline runs before release (emails, IPv4 addresses, SSN-shaped
+    * ids). The fixture corpus is digit-free word salad, so deterministic
+    * synthetic PII is first injected from `doc_id` (same expression in
+    * the oracle) — the extraction and redaction kernels are then
+    * genuinely exercised instead of counting zeroes. Reports, per
+    * source: docs scanned, docs carrying PII, hits per category, and
+    * characters removed by redaction.
+    *
+    * Scale design: one scan → narrow per-row projection (regexes are
+    * codegen'd string kernels, no UDF) → one map-side-combined
+    * aggregation on the 20-value source key. Zero joins, zero windows —
+    * the shape survives any corpus size. */
+  def q126PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    val idRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    val id = col("doc_id")
+    val aug = concat(
+      col("text"),
+      when(id % 3 === 0, concat(lit(" mail u"), id.cast("string"), lit("@ex"),
+        (id % 10).cast("string"), lit(".org"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" ip 10.0."), (id % 256).cast("string"),
+        lit("."), (id % 100).cast("string"))).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" id 123-45-"),
+        lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(aug,
+      lit(emailRe), lit("[EMAIL]")), lit(ipRe), lit("[IP]")), lit(idRe), lit("[ID]"))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(regexp_extract_all(aug, lit(emailRe), lit(0))).as("ne"),
+        size(regexp_extract_all(aug, lit(ipRe), lit(0))).as("ni"),
+        size(regexp_extract_all(aug, lit(idRe), lit(0))).as("nd"),
+        (length(aug) - length(redacted)).as("delta"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("ne") + col("ni") + col("nd") > 0).cast("int")).as("docs_with_pii"),
+        sum(col("ne")).as("emails"),
+        sum(col("ni")).as("ips"),
+        sum(col("nd")).as("ids"),
+        sum(col("delta")).as("chars_redacted"))
+      .orderBy(col("source"))
+  }
+
+  val q126Sql: String =
+    """WITH aug AS (
+      |  SELECT source,
+      |    text
+      |      || CASE WHEN doc_id % 3 = 0 THEN ' mail u' || doc_id || '@ex'
+      |           || (doc_id % 10) || '.org' ELSE '' END
+      |      || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.' || (doc_id % 256)
+      |           || '.' || (doc_id % 100) ELSE '' END
+      |      || CASE WHEN doc_id % 7 = 0 THEN ' id 123-45-'
+      |           || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS t
+      |  FROM documents),
+      |hits AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS ne,
+      |    len(regexp_extract_all(t, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS ni,
+      |    len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS nd,
+      |    length(t) - length(
+      |      regexp_replace(regexp_replace(regexp_replace(t,
+      |        '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+      |        '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '[IP]', 'g'),
+      |        '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[ID]', 'g')) AS delta
+      |  FROM aug)
+      |SELECT source, count(*) AS n_docs,
+      |  sum(CASE WHEN ne + ni + nd > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
+      |  sum(ne)::BIGINT AS emails,
+      |  sum(ni)::BIGINT AS ips,
+      |  sum(nd)::BIGINT AS ids,
+      |  sum(delta)::BIGINT AS chars_redacted
+      |FROM hits
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Blocklist (badword) filtering — the C4-style stage that drops or
+    * down-weights documents containing listed terms. The list here is a
+    * plan-time constant folded into the row kernel (at a real 100 TB run
+    * a large list becomes a broadcast set feeding the same `filter`
+    * lambda — never a join against exploded tokens). Reports, per
+    * source: docs scanned, docs flagged, blocked-token volume, and the
+    * average blocked-token ratio the down-weighting rule would use.
+    *
+    * Same shape as q126: scan → per-row projection → one aggregation on
+    * the source key; embarrassingly parallel at any scale. */
+  def q127BlocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val blockArr = array(Seq("slow", "big", "merge").map(lit): _*)
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(toks).as("nw"),
+        size(filter(toks, t => array_contains(blockArr, t))).as("nb"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("nb") > 0).cast("int")).as("n_flagged"),
+        sum(col("nb")).as("blocked_tokens"),
+        round(lit(1e-9) + avg(col("nb").cast("double") / col("nw")), 5)
+          .as("avg_block_ratio"))
+      .orderBy(col("source"))
+  }
+
+  val q127Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+      |  sum(nb)::BIGINT AS blocked_tokens,
+      |  round(1e-9 + avg(CAST(nb AS DOUBLE) / nw), 5) AS avg_block_ratio
+      |FROM (
+      |  SELECT source,
+      |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS nw,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> list_contains(['slow', 'big', 'merge'], t))) AS nb
+      |  FROM documents) d
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q23_token_stats" -> (q23TokenStats _),
     "q24_quality_score" -> (q24QualityScore _),
@@ -936,7 +1052,9 @@ object TextAnalysis {
     "q94_token_entropy" -> (q94TokenEntropy _),
     "q102_countmin_hitters" -> (q102CountMinHitters _),
     "q105_zipf_audit" -> (q105ZipfAudit _),
-    "q109_pmi_collocations" -> (q109PmiCollocations _)
+    "q109_pmi_collocations" -> (q109PmiCollocations _),
+    "q126_pii_scrub" -> (q126PiiScrub _),
+    "q127_blocklist_filter" -> (q127BlocklistFilter _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -957,6 +1075,8 @@ object TextAnalysis {
     "q94_token_entropy" -> q94Sql,
     "q102_countmin_hitters" -> q102Sql,
     "q105_zipf_audit" -> q105Sql,
-    "q109_pmi_collocations" -> q109Sql
+    "q109_pmi_collocations" -> q109Sql,
+    "q126_pii_scrub" -> q126Sql,
+    "q127_blocklist_filter" -> q127Sql
   )
 }

@@ -448,6 +448,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["), "chunking needs no window")
   }
 
+  test("q126/q127 scrub + blocklist: one source-key aggregation, " +
+      "no join, no window") {
+    for (name <- Seq("q126_pii_scrub", "q127_blocklist_filter")) {
+      val p = plan(name)
+      assert(hashExchanges(p) == 1,
+        s"$name is scan → row kernel → one agg on source; got:\n$p")
+      assert(!p.contains("Join"), s"$name needs no join")
+      assert(!p.contains("Window ["), s"$name needs no window")
+    }
+  }
+
   test("q123 ewa: scatter-splat — bounded explode into one aggregate, " +
       "no join, no window") {
     val p = plan("q123_resample_ewa")
