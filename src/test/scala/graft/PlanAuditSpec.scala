@@ -461,6 +461,11 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q123 ewa: scatter-splat — bounded explode into one aggregate, " +
       "no join, no window") {
+    // exchange COUNT is sensitive to cross-suite cache state: a frame
+    // persisted by an earlier suite substitutes an InMemoryRelation whose
+    // partitioning no longer satisfies the agg, adding one exchange. Pin
+    // the pristine plan (Verify/Bench likewise clear between queries).
+    spark.sharedState.cacheManager.clearCache()
     val p = plan("q123_resample_ewa")
     // two generators (ky, kx) with a constant 3-element sequence each —
     // the splat fan-out is the plan-time constant 9, not data-dependent
