@@ -79,6 +79,21 @@ object Launcher {
       timeoutPerPlugin, handlers)
   }
 
+  /** The CLI one-shot (cli.py:46-64 → `process_files`): run the
+    * configured chain directly on in-hand files with a metadata JSON
+    * object — no message envelope, no subscriber. The files + metadata
+    * are assembled into the same job document the message path builds
+    * ([[Messages.filesMessage]]), so both entries share one code path,
+    * exactly as the reference's CLI and subscriber both feed
+    * `process_files`. The reference's `produced_files` queue is the
+    * returned reports' manifests. */
+  def processFiles(spark: SparkSession, config: LoadedConfig,
+      files: Seq[String], metadataJson: String = "{}",
+      timeoutPerPlugin: Duration = Duration.Inf,
+      crashHandlers: Seq[Runner.CrashHandler] = Seq.empty): Seq[Runner.JobReport] =
+    runOnce(spark, config, Messages.filesMessage(files, metadataJson),
+      timeoutPerPlugin, crashHandlers)
+
   /** The subscriber loop: one pipeline run per message row, sequential
     * within a micro-batch (the reference's `proc.start(); proc.join()`
     * serialization). `messages` is any DataFrame whose first column is

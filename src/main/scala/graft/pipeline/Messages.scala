@@ -63,6 +63,25 @@ object Messages {
     out.result()
   }
 
+  /** Assemble the message-shaped job document the CLI path needs: bare
+    * input files + a metadata JSON object (cli.py:30-33, 60-62 — the
+    * `-m` flag's dict plus positional files become the same job dict the
+    * subscriber path builds). Metadata keys land in `data` beside a
+    * `dataset` list carrying one `uri` per file, so [[parse]] extracts
+    * both identically to a posttroll dataset message. */
+  def filesMessage(files: Seq[String], metadataJson: String = "{}"): String = {
+    val meta = mapper.readTree(metadataJson)
+    if (!meta.isObject)
+      throw ConfigException(s"metadata must be a JSON object, got: $metadataJson")
+    val data = meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].deepCopy()
+    val ds = data.putArray("dataset")
+    files.foreach(f => ds.addObject().put("uri", f))
+    val root = mapper.createObjectNode()
+    root.put("type", "dataset")
+    root.set("data", data)
+    mapper.writeValueAsString(root)
+  }
+
   def parse(json: String): ParsedMessage = {
     val root = mapper.readTree(json)
     val msgType = Option(root.get("type")).map(_.asText).getOrElse("file")

@@ -51,6 +51,26 @@ class LauncherSpec extends SparkSpec {
     ctx.manifest.foreach(f => assert(Files.exists(Paths.get(f.path))))
   }
 
+  test("processFiles: the CLI one-shot runs bare files + metadata JSON") {
+    val outDir = Files.createTempDirectory("graft_launch_cli").toString
+    val cfg = Launcher.load(configText(outDir))
+    // cli.py:46-64: positional files + the -m metadata dict, no envelope
+    val reports = Launcher.processFiles(spark, cfg,
+      files = Seq(s"$sf/region.parquet"),
+      metadataJson = """{"platform_name": "noaa15"}""")
+    assert(reports.size == 1)
+    val ctx = reports.head.finalCtx
+    assert(ctx.aborted.isEmpty, s"aborted: ${ctx.aborted}")
+    assert(ctx.metadata("platform_name") == "NOAA-15") // alias applied
+    assert(ctx.manifest.map(f => (f.area, f.product, f.format)) ==
+      Seq((Some("euro"), "N", "parquet")))
+    ctx.manifest.foreach(f => assert(Files.exists(Paths.get(f.path))))
+    // malformed / non-object metadata is a config error, not a crash
+    intercept[ConfigException] {
+      Launcher.processFiles(spark, cfg, Seq(s"$sf/region.parquet"), "[1,2]")
+    }
+  }
+
   test("crash_handlers section: sendmail-shaped message reaches the transport") {
     val cfg = Launcher.load(
       """product_list:
