@@ -365,6 +365,9 @@ class LoaderSpec extends AnyFunSuite {
   }
 
   test("malformed documents raise ConfigException, not parser internals") {
+    // an EMPTY product-list file is an error, not a silent no-op run
+    // (test_cli.py:117-127 expects IOError + "check YAML file")
+    intercept[ConfigException](ProductListLoader.fromYaml(""))
     intercept[ConfigException](ProductListLoader.fromYaml("just a scalar"))
     intercept[ConfigException](ProductListLoader.fromYaml("areas: {}")) // no product_list
     intercept[ConfigException](ProductListLoader.fromYaml(

@@ -78,4 +78,27 @@ class RunnerSpec extends SparkSpec {
       crashHandlers = Seq((_, _) => throw new RuntimeException("handler died")))
     assert(reports2.head.finalCtx.aborted.exists(_.contains("kaboom")))
   }
+
+  test("plugins are stopped exactly once after processing, even on crash") {
+    // test_launcher.py:599-603 (stop after processing) and :635-638
+    // (plugins without stop work fine — the trait default is a no-op)
+    class Counting extends Plugin {
+      val name = "counting_plugin"
+      var stops = 0
+      def apply(ctx: PipelineContext): PipelineContext = ctx
+      override def stop(): Unit = stops += 1
+    }
+    val ok = new Counting
+    Runner.processJobs(baseCtx(), Seq(ok))
+    assert(ok.stops == 1)
+    // teardown runs even when a later plugin crashes the job
+    val before = new Counting
+    val boom = new Plugin {
+      val name = "boom_plugin"
+      def apply(ctx: PipelineContext): PipelineContext =
+        throw new IllegalStateException("kaboom")
+    }
+    Runner.processJobs(baseCtx(), Seq(before, boom))
+    assert(before.stops == 1)
+  }
 }
