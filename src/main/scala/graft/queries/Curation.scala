@@ -316,6 +316,50 @@ object Curation {
       |FROM chunks
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Truncation-loss report — the context-length planning stat: for each
+    * candidate context budget, what fraction of corpus tokens a
+    * truncate-at-L policy would discard, and how many documents it
+    * touches. Read next to q65 (packing wastes padding, truncation
+    * wastes tails) and q125 (sliding chunks waste nothing but duplicate
+    * overlap) — the three costs a pretraining data plan trades off.
+    * Budgets 16/32/64 straddle the fixture's 25-60-token documents so
+    * every row is exercised.
+    *
+    * Scale design: one scan → per-row token count → constant 3-way
+    * explode of the budget list → one map-side-combined aggregation on
+    * the 3-value budget key. No join, no window; the fan-out is a
+    * plan-time constant, not data-dependent. */
+  def q128TruncationLoss(spark: SparkSession, dir: String): DataFrame = {
+    val nt = size(tokens(col("text")))
+    Tables.documents(spark, dir)
+      .select(nt.as("nt"),
+        explode(array(lit(16), lit(32), lit(64))).as("ctx_len"))
+      .groupBy(col("ctx_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nt") > col("ctx_len"), 1L).otherwise(0L)).as("n_truncated"),
+        sum(col("nt")).as("tokens_total"),
+        sum(when(col("nt") > col("ctx_len"), col("nt") - col("ctx_len"))
+          .otherwise(0L)).as("tokens_lost"))
+      .withColumn("loss_ratio", round(lit(1e-9) +
+        col("tokens_lost").cast("double") / col("tokens_total"), 5))
+      .orderBy(col("ctx_len"))
+  }
+
+  val q128Sql: String =
+    """WITH d AS (
+      |  SELECT len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS nt
+      |  FROM documents),
+      |b AS (SELECT unnest([16, 32, 64]) AS ctx_len)
+      |SELECT ctx_len, count(*) AS n_docs,
+      |  sum(CASE WHEN nt > ctx_len THEN 1 ELSE 0 END)::BIGINT AS n_truncated,
+      |  sum(nt)::BIGINT AS tokens_total,
+      |  sum(CASE WHEN nt > ctx_len THEN nt - ctx_len ELSE 0 END)::BIGINT AS tokens_lost,
+      |  round(1e-9 + sum(CASE WHEN nt > ctx_len THEN nt - ctx_len ELSE 0 END)::DOUBLE
+      |    / sum(nt), 5) AS loss_ratio
+      |FROM d CROSS JOIN b
+      |GROUP BY ctx_len
+      |ORDER BY ctx_len""".stripMargin
+
   /** End-to-end corpus curation — the composed pipeline a training run
     * actually consumes: drop repetition-flagged documents (q57's Gopher
     * rules), keep one canonical document per duplicate cluster (q59's
@@ -1387,7 +1431,8 @@ object Curation {
     "q118_epoch_alloc" -> (q118EpochAllocation _),
     "q114_concentration" -> (q114Concentration _),
     "q124_bloom_decontam" -> (q124BloomDecontam _),
-    "q125_chunk_sliding" -> (q125ChunkSliding _)
+    "q125_chunk_sliding" -> (q125ChunkSliding _),
+    "q128_truncation_loss" -> (q128TruncationLoss _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1411,6 +1456,7 @@ object Curation {
     "q118_epoch_alloc" -> q118Sql,
     "q114_concentration" -> q114Sql,
     "q124_bloom_decontam" -> q124Sql,
-    "q125_chunk_sliding" -> q125Sql
+    "q125_chunk_sliding" -> q125Sql,
+    "q128_truncation_loss" -> q128Sql
   )
 }

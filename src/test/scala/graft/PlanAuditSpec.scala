@@ -448,12 +448,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["), "chunking needs no window")
   }
 
-  test("q126/q127 scrub + blocklist: one source-key aggregation, " +
-      "no join, no window") {
-    for (name <- Seq("q126_pii_scrub", "q127_blocklist_filter")) {
+  test("q126/q127/q128 scrub + blocklist + truncation: one small-key " +
+      "aggregation, no join, no window") {
+    for (name <- Seq("q126_pii_scrub", "q127_blocklist_filter",
+        "q128_truncation_loss")) {
       val p = plan(name)
       assert(hashExchanges(p) == 1,
-        s"$name is scan → row kernel → one agg on source; got:\n$p")
+        s"$name is scan → row kernel → one agg on a small key; got:\n$p")
       assert(!p.contains("Join"), s"$name needs no join")
       assert(!p.contains("Window ["), s"$name needs no window")
     }
