@@ -15,7 +15,7 @@ object Bench {
     // warmup: a scan+agg touches the parquet footer cache, codegen, and
     // shuffle machinery once before anything is timed
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // best-of-2 per query: a long 127-query session accumulates GC debt and
+    // best-of-2 per query: a long full-pack session accumulates GC debt and
     // this host carries fluctuating background load, so single-shot
     // timings swing up to 10x on identical plans; the minimum of two runs
     // reports the plan's actual cost (standard bench practice)
