@@ -930,10 +930,20 @@ object Relational {
     * min value and the equality join-back compare identical doubles in
     * both engines. */
   def q115MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // the p_size predicate lands BELOW the aggregations: broadcast the
+    // ~2% of parts that qualify and semi-reduce lineitem first, so both
+    // aggregate passes see only qualifying parts' offers — the same
+    // filter applied after the aggs would shuffle 50x the rows
+    val smallParts = broadcast(Tables.part(spark, dir)
+      .filter(col("p_size") === 1)
+      .select(col("p_partkey"), col("p_name")))
     val offers = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"),
         round(lit(1e-9) + col("l_extendedprice") / col("l_quantity"), 4)
           .as("unit"))
+      .join(smallParts.select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .drop("p_partkey")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("unit")).as("best_offer"))
     val minPer = offers.groupBy(col("l_partkey"))
@@ -944,10 +954,7 @@ object Relational {
       .groupBy(col("l_partkey"), col("min_price"))
       .agg(min(col("l_suppkey")).as("s_suppkey"))
     chosen
-      .join(broadcast(Tables.part(spark, dir)
-        .filter(col("p_size") === 1)
-        .select(col("p_partkey"), col("p_name"))),
-        col("l_partkey") === col("p_partkey"))
+      .join(smallParts, col("l_partkey") === col("p_partkey"))
       .join(broadcast(Tables.supplier(spark, dir)
         .select(col("s_suppkey"), col("s_name"))), Seq("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("min_price"),
