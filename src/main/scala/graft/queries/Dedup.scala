@@ -1199,6 +1199,88 @@ object Dedup {
       |LEFT JOIN cand c ON t.da = c.da AND t.db = c.db
       |ORDER BY t.da, t.db""".stripMargin
 
+  /** LSH precision audit — the complement of q119's recall audit: of the
+    * candidate pairs the deployed (16-hash, 4×4-band) family surfaces,
+    * which clear the 0.6 exact-Jaccard bar and which are the false
+    * positives the verify stage pays for. q119 asks "did the bands miss
+    * real dups"; this asks "how much verify work is wasted" — together
+    * they are the two dashboard numbers that size a signature budget
+    * before trusting LSH at 100 TB.
+    *
+    * Scale design: exact Jaccard is computed ONLY for candidate pairs —
+    * the shingle-collision join is semi-reduced by the broadcast
+    * candidate list BEFORE its aggregation, so verify cost is
+    * O(candidate collisions), the same work the production dedup (q30)
+    * already does, never the all-pairs join. Ground truth is the
+    * df-capped postings, matching q29/q119's definition. */
+  def q129LshPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val cand = mhCands(spark, shPostings(spark, dir))
+    val shc = cappedShPostings(spark, dir)
+    val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = shc.as("a")
+      .join(shc.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .join(broadcast(cand), Seq("da", "db"), "left_semi")
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    val jacExpr = round(lit(1e-9) +
+      coalesce(col("inter"), lit(0L)).cast("double") /
+        (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 5)
+    cand
+      .join(inter, Seq("da", "db"), "left")
+      .join(broadcast(cnt.select(col("doc_id").as("da"), col("n_sh").as("na"))),
+        Seq("da"), "left")
+      .join(broadcast(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb"))),
+        Seq("db"), "left")
+      .withColumn("jac", coalesce(jacExpr, lit(0.0)))
+      .withColumn("true_dup", when(col("jac") >= 0.6, 1L).otherwise(0L))
+      .select(col("da"), col("db"), col("jac"), col("true_dup"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val q129Sql: String =
+    s"""WITH $shPostingsSql,
+      |nd AS (SELECT count(*) AS ndocs FROM documents),
+      |hot AS (
+      |  SELECT h FROM sh CROSS JOIN nd
+      |  GROUP BY h, ndocs
+      |  HAVING count(*) * 100 > greatest(2500, ndocs)),
+      |shc AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+      |perms(i, pa, pb) AS (VALUES $permsValues),
+      |sig AS (
+      |  SELECT doc_id, i, min((pa * h + pb) % 1000000007) AS mh
+      |  FROM sh CROSS JOIN perms
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY i)),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS bfp
+      |  FROM sig
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.bfp = y.bfp AND x.doc_id < y.doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  WHERE EXISTS (SELECT 1 FROM cand c
+      |                WHERE c.da = a.doc_id AND c.db = b.doc_id)
+      |  GROUP BY 1, 2)
+      |SELECT c.da, c.db,
+      |  coalesce(round(1e-9 + CAST(coalesce(i.inter, 0) AS DOUBLE)
+      |    / (ca.n_sh + cb.n_sh - coalesce(i.inter, 0)), 5), 0.0) AS jac,
+      |  CASE WHEN coalesce(round(1e-9 + CAST(coalesce(i.inter, 0) AS DOUBLE)
+      |    / (ca.n_sh + cb.n_sh - coalesce(i.inter, 0)), 5), 0.0) >= 0.6
+      |    THEN 1 ELSE 0 END::BIGINT AS true_dup
+      |FROM cand c
+      |LEFT JOIN inter i ON c.da = i.da AND c.db = i.db
+      |LEFT JOIN cnt ca ON ca.doc_id = c.da
+      |LEFT JOIN cnt cb ON cb.doc_id = c.db
+      |ORDER BY c.da, c.db""".stripMargin
+
   /** Stop-shingle cap audit — operational introspection of the q29/q108
     * df-cap: how many distinct shingles exceed the frequency threshold,
     * what fraction of postings they carry, and the worst fan-out the
@@ -1339,6 +1421,7 @@ object Dedup {
     "q108_containment" -> (q108Containment _),
     "q111_minhash_drift" -> (q111MinhashDrift _),
     "q119_lsh_recall" -> (q119LshRecall _),
+    "q129_lsh_precision" -> (q129LshPrecision _),
     "q120_cap_audit" -> (q120CapAudit _),
     "q104_crosslang_dup" -> (q104CrossLangDup _)
   )
@@ -1360,6 +1443,7 @@ object Dedup {
     "q108_containment" -> q108Sql,
     "q111_minhash_drift" -> q111Sql,
     "q119_lsh_recall" -> q119Sql,
+    "q129_lsh_precision" -> q129Sql,
     "q120_cap_audit" -> q120Sql,
     "q104_crosslang_dup" -> q104Sql
   )

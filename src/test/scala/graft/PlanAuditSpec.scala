@@ -460,6 +460,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q129 precision audit: verify join semi-reduced by broadcast " +
+      "candidates, postings cached") {
+    val p = plan("q129_lsh_precision")
+    // the exact-Jaccard pass must touch candidate collisions only —
+    // the broadcast semi-join gates the collision join's aggregation
+    assert(p.contains("LeftSemi"), "candidate semi-reduction lost")
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      "capped postings must be cached across the collision join sides")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q123 ewa: scatter-splat — bounded explode into one aggregate, " +
       "no join, no window") {
     // exchange COUNT is sensitive to cross-suite cache state: a frame
