@@ -1034,6 +1034,73 @@ object TextAnalysis {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Per-source domain distance — KL(source ‖ corpus) over unigram
+    * distributions: how far each source's token mix sits from the pooled
+    * corpus. The number mixture planning reads before setting source
+    * weights (a source near the corpus adds little diversity; a far one
+    * shifts the mix), and the distribution-matching view next to q88's
+    * DSIR importance weights and q62's size-based mixing.
+    *
+    * KL needs no smoothing here: the sum runs over the source's own
+    * support (p_s > 0), and every such token has corpus mass by
+    * construction (the corpus pools the sources). ln(·) parity follows
+    * q109's PMI pattern: both engines evaluate ln over the same exact
+    * integer-count ratios and round once at the end (the 1e-9 nudge
+    * covers rounding-boundary floats; the float-sum drift itself is
+    * ~1e-13, far under 5 dp).
+    *
+    * Scale design: one explode → two map-side-combined aggregations
+    * ((source, token) and token) → vocab-sized equi-join on the token
+    * key → one per-source sum. Everything after the first agg is
+    * vocab-sized, not corpus-sized; totals broadcast. */
+  def q130DomainKl(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val bySrc = tok.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cs"))
+      .persist() // feeds source totals AND the per-token join below
+    val srcTotals = bySrc.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val byTok = bySrc.groupBy(col("tok")).agg(sum(col("cs")).as("cc"))
+    val total = byTok.agg(sum(col("cc")).as("nc"))
+    bySrc
+      .join(byTok, Seq("tok"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .crossJoin(broadcast(total))
+      .select(col("source"),
+        ((col("cs").cast("double") / col("ns")) *
+          log((col("cs").cast("double") / col("ns")) /
+            (col("cc").cast("double") / col("nc")))).as("term"),
+        col("cs"))
+      .groupBy(col("source"))
+      .agg(round(lit(1e-9) + sum(col("term")), 5).as("kl"),
+        count(lit(1)).as("vocab"),
+        sum(col("cs")).as("tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q130Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+      |  FROM documents),
+      |by_src AS (
+      |  SELECT source, tok, count(*) AS cs FROM tok GROUP BY 1, 2),
+      |src_totals AS (
+      |  SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM by_src GROUP BY 1),
+      |by_tok AS (
+      |  SELECT tok, CAST(sum(cs) AS BIGINT) AS cc FROM by_src GROUP BY 1),
+      |total AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM by_tok)
+      |SELECT source,
+      |  round(1e-9 + sum((CAST(cs AS DOUBLE) / ns) *
+      |    ln((CAST(cs AS DOUBLE) / ns) / (CAST(cc AS DOUBLE) / nc))), 5) AS kl,
+      |  count(*) AS vocab,
+      |  CAST(sum(cs) AS BIGINT) AS tokens
+      |FROM by_src
+      |JOIN by_tok USING (tok)
+      |JOIN src_totals USING (source)
+      |CROSS JOIN total
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q23_token_stats" -> (q23TokenStats _),
     "q24_quality_score" -> (q24QualityScore _),
@@ -1054,7 +1121,8 @@ object TextAnalysis {
     "q105_zipf_audit" -> (q105ZipfAudit _),
     "q109_pmi_collocations" -> (q109PmiCollocations _),
     "q126_pii_scrub" -> (q126PiiScrub _),
-    "q127_blocklist_filter" -> (q127BlocklistFilter _)
+    "q127_blocklist_filter" -> (q127BlocklistFilter _),
+    "q130_domain_kl" -> (q130DomainKl _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1077,6 +1145,7 @@ object TextAnalysis {
     "q105_zipf_audit" -> q105Sql,
     "q109_pmi_collocations" -> q109Sql,
     "q126_pii_scrub" -> q126Sql,
-    "q127_blocklist_filter" -> q127Sql
+    "q127_blocklist_filter" -> q127Sql,
+    "q130_domain_kl" -> q130Sql
   )
 }
