@@ -148,12 +148,17 @@ object Dedup {
     * drops nothing and the result is identical to the uncapped form. */
   def q29NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // the self-join carries ONLY (doc_id, h): per-doc retained-shingle
-    // counts are a separate 1-row-per-doc aggregate broadcast onto the
+    // counts are a separate 1-row-per-doc aggregate joined onto the
     // aggregated pairs afterwards (the oracle's cnt-join shape). The
     // earlier form rode the count through the join as a window column —
     // that ran the window exec once per join side and shipped the extra
     // column through every candidate row; counts-after-agg touches
-    // |pairs| rows instead of |candidate rows|.
+    // |pairs| rows instead of |candidate rows|. NO broadcast hint on the
+    // cnt joins: cnt is one row PER DOCUMENT — linear in corpus size, a
+    // driver OOM if force-broadcast at 10⁹ docs. A plain join is cheap
+    // here (cnt inherits the postings' doc_id partitioning, pairs are
+    // post-aggregation small) and AQE still picks broadcast at runtime
+    // when the measured size allows.
     val sh = cappedShPostings(spark, dir)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     sh.as("a")
@@ -161,8 +166,8 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(cnt.select(col("doc_id").as("da"), col("n_sh").as("na"))), Seq("da"))
-      .join(broadcast(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb"))), Seq("db"))
+      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
+      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
       .withColumn("jac",
         round(lit(1e-9) + col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5))
       .filter(col("jac") >= 0.6)
@@ -224,17 +229,19 @@ object Dedup {
   def q30MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shPostings(spark, dir)
     val cand = mhCands(spark, sh)
-    // verify join carries only (doc_id, h); per-doc set sizes are a tiny
-    // aggregate broadcast onto the aggregated candidate pairs (the
-    // oracle's cnt-join shape — no window exec on either join side)
+    // verify join carries only (doc_id, h); per-doc set sizes are a
+    // per-document aggregate joined onto the aggregated candidate pairs
+    // (the oracle's cnt-join shape — no window exec on either join side).
+    // No broadcast hint: cnt is N_docs rows (see q29's note); AQE may
+    // still broadcast it at runtime when measured-small.
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     sh.as("a")
       .join(cand, col("da") === col("a.doc_id"))
       .join(sh.as("b"), col("db") === col("b.doc_id") && col("a.h") === col("b.h"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(cnt.select(col("doc_id").as("da"), col("n_sh").as("na"))), Seq("da"))
-      .join(broadcast(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb"))), Seq("db"))
+      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
+      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
       .withColumn("jac",
         round(lit(1e-9) + col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5))
       .filter(col("jac") >= 0.6)
@@ -985,8 +992,9 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(cnt.select(col("doc_id").as("da"), col("n_sh").as("na"))), Seq("da"))
-      .join(broadcast(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb"))), Seq("db"))
+      // cnt is N_docs rows — never force-broadcast it (see q29's note)
+      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
+      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
       .select(
         when(col("na") <= col("nb"), col("da")).otherwise(col("db")).as("small_doc"),
         when(col("na") <= col("nb"), col("db")).otherwise(col("da")).as("big_doc"),
@@ -1138,7 +1146,7 @@ object Dedup {
     *
     * Determinism: p is computed by explicit multiplication (no libm pow)
     * from the 5-dp-rounded Jaccard, so both engines see identical floats
-    * before the final rounding. One extra broadcast join over the plans
+    * before the final rounding. One extra equi-join over the plans
     * q29/q30 already run. */
   def q119LshRecall(spark: SparkSession, dir: String): DataFrame = {
     val truth = q29NgramJaccard(spark, dir)
@@ -1148,7 +1156,9 @@ object Dedup {
     val s4 = col("jac") * col("jac") * col("jac") * col("jac")
     val miss1 = lit(1.0) - s4
     truth
-      .join(broadcast(cand), Seq("da", "db"), "left")
+      // candidate pairs are O(near-dups) — corpus-dependent, so no forced
+      // broadcast; AQE decides from the measured size at runtime
+      .join(cand, Seq("da", "db"), "left")
       .withColumn("caught", coalesce(col("caught"), lit(0L)))
       .withColumn("p_detect", round(lit(1e-9) + (lit(1.0) -
         miss1 * miss1 * miss1 * miss1), 4))
@@ -1208,8 +1218,8 @@ object Dedup {
     * before trusting LSH at 100 TB.
     *
     * Scale design: exact Jaccard is computed ONLY for candidate pairs —
-    * the shingle-collision join is semi-reduced by the broadcast
-    * candidate list BEFORE its aggregation, so verify cost is
+    * the shingle-collision join is semi-reduced by the candidate list
+    * BEFORE its aggregation, so verify cost is
     * O(candidate collisions), the same work the production dedup (q30)
     * already does, never the all-pairs join. Ground truth is the
     * df-capped postings, matching q29/q119's definition. */
@@ -1221,7 +1231,9 @@ object Dedup {
       .join(shc.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .join(broadcast(cand), Seq("da", "db"), "left_semi")
+      // semi-reduce by the candidate list BEFORE aggregating; no forced
+      // broadcast — candidates are O(near-dups), AQE sizes the join
+      .join(cand, Seq("da", "db"), "left_semi")
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"))
     val jacExpr = round(lit(1e-9) +
@@ -1229,9 +1241,10 @@ object Dedup {
         (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 5)
     cand
       .join(inter, Seq("da", "db"), "left")
-      .join(broadcast(cnt.select(col("doc_id").as("da"), col("n_sh").as("na"))),
+      // cnt is N_docs rows — never force-broadcast it (see q29's note)
+      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")),
         Seq("da"), "left")
-      .join(broadcast(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb"))),
+      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")),
         Seq("db"), "left")
       .withColumn("jac", coalesce(jacExpr, lit(0.0)))
       .withColumn("true_dup", when(col("jac") >= 0.6, 1L).otherwise(0L))

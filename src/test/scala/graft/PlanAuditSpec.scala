@@ -114,6 +114,25 @@ class PlanAuditSpec extends SparkSpec {
       "pairwise stage must stay an equi-join on the cluster id")
   }
 
+  test("dedup pack: no forced broadcast of corpus-sized side tables") {
+    // The per-doc shingle-count table is one row PER DOCUMENT and the LSH
+    // candidate list is O(near-dups) — both linear in corpus size. A
+    // broadcast() hint on either overrides the planner's size check and
+    // is a driver OOM at 10⁹ docs. These five plans must carry NO
+    // broadcast join hints: whatever broadcasting happens is the planner/
+    // AQE's size-measured choice, which degrades gracefully to a shuffle
+    // join at scale. (The deliberate bounded broadcasts — stop-shingle
+    // hot set, 1-row ndocs — live inside the persisted postings subtree
+    // and are size-bounded by construction.)
+    for (name <- Seq("q29_ngram_jaccard", "q30_minhash_lsh",
+        "q108_containment", "q119_lsh_recall", "q129_lsh_precision")) {
+      val lp = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(!lp.contains("strategy=broadcast"),
+        s"$name carries a forced-broadcast hint on a corpus-derived table")
+    }
+  }
+
   test("q29 jaccard: capped postings cached for both join sides and counts") {
     val p = plan("q29_ngram_jaccard")
     // the df-capped postings are persisted post-anti-join: the self-join
@@ -121,8 +140,6 @@ class PlanAuditSpec extends SparkSpec {
     // of re-running the explode+md5+anti-join chain
     assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
       "capped postings must be cached across self-join sides and counts")
-    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
-      "per-doc counts must broadcast onto the aggregated pairs")
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -321,13 +338,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "cross-lang audit must be a pure aggregation")
   }
 
-  test("q108 containment: postings cached, counts broadcast onto pairs") {
+  test("q108 containment: postings cached, counts joined onto pairs") {
     val p = plan("q108_containment")
     assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
       "postings must be cached across the self-join sides")
     assert(p.contains("LeftAnti"), "stop-shingle cap lost its anti-join")
-    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
-      "per-doc counts must broadcast onto the aggregated pairs")
   }
 
   test("q109 PMI: unigram table cached, totals broadcast, bounded top-20") {
@@ -363,6 +378,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
       "shingle postings must be cached for first-seen agg and probe side")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q56/q107/q124 ride ONE shared 8-gram postings cache") {
+    // the three 8-gram consumers must all read Curation.sh8Postings —
+    // three separate tokenize+md5 explodes over the corpus collapse into
+    // one persisted table (the Dedup.shPostings hoist, applied here).
+    // Materialize all three and count persisted RDDs: exactly one new.
+    spark.sharedState.cacheManager.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    for (name <- Seq("q56_contamination", "q107_novelty_curve",
+        "q124_bloom_decontam"))
+      SparkEntry.queries(name)(spark, sf).collect()
+    val added = spark.sparkContext.getPersistentRDDs.size - before
+    assert(added == 1,
+      s"expected ONE shared 8-gram postings cache, got $added new persisted RDDs")
   }
 
   test("q116 curriculum: rank windows are block-partitioned, never corpus-wide") {
@@ -460,11 +490,11 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q129 precision audit: verify join semi-reduced by broadcast " +
-      "candidates, postings cached") {
+  test("q129 precision audit: verify join semi-reduced by candidates, " +
+      "postings cached") {
     val p = plan("q129_lsh_precision")
     // the exact-Jaccard pass must touch candidate collisions only —
-    // the broadcast semi-join gates the collision join's aggregation
+    // the candidate semi-join gates the collision join's aggregation
     assert(p.contains("LeftSemi"), "candidate semi-reduction lost")
     assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
       "capped postings must be cached across the collision join sides")
