@@ -14,6 +14,24 @@ import graft.functions.TextFns.{h32, shingleH32, shingles, tokens, P}
 object Curation {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared 8-gram postings: distinct (doc_id, shingle-h32), doc_id-
+    * partitioned and persisted once per session. q56 (decontamination),
+    * q107 (novelty curve) and q124 (bloom decontam) all read this ONE
+    * table instead of each re-running the tokenize+md5 explode over the
+    * full corpus — the same hoist the 3-gram pack does with
+    * `Dedup.shPostings` (see there for why the pre-explode repartition
+    * and persist-not-checkpoint are load-bearing: the repartition
+    * parallelizes the expansion AND doc_id-prefixes every downstream
+    * per-doc grouping; the InMemoryRelation keeps that partitioning).
+    * Split buckets are a pure function of doc_id, so consumers that need
+    * them derive the column on top of the cache — narrow, shuffle-free. */
+  private[queries] def sh8Postings(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(shingleH32(col("text"), 8)).as("h"))
+      .distinct()
+      .persist()
+
   /** Deterministic train/val/test split by content-independent key hash
     * (90/5/5): split = h32("split_" + doc_id) % 100. Per-split stats
     * verify the assignment is stable and proportional. */
@@ -102,17 +120,9 @@ object Curation {
     * big side and the join partitions by `h` exactly as a persisted
     * inverted index would. */
   def q56Contamination(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      // spread the shingle+md5 expansion across cores (see Dedup.shPostings)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    // shared 8-gram postings + the doc_id-derived split bucket (narrow)
+    val sh = sh8Postings(spark, dir)
       .withColumn("bucket", h32(concat(lit("split_"), col("doc_id"))) % 100)
-      .select(col("doc_id"), col("bucket"),
-        explode(shingleH32(col("text"), 8)).as("h"))
-      .distinct()
-      // both split sides read this once; single-node analog of writing
-      // the postings table (see Dedup.shPostings for the full rationale —
-      // persist keeps the doc_id partitioning, a checkpoint would not)
-      .persist()
     val train = sh.filter(col("bucket") < 90).select(col("h")).distinct()
     val test = sh.filter(col("bucket") >= 95).select(col("doc_id"), col("h"))
     val tot = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -173,13 +183,10 @@ object Curation {
     * broadcast direction, made size-independent of the corpus. */
   def q124BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
     val m = 1 << 20
-    val sh = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    // train positions + test probe + exact control all ride the shared
+    // postings; the split bucket is derived per-read (pure doc_id hash)
+    val sh = sh8Postings(spark, dir)
       .withColumn("bucket", h32(concat(lit("split_"), col("doc_id"))) % 100)
-      .select(col("doc_id"), col("bucket"),
-        explode(shingleH32(col("text"), 8)).as("h"))
-      .distinct()
-      .persist() // train positions + test probe + exact control share it
     // k = 3 seeded positions per shingle: pos = h32("b<seed>_" || h) % m.
     // Seeding re-hashes the 32-bit shingle hash, not the text — the
     // filter builder only ever needs the postings.
@@ -922,11 +929,7 @@ object Curation {
     * ever pairwise. Decile boundaries use integer arithmetic on doc_id
     * (doc·10 ÷ (max+1)) so both engines bucket identically. */
   def q107NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(shingleH32(col("text"), 8)).as("h"))
-      .distinct()
-      .persist() // feeds first-seen agg AND the probe side
+    val sh = sh8Postings(spark, dir) // feeds first-seen agg AND the probe side
     val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     val mx = Tables.documents(spark, dir).agg(max(col("doc_id")).as("mx"))
     val perDoc = sh.join(first, Seq("h"))
