@@ -2,12 +2,42 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query seconds at
-  * SPARK_GRAFT_SF_DIR. Queries run in sorted-name order after a session
-  * warmup action, so q01 isn't silently charged the JVM/codegen spin-up
-  * and run-to-run numbers are comparable. */
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Full packs run CHUNKED — ~20 queries per fresh child JVM — because a
+  * 130-query single-JVM session accumulates allocator/GC debt that lands
+  * on whichever query runs late in the pack: round-5's full-pack numbers
+  * ran up to 14× above the same queries' isolated cost (q119 25.2 s pack
+  * vs 1.8 s isolated), which made the per-round regression signal
+  * useless. A bounded chunk keeps every number within noise of its
+  * isolated cost; the parent merges the children's lines and prints the
+  * same single-line contract the driver captures. Each child JVM reuses
+  * this JVM's exact args (add-opens, -Xmx, -D props) and classpath, so
+  * parent and child run identical configurations. */
 object Bench {
+  /** Queries per child JVM — small enough that late-chunk queries don't
+    * inherit earlier churn, large enough to amortize the ~10 s JVM+Spark
+    * spin-up across the pack. SPARK_GRAFT_CHUNK overrides (dev aid). */
+  private def chunkSize: Int =
+    sys.env.get("SPARK_GRAFT_CHUNK").map(_.toInt).getOrElse(20)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // dev aid: SPARK_GRAFT_ONLY=q30,q35 restricts the run to the named
+    // queries; a value matches the qNN id exactly or up to its underscore
+    // (so "q11" selects q11_big_spenders, never q110-q119)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(p => n == p || n.startsWith(p + "_"))))
+    if (sys.env.contains("SPARK_GRAFT_CHILD") || names.size <= chunkSize)
+      runPack(sfDir, names, printLine = true)
+    else
+      orchestrate(sfDir, names)
+  }
+
+  /** Time one set of queries in THIS JVM; returns (name, best seconds). */
+  private def runPack(sfDir: String, names: Seq[String],
+      printLine: Boolean): Seq[(String, Double)] = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
@@ -15,19 +45,11 @@ object Bench {
     // warmup: a scan+agg touches the parquet footer cache, codegen, and
     // shuffle machinery once before anything is timed
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // best-of-2 per query: a long full-pack session accumulates GC debt and
-    // this host carries fluctuating background load, so single-shot
-    // timings swing up to 10x on identical plans; the minimum of two runs
-    // reports the plan's actual cost (standard bench practice)
-    // dev aid: SPARK_GRAFT_ONLY=q30,q35 restricts the run to the named
-    // queries; a value matches the qNN id exactly or up to its underscore
-    // (so "q11" selects q11_big_spenders, never q110-q119)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) =>
-        only.forall(_.exists(p => n == p || n.startsWith(p + "_")))
-      }
-    val results = selected.map { case (name, fn) =>
+    // best-of-2 per query: the host carries fluctuating background load,
+    // so single-shot timings swing on identical plans; the minimum of two
+    // runs reports the plan's actual cost (standard bench practice)
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -46,10 +68,53 @@ object Bench {
       System.gc()
       name -> best
     }
-    // keys are the short qNN ids (the part before the first underscore)
-    // and values are 2-decimal seconds: the driver captures this line from
-    // a bounded log tail, and at 120+ queries the full-name/3-decimal form
-    // overflowed the window (r4 kept only 75 of 120 numbers)
+    if (printLine) println(jsonLine(sfDir, results))
+    spark.stop()
+    results
+  }
+
+  /** Parent mode: run the pack as ChunkSize-query child JVMs (fresh heap,
+    * fresh code cache, fresh Spark session each) and merge their lines. */
+  private def orchestrate(sfDir: String, names: Seq[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = sys.props("java.class.path")
+    val merged = names.grouped(chunkSize).toSeq.flatMap { chunk =>
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_ONLY", chunk.mkString(","))
+      // Spark logs stay on stderr like a direct run; only the JSON line
+      // travels through the captured stdout
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream)
+        .getLines().toList
+      val exit = proc.waitFor()
+      val line = out.findLast(_.startsWith("{\"metric\""))
+      if (exit != 0 || line.isEmpty)
+        throw new RuntimeException(
+          s"bench child failed (exit $exit) for chunk ${chunk.head}..${chunk.last}")
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(line.get).get("queries")
+      // children report short qNN ids; map back to the full names so the
+      // merged line keeps one entry per query
+      val byId = node.properties().asScala
+        .map(e => e.getKey -> e.getValue.asDouble).toMap
+      chunk.map(n => n -> byId(n.takeWhile(_ != '_')))
+    }
+    println(jsonLine(sfDir, merged))
+  }
+
+  /** The one-line driver contract. Keys are the short qNN ids (the part
+    * before the first underscore) and values are 2-decimal seconds: the
+    * driver captures this line from a bounded log tail, and at 120+
+    * queries the full-name/3-decimal form overflowed the window (r4 kept
+    * only 75 of 120 numbers). */
+  private def jsonLine(sfDir: String, results: Seq[(String, Double)]): String = {
     def f(v: Double): String = "%.2f".format(v)
     val shortIds = results.map(_._1.takeWhile(_ != '_'))
     require(shortIds.distinct.size == shortIds.size,
@@ -59,7 +124,6 @@ object Bench {
       s"\"" + id + "\":" + f(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 }
