@@ -1023,6 +1023,75 @@ object Plugins {
   private final case class Sink(df: DataFrame, writer: String,
       fname: String, item: WorkItem)
 
+  /** `s3.uploader` (plugins/s3.py:28-41): move every produced file from
+    * the staging zone to the remote output and update the manifest
+    * filenames, so downstream plugins ([[CheckRemoteFile]],
+    * [[FilePublisher]]) see the REMOTE paths — the reference's
+    * upload-after-success semantics, where `output_dir` is the
+    * `s3://bucket/...` URI and `save_datasets` only ever writes into
+    * `staging_zone` (the reference's `local_fname =
+    * filename.replace(output_dir, staging_zone)` inversion).
+    *
+    * The transfer runs over Hadoop `FileSystem` — the same abstraction
+    * the Spark writers use — so the remote scheme is pure config:
+    * `s3a://` on a cluster with the S3 connector, `hdfs://`, or `file://`
+    * (how the unit tests exercise it in this no-S3 sandbox).
+    * `deleteSource=true` is the reference's S3Mover.move() contract
+    * (upload then drop the staged copy). Any transfer failure aborts the
+    * job: a half-uploaded batch must not be published. */
+  final case class RemoteUpload(remoteDir: String, deleteSource: Boolean = true)
+      extends Plugin {
+    val name = "s3.uploader"
+    def apply(ctx: PipelineContext): PipelineContext =
+      if (ctx.aborted.isDefined || ctx.manifest.isEmpty) ctx
+      else try {
+        val conf = ctx.spark.sparkContext.hadoopConfiguration
+        val dst = new org.apache.hadoop.fs.Path(remoteDir)
+        val dstFs = dst.getFileSystem(conf)
+        dstFs.mkdirs(dst)
+        val uploaded = ctx.manifest.map { f =>
+          val src = new org.apache.hadoop.fs.Path(f.path)
+          val srcFs = src.getFileSystem(conf)
+          val target = new org.apache.hadoop.fs.Path(dst, src.getName)
+          if (!org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, target,
+              deleteSource, /*overwrite=*/ true, conf))
+            throw new RuntimeException(s"transfer failed for ${f.path}")
+          f.copy(path = target.toString)
+        }
+        ctx.copy(manifest = uploaded)
+      } catch {
+        case e: Exception => ctx.abort(s"s3.uploader failed: ${e.getMessage}")
+      }
+  }
+
+  /** `check_s3_file` (plugins/s3.py:44-52): audit that every uploaded
+    * output is non-empty AT THE REMOTE — the reference stats the S3
+    * object and flags `size == 0`. Stat runs through Hadoop
+    * `FileSystem.getContentSummary`, which sums regular files under a
+    * directory sink (Spark writers produce part-file directories), over
+    * any scheme the connector set supports. Empty or missing remote
+    * outputs abort the job, the plugin-chain form of the reference's
+    * boolean-returning check. */
+  final case class CheckRemoteFile() extends Plugin {
+    val name = "check_s3_file"
+    def apply(ctx: PipelineContext): PipelineContext =
+      if (ctx.aborted.isDefined) ctx
+      else try {
+        val conf = ctx.spark.sparkContext.hadoopConfiguration
+        val bad = ctx.manifest.filter { f =>
+          val p = new org.apache.hadoop.fs.Path(f.path)
+          val fs = p.getFileSystem(conf)
+          !fs.exists(p) || fs.getContentSummary(p).getLength == 0L
+        }
+        if (bad.nonEmpty)
+          ctx.abort(s"check_s3_file: ${bad.size} empty/missing remote " +
+            s"outputs: ${bad.map(_.path).mkString(", ")}")
+        else ctx
+      } catch {
+        case e: Exception => ctx.abort(s"check_s3_file failed: ${e.getMessage}")
+      }
+  }
+
   /** `check_results` (launcher.py:90-143): audit the manifest — every
     * produced file must exist and be non-empty; returns the failures so
     * the runner can report exactly like the reference's exit-code check. */

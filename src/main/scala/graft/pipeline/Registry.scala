@@ -32,7 +32,13 @@ object PluginRegistry {
     "create_scene", "load_composites", "check_metadata", "metadata_alias",
     "aggregate", "resample", "check_valid_data_fraction", "sza_check",
     "save_datasets", "format_decoration", "check_results", "file_publisher",
-    "use_fsspec_cache", "clear_fsspec_cache")
+    "use_fsspec_cache", "clear_fsspec_cache", "uploader", "check_s3_file")
+
+  /** Is this worker the remote uploader? The loader collapses the
+    * reference's dotted `trollflow2.plugins.s3.uploader` to its last
+    * segment, so both spellings resolve here. */
+  private def isUploader(w: WorkerSpec): Boolean =
+    w.fun == "uploader" || w.fun == "s3.uploader"
 
   /** Build the full worker chain; `inputPaths` are the per-job input
     * files carried by the triggering message (launcher.py:287), the one
@@ -171,6 +177,18 @@ object PluginRegistry {
       case "sza_check" => SzaCheck()
 
       case "save_datasets" =>
+        // with an uploader downstream, the reference NEVER writes to
+        // output_dir locally: files land in staging_zone (plugins/s3.py:
+        // 35-39's filename.replace(output_dir, staging_zone)) and the
+        // uploader performs the staging→output_dir hop — output_dir may
+        // be a remote URI a local rename can't reach. Build save_datasets
+        // publishing INTO the staging zone; [[RemoteUpload]] finishes.
+        val uploaderDownstream = cfg.workers.exists(isUploader)
+        if (uploaderDownstream && worker.fun == "save_datasets" &&
+            str("staging_zone").isEmpty)
+          throw ConfigException(
+            "save_datasets: an uploader worker requires 'staging_zone' " +
+              "(plugins/s3.py:35 — files stage locally, upload publishes)")
         val earlyMoving = bool("early_moving")
         // call_on_done (plugins/__init__.py:350-364, 1082-1140): a list of
         // callback names — bare or the reference's dotted
@@ -191,11 +209,13 @@ object PluginRegistry {
           }
         }.getOrElse(Seq.empty)
         SaveDatasets(
-          outDir = required("output_dir"),
+          outDir =
+            if (uploaderDownstream) required("staging_zone")
+            else required("output_dir"),
           fnamePattern = str("fname_pattern")
             .getOrElse("{area}_{product}.{format}"),
           eagerWriting = bool("eager_writing"),
-          stagingZone = str("staging_zone"),
+          stagingZone = if (uploaderDownstream) None else str("staging_zone"),
           overviews = json("overviews").map { n =>
             if (!n.isArray)
               throw ConfigException("save_datasets: 'overviews' must be a list")
@@ -219,6 +239,20 @@ object PluginRegistry {
             "options.cache_storage (the staged-copy directory)"))
         if (worker.fun == "use_fsspec_cache") CacheInputs(cacheDir)
         else ClearInputCache(cacheDir)
+
+      case "uploader" | "s3.uploader" =>
+        // W7: the reference's S3Mover.move() — staged file to the remote
+        // output_dir, then drop the staged copy. The remote scheme is
+        // whatever the Hadoop connector set supports (s3a://, hdfs://,
+        // file://); `delete_staged: false` keeps the staged copies.
+        RemoteUpload(
+          remoteDir = required("output_dir"),
+          deleteSource = str("delete_staged")
+            .forall(conv("delete_staged", _, "a boolean")(_.toBoolean)))
+
+      case "check_s3_file" | "check_remote_file" =>
+        // W8: non-empty-at-the-remote audit of the uploaded manifest
+        CheckRemoteFile()
 
       case "format_decoration" => FormatDecoration()
       case "check_results" => CheckResults()

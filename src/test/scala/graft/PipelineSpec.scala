@@ -234,6 +234,53 @@ class PipelineSpec extends SparkSpec {
     assert(got.exists(s => s.contains("action=") && s.contains("exchanges=")), got.mkString("; "))
   }
 
+  test("remote upload moves staged outputs; check_s3_file flags empty remotes") {
+    val staging = Files.createTempDirectory("graft_up_stage").toString
+    val remote = Files.createTempDirectory("graft_up_remote").toString
+    val ctx0 = PipelineContext(spark, spec, metadata = Map.empty,
+      frames = Map.empty, worklist = Worklist.expand(spec))
+    val chain = Seq(
+      CreateScene(Seq(s"$sf/lineitem.parquet")),
+      LoadComposites(Map(
+        "product" -> "l_returnflag",
+        "y" -> "l_orderkey % 64", "x" -> "(l_partkey * 7 + l_linenumber) % 64",
+        "value" -> "cast(l_quantity as double)")),
+      SaveDatasets(staging),
+      RemoteUpload(s"file://$remote"),
+      CheckRemoteFile())
+    val reports = Runner.processJobs(ctx0, chain)
+    val ctx = reports.head.finalCtx
+    assert(ctx.aborted.isEmpty, s"unexpected abort: ${ctx.aborted}")
+    assert(ctx.manifest.nonEmpty)
+    // every manifest path rewritten to the remote and readable there
+    ctx.manifest.foreach(f =>
+      assert(f.path.startsWith("file:") && f.path.contains(remote), f.path))
+    // move semantics: the staging zone is drained
+    assert(Paths.get(staging).toFile.list().isEmpty)
+
+    // the remote audit aborts when an output is empty at the remote —
+    // an empty directory has content length 0 (the reference's
+    // size == 0 check, plugins/s3.py:48-51)
+    val emptyRemote = Files.createTempDirectory("graft_up_empty")
+    val bad = ctx.copy(manifest = ctx.manifest :+
+      WrittenFile(Some("euro"), "X", "parquet",
+        s"file://$emptyRemote", 1L, 0L))
+    assert(CheckRemoteFile()(bad).aborted.exists(_.contains("check_s3_file")))
+    // ...and on a missing remote path
+    val gone = ctx.copy(manifest = ctx.manifest :+
+      WrittenFile(Some("euro"), "X", "parquet",
+        s"file://$emptyRemote/never_written", 1L, 0L))
+    assert(CheckRemoteFile()(gone).aborted.isDefined)
+    // keep-staged mode: deleteSource=false leaves the staged copies
+    val staging2 = Files.createTempDirectory("graft_up_stage2").toString
+    val remote2 = Files.createTempDirectory("graft_up_remote2").toString
+    val reports2 = Runner.processJobs(ctx0, Seq(chain(0), chain(1),
+      SaveDatasets(staging2), RemoteUpload(s"file://$remote2", deleteSource = false)))
+    assert(reports2.head.finalCtx.aborted.isEmpty)
+    assert(!Paths.get(staging2).toFile.list().isEmpty,
+      "delete_staged: false must keep the staged copies")
+  }
+
   test("use_fsspec_cache stages inputs once; create_scene reads the copies") {
     val cacheDir = Files.createTempDirectory("graft_fscache").toString
     val srcFile = s"$sf/region.parquet"

@@ -69,6 +69,76 @@ class RegistrySpec extends SparkSpec {
     ctx.manifest.foreach(f => assert(Files.exists(Paths.get(f.path)), f.path))
   }
 
+  test("s3-shaped config ports verbatim: staged write, upload hop, remote audit") {
+    // the reference's s3 layout (plugins/s3.py): output_dir is the REMOTE
+    // URI, save_datasets only ever touches staging_zone, and the dotted
+    // `trollflow2.plugins.s3.uploader` worker publishes staging→remote.
+    // Here the remote is a file:// URI — the Hadoop FS path is identical
+    // for s3a://, which this sandbox has no endpoint for.
+    val staging = Files.createTempDirectory("graft_s3stage").toString
+    val remote = Files.createTempDirectory("graft_s3remote").toString
+    val cfg = ProductListLoader.fromYaml(
+      s"""product_list:
+         |  output_dir: file://$remote
+         |  staging_zone: $staging
+         |  fname_pattern: "{area}_{product}.{format}"
+         |  reader: parquet
+         |  areas:
+         |    euro:
+         |      products:
+         |        N:
+         |          formats:
+         |            - format: parquet
+         |workers:
+         |  - fun: create_scene
+         |  - fun: load_composites
+         |    product: l_returnflag
+         |    y: l_orderkey % 64
+         |    x: (l_partkey * 7 + l_linenumber) % 64
+         |    value: cast(l_quantity as double)
+         |  - fun: save_datasets
+         |  - fun: trollflow2.plugins.s3.uploader
+         |  - fun: check_s3_file
+         |""".stripMargin)
+    val chain = PluginRegistry.chain(cfg, Seq(s"$sf/lineitem.parquet"))
+    assert(chain.map(_.name) == Seq("create_scene", "load_composites",
+      "save_datasets", "s3.uploader", "check_s3_file"))
+    // save_datasets was rebuilt to publish INTO the staging zone
+    val sd = chain.collect { case s: SaveDatasets => s }.head
+    assert(sd.outDir == staging && sd.stagingZone.isEmpty)
+
+    val ctx0 = PipelineContext(spark, cfg.productList,
+      metadata = Map.empty, frames = Map.empty,
+      worklist = Worklist.expand(cfg.productList))
+    val reports = Runner.processJobs(ctx0, chain)
+    val ctx = reports.head.finalCtx
+    assert(ctx.aborted.isEmpty, s"unexpected abort: ${ctx.aborted}")
+    // manifest filenames updated to the remote (the reference's
+    // "upload data and update the filenames")
+    assert(ctx.manifest.nonEmpty)
+    ctx.manifest.foreach { f =>
+      assert(f.path.startsWith("file:") && f.path.contains(remote), f.path)
+    }
+    // remote copy is a readable parquet sink; staged copy was moved away
+    val reread = spark.read.parquet(ctx.manifest.head.path)
+    assert(reread.count() == ctx.manifest.head.rows)
+    assert(Paths.get(staging).toFile.list().isEmpty,
+      "S3Mover.move semantics: staged files must be dropped after upload")
+
+    // an uploader without a staging zone is the reference's KeyError —
+    // rejected at build time
+    val bad = ProductListLoader.fromYaml(
+      s"""product_list:
+         |  output_dir: file://$remote
+         |  areas: {euro: {products: {N: {formats: [{format: parquet}]}}}}
+         |workers:
+         |  - fun: save_datasets
+         |  - fun: s3.uploader
+         |""".stripMargin)
+    val e = intercept[ConfigException](PluginRegistry.chain(bad, Seq.empty))
+    assert(e.getMessage.contains("staging_zone"))
+  }
+
   test("factories decode config shapes: check_metadata, save_datasets, resample") {
     val cfg = ProductListLoader.fromYaml(
       """product_list:
