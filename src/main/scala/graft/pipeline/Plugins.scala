@@ -450,35 +450,70 @@ object Plugins {
                 require(r > 0 && t.weightMin > 0 && t.weightMin < 1,
                   s"ewa: need weight_distance_max > 0 and weight_min in (0,1): $t")
                 val reach = math.ceil(r).toInt
+                // cross-scan (y) reach: the swath ellipse can extend to
+                // min(2r, weightDeltaMax); circular footprint stays at r
+                val reachY = t.rowsPerScan match {
+                  case Some(_) => math.ceil(math.min(2 * r, t.weightDeltaMax)).toInt
+                  case None => reach
+                }
                 val negLnOverR2 = -math.log(1.0 / t.weightMin) / (r * r)
                 val cells = cropped
                   .groupBy((keys.map(col) :+ col(yCol) :+ col(xCol)): _*)
                   .agg(avg(col(valueCol)).as(valueCol))
+                // cross-scan semi-axis scale per source row (swath mode):
+                // rows_per_scan splits the swath into scans; within a scan
+                // the footprint widens linearly from the center row to 2×
+                // at the scan-edge rows (the bow-tie), capped so that
+                // r·s <= weightDeltaMax. m = |2·rowInScan - (rps-1)| is an
+                // exact integer; s = 1 + m/(rps-1)
+                val sCol = t.rowsPerScan match {
+                  case Some(rps) =>
+                    require(rps >= 2, s"ewa: rows_per_scan must be >= 2: $rps")
+                    val row = ((col(yCol) - t.srcYMin) % rps + rps) % rps
+                    val m = abs(row * 2 - (rps - 1))
+                    least(lit(1.0) + m.cast("double") / (rps - 1.0),
+                      lit(t.weightDeltaMax / r))
+                  case None => lit(1.0)
+                }
                 // continuous target-space position of the source center:
                 // py = __ny / (2·ry) with __ny = ((y-y0)·2+1)·H — integer
                 // numerators so the base candidate floor(py - 0.5) is
                 // exact integer division (positive-biased: both engines
                 // agree on non-negative operands)
                 val bias = 1L << 20
-                val splat = cells
+                val cand = cells
+                  .withColumn("__s", sCol)
                   .withColumn("__ny", (col(yCol) - t.srcYMin) * 2 * h + h)
                   .withColumn("__nx", (col(xCol) - t.srcXMin) * 2 * wd + wd)
                   .withColumn("__tyb",
                     expr(s"(__ny - $ry + ${2 * ry * bias}) div ${2 * ry} - $bias"))
                   .withColumn("__txb",
                     expr(s"(__nx - $rx + ${2 * rx * bias}) div ${2 * rx} - $bias"))
-                  .withColumn("__ky", explode(sequence(lit(-reach), lit(reach))))
+                  .withColumn("__ky", explode(sequence(lit(-reachY), lit(reachY))))
                   .withColumn("__kx", explode(sequence(lit(-reach), lit(reach))))
                   .withColumn("__ty", col("__tyb") + col("__ky"))
                   .withColumn("__tx", col("__txb") + col("__kx"))
                   .withColumn("__dy", col("__ny") / (2.0 * ry) - (col("__ty") + 0.5))
                   .withColumn("__dx", col("__nx") / (2.0 * rx) - (col("__tx") + 0.5))
-                  .withColumn("__d2",
-                    col("__dy") * col("__dy") + col("__dx") * col("__dx"))
-                  .filter(col("__d2") <= r * r &&
-                    col("__ty") >= 0 && col("__ty") < h &&
-                    col("__tx") >= 0 && col("__tx") < wd)
-                  .withColumn("__w", exp(col("__d2") * negLnOverR2))
+                val inGrid = col("__ty") >= 0 && col("__ty") < h &&
+                  col("__tx") >= 0 && col("__tx") < wd
+                val splat = t.rowsPerScan match {
+                  case None => // circular footprint: w = wmin at d = r
+                    cand
+                      .withColumn("__d2",
+                        col("__dy") * col("__dy") + col("__dx") * col("__dx"))
+                      .filter(col("__d2") <= r * r && inGrid)
+                      .withColumn("__w", exp(col("__d2") * negLnOverR2))
+                  case Some(_) => // swath ellipse: w = wmin on the boundary
+                    cand
+                      .withColumn("__e2",
+                        (col("__dx") * col("__dx") +
+                          col("__dy") * col("__dy") / (col("__s") * col("__s")))
+                          / (r * r))
+                      .filter(col("__e2") <= 1.0 && inGrid)
+                      .withColumn("__w",
+                        exp(col("__e2") * -math.log(1.0 / t.weightMin)))
+                }
                 val grouped = splat.groupBy(
                   (keys.map(col) :+ col("__ty") :+ col("__tx")): _*)
                 val blended =
@@ -519,7 +554,17 @@ object Plugins {
       weightDistanceMax: Double = 1.0,
       weightMin: Double = 0.01,
       weightSumMin: Double = -1.0,
-      maximumWeightMode: Boolean = false)
+      maximumWeightMode: Boolean = false,
+      /** per-scan swath geometry (RESAMPLER_DEFAULT_OPTIONS["ewa"]
+        * `rows_per_scan` / `weight_delta_max`, plugins/__init__.py:137,
+        * 144): when set, the footprint is the swath ELLIPSE instead of a
+        * circle — the along-scan (x) semi-axis stays
+        * `weightDistanceMax`, while the cross-scan (y) semi-axis grows
+        * linearly from the scan center to 2× at the scan edge (the
+        * bow-tie widening of off-nadir scan rows), capped at
+        * `weightDeltaMax` target-cell units. */
+      rowsPerScan: Option[Int] = None,
+      weightDeltaMax: Double = 10.0)
 
   /** `check_valid_data_fraction` (plugins/__init__.py:955-1079): persist
     * the scene once, compute per-product valid fractions in ONE aggregate

@@ -151,7 +151,12 @@ object PluginRegistry {
               weightMin = ewaNum("weight_min", 0.01),
               weightSumMin = ewaNum("weight_sum_min", -1.0),
               maximumWeightMode = Option(t.get("maximum_weight_mode"))
-                .map(_.asBoolean).getOrElse(bool("maximum_weight_mode")))
+                .map(_.asBoolean).getOrElse(bool("maximum_weight_mode")),
+              // swath geometry (RESAMPLER_DEFAULT_OPTIONS["ewa"]): absent
+              // = circular footprint, the defaults' rows_per_scan: None
+              rowsPerScan = Option(t.get("rows_per_scan")).map(_.asInt)
+                .orElse(str("rows_per_scan").map(int("rows_per_scan", _))),
+              weightDeltaMax = ewaNum("weight_delta_max", 10.0))
           }.toSeq
         }.getOrElse {
           if (nativeMode.isDefined) Seq.empty[ResampleTarget]

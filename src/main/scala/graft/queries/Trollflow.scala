@@ -321,6 +321,90 @@ object Trollflow {
       |GROUP BY 1, 2, 3
       |ORDER BY area, ty, tx""".stripMargin
 
+  /** T2 `resample`, ewa SWATH mode — [[q123ResampleEwa]] with the
+    * reference's per-scan elliptical footprint
+    * (RESAMPLER_DEFAULT_OPTIONS["ewa"] `rows_per_scan` /
+    * `weight_delta_max`, plugins/__init__.py:137,144; pyresample's EWA
+    * weights swath pixels by an ellipse whose cross-scan axis grows
+    * toward the scan edge — the bow-tie). The swath is scans of
+    * rows_per_scan = 4 source rows; within a scan, row m-distance from
+    * the scan center m = |2·(y mod 4) − 3| (an exact odd integer) scales
+    * the cross-scan semi-axis s = 1 + m/3 ∈ {4/3, 2}: center rows splat
+    * a near-circular footprint, edge rows a 2×-taller ellipse. Weight is
+    * wmin on the ellipse boundary:
+    *   w = exp(−e2 · ln(1/wmin)),  e2 = dx² + dy²/s²  (r = 1).
+    *
+    * Exactness: m and the candidate base indices are integer arithmetic;
+    * dy/dx are exact doubles (denominator 2⁸); s = 1 + m/3.0 is one IEEE
+    * division both engines perform identically; e2 is written with the
+    * same operator shape in both engines so the e2 ≤ 1 boundary cannot
+    * disagree; exp and summation order sit under the 4-dp round guard.
+    *
+    * Scale: identical to q123 — the explode fan-out is the plan-time
+    * constant (2·ceil(2r)+1)·(2·ceil(r)+1) = 15 (the cross-scan reach
+    * covers the widest scan-edge ellipse), then ONE hash aggregate on
+    * (area, ty, tx). One shuffle, no window, no join. */
+  def q131ResampleEwaSwath(spark: SparkSession, dir: String): DataFrame = {
+    val lnInv = 4.605170185988092 // ln(1/0.01), shared literal
+    val cells = raster(spark, dir)
+      .filter(col("y") < 128 && col("x") < 128) // reduce_data crop
+      .groupBy(col("area"), col("y"), col("x"))
+      .agg(avg(col("value")).as("cell"))
+    val splat = cells
+      .withColumn("m", abs(col("y") % 4 * 2 - 3))
+      .withColumn("s", lit(1.0) + col("m") / lit(3.0))
+      .withColumn("ny", col("y") * 200 + 100)  // ((2y+1)·100)
+      .withColumn("nx", col("x") * 200 + 100)
+      .withColumn("tyb", expr(s"(ny - 128 + ${256L * (1L << 20)}) div 256 - ${1L << 20}"))
+      .withColumn("txb", expr(s"(nx - 128 + ${256L * (1L << 20)}) div 256 - ${1L << 20}"))
+      .withColumn("ky", explode(sequence(lit(-2), lit(2))))
+      .withColumn("kx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("ty", col("tyb") + col("ky"))
+      .withColumn("tx", col("txb") + col("kx"))
+      .withColumn("dy", col("ny") / 256.0 - (col("ty") + lit(0.5)))
+      .withColumn("dx", col("nx") / 256.0 - (col("tx") + lit(0.5)))
+      .withColumn("e2",
+        col("dx") * col("dx") + col("dy") * col("dy") / (col("s") * col("s")))
+      .filter(col("e2") <= 1.0 &&
+        col("ty") >= 0 && col("ty") < 100 && col("tx") >= 0 && col("tx") < 100)
+      .withColumn("w", exp(col("e2") * lit(-lnInv)))
+    splat.groupBy(col("area"), col("ty"), col("tx"))
+      .agg(round(lit(1e-9) + sum(col("w") * col("cell")) / sum(col("w")), 4).as("ewa"),
+        count(lit(1)).as("n_contrib"))
+      .orderBy(col("area"), col("ty"), col("tx"))
+  }
+
+  val q131Sql: String =
+    s"""WITH $rasterSql,
+      |cells AS (
+      |  SELECT area, y, x, avg(value) AS cell
+      |  FROM raster WHERE y < 128 AND x < 128
+      |  GROUP BY 1, 2, 3),
+      |pos AS (
+      |  SELECT area, cell,
+      |    1.0 + abs(y % 4 * 2 - 3) / 3.0 AS s,
+      |    y * 200 + 100 AS ny, x * 200 + 100 AS nx,
+      |    (y * 200 + 100 - 128 + ${256L * (1L << 20)}) // 256 - ${1L << 20} AS tyb,
+      |    (x * 200 + 100 - 128 + ${256L * (1L << 20)}) // 256 - ${1L << 20} AS txb
+      |  FROM cells),
+      |splat AS (
+      |  SELECT area, cell, s, tyb + ky AS ty, txb + kx AS tx,
+      |    (ny / 256.0 - (tyb + ky + 0.5)) AS dy,
+      |    (nx / 256.0 - (txb + kx + 0.5)) AS dx
+      |  FROM pos, range(-2, 3) g1(ky), range(-1, 2) g2(kx)),
+      |wtd AS (
+      |  SELECT area, ty, tx, cell,
+      |    exp((dx * dx + dy * dy / (s * s)) * -4.605170185988092) AS w
+      |  FROM splat
+      |  WHERE dx * dx + dy * dy / (s * s) <= 1.0
+      |    AND ty >= 0 AND ty < 100 AND tx >= 0 AND tx < 100)
+      |SELECT area, ty, tx,
+      |  round(1e-9 + sum(w * cell) / sum(w), 4) AS ewa,
+      |  count(*) AS n_contrib
+      |FROM wtd
+      |GROUP BY 1, 2, 3
+      |ORDER BY area, ty, tx""".stripMargin
+
   /** F6 `check_valid_data_fraction` (plugins/__init__.py:955-1079): treat
     * value as fill (NaN-analog) where disc > 0.08, compute per-(area,
     * product) valid fraction, keep only products meeting the threshold —
@@ -589,7 +673,8 @@ object Trollflow {
     "q45_sunlight_coverage" -> (q45SunlightCoverage _),
     "q55_resample_nearest" -> (q55ResampleNearest _),
     "q63_resample_bilinear" -> (q63ResampleBilinear _),
-    "q123_resample_ewa" -> (q123ResampleEwa _)
+    "q123_resample_ewa" -> (q123ResampleEwa _),
+    "q131_resample_ewa_swath" -> (q131ResampleEwaSwath _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -602,6 +687,7 @@ object Trollflow {
     "q45_sunlight_coverage" -> q45Sql,
     "q55_resample_nearest" -> q55Sql,
     "q63_resample_bilinear" -> q63Sql,
-    "q123_resample_ewa" -> q123Sql
+    "q123_resample_ewa" -> q123Sql,
+    "q131_resample_ewa_swath" -> q131Sql
   )
 }

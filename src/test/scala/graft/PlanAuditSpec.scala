@@ -508,16 +508,21 @@ class PlanAuditSpec extends SparkSpec {
     // partitioning no longer satisfies the agg, adding one exchange. Pin
     // the pristine plan (Verify/Bench likewise clear between queries).
     spark.sharedState.cacheManager.clearCache()
-    val p = plan("q123_resample_ewa")
-    // two generators (ky, kx) with a constant 3-element sequence each —
-    // the splat fan-out is the plan-time constant 9, not data-dependent
-    assert(p.linesIterator.count(_.contains("Generate explode")) == 2,
-      "ewa must splat via the two bounded explodes")
-    // cells agg + splat agg: shuffles stay constant-count; the scatter
-    // direction means no join and no radius-search window anywhere
-    assert(hashExchanges(p) == 2,
-      "ewa should shuffle only for the cell agg and the target-key agg")
-    assert(!p.contains("Join"), "ewa is scatter — no gather join")
-    assert(!p.contains("Window ["), "ewa must not use a window")
+    // same shape contract for the circular (q123) and swath-ellipse
+    // (q131) variants: the ellipse only changes weights and the constant
+    // fan-out (9 vs 15), never the plan class
+    for (name <- Seq("q123_resample_ewa", "q131_resample_ewa_swath")) {
+      val p = plan(name)
+      // two generators (ky, kx) with constant-length sequences — the
+      // splat fan-out is a plan-time constant, not data-dependent
+      assert(p.linesIterator.count(_.contains("Generate explode")) == 2,
+        s"$name must splat via the two bounded explodes")
+      // cells agg + splat agg: shuffles stay constant-count; the scatter
+      // direction means no join and no radius-search window anywhere
+      assert(hashExchanges(p) == 2,
+        s"$name should shuffle only for the cell agg and the target-key agg")
+      assert(!p.contains("Join"), s"$name is scatter — no gather join")
+      assert(!p.contains("Window ["), s"$name must not use a window")
+    }
   }
 }

@@ -357,6 +357,43 @@ class PluginChecksSpec extends SparkSpec {
     assert(got == Map(0L -> 0.0, 1L -> 10.0))
   }
 
+  test("resample ewa rows_per_scan widens the cross-scan footprint (swath ellipse)") {
+    import spark.implicits._
+    // one column of 4 rows = one scan (rps=4) onto a 4x1 target grid whose
+    // centers coincide with the source centers, so every |dy| is an exact
+    // integer. Scan rows 0/3 are edge rows (s=2), rows 1/2 near-center
+    // (s=4/3): the circular footprint weights every distance-1 neighbor
+    // 0.01 and nothing further, the swath ellipse weights a distance-1
+    // neighbor 100^(-1/s²) and an edge row reaches distance 2 exactly on
+    // its ellipse boundary (e2=1 -> w=0.01)
+    val frame = Seq(("N", 0, 0, 0.0), ("N", 1, 0, 10.0),
+        ("N", 2, 0, 20.0), ("N", 3, 0, 30.0))
+      .toDF("product", "y", "x", "value")
+    val ctx = ctxOf(oneProductSpec(), Map(None -> frame))
+    val tgt = ResampleTarget("euro", 1, 4, 0, 4, 0, 1, mode = "ewa",
+      rowsPerScan = Some(4))
+    val got = Resample(Seq(tgt))(ctx).frames(Some("euro")).collect()
+      .map(r => r.getAs[Long]("y") -> r.getAs[Double]("value")).toMap
+    val ln = math.log(100.0)
+    def w(e2: Double) = math.exp(-e2 * ln)
+    val a = w(9.0 / 16.0) // |dy|=1 measured against a near-center row (s=4/3)
+    val b = w(1.0 / 4.0)  // |dy|=1 measured against an edge row (s=2)
+    // ty=0: own cell (w=1, v=0) + y=1 (w=a, v=10); y=2's ellipse (s=4/3)
+    // does not reach distance 2 (e2=2.25)
+    assert(math.abs(got(0L) - 10 * a / (1 + a)) < 1e-12)
+    // ty=1: y=0 is an edge row (w=b), y=2 near-center (w=a), and y=3's
+    // edge-row ellipse touches distance 2 exactly (w=0.01)
+    assert(math.abs(got(1L) -
+      (10 + 20 * a + 30 * 0.01) / (b + 1 + a + 0.01)) < 1e-12)
+    // the circular footprint blends the same cells differently — the
+    // ellipse is an observable semantic, not a reparameterization
+    val circ = Resample(Seq(tgt.copy(rowsPerScan = None)))(ctx)
+      .frames(Some("euro")).collect()
+      .map(r => r.getAs[Long]("y") -> r.getAs[Double]("value")).toMap
+    assert(math.abs(circ(0L) - 10 * 0.01 / 1.01) < 1e-12)
+    assert(circ(0L) != got(0L) && circ(1L) != got(1L))
+  }
+
   test("resample ewa weight_sum_min drops under-covered target cells") {
     import spark.implicits._
     // single source cell: target 0 accumulates w=1, target 1 only the
