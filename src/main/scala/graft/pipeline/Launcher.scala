@@ -67,16 +67,47 @@ object Launcher {
 
   /** One message (the `--test-message` path, launcher.py:259-266):
     * build the chain for the message's files and run every priority
-    * slice. */
+    * slice.
+    *
+    * `auditReport` is the analog of the reference's `--dask-profiler
+    * profile.html` dump (cli.py:35-42, 57-60): when set, every Spark
+    * action the run triggers — each sink write, each config-sized
+    * collect — lands as one JSON line (action, wall_ms, exchanges,
+    * rows_out) in that file, written when the run completes. The
+    * per-job audit trail an operator attaches to a ticket. */
   def runOnce(spark: SparkSession, config: LoadedConfig, messageJson: String,
       timeoutPerPlugin: Duration = Duration.Inf,
-      crashHandlers: Seq[Runner.CrashHandler] = Seq.empty): Seq[Runner.JobReport] = {
+      crashHandlers: Seq[Runner.CrashHandler] = Seq.empty,
+      auditReport: Option[String] = None): Seq[Runner.JobReport] = {
     val (ctx, paths) = Messages.toContext(spark, config.productList, messageJson)
     // explicit handlers win; otherwise the config's crash_handlers section
     val handlers =
       if (crashHandlers.nonEmpty) crashHandlers else crashChain(config)
-    Runner.processJobs(ctx, PluginRegistry.chain(config, paths),
+    def go() = Runner.processJobs(ctx, PluginRegistry.chain(config, paths),
       timeoutPerPlugin, handlers)
+    auditReport match {
+      case None => go()
+      case Some(path) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Profiling.ActionAudit]
+        val listener = Profiling.installAudit(spark, a =>
+          buf.synchronized { buf += a })
+        try go()
+        finally {
+          // the execution-listener bus is async: wait for the line count
+          // to stabilize before snapshotting (the Profiling.measure rule)
+          var prev = -1
+          var tries = 0
+          while (tries < 50 && buf.synchronized(buf.size) != prev) {
+            prev = buf.synchronized(buf.size)
+            Thread.sleep(100)
+            tries += 1
+          }
+          spark.listenerManager.unregister(listener)
+          val lines = buf.synchronized(buf.map(_.jsonLine).toSeq)
+          java.nio.file.Files.write(java.nio.file.Paths.get(path),
+            lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+        }
+    }
   }
 
   /** The CLI one-shot (cli.py:46-64 → `process_files`): run the
@@ -90,9 +121,10 @@ object Launcher {
   def processFiles(spark: SparkSession, config: LoadedConfig,
       files: Seq[String], metadataJson: String = "{}",
       timeoutPerPlugin: Duration = Duration.Inf,
-      crashHandlers: Seq[Runner.CrashHandler] = Seq.empty): Seq[Runner.JobReport] =
+      crashHandlers: Seq[Runner.CrashHandler] = Seq.empty,
+      auditReport: Option[String] = None): Seq[Runner.JobReport] =
     runOnce(spark, config, Messages.filesMessage(files, metadataJson),
-      timeoutPerPlugin, crashHandlers)
+      timeoutPerPlugin, crashHandlers, auditReport)
 
   /** The subscriber loop: one pipeline run per message row, sequential
     * within a micro-batch (the reference's `proc.start(); proc.join()`

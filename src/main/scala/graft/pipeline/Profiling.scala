@@ -83,27 +83,61 @@ object Profiling {
     } finally spark.sparkContext.removeSparkListener(counter)
   }
 
-  /** Per-action audit line: `action=save wall_ms=123 exchanges=2
-    * rows_out=456` — rows when the root plan node exposes a
+  /** One completed (or failed) Spark ACTION, structured: the unit of the
+    * per-run audit report ([[graft.pipeline.Launcher.runOnce]]'s
+    * `auditReport`) and of the human-readable log line. */
+  final case class ActionAudit(action: String, wallMs: Long, exchanges: Int,
+      rowsOut: Option[Long], error: Option[String] = None) {
+    def logLine: String = error match {
+      case Some(msg) => s"action=$action FAILED: $msg"
+      case None => s"action=$action wall_ms=$wallMs exchanges=$exchanges" +
+        rowsOut.map(r => s" rows_out=$r").getOrElse("")
+    }
+    def jsonLine: String = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.createObjectNode()
+      node.put("action", action)
+      node.put("wall_ms", wallMs)
+      node.put("exchanges", exchanges)
+      rowsOut.foreach(node.put("rows_out", _))
+      error.foreach(node.put("error", _))
+      m.writeValueAsString(node)
+    }
+  }
+
+  /** Structured per-action listener: one [[ActionAudit]] per completed
+    * action (sink write, collect) with wall time, the executed plan's
+    * exchange count, and rows when the root plan node exposes a
     * `numOutputRows` metric (writes and aggregates do). */
-  final class AuditLogListener(log: String => Unit) extends QueryExecutionListener {
+  class AuditListener(sink: ActionAudit => Unit) extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
         durationNs: Long): Unit = {
       val plan = qe.executedPlan
       val exchanges = plan.toString.linesIterator.count(_.contains("Exchange"))
       val rows = plan.metrics.get("numOutputRows").map(_.value)
-      log(s"action=$funcName wall_ms=${durationNs / 1000000} " +
-        s"exchanges=$exchanges${rows.map(r => s" rows_out=$r").getOrElse("")}")
+      sink(ActionAudit(funcName, durationNs / 1000000, exchanges, rows))
     }
     override def onFailure(funcName: String, qe: QueryExecution,
         exception: Exception): Unit =
-      log(s"action=$funcName FAILED: ${exception.getMessage}")
+      sink(ActionAudit(funcName, 0, 0, None, Some(exception.getMessage)))
   }
+
+  /** The log-line form of [[AuditListener]] — the per-sink dashboard
+    * line an operator tails in production. */
+  final class AuditLogListener(log: String => Unit)
+      extends AuditListener(a => log(a.logLine))
 
   /** Install an [[AuditLogListener]]; returns it so callers can remove
     * it via `spark.listenerManager.unregister`. */
   def installAuditLog(spark: SparkSession, log: String => Unit): AuditLogListener = {
     val l = new AuditLogListener(log)
+    spark.listenerManager.register(l)
+    l
+  }
+
+  /** Install a structured [[AuditListener]]; same unregister contract. */
+  def installAudit(spark: SparkSession, sink: ActionAudit => Unit): AuditListener = {
+    val l = new AuditListener(sink)
     spark.listenerManager.register(l)
     l
   }

@@ -71,6 +71,35 @@ class LauncherSpec extends SparkSpec {
     }
   }
 
+  test("auditReport dumps one JSON line per Spark action (sink writes included)") {
+    // the --dask-profiler analog (cli.py:35-42, 57-60): a per-run report
+    // file holding every action the job triggered, as JSON lines
+    val outDir = Files.createTempDirectory("graft_launch_audit").toString
+    val report = Paths.get(outDir, "audit.jsonl")
+    val cfg = Launcher.load(configText(outDir))
+    val reports = Launcher.processFiles(spark, cfg,
+      files = Seq(s"$sf/region.parquet"),
+      metadataJson = """{"platform_name": "noaa15"}""",
+      auditReport = Some(report.toString))
+    val ctx = reports.head.finalCtx
+    assert(ctx.aborted.isEmpty, s"aborted: ${ctx.aborted}")
+    assert(Files.exists(report), "audit report file not written")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = scala.io.Source.fromFile(report.toFile).getLines().toSeq
+      .map(mapper.readTree)
+    // one write action per manifest sink (Spark 4's QueryExecutionListener
+    // reports DataFrameWriter.save as "command"), each with wall time and
+    // the executed plan's exchange count
+    val saves = lines.filter(l =>
+      Set("command", "save")(l.get("action").asText))
+    assert(saves.size == ctx.manifest.size,
+      s"expected ${ctx.manifest.size} save lines, got:\n${lines.mkString("\n")}")
+    saves.foreach { l =>
+      assert(l.has("wall_ms") && l.get("wall_ms").asLong >= 0)
+      assert(l.has("exchanges") && l.get("exchanges").asInt >= 0)
+    }
+  }
+
   test("crash_handlers section: sendmail-shaped message reaches the transport") {
     val cfg = Launcher.load(
       """product_list:
