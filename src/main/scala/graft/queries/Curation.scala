@@ -536,7 +536,9 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val blockTotals = perDoc.groupBy(col("bk").as("b_bk"))
       .agg(sum(col("n_tok")).as("b_sum"))
-    val blockPrefix = Window.orderBy(col("b_bk"))
+    // runs over the block-TOTALS table (corpus/8192 rows): constant
+    // partition key = deliberately-bounded single-partition window
+    val blockPrefix = Window.partitionBy(lit(0)).orderBy(col("b_bk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = blockTotals
       .withColumn("block_off", sum(col("b_sum")).over(blockPrefix) - col("b_sum"))
@@ -1348,7 +1350,9 @@ object Curation {
     val total = tiers.agg(sum(col("token_mass")).as("corpus_toks"))
     // tokens of all STRICTLY higher-quality tiers (reverse prefix sum
     // over the 10-row decile table)
-    val wDesc = Window.orderBy(col("decile").desc)
+    // runs over the 10-row decile table: constant partition key =
+    // deliberately-bounded single-partition window
+    val wDesc = Window.partitionBy(lit(0)).orderBy(col("decile").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tiers
       .withColumn("cum_incl", sum(col("token_mass")).over(wDesc))

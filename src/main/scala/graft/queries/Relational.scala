@@ -697,7 +697,9 @@ object Relational {
           lit(255.0)).cast("int").as("bin"))
       .persist()
     val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("bin"))
+    // runs over the ≤ 256-bin histogram: constant partition key =
+    // deliberately-bounded single-partition window
+    val w = Window.partitionBy(lit(0)).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("cum_prev", col("cum") - col("cnt"))

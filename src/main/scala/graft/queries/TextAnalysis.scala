@@ -379,7 +379,10 @@ object TextAnalysis {
       .select(col("freq"),
         explode(transform(sequence(lit(1), length(col("tok")) - 1),
           i => col("tok").substr(i, lit(2)))).as("pair"))
-    val rk = Window.orderBy(col("n").desc, col("pair"))
+    // ≤ |alphabet|² pair rows: the constant partition key declares the
+    // single-partition window DELIBERATE (and bounded) instead of
+    // tripping WindowExec's corpus-window warning
+    val rk = Window.partitionBy(lit(0)).orderBy(col("n").desc, col("pair"))
     pairs.groupBy(col("pair")).agg(sum(col("freq")).as("n"))
       .withColumn("rk", row_number().over(rk))
       .filter(col("rk") <= 20)
@@ -527,10 +530,13 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("tok"))
     val surv = cnt.withColumn("srk", row_number().over(wSalt))
       .filter(col("srk") <= 16)
-    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    // ≤ 64·16 survivor rows (see above): constant partition key =
+    // deliberately-bounded single-partition window, not a corpus window
+    val w = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("tok"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     surv.withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("tok"))))
       .filter(col("rk").isin(1, 2, 4, 8, 16))
       .crossJoin(broadcast(tot))
       .select(col("rk"), col("tok"), col("cnt"),
