@@ -21,6 +21,17 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      // keep DECLARED constant window partition keys: the pack marks its
+      // deliberately-bounded single-partition windows (<=256-row tables)
+      // with partitionBy(lit(0)); default Spark folds that key away
+      // (EliminateWindowPartitions), reducing them back to bare global
+      // windows whose WindowExec warning is indistinguishable from a real
+      // corpus-window bug. Excluding the rule keeps the idiom observable:
+      // declared-bounded windows run warning-free, an UNdeclared global
+      // window still warns. Execution is identical either way (one
+      // partition); the rule only strips the annotation.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / bench. */

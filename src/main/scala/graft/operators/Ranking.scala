@@ -36,8 +36,9 @@ object Ranking {
     val totals = withBlock.groupBy(col("__rk_block").as("__rk_b"))
       .agg(count(lit(1)).as("__rk_n"))
     // prefix sum over the BLOCK TABLE (block-count rows; the single
-    // partition here holds one row per block, never corpus rows)
-    val offPrefix = Window.orderBy(col("__rk_b"))
+    // partition here holds one row per block, never corpus rows) — the
+    // constant partition key declares that boundedness (see GraftSession)
+    val offPrefix = Window.partitionBy(lit(0)).orderBy(col("__rk_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = totals
       .withColumn("__rk_off", sum(col("__rk_n")).over(offPrefix) - col("__rk_n"))

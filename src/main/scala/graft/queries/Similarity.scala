@@ -58,7 +58,7 @@ object Similarity {
     }
   }
 
-  private val vecsSql: String =
+  private[queries] val vecsSql: String =
     """e AS (
       |  SELECT vec_id, label, embedding,
       |    list_reduce(list_transform(range(1, len(embedding) + 1),

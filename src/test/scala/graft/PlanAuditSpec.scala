@@ -395,6 +395,23 @@ class PlanAuditSpec extends SparkSpec {
       s"expected ONE shared 8-gram postings cache, got $added new persisted RDDs")
   }
 
+  test("q132 hybrid RRF: both lists are bounded top-k cuts, rank windows " +
+      "run over the cuts only") {
+    val p = plan("q132_hybrid_rrf")
+    // each retrieval list is cut by a bounded take on its rounded score —
+    // the corpus is never globally sorted
+    assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2,
+      "sparse and dense top-50 cuts must both be bounded takes")
+    // the rank windows run over the 50-row cuts and carry the constant
+    // partition key that declares them deliberately bounded — a bare
+    // corpus window would print an empty partition spec
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, "rank windows missing")
+    windows.foreach(w => assert(w.contains("windowspecdefinition(0,"),
+      s"unbounded window crept into the fusion: $w"))
+    assert(!p.contains("CartesianProduct"), "probe must broadcast")
+  }
+
   test("q116 curriculum: rank windows are block-partitioned, never corpus-wide") {
     val p = plan("q116_curriculum")
     // the global rank must be the q96 two-phase composition: every
