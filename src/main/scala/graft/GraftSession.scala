@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Scale notes (design target: 1000-executor cluster, ~100 TB):
   *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting.
-  *  - `nanosAsLong`: the fixture `events` table carries parquet
-  *    TIMESTAMP(NANOS) which vanilla Spark refuses; we read the raw int64
-  *    and derive micros (see [[graft.sources.Tables.events]]).
+  *  - `nanosAsLong`: some fixture generations carry `events.ts` as parquet
+  *    TIMESTAMP(NANOS), which vanilla Spark refuses to read; the flag reads
+  *    the raw int64 and [[graft.sources.Tables.events]] schema-branches to
+  *    derive micros (newer generations use TIMESTAMP(MICROS) directly).
   *  - shuffle partitions default to the local core count; on a real cluster
   *    AQE's coalescing makes the initial number mostly irrelevant.
   */

@@ -24,16 +24,29 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events` carries parquet TIMESTAMP(NANOS); Spark reads it as a raw
-    * int64 under `spark.sql.legacy.parquet.nanosAsLong=true`. We keep the
-    * raw nanos as `ts_ns` (lossless, used for gap arithmetic) and derive a
-    * micro-precision `ts` timestamp (what DuckDB's CAST(ts AS TIMESTAMP)
-    * yields, floor division — values are all post-1970).
+  /** `events` exposes two time columns regardless of how the fixture
+    * physically encodes its timestamp: `ts_ns` int64 epoch-nanos (lossless,
+    * used for gap arithmetic by the event/stream operators) and `ts`, a
+    * micro-precision session-tz TimestampType (what DuckDB's
+    * CAST(ts AS TIMESTAMP) yields under UTC).
+    *
+    * The physical column has drifted across fixture generations —
+    * TIMESTAMP(NANOS) (read as raw int64 under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ) — so
+    * we branch on the type the scan actually reports instead of assuming
+    * either. ContractSpec pins the supported encodings.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as int64
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TIMESTAMP(MICROS): NTZ or UTC-adjusted; session tz is UTC
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    }
   }
 }

@@ -82,12 +82,15 @@ object RateLimiter {
       }
   }
 
-  /** Column-level convenience over the events schema (`ts_ns` int64). */
+  /** Column-level convenience over the events schema; `ts_ns` is
+    * normalized to int64 nanos whatever the physical encoding (see
+    * [[StreamRunner.normalizeNs]]). */
   def rateLimitFrame(events: DataFrame, capacity: Double = 5.0,
       perSecond: Double = 0.5, dropLate: Boolean = false): DataFrame = {
     import events.sparkSession.implicits._
     rateLimit(
-      events.select(col("user_id"), col("ts_ns"), col("event_id"))
+      StreamRunner.normalizeNs(events, "ts_ns")
+        .select(col("user_id"), col("ts_ns"), col("event_id"))
         .as[Ev], capacity, perSecond, dropLate)
       .toDF("user_id", "event_id", "ts_ns")
   }

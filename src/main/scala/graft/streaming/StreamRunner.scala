@@ -28,6 +28,19 @@ import graft.pipeline.{Messages, Plugin, ProductList, Runner}
   */
 object StreamRunner {
 
+  /** Normalize an event-time column to int64 epoch-nanos. The fixture's
+    * physical encoding has drifted across generations (int64
+    * TIMESTAMP(NANOS) vs TIMESTAMP(MICROS) read as TIMESTAMP_NTZ), and a
+    * streamed events frame carries whichever the files have — so every
+    * time-consuming helper below normalizes instead of assuming. Matches
+    * [[graft.sources.Tables.events]]; ContractSpec pins the encodings. */
+  def normalizeNs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn(c, expr(s"unix_micros(cast(`$c` as timestamp)) * 1000L"))
+    }
+
   /** File-source message stream: one file ≈ one message.
     * `maxFilesPerTrigger=1` keeps batches message-sized and sequential. */
   def fileStream(spark: SparkSession, dir: String, schema: StructType,
@@ -40,10 +53,10 @@ object StreamRunner {
 
   /** Watermarked tumbling-window aggregation over the events schema (the
     * streaming form of the batch q18): per (hour, event_type) counts and
-    * value sums, with state bounded by the admission watermark. Expects a
-    * `ts_ns` int64 nanos column (the fixture's TIMESTAMP(NANOS)). */
+    * value sums, with state bounded by the admission watermark. Takes a
+    * `ts_ns` event-time column in either fixture encoding. */
   def hourlyVolume(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events
+    normalizeNs(events, "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -134,11 +147,11 @@ object StreamRunner {
     * micro-batches, with state bounded by the event-time watermark (keys
     * older than the watermark are evicted — the streaming face of the
     * batch dedup pack, and the standard at-least-once → effectively-once
-    * repair for replayed message streams). Expects a `ts_ns` int64 nanos
-    * column. */
+    * repair for replayed message streams). Takes a `ts_ns` event-time
+    * column in either fixture encoding. */
   def dedupStream(events: DataFrame, keys: Seq[String],
                   watermark: String = "2 hours"): DataFrame =
-    events
+    normalizeNs(events, "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("ts", watermark)
       .dropDuplicates(keys :+ "ts")
@@ -156,10 +169,10 @@ object StreamRunner {
   def intervalJoinStreams(left: DataFrame, right: DataFrame, key: String,
       leftTs: String = "l_ts_ns", rightTs: String = "r_ts_ns",
       window: String = "30 minutes", watermark: String = "2 hours"): DataFrame = {
-    val l = left
+    val l = normalizeNs(left, leftTs)
       .withColumn("l_evt", timestamp_micros(expr(s"$leftTs div 1000")))
       .withWatermark("l_evt", watermark)
-    val r = right.withColumnRenamed(key, s"${key}_r")
+    val r = normalizeNs(right, rightTs).withColumnRenamed(key, s"${key}_r")
       .withColumn("r_evt", timestamp_micros(expr(s"$rightTs div 1000")))
       .withWatermark("r_evt", watermark)
     l.join(r, col(key) === col(s"${key}_r") &&
@@ -174,7 +187,7 @@ object StreamRunner {
     * gap has provably expired, and state is O(open sessions). */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =
-    events
+    normalizeNs(events, "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
@@ -216,10 +229,11 @@ object StreamRunner {
     * whose state does not grow with cardinality). Watermark bounds how
     * long windows stay open; the register buffers are mergeable by max,
     * so partial aggregation works across micro-batches exactly as it
-    * does map-side in batch. Expects a `ts_ns` int64 nanos column. */
+    * does map-side in batch. Takes a `ts_ns` event-time column in either
+    * fixture encoding. */
   def approxDistinctUsers(events: DataFrame, window_ : String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
-    events
+    normalizeNs(events, "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("ts", watermark)
       .withColumn("h",

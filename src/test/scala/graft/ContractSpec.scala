@@ -5,8 +5,9 @@ import graft.queries._
 
 /** Driver-contract consistency: every query must carry an oracle, names
   * must be globally unique (the merged Map would silently shadow a
-  * duplicate), and the naming convention must hold. Pure metadata — no
-  * Spark session. */
+  * duplicate), and the naming convention must hold. Metadata-only except
+  * the fixture-schema tripwire, which does one schema-only parquet read
+  * per table. */
 class ContractSpec extends AnyFunSuite {
 
   private val packs: Seq[(String, Map[String, _], Map[String, String])] = Seq(
@@ -50,5 +51,77 @@ class ContractSpec extends AnyFunSuite {
       assert(sql.trim.nonEmpty, s"$n: empty oracle")
       assert(!sql.contains(";"), s"$n: oracle must be a single statement")
     }
+  }
+
+  /** Fixture-drift tripwire: the driver has regenerated the fixtures
+    * mid-build before (round 6 flipped `events.ts` from TIMESTAMP(NANOS)
+    * to TIMESTAMP(MICROS), silently failing 18 queries and 22 tests with
+    * cascading DATATYPE_MISMATCHes). This asserts, per table and per
+    * column, the physical types [[graft.sources.Tables]] is coded to
+    * accept — a drift fails HERE with the table and column named, not 22
+    * analysis errors deep in query code. */
+  test("fixture parquet schemas carry the types Tables expects") {
+    import org.apache.spark.sql.types._
+    val spark = SparkSpec.spark
+    val dir = "/root/testdata/sf0.001"
+    // acceptable physical types per column; events.ts lists every
+    // encoding the schema-branch in Tables.events handles
+    val expect: Seq[(String, Seq[(String, Set[DataType])])] = Seq(
+      "region" -> Seq("r_regionkey" -> Set(IntegerType),
+        "r_name" -> Set(StringType)),
+      "nation" -> Seq("n_nationkey" -> Set(IntegerType),
+        "n_name" -> Set(StringType), "n_regionkey" -> Set(IntegerType)),
+      "customer" -> Seq("c_custkey" -> Set(LongType),
+        "c_name" -> Set(StringType), "c_nationkey" -> Set(IntegerType),
+        "c_acctbal" -> Set(DoubleType), "c_mktsegment" -> Set(StringType)),
+      "supplier" -> Seq("s_suppkey" -> Set(LongType),
+        "s_name" -> Set(StringType), "s_nationkey" -> Set(IntegerType),
+        "s_acctbal" -> Set(DoubleType)),
+      "part" -> Seq("p_partkey" -> Set(LongType),
+        "p_name" -> Set(StringType), "p_brand" -> Set(StringType),
+        "p_type" -> Set(StringType), "p_size" -> Set(IntegerType),
+        "p_retailprice" -> Set(DoubleType)),
+      "orders" -> Seq("o_orderkey" -> Set(LongType),
+        "o_custkey" -> Set(LongType), "o_orderstatus" -> Set(StringType),
+        "o_totalprice" -> Set(DoubleType),
+        "o_orderdate" -> Set(TimestampType, TimestampNTZType),
+        "o_orderpriority" -> Set(StringType)),
+      "lineitem" -> Seq("l_orderkey" -> Set(LongType),
+        "l_partkey" -> Set(LongType), "l_suppkey" -> Set(LongType),
+        "l_linenumber" -> Set(IntegerType), "l_quantity" -> Set(DoubleType),
+        "l_extendedprice" -> Set(DoubleType),
+        "l_discount" -> Set(DoubleType), "l_tax" -> Set(DoubleType),
+        "l_returnflag" -> Set(StringType), "l_linestatus" -> Set(StringType),
+        "l_shipdate" -> Set(TimestampType, TimestampNTZType)),
+      "events" -> Seq("event_id" -> Set(LongType),
+        // the two encodings Tables.events' schema branch handles:
+        // int64 TIMESTAMP(NANOS) under nanosAsLong, or TIMESTAMP(MICROS)
+        // as NTZ/UTC-adjusted
+        "ts" -> Set(LongType, TimestampType, TimestampNTZType),
+        "user_id" -> Set(LongType), "event_type" -> Set(StringType),
+        "value" -> Set(DoubleType), "props" -> Set(StringType)),
+      "documents" -> Seq("doc_id" -> Set(LongType),
+        "text" -> Set(StringType), "lang" -> Set(StringType),
+        "source" -> Set(StringType), "n_chars" -> Set(LongType)),
+      "embeddings" -> Seq("vec_id" -> Set(LongType),
+        "embedding" -> Set(ArrayType(FloatType), ArrayType(FloatType, false)),
+        "label" -> Set(IntegerType))
+    )
+    val drifted = expect.flatMap { case (table, cols) =>
+      val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+      cols.flatMap { case (name, ok) =>
+        schema.find(_.name == name) match {
+          case None =>
+            Some(s"$table.$name: MISSING from fixture (has ${schema.fieldNames.mkString(",")})")
+          case Some(f) if !ok.contains(f.dataType) =>
+            Some(s"$table.$name: fixture has ${f.dataType.simpleString}, " +
+              s"Tables expects one of ${ok.map(_.simpleString).mkString("/")}")
+          case _ => None
+        }
+      }
+    }
+    assert(drifted.isEmpty,
+      "fixture schema drift — update graft.sources.Tables to match:\n  " +
+        drifted.mkString("\n  "))
   }
 }

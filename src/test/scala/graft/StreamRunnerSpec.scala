@@ -346,12 +346,21 @@ class StreamRunnerSpec extends SparkSpec {
     // second file: same events shifted +30 days (the fixture spans ~17
     // days, so the shift must exceed that for the second batch to be
     // strictly later in EVENT time - the invariance claim needs batch
-    // order to agree with event order); keep `ts` as raw int64 nanos
+    // order to agree with event order)
     val shift = 30L * 86400L * 1000000000L
-    val shifted = graft.sources.Tables.events(spark, sf)
-      .select((col("ts_ns") + shift).as("ts"), col("event_id") + 1000000L,
+    val shiftedNs = graft.sources.Tables.events(spark, sf)
+      .select((col("ts_ns") + shift).as("ts_ns"),
+        (col("event_id") + 1000000L).as("event_id"),
         col("user_id"), col("event_type"), col("value"), col("props"))
-      .toDF("ts", "event_id", "user_id", "event_type", "value", "props")
+    // stage the second file with `ts` in the FIXTURE's own encoding (int64
+    // nanos or timestamp): one stream schema must describe both files
+    val tsOut = eventsSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts_ns")
+      case dt => timestamp_micros(expr("ts_ns div 1000")).cast(dt)
+    }
+    val shifted = shiftedNs
+      .select(tsOut.as("ts"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
     // the file source lists FILES, not directories: write to a scratch
     // dir and stage the single part-file as src/msg_2.parquet
     val scratch = Files.createTempDirectory("graft_rl_scratch")
@@ -371,8 +380,8 @@ class StreamRunnerSpec extends SparkSpec {
     q.awaitTermination(120000)
     val streamed = spark.table("rl_test")
       .select("event_id").as[Long].collect().toSet
-    val shiftedEvs = shifted
-      .select(col("user_id"), col("ts"), col("event_id"))
+    val shiftedEvs = shiftedNs
+      .select(col("user_id"), col("ts_ns"), col("event_id"))
       .as[(Long, Long, Long)].collect()
     val expectedAll = simulate((all ++ shiftedEvs).toSeq)
     assert(streamed == expectedAll,
