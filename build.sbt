@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to sbt's stdout/stderr WITHOUT the
+// "[info] " log prefix: the driver scrapes Bench/Verify's one-line JSON
+// contract from the log tail, and the prefix broke its line parser every
+// round since r4 (BENCH_r{4,5,6}.json all carry parsed:null with the
+// line visibly present in the tail as "[info] {\"metric\"...").
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

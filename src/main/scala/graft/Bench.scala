@@ -13,13 +13,25 @@ import org.apache.spark.sql.SparkSession
   * isolated cost; the parent merges the children's lines and prints the
   * same single-line contract the driver captures. Each child JVM reuses
   * this JVM's exact args (add-opens, -Xmx, -D props) and classpath, so
-  * parent and child run identical configurations. */
+  * parent and child run identical configurations.
+  *
+  * A query that throws is reported LOUDLY: its entry in `queries` is -1
+  * and an `errors` map carries the exception — never a time-to-failure
+  * masquerading as a timing (round 6 benched 18 analysis-failing queries
+  * as 0.07–0.37 s because the old harness swallowed Throwable). */
 object Bench {
   /** Queries per child JVM — small enough that late-chunk queries don't
     * inherit earlier churn, large enough to amortize the ~10 s JVM+Spark
     * spin-up across the pack. SPARK_GRAFT_CHUNK overrides (dev aid). */
   private def chunkSize: Int =
     sys.env.get("SPARK_GRAFT_CHUNK").map(_.toInt).getOrElse(20)
+
+  /** Cores for the timing session. Defaults to 32 — the brief's bench
+    * shape (local[32], 128 GiB) and what QTime's isolated numbers use.
+    * Rounds 4–6 defaulted this to 4, so every pack number ran on 1/8th
+    * of the cores its isolated comparison got: the "pack is 11× isolated"
+    * mystery was mostly this. */
+  private def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,10 +47,11 @@ object Bench {
       orchestrate(sfDir, names)
   }
 
-  /** Time one set of queries in THIS JVM; returns (name, best seconds). */
+  /** Time one set of queries in THIS JVM; Right(best seconds) per query,
+    * Left(error) for a query that threw (not retried — a failure is a
+    * result, not noise to average away). */
   private def runPack(sfDir: String, names: Seq[String],
-      printLine: Boolean): Seq[(String, Double)] = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      printLine: Boolean): Seq[(String, Either[String, Double])] = {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -47,28 +60,37 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     // best-of-2 per query: the host carries fluctuating background load,
     // so single-shot timings swing on identical plans; the minimum of two
-    // runs reports the plan's actual cost (standard bench practice)
+    // runs reports the plan's actual cost (standard bench practice).
+    // clearCache between the two runs is deliberate: without it the
+    // second run reads the first run's persisted intermediates (the
+    // CacheManager matches the logically-identical rebuilt plan) and
+    // reports a warm-cache time; WITH it both runs pay the query's full
+    // cold cost — including rebuilding shared postings — exactly like
+    // QTime's isolated runs do, so pack and isolated numbers measure the
+    // same thing and stay comparable.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      def once(): Double = {
+      def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val out = try { fn(spark, sfDir).count(); Right(()) } catch {
+          case e: Throwable => Left(err(e))
+        }
         val sec = (System.nanoTime() - t0) / 1e9
-        // drop persisted intermediates after EVERY timed run: otherwise the
-        // second best-of-2 run hits the first run's cache (CacheManager
-        // matches the logically-identical rebuilt plan) and reports a
-        // warm-cache time, and later queries inherit storage pressure
+        // drop persisted intermediates after EVERY timed run (see above)
         spark.sharedState.cacheManager.clearCache()
-        sec
+        out.map(_ => sec)
       }
-      val best = math.min(once(), once())
+      val best = once() match {
+        case Right(t1) => once().map(t2 => math.min(t1, t2))
+        case left => left // failed queries are reported, not re-run
+      }
       // untimed GC breather: without it, allocator debt from one query's
       // shuffle/cache churn lands as a full-GC pause inside the NEXT
       // query's timing (profiled: q83 1.6s isolated vs 3.9s mid-run)
       System.gc()
       name -> best
     }
-    if (printLine) println(jsonLine(sfDir, results))
+    if (printLine) emit(jsonLine(sfDir, results))
     spark.stop()
     results
   }
@@ -87,6 +109,7 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_CHILD", "1")
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.environment().put("SPARK_GRAFT_ONLY", chunk.mkString(","))
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       // Spark logs stay on stderr like a direct run; only the JSON line
       // travels through the captured stdout
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -98,32 +121,70 @@ object Bench {
       if (exit != 0 || line.isEmpty)
         throw new RuntimeException(
           s"bench child failed (exit $exit) for chunk ${chunk.head}..${chunk.last}")
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(line.get).get("queries")
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(line.get)
       // children report short qNN ids; map back to the full names so the
-      // merged line keeps one entry per query
-      val byId = node.properties().asScala
+      // merged line keeps one entry per query. A child's -1 entry carries
+      // its error text in the child's "errors" map.
+      val byId = root.get("queries").properties().asScala
         .map(e => e.getKey -> e.getValue.asDouble).toMap
-      chunk.map(n => n -> byId(n.takeWhile(_ != '_')))
+      val errsById = Option(root.get("errors")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
+      chunk.map { n =>
+        val id = n.takeWhile(_ != '_')
+        n -> errsById.get(id).toLeft(byId(id))
+      }
     }
-    println(jsonLine(sfDir, merged))
+    emit(jsonLine(sfDir, merged))
+  }
+
+  /** One-line exception summary, sanitized to stay a valid JSON string. */
+  private def err(e: Throwable): String = {
+    val msg = Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(140)
+    (e.getClass.getSimpleName + ": " + msg)
+      .map(c => if (c == '"' || c == '\\' || c < ' ' || c > '~') '\'' else c)
+  }
+
+  /** Print the driver-contract line (last stdout line of the run) and
+    * also drop it in bench_line.json next to the repo: rounds 4–6 all
+    * shipped BENCH artifacts with parsed:null because the capture path
+    * mangled the stdout line, so keep a file copy a human or judge can
+    * read without scraping a log tail. */
+  private def emit(line: String): Unit = {
+    // children print their partial line for the parent to capture but must
+    // not clobber the file copy the parent writes last
+    if (!sys.env.contains("SPARK_GRAFT_CHILD")) {
+      try {
+        val p = java.nio.file.Paths.get("bench_line.json")
+        java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      } catch { case _: java.io.IOException => () } // file copy is best-effort
+    }
+    println(line)
+    System.out.flush()
   }
 
   /** The one-line driver contract. Keys are the short qNN ids (the part
     * before the first underscore) and values are 2-decimal seconds: the
     * driver captures this line from a bounded log tail, and at 120+
     * queries the full-name/3-decimal form overflowed the window (r4 kept
-    * only 75 of 120 numbers). */
-  private def jsonLine(sfDir: String, results: Seq[(String, Double)]): String = {
+    * only 75 of 120 numbers). A failed query reports -1 with its message
+    * under "errors" (omitted when everything passed). */
+  private def jsonLine(sfDir: String,
+      results: Seq[(String, Either[String, Double])]): String = {
     def f(v: Double): String = "%.2f".format(v)
     val shortIds = results.map(_._1.takeWhile(_ != '_'))
     require(shortIds.distinct.size == shortIds.size,
       s"duplicate qNN bench keys would silently drop timings: " +
         shortIds.diff(shortIds.distinct).distinct.mkString(","))
     val qs = shortIds.zip(results).map { case (id, (_, v)) =>
-      s"\"" + id + "\":" + f(v)
+      s"\"" + id + "\":" + v.fold(_ => "-1", f)
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errs = shortIds.zip(results).collect { case (id, (_, Left(m))) =>
+      s"\"" + id + "\":\"" + m + "\""
+    }
+    val errField =
+      if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val total = results.map(_._2.getOrElse(0.0)).sum
+    s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
   }
 }
