@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * real decoder could amortize model/codec setup per batch), frame
   * sampling, and feature extraction — all without any driver-side collect.
   *
-  * The *decode step itself is a STUB*: real image/audio codecs are not
-  * available in this environment, so [[FakeDecoder]] produces deterministic
-  * pseudo-features from the bytes. Swapping in a real decoder is a one-line
-  * change at the call site; nothing else moves.
+  * Decoders: [[PpmDecoder]] is a REAL decoder for binary PPM (P6), an
+  * uncompressed format that needs no codec library. Compressed formats
+  * (JPEG/PNG/audio codecs) are not available in this container, so
+  * [[FakeDecoder]] stands in for those with deterministic pseudo-features
+  * from the bytes. Both run behind the same [[MediaDecoder]] contract, so
+  * swapping in a real codec is a one-line change at the call site; nothing
+  * else moves.
   */
 object Multimodal {
 
@@ -53,6 +56,53 @@ object Multimodal {
       }
       MediaFeatures(rec.id, rec.meta.format, frames.length, checksum,
         if (frames.nonEmpty && frames.head.nonEmpty) frames.head.head & 0xff else -1)
+    }
+  }
+
+  /** REAL decoder for binary PPM (P6) — an uncompressed format that needs
+    * no codec library, so the decode step stops being a stub for at least
+    * one real on-disk image format. Header per the Netpbm spec: `P6`,
+    * then whitespace-separated width/height/maxval (with `#` comments
+    * allowed between tokens), one whitespace byte, then `w*h*3` raw RGB
+    * bytes. Each pixel ROW is one "frame": `nFrames` = image height, the
+    * checksum is the same rolling hash [[FakeDecoder]] uses (over rows
+    * instead of stride slices), and the thumbnail byte is the first
+    * pixel's red channel. Malformed payloads throw `IllegalArgumentException`
+    * with the offending offset — a decode error must surface per-record,
+    * not corrupt the batch. */
+  final class PpmDecoder extends MediaDecoder {
+    override def decode(rec: MediaRecord): MediaFeatures = {
+      val b = rec.media
+      require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
+        s"not a P6 PPM payload (magic=${b.take(2).map(_.toChar).mkString})")
+      var pos = 2
+      def skipSeparators(): Unit = {
+        var going = true
+        while (going && pos < b.length) {
+          if (Character.isWhitespace(b(pos))) pos += 1
+          else if (b(pos) == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+          else going = false
+        }
+      }
+      def readInt(): Int = {
+        skipSeparators()
+        val start = pos
+        while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') pos += 1
+        require(pos > start, s"expected integer at offset $start")
+        new String(b, start, pos - start, "US-ASCII").toInt
+      }
+      val w = readInt(); val h = readInt(); val maxval = readInt()
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      require(maxval > 0 && maxval < 256, s"maxval $maxval unsupported (1-byte samples only)")
+      pos += 1 // exactly one whitespace byte separates header from raster
+      require(b.length - pos >= w.toLong * h * 3,
+        s"truncated raster: need ${w.toLong * h * 3} bytes, have ${b.length - pos}")
+      val rowLen = w * 3
+      val rows = (0 until h).map(r => b.slice(pos + r * rowLen, pos + (r + 1) * rowLen))
+      val checksum = rows.foldLeft(0L) { (acc, f) =>
+        (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
+      }
+      MediaFeatures(rec.id, "ppm", h, checksum, b(pos) & 0xff)
     }
   }
 

@@ -49,6 +49,42 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(one.id) == decoder.decode(one))
   }
 
+  test("PpmDecoder decodes a hand-built P6 image through the batched path") {
+    import spark.implicits._
+    // 4x3 P6, maxval 255, with a header comment; pixel (r,c) has
+    // RGB = (10r+c, 100+c, 200+r) — every byte value is known by hand
+    val w = 4; val h = 3
+    val header = s"P6\n# hand-built test image\n$w $h\n255\n".getBytes("US-ASCII")
+    val raster = (for {
+      r <- 0 until h; c <- 0 until w
+      b <- Seq(10 * r + c, 100 + c, 200 + r)
+    } yield b.toByte).toArray
+    val img = header ++ raster
+    val rec = MediaRecord(7L, img, MediaMeta("ppm", w, h, img.length.toLong))
+    val decoder = new PpmDecoder
+    val feats = decoder.decode(rec)
+    assert(feats.format == "ppm")
+    assert(feats.nFrames == h) // one frame per pixel row
+    assert(feats.thumbFirstByte == 0) // pixel (0,0) red channel = 10*0+0
+    // checksum against an independent re-computation of the spec'd hash
+    val rows = raster.grouped(w * 3).toSeq
+    val expected = rows.foldLeft(0L) { (acc, f) =>
+      (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
+    }
+    assert(feats.checksum == expected)
+    // same features through the distributed batched mapPartitions path
+    val ds = Seq(rec, rec.copy(id = 8L)).toDS()
+    val out = Multimodal.extractFeatures(ds, decoder, batchSize = 1)
+      .collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(7L, 8L))
+    assert(out.forall(f => f.nFrames == h && f.checksum == expected))
+    // header comments and multi-digit dims parse; truncated raster throws
+    val bad = rec.copy(media = img.dropRight(1))
+    intercept[IllegalArgumentException] { decoder.decode(bad) }
+    val notPpm = rec.copy(media = "RIFF1234".getBytes("US-ASCII"))
+    intercept[IllegalArgumentException] { decoder.decode(notPpm) }
+  }
+
   test("q117 perceptual near-dup: exact duplicates collide at hamming 0") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q117_perceptual_dup")(spark, sf).collect()
