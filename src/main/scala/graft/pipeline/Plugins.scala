@@ -303,7 +303,7 @@ object Plugins {
       if (grids.isEmpty) Right(src)
       else {
         // deterministic pick: min/max cell count, ties by (h, w, key)
-        val ordered = grids.sortBy { case (k, (h, w)) => (h * w, h, w, k.mkString(" ")) }
+        val ordered = grids.sortBy { case (k, (h, w)) => (h * w, h, w, k.mkString("|")) }
         val (_, (th, tw)) = if (mode == "coarsest") ordered.head else ordered.last
         val bad = grids.collectFirst {
           case (k, (h, w)) if (h % th != 0 && th % h != 0) ||
