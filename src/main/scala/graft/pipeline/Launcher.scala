@@ -32,17 +32,24 @@ object Launcher {
     * and the traceback).
     *
     * `sendmail` (launcher.py:483-497) composes the same
-    * header/from/to/subject + trace message; the TRANSPORT is injected
-    * (`transport` — default stderr) because spawning `/usr/bin/sendmail`
-    * is the documented out-of-scope edge (W9). `log` writes the plugin
-    * name and error through the same transport. Unknown names are a
-    * config error at build time, not at crash time. */
+    * header/from/to/subject + trace message. The transport: when the
+    * handler's config carries a `sendmail:` binary path (the reference's
+    * own key, default `/usr/bin/sendmail` there), the message is piped to
+    * that binary via [[processTransport]] exactly like the reference's
+    * `Popen([sendmail, "-t", "-oi"])`; without the key the injected
+    * `transport` (default stderr) carries it — tests inject a capture,
+    * and a box with no MTA still logs the composed mail instead of
+    * failing the drain. `log` writes the plugin name and error through
+    * the injected transport. Unknown names are a config error at build
+    * time, not at crash time. */
   def crashChain(config: LoadedConfig,
       transport: String => Unit = s => Console.err.println(s)): Seq[Runner.CrashHandler] =
     config.crashHandlers.map { h =>
       val conf = config.crashConfig ++ h.options
       h.fun match {
         case "sendmail" =>
+          val send = conf.get("sendmail")
+            .map(bin => processTransport(bin)).getOrElse(transport)
           (plugin: String, e: Throwable) => {
             val header = conf.getOrElse("header", "trollflow2spark crashed")
             val msg =
@@ -54,7 +61,7 @@ object Launcher {
                  |
                  |plugin: $plugin
                  |${e.toString}""".stripMargin
-            transport(msg)
+            send(msg)
           }
         case "log" =>
           (plugin: String, e: Throwable) =>
@@ -64,6 +71,31 @@ object Launcher {
             s"unknown crash handler '$other' — known: log, sendmail")
       }
     }
+
+  /** Pipe a composed message to a mail binary — the reference's
+    * `Popen([sendmail, "-t", "-oi"], stdin=PIPE); communicate(bytes)`
+    * (launcher.py:483-497): `-t` reads recipients from the message
+    * headers, `-oi` keeps a lone "." line from ending input. A handler
+    * must never throw from inside crash handling (it would mask the
+    * original failure and kill the drain — the reference ignores the
+    * exit status too), so spawn/exit problems are logged to stderr and
+    * swallowed. */
+  def processTransport(binary: String): String => Unit = msg => {
+    try {
+      val pb = new ProcessBuilder(binary, "-t", "-oi")
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val in = proc.getOutputStream
+      in.write(msg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      in.close()
+      val exit = proc.waitFor()
+      if (exit != 0)
+        Console.err.println(s"sendmail transport '$binary' exited $exit")
+    } catch {
+      case e: Exception =>
+        Console.err.println(s"sendmail transport '$binary' failed: $e")
+    }
+  }
 
   /** One message (the `--test-message` path, launcher.py:259-266):
     * build the chain for the message's files and run every priority

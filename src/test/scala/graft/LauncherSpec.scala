@@ -136,6 +136,52 @@ class LauncherSpec extends SparkSpec {
     intercept[ConfigException](Launcher.crashChain(bad))
   }
 
+  test("sendmail: a configured binary receives the message on stdin") {
+    // stand-in MTA: a script that appends stdin to a capture file —
+    // proves the real process transport (spawn, -t -oi args, stdin pipe,
+    // wait) without an actual mail daemon
+    val dir = Files.createTempDirectory("graft_sendmail")
+    val capture = dir.resolve("captured.mail")
+    val script = dir.resolve("fake_sendmail.sh")
+    Files.writeString(script,
+      s"""#!/bin/sh
+         |echo "argv:$$@" >> $capture
+         |cat >> $capture
+         |""".stripMargin)
+    script.toFile.setExecutable(true)
+    val cfg = Launcher.load(
+      s"""product_list:
+         |  areas:
+         |    euro:
+         |      products: {N: {productname: N}}
+         |crash_handlers:
+         |  config:
+         |    from: pipeline@sat.example
+         |    to: ops@sat.example
+         |    subject: "Processing crashed"
+         |    header: "The chain failed"
+         |    sendmail: $script
+         |  handlers:
+         |    - fun: sendmail
+         |workers:
+         |  - fun: create_scene
+         |  - fun: load_composites
+         |    broken: "this is ( not sql"
+         |""".stripMargin)
+    val reports = Launcher.runOnce(spark, cfg,
+      s"""{"type": "file", "data": {"uri": "$sf/region.parquet"}}""",
+      crashHandlers = Launcher.crashChain(cfg))
+    assert(reports.head.finalCtx.aborted.exists(_.contains("load_composites")))
+    val mail = Files.readString(capture)
+    assert(mail.contains("argv:-t -oi")) // reference's Popen argv
+    assert(mail.contains("From: pipeline@sat.example"))
+    assert(mail.contains("To: ops@sat.example"))
+    assert(mail.contains("Subject: Processing crashed"))
+    assert(mail.contains("plugin: load_composites"))
+    // a missing binary must not throw out of crash handling
+    Launcher.processTransport("/nonexistent/sendmail")("msg")
+  }
+
   test("run: message stream drives one configured pipeline per message") {
     val outDir = Files.createTempDirectory("graft_launch2").toString
     val src = Files.createTempDirectory("graft_launch_msgs")
