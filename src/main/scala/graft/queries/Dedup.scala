@@ -489,8 +489,11 @@ object Dedup {
           (acc, k) => (acc * 131 + k % 1000000007L) % 1000000007L).as("members_fp"))
       .orderBy(col("cluster_rep"))
 
-  val q59Sql: String =
-    """WITH d AS (
+  /** The q59 evidence-graph + recursive-CC CTE chain (d … walk), shared
+    * with q135's fold assignment: `walk(id, comp)` labels every doc that
+    * carries duplicate evidence. */
+  private val dupWalkSql: String =
+    """d AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
       |  FROM documents),
       |keys AS (
@@ -514,13 +517,69 @@ object Dedup {
       |    SELECT id, id FROM nodes
       |    UNION
       |    SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id)
-      |  SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      |  SELECT id, min(r) AS comp FROM reach GROUP BY id)""".stripMargin
+
+  val q59Sql: String =
+    s"""WITH $dupWalkSql
       |SELECT comp AS cluster_rep, count(*) AS n_docs, max(id) AS max_doc,
       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(id ORDER BY id)),
       |    (a, k) -> (a * 131 + k % 1000000007) % 1000000007) AS members_fp
       |FROM walk
       |GROUP BY comp
       |ORDER BY cluster_rep""".stripMargin
+
+  /** Leakage-safe cross-validation folds: every document lands in a fold,
+    * but all members of a duplicate CLUSTER (q59's evidence components)
+    * land in the SAME fold — the split you need before held-out
+    * evaluation, because hashing raw doc_ids scatters near-copies of one
+    * document across train and test and the model grades itself on
+    * memorized duplicates. Fold = hash of the cluster label (singletons:
+    * their own doc_id), so assignment is deterministic, uniform across
+    * clusters, and adding a fold count is a constant change. Reports per
+    * fold: docs, distinct groups, docs carrying duplicate evidence, and
+    * an order-independent membership fingerprint (q75's commutative sum
+    * idiom — no per-fold list materialization, fold groups are
+    * corpus-sized at scale).
+    *
+    * Scale: the labels table (bounded by docs WITH dup evidence) joins
+    * the corpus once — at production scale it is the materialized
+    * dup-labels table q59 already writes; fold assignment is a pure row
+    * hash; the report is ONE 5-row aggregation. Leakage-freedom (no
+    * cluster spans folds) is pinned in CurationOpsSpec. */
+  def q135LeakageSafeFolds(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .join(dupLabels(spark, dir), col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("grp"),
+        col("comp").isNotNull.cast("int").as("dup"))
+      .withColumn("fold", h32(concat(lit("fold_"), col("grp"))) % 5)
+      .withColumn("mh", h32(concat(lit("m_"), col("doc_id"))))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum(col("dup")).as("dup_docs"),
+        (sum(col("mh")) % P).as("member_fp"))
+      .orderBy(col("fold"))
+
+  val q135Sql: String =
+    s"""WITH $dupWalkSql,
+      |lab AS (
+      |  SELECT doc_id,
+      |    coalesce(walk.comp, doc_id) AS grp,
+      |    CASE WHEN walk.comp IS NULL THEN 0 ELSE 1 END AS dup
+      |  FROM documents LEFT JOIN walk ON walk.id = doc_id),
+      |f AS (
+      |  SELECT doc_id, grp, dup,
+      |    ('0x' || substr(md5('fold_' || grp), 1, 8))::BIGINT % 5 AS fold,
+      |    ('0x' || substr(md5('m_' || doc_id), 1, 8))::BIGINT AS mh
+      |  FROM lab)
+      |SELECT fold, count(*) AS n_docs,
+      |  count(DISTINCT grp) AS n_groups,
+      |  sum(dup)::BIGINT AS dup_docs,
+      |  sum(mh)::BIGINT % 1000000007 AS member_fp
+      |FROM f
+      |GROUP BY fold
+      |ORDER BY fold""".stripMargin
 
   /** Content-defined chunking — the rolling-hash boundary pass that
     * chunk-level dedup (CDC, as in backup/dedup stores and long-document
@@ -1425,6 +1484,7 @@ object Dedup {
     "q31_simhash" -> (q31Simhash _),
     "q32_embedding_neardup" -> (q32EmbeddingNeardup _),
     "q59_dup_clusters" -> (q59DupClusters _),
+    "q135_leakage_safe_folds" -> (q135LeakageSafeFolds _),
     "q76_cdc_chunking" -> (q76CdcChunking _),
     "q80_semdedup" -> (q80SemDedup _),
     "q83_dup_spans" -> (q83DupSpans _),
@@ -1447,6 +1507,7 @@ object Dedup {
     "q31_simhash" -> q31Sql,
     "q32_embedding_neardup" -> q32Sql,
     "q59_dup_clusters" -> q59Sql,
+    "q135_leakage_safe_folds" -> q135Sql,
     "q76_cdc_chunking" -> q76Sql,
     "q80_semdedup" -> q80Sql,
     "q83_dup_spans" -> q83Sql,

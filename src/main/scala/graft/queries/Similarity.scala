@@ -893,6 +893,88 @@ object Similarity {
       |ORDER BY indeg DESC, i.vec_id
       |LIMIT 10""".stripMargin
 
+  /** Greedy k-center (farthest-point) coreset selection over the embedding
+    * corpus — the diversity-sampling pass of training-data selection:
+    * pick the point farthest from everything selected so far, k times,
+    * and the selected set is a 2-approximation of the optimal k-center
+    * cover. Output is the selection order, the chosen vector, and the
+    * coverage radius² at the moment of selection (the farthest-remaining
+    * distance, so the radius column is non-increasing by construction —
+    * the "how much does the next exemplar still buy" curve).
+    *
+    * Determinism across engines: distances use the SAME sequential-fold
+    * dot product both sides (d² = |x|² − 2·x·c + |c|², never an unordered
+    * component sum), are rounded to 4 decimals before the argmax, and
+    * ties break on vec_id.
+    *
+    * Scale design: the corpus is scanned ONCE per round — each round is
+    * a narrow map against the k-bounded broadcast center (update the
+    * running min-distance) plus a TakeOrdered(1) argmax; no pairwise
+    * materialization, no global sort, state per row is one double. The
+    * k collected rows are control-plane (k vectors to the driver, like
+    * q69's k×64 centroid broadcast); at petabyte scale you checkpoint
+    * the min-distance column every few rounds instead of re-deriving
+    * the narrow chain — the shuffle count stays ZERO either way. */
+  def q134KcenterCoreset(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val e = vecs(spark, dir).persist() // (vec_id, label, v, nrm)
+    def d2To(cv: Seq[Double], cNrm: Double): Column =
+      round(lit(1e-9) + col("nrm") - lit(2.0) * dotCol(col("v"), typedLit(cv))
+        + lit(cNrm), 4)
+    val first = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("v"), col("nrm")).collect().head
+    var selected = Vector((0, first.getLong(0), 0.0))
+    var state = e.select(col("vec_id"), col("v"), col("nrm"),
+      d2To(first.getSeq[Double](1), first.getDouble(2)).as("md"))
+    (1 until k).foreach { i =>
+      val next = state.orderBy(col("md").desc, col("vec_id")).limit(1)
+        .collect().head
+      selected :+= ((i, next.getLong(0), next.getDouble(3)))
+      state = state.withColumn("md",
+        least(col("md"), d2To(next.getSeq[Double](1), next.getDouble(2))))
+    }
+    import spark.implicits._
+    selected.toDF("sel_order", "vec_id", "radius2")
+      .select(col("sel_order").cast("int").as("sel_order"), col("vec_id"),
+        col("radius2"))
+      .orderBy(col("sel_order"))
+  }
+
+  /** The oracle unrolls the same k rounds as chained CTEs: cI = argmax of
+    * dI's min-distance, dI+1 = least(dI, distance to cI) — generated from
+    * the one k constant so both engines share the schedule by
+    * construction. */
+  val q134Sql: String = {
+    val k = 8
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_transform(range(1, len($a) + 1),
+         |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"WITH $vecsSql,\n"
+    sb ++= "c0 AS (SELECT vec_id, embedding, nrm FROM e ORDER BY vec_id LIMIT 1),\n"
+    sb ++= s"""d1 AS (
+              |  SELECT e.vec_id, e.embedding, e.nrm,
+              |    round(1e-9 + e.nrm - 2 * ${dot("e.embedding", "c.embedding")}
+              |      + c.nrm, 4) AS md
+              |  FROM e CROSS JOIN c0 c),\n""".stripMargin
+    (1 until k).foreach { i =>
+      sb ++= s"c$i AS (SELECT vec_id, embedding, nrm, md FROM d$i ORDER BY md DESC, vec_id LIMIT 1)"
+      if (i < k - 1)
+        sb ++= s""",
+                  |d${i + 1} AS (
+                  |  SELECT d.vec_id, d.embedding, d.nrm,
+                  |    least(d.md, round(1e-9 + d.nrm - 2 * ${dot("d.embedding", "c.embedding")}
+                  |      + c.nrm, 4)) AS md
+                  |  FROM d$i d CROSS JOIN c$i c),\n""".stripMargin
+      else sb ++= "\n"
+    }
+    val sel = Seq("SELECT 0 AS sel_order, (SELECT vec_id FROM c0) AS vec_id, 0.0 AS radius2") ++
+      (1 until k).map(i =>
+        s"SELECT $i, (SELECT vec_id FROM c$i), (SELECT md FROM c$i)")
+    sb ++= sel.mkString("", "\nUNION ALL ", "\nORDER BY sel_order")
+    sb.toString
+  }
+
   val defs: Map[String, Q] = Map(
     "q33_ann_bruteforce" -> (q33AnnBruteforce _),
     "q34_ann_lsh" -> (q34AnnLsh _),
@@ -905,7 +987,8 @@ object Similarity {
     "q87_contrastive_mining" -> (q87ContrastiveMining _),
     "q99_label_errors" -> (q99LabelErrors _),
     "q106_corr_audit" -> (q106CorrAudit _),
-    "q112_hubness" -> (q112Hubness _)
+    "q112_hubness" -> (q112Hubness _),
+    "q134_kcenter_coreset" -> (q134KcenterCoreset _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -920,6 +1003,7 @@ object Similarity {
     "q87_contrastive_mining" -> q87Sql,
     "q99_label_errors" -> q99Sql,
     "q106_corr_audit" -> q106Sql,
-    "q112_hubness" -> q112Sql
+    "q112_hubness" -> q112Sql,
+    "q134_kcenter_coreset" -> q134Sql
   )
 }

@@ -1107,6 +1107,77 @@ object TextAnalysis {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Encoding-hygiene audit per source: control characters, zero-width /
+    * BOM codepoints, and U+FFFD replacement characters — the mojibake and
+    * binary-contamination screen a web-scale ingest runs before any
+    * language or quality model sees the text (a stray NUL or a
+    * replacement-char run is decoder damage, not content). The fixture
+    * corpus is pure printable ASCII, so — exactly like q126's synthetic
+    * PII — deterministic noise is injected from `doc_id` first: BEL
+    * prepended when doc_id%7=0, a zero-width space appended when
+    * doc_id%5=0, U+FFFD appended when doc_id%11=0. The audit itself is
+    * injection-blind (it only sees the noisy text).
+    *
+    * Scale: pure row-local regex kernels inside whole-stage codegen plus
+    * ONE source-key aggregation — zero joins, zero extra shuffles; the
+    * non-ASCII classes travel as literal codepoints into both engines so
+    * neither regex dialect needs escape translation. */
+  // shared by the Spark plan and the DuckDB oracle: the non-ASCII class
+  // members travel as actual codepoints (via these escapes) into both
+  // engines' regex compilers, so neither dialect needs escape translation
+  private val zwsp = "\u200b" // zero-width space
+  private val replChar = "\ufffd" // U+FFFD replacement character
+  private val ctrlRe = "[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+  private val zwRe = "[\u200b-\u200d\ufeff]"
+
+  def q133EncodingHygiene(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val noisy = concat(
+      when(id % 7 === 0, lit("\u0007")).otherwise(lit("")),
+      col("text"),
+      when(id % 5 === 0, lit(zwsp)).otherwise(lit("")),
+      when(id % 11 === 0, lit(replChar)).otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("source"), noisy.as("noisy"))
+      .select(col("source"),
+        col("noisy").rlike(ctrlRe).cast("int").as("has_ctrl"),
+        col("noisy").rlike(zwRe).cast("int").as("has_zw"),
+        (length(col("noisy")) -
+          length(regexp_replace(col("noisy"), lit(replChar), lit("")))).as("repl"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("has_ctrl")).as("docs_ctrl"),
+        sum(col("has_zw")).as("docs_zw"),
+        sum(col("repl")).as("repl_chars"),
+        sum(((col("has_ctrl") + col("has_zw") === 0) && (col("repl") === 0))
+          .cast("int")).as("clean_docs"))
+      .orderBy(col("source"))
+  }
+
+  val q133Sql: String =
+    s"""WITH noisy AS (
+      |  SELECT source, doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN chr(7) ELSE '' END
+      |      || text
+      |      || CASE WHEN doc_id % 5 = 0 THEN '$zwsp' ELSE '' END
+      |      || CASE WHEN doc_id % 11 = 0 THEN '$replChar' ELSE '' END AS t
+      |  FROM documents),
+      |flags AS (
+      |  SELECT source,
+      |    CASE WHEN regexp_matches(t, '$ctrlRe') THEN 1 ELSE 0 END AS has_ctrl,
+      |    CASE WHEN regexp_matches(t, '$zwRe') THEN 1 ELSE 0 END AS has_zw,
+      |    length(t) - length(regexp_replace(t, '$replChar', '', 'g')) AS repl
+      |  FROM noisy)
+      |SELECT source, count(*) AS n_docs,
+      |  sum(has_ctrl)::BIGINT AS docs_ctrl,
+      |  sum(has_zw)::BIGINT AS docs_zw,
+      |  sum(repl)::BIGINT AS repl_chars,
+      |  sum(CASE WHEN has_ctrl + has_zw = 0 AND repl = 0 THEN 1 ELSE 0 END)::BIGINT
+      |    AS clean_docs
+      |FROM flags
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q23_token_stats" -> (q23TokenStats _),
     "q24_quality_score" -> (q24QualityScore _),
@@ -1128,7 +1199,8 @@ object TextAnalysis {
     "q109_pmi_collocations" -> (q109PmiCollocations _),
     "q126_pii_scrub" -> (q126PiiScrub _),
     "q127_blocklist_filter" -> (q127BlocklistFilter _),
-    "q130_domain_kl" -> (q130DomainKl _)
+    "q130_domain_kl" -> (q130DomainKl _),
+    "q133_encoding_hygiene" -> (q133EncodingHygiene _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1152,6 +1224,7 @@ object TextAnalysis {
     "q109_pmi_collocations" -> q109Sql,
     "q126_pii_scrub" -> q126Sql,
     "q127_blocklist_filter" -> q127Sql,
-    "q130_domain_kl" -> q130Sql
+    "q130_domain_kl" -> q130Sql,
+    "q133_encoding_hygiene" -> q133Sql
   )
 }

@@ -278,4 +278,56 @@ class CurationOpsSpec extends SparkSpec {
     if (r.getAs[Long]("n_hot") == 0)
       assert(r.getAs[Long]("max_df") * 100 <= math.max(2500L, ndocs))
   }
+
+  test("q133 hygiene counts equal the deterministic injection schedule") {
+    val rows = run("q133_encoding_hygiene").collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    // the audit must find exactly what the doc_id schedule injected
+    assert(rows.map(_.getAs[Long]("docs_ctrl")).sum ==
+      docs.count(_ % 7 == 0))
+    assert(rows.map(_.getAs[Long]("docs_zw")).sum ==
+      docs.count(_ % 5 == 0))
+    assert(rows.map(_.getAs[Long]("repl_chars")).sum ==
+      docs.count(_ % 11 == 0))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("clean_docs") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q134 k-center: distinct exemplars, non-increasing coverage radius") {
+    val rows = run("q134_kcenter_coreset").collect()
+    assert(rows.length == 8)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length, "an exemplar was re-selected")
+    val minId = graft.sources.Tables.embeddings(spark, sf)
+      .agg(org.apache.spark.sql.functions.min(col("vec_id")))
+      .collect().head.getLong(0)
+    assert(rows.head.getAs[Int]("sel_order") == 0 && ids.head == minId)
+    // farthest-point selection: each pick covers at least as much as the
+    // next (min-distances only shrink as centers are added)
+    val radii = rows.drop(1).map(_.getAs[Double]("radius2"))
+    radii.sliding(2).foreach { w =>
+      assert(w(0) >= w(1) - 1e-9, s"radius increased: ${w(0)} -> ${w(1)}")
+    }
+    assert(radii.forall(_ > 0.0))
+  }
+
+  test("q135 folds are leakage-free: no duplicate cluster spans folds") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q135_leakage_safe_folds").collect()
+    assert(rows.length == 5)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // every q59 cluster must land wholly inside one fold — the property
+    // that makes the split safe for held-out evaluation
+    val labels = graft.queries.Dedup.dupLabels(spark, sf)
+    val spanning = labels
+      .withColumn("fold",
+        graft.functions.TextFns.h32(concat(lit("fold_"), col("comp"))) % 5)
+      .groupBy(col("comp")).agg(countDistinct(col("fold")).as("nf"))
+      .filter(col("nf") > 1).count()
+    assert(spanning == 0, s"$spanning clusters span folds")
+  }
 }
