@@ -57,6 +57,7 @@ object GraftSession {
     graft.functions.ShingleH32.register(spark)
     graft.functions.RollingFp.register(spark)
     graft.functions.WsTokens.register(spark)
+    graft.functions.NfcNormalize.register(spark)
     // plan-rewrite rules (same set GraftExtensions injects at build time);
     // extraOptimizations is the runtime hook for an existing session
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteMd5H32))

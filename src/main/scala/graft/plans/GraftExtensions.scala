@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ComposeExpr, DotF64, H32Md5, HashExprs, NGramStats, NGramStatsExpr, OuterF64, RollingFp, RollingFpExpr, ShingleH32, ShingleH32Expr, VecOps, WsTokens, WsTokensExpr}
+import graft.functions.{ComposeExpr, DotF64, H32Md5, HashExprs, NfcNormalize, NfcNormalizeExpr, NGramStats, NGramStatsExpr, OuterF64, RollingFp, RollingFpExpr, ShingleH32, ShingleH32Expr, VecOps, WsTokens, WsTokensExpr}
 
 /** Session-extensions entry point — makes the library installable without
   * code changes:
@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleH32)
     ext.injectFunction(GraftExtensions.rollingFp)
     ext.injectFunction(GraftExtensions.wsTokens)
+    ext.injectFunction(GraftExtensions.nfcNormalize)
     ext.injectOptimizerRule(_ => RewriteMd5H32)
   }
 }
@@ -78,6 +79,12 @@ object GraftExtensions {
     (FunctionIdentifier("ws_tokens"),
       new ExpressionInfo(classOf[WsTokensExpr].getName, "ws_tokens"),
       WsTokens.builder _)
+
+  /** (name, info, builder) triple for `nfc_normalize(text)`. */
+  val nfcNormalize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      NfcNormalize.builder _)
 
   /** (name, info, builder) triple for `shingle_h32(text, n)`. */
   val shingleH32: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =

@@ -1178,6 +1178,65 @@ object TextAnalysis {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // decomposed (non-NFC) sequences for q136's injection — combining
+  // acute / ring / diaeresis; escapes keep the source ASCII while the
+  // actual codepoints travel into both engines
+  private val dAcute = "e\u0301" // e + COMBINING ACUTE ACCENT -> \u00e9
+  private val dRing = "A\u030a" // A + COMBINING RING ABOVE -> \u00c5
+  private val dUmlaut = "o\u0308" // o + COMBINING DIAERESIS -> \u00f6
+
+  /** Unicode NFC normalization audit per source — the canonicalization
+    * pass that runs before any hash-based dedup on real web text: the
+    * SAME visible string arrives both precomposed and decomposed
+    * (a\u0301 vs \u00e1), so un-normalized corpora silently under-dedup and
+    * double-count vocabulary. The ASCII fixture gets deterministic
+    * decomposed sequences appended from `doc_id` (%3: a combining acute,
+    * %7: ring + diaeresis words), then the audit reports how many docs
+    * normalization changes, how many codepoints it saves, and a
+    * fingerprint of the normalized text (the value hash-dedup would key
+    * on).
+    *
+    * Engine parity: Spark has no built-in normalizer — this is the
+    * custom codegen expression `nfc_normalize`
+    * ([[graft.functions.NfcNormalize]]); DuckDB's built-in
+    * `nfc_normalize` implements the same UAX #15 tables, so the oracle
+    * twin is exact. Scale: a row-local kernel with an
+    * already-normalized fast path + ONE source aggregation — zero joins;
+    * the corpus pays the normalize allocation only on rows that carry
+    * decomposed sequences. */
+  def q136UnicodeNfc(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val noisy = concat(
+      col("text"),
+      when(id % 3 === 0, lit(s" caf$dAcute")).otherwise(lit("")),
+      when(id % 7 === 0, lit(s" ${dRing}ngstr${dUmlaut}m")).otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("source"), noisy.as("t"))
+      .withColumn("nt", call_function("nfc_normalize", col("t")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("nt") =!= col("t")).cast("int")).as("docs_denorm"),
+        sum(length(col("t")) - length(col("nt"))).as("cp_saved"),
+        (sum(h32(col("nt"))) % P).as("norm_fp"))
+      .orderBy(col("source"))
+  }
+
+  val q136Sql: String =
+    s"""WITH noisy AS (
+      |  SELECT source,
+      |    text
+      |      || CASE WHEN doc_id % 3 = 0 THEN ' caf$dAcute' ELSE '' END
+      |      || CASE WHEN doc_id % 7 = 0 THEN ' ${dRing}ngstr${dUmlaut}m' ELSE '' END AS t
+      |  FROM documents),
+      |n AS (SELECT source, t, nfc_normalize(t) AS nt FROM noisy)
+      |SELECT source, count(*) AS n_docs,
+      |  sum(CASE WHEN nt <> t THEN 1 ELSE 0 END)::BIGINT AS docs_denorm,
+      |  sum(length(t) - length(nt))::BIGINT AS cp_saved,
+      |  sum(('0x' || substr(md5(nt), 1, 8))::BIGINT)::BIGINT % 1000000007 AS norm_fp
+      |FROM n
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q23_token_stats" -> (q23TokenStats _),
     "q24_quality_score" -> (q24QualityScore _),
@@ -1200,7 +1259,8 @@ object TextAnalysis {
     "q126_pii_scrub" -> (q126PiiScrub _),
     "q127_blocklist_filter" -> (q127BlocklistFilter _),
     "q130_domain_kl" -> (q130DomainKl _),
-    "q133_encoding_hygiene" -> (q133EncodingHygiene _)
+    "q133_encoding_hygiene" -> (q133EncodingHygiene _),
+    "q136_unicode_nfc" -> (q136UnicodeNfc _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1225,6 +1285,7 @@ object TextAnalysis {
     "q126_pii_scrub" -> q126Sql,
     "q127_blocklist_filter" -> q127Sql,
     "q130_domain_kl" -> q130Sql,
-    "q133_encoding_hygiene" -> q133Sql
+    "q133_encoding_hygiene" -> q133Sql,
+    "q136_unicode_nfc" -> q136Sql
   )
 }

@@ -296,6 +296,20 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q136 normalization counts equal the deterministic injection schedule") {
+    val rows = run("q136_unicode_nfc").collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    // a doc changes under NFC iff it got a decomposed injection
+    assert(rows.map(_.getAs[Long]("docs_denorm")).sum ==
+      docs.count(d => d % 3 == 0 || d % 7 == 0))
+    // each combining mark composes away exactly one codepoint:
+    // %3 injects one (acute), %7 injects two (ring + diaeresis)
+    assert(rows.map(_.getAs[Long]("cp_saved")).sum ==
+      docs.count(_ % 3 == 0) + 2L * docs.count(_ % 7 == 0))
+  }
+
   test("q134 k-center: distinct exemplars, non-increasing coverage radius") {
     val rows = run("q134_kcenter_coreset").collect()
     assert(rows.length == 8)

@@ -161,4 +161,32 @@ class TextFnsSpec extends SparkSpec {
     assert(rows(1).getLong(0) == 2 && rows(1).getLong(1) == 3 &&
       rows(1).getLong(2) == 2) // "a a","a a","a b"
   }
+
+  test("native nfc_normalize composes combining marks; NFC text passes through") {
+    import org.apache.spark.sql.functions.{call_function, length => slen}
+    import spark.implicits._
+    // escapes, not literal glyphs: decomposed and precomposed forms render
+    // identically, so only codepoint escapes keep this test unambiguous
+    val decomposedCafe = "cafe\u0301" // e + COMBINING ACUTE, 5 codepoints
+    val precomposedCafe = "caf\u00e9" // 4 codepoints
+    val decomposedRing = "A\u030a" // A + COMBINING RING, 2 codepoints
+    val df = Seq(decomposedCafe, decomposedRing, "plain ascii", precomposedCafe)
+      .toDF("s")
+      .withColumn("n", call_function("nfc_normalize", col("s")))
+      .withColumn("l0", slen(col("s"))).withColumn("l1", slen(col("n")))
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(rows(0)._2 == precomposedCafe && rows(0)._3 == 5 && rows(0)._4 == 4)
+    assert(rows(1)._2 == "\u00c5" && rows(1)._4 == 1)
+    // already-NFC text is returned unchanged (the fast path)
+    assert(rows(2)._2 == "plain ascii" && rows(3)._2 == precomposedCafe)
+    // idempotence: nfc(nfc(x)) == nfc(x)
+    val twice = df.withColumn("n2", call_function("nfc_normalize", col("n")))
+      .filter(col("n2") =!= col("n")).count()
+    assert(twice == 0)
+    // interpreted eval agrees with the codegen path
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.NfcNormalize
+      .nfc(UTF8String.fromString(decomposedCafe)).toString == precomposedCafe)
+  }
 }
