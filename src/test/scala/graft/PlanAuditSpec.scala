@@ -542,4 +542,34 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Window ["), s"$name must not use a window")
     }
   }
+
+  test("q133/q136 hygiene + NFC: row-local kernels + one source agg, no joins") {
+    for (name <- Seq("q133_encoding_hygiene", "q136_unicode_nfc")) {
+      val p = plan(name)
+      assert(hashExchanges(p) == 1,
+        s"$name should shuffle once, for the source-key aggregation")
+      assert(!p.contains("Join"), s"$name is a scan + agg — no join")
+      assert(!p.contains("Window ["), s"$name must not use a window")
+    }
+  }
+
+  test("q134 k-center rounds are shuffle-free: narrow map + bounded argmax") {
+    // each selection round = min-distance update (narrow) + TakeOrdered(1);
+    // no hash exchange, no join, no window anywhere in the final state plan
+    val p = plan("q134_kcenter_coreset")
+    assert(hashExchanges(p) == 0,
+      "a k-center round introduced a shuffle — the rounds must stay narrow")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "k-center must not join — centers ride as literals")
+  }
+
+  test("q135 folds: one corpus pass — labels join, then fold aggregation") {
+    val p = plan("q135_leakage_safe_folds")
+    // corpus ⋈ labels (labels may be corpus-fraction-sized: NO forced
+    // broadcast), then the (fold,grp) distinct expansion + fold agg
+    assert(!p.contains("BroadcastHashJoin"),
+      "labels side must not be force-broadcast (corpus-fraction-sized)")
+    assert(p.contains("Join"), "q135 lost its labels join")
+    assert(!p.contains("Window ["), "q135 must not use a window")
+  }
 }
