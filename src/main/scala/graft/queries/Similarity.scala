@@ -457,22 +457,36 @@ object Similarity {
     * every downstream pass reuses the same (vec_id)-hash partitioning.
     * Nothing quadratic, no driver-side centroid loop. */
   def q69KmeansRefine(spark: SparkSession, dir: String): DataFrame = {
-    val comp = vecs(spark, dir)
+    val e = vecs(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .persist()
+      .persist() // both assignment passes + the component explode read this
+    val comp = e.select(col("vec_id"), col("label"),
+      posexplode(col("v")).as(Seq("pos", "x")))
     val cent0 = comp.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
       .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
-    // nearest-centroid assignment: distance to every centroid, argmin
-    def assign(cent: DataFrame): DataFrame = {
-      val d2 = comp.as("m").join(broadcast(cent).as("k"),
-          col("m.pos") === col("k.c_pos"))
-        .groupBy(col("m.vec_id").as("vec_id"), col("k.c_label").as("c_label"))
-        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
-      d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id").as("a_vec"), col("c_label").as("cluster"), col("d2"))
-    }
+    // k centroid ARRAYS (k rows): assignment joins these broadcast rows and
+    // computes d² = |v|² − 2·v·c + |c|² with the sequential-fold dot kernel
+    // — the earlier form joined the N×64 component explode against k×64
+    // centroid rows (an N×64×k intermediate); this is N×k rows with one
+    // dot each, 64× less assignment traffic at any scale, same floats as
+    // the oracle's identical fold
+    def centArrays(cent: DataFrame): DataFrame =
+      cent.groupBy(col("c_label"))
+        .agg(transform(array_sort(collect_list(struct(col("c_pos"), col("c")))),
+          s => s.getField("c")).as("cv"))
+        .withColumn("cnrm", dotCol(col("cv"), col("cv")))
+    // argmin via min(struct(d2, c_label)): lexicographic struct-min IS
+    // "smallest d2, ties by cluster id", computed as ONE hash aggregation
+    // with map-side partials — no N×k window sort
+    def assign(cent: DataFrame): DataFrame =
+      e.crossJoin(broadcast(centArrays(cent)))
+        .select(col("vec_id"),
+          struct((col("nrm") - lit(2.0) * dotCol(col("v"), col("cv"))
+            + col("cnrm")).as("d2"), col("c_label")).as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dc")).as("m"))
+        .select(col("vec_id").as("a_vec"), col("m.c_label").as("cluster"),
+          col("m.d2").as("d2"))
     // Lloyd step: recompute each cluster's centroid from its members
     val cent1 = comp.join(assign(cent0).select(col("a_vec"), col("cluster")),
         col("vec_id") === col("a_vec"))
@@ -486,14 +500,15 @@ object Similarity {
     assign(cent1).groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"),
         round(lit(1e-9) + avg(col("d2")), 5).as("avg_d2"))
-      .join(shift, col("cluster") === col("s_cluster"))
+      .join(broadcast(shift), col("cluster") === col("s_cluster")) // k rows
       .select(col("cluster"), col("n_vecs"), col("avg_d2"),
         round(lit(1e-9) + col("shift"), 6).as("max_shift"))
       .orderBy(col("cluster"))
   }
 
   val q69Sql: String =
-    """WITH compu AS (
+    s"""WITH $vecsSql,
+      |compu AS (
       |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS d, embedding
       |  FROM embeddings),
       |comp AS (
@@ -501,10 +516,16 @@ object Similarity {
       |cent0 AS (
       |  SELECT label AS c_label, pos AS c_pos, round(1e-9 + avg(x), 6) AS c
       |  FROM comp GROUP BY 1, 2),
+      |ca0 AS (
+      |  SELECT c_label, list(c ORDER BY c_pos) AS cv FROM cent0 GROUP BY 1),
+      |can0 AS (
+      |  SELECT c_label, cv, list_reduce(list_transform(range(1, len(cv) + 1),
+      |    i -> cv[i] * cv[i]), (x, y) -> x + y) AS cnrm FROM ca0),
       |d2a AS (
-      |  SELECT vec_id, c_label, sum((x - c) * (x - c)) AS d2
-      |  FROM comp JOIN cent0 ON comp.pos = cent0.c_pos
-      |  GROUP BY 1, 2),
+      |  SELECT vec_id, c_label,
+      |    e.nrm - 2 * list_reduce(list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE * cv[i]), (x, y) -> x + y) + cnrm AS d2
+      |  FROM e CROSS JOIN can0),
       |a1 AS (
       |  SELECT vec_id AS a_vec, c_label AS cluster FROM (
       |    SELECT vec_id, c_label,
@@ -514,10 +535,16 @@ object Similarity {
       |  SELECT cluster AS c_label, pos AS c_pos, round(1e-9 + avg(x), 6) AS c
       |  FROM comp JOIN a1 ON vec_id = a_vec
       |  GROUP BY 1, 2),
+      |ca1 AS (
+      |  SELECT c_label, list(c ORDER BY c_pos) AS cv FROM cent1 GROUP BY 1),
+      |can1 AS (
+      |  SELECT c_label, cv, list_reduce(list_transform(range(1, len(cv) + 1),
+      |    i -> cv[i] * cv[i]), (x, y) -> x + y) AS cnrm FROM ca1),
       |d2b AS (
-      |  SELECT vec_id, c_label, sum((x - c) * (x - c)) AS d2
-      |  FROM comp JOIN cent1 ON comp.pos = cent1.c_pos
-      |  GROUP BY 1, 2),
+      |  SELECT vec_id, c_label,
+      |    e.nrm - 2 * list_reduce(list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE * cv[i]), (x, y) -> x + y) + cnrm AS d2
+      |  FROM e CROSS JOIN can1),
       |a2 AS (
       |  SELECT vec_id, c_label AS cluster, d2 FROM (
       |    SELECT vec_id, c_label, d2,

@@ -543,6 +543,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q69 k-means: assignment is a broadcast centroid-array join, no window") {
+    val p = plan("q69_kmeans_refine")
+    // both assignment passes: N×k broadcast join against k centroid ARRAYS
+    // (dot-kernel distance) — never the N×64 component explode joined
+    // against k×64 centroid rows
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) >= 2,
+      "assignment lost its broadcast centroid-array join")
+    assert(!p.contains("SortMergeJoin"),
+      "a shuffle join crept into the assignment pass")
+    // argmin is the lexicographic struct-min aggregation, not a window rank
+    assert(!p.contains("Window ["), "argmin must not use a window sort")
+  }
+
   test("q133/q136 hygiene + NFC: row-local kernels + one source agg, no joins") {
     for (name <- Seq("q133_encoding_hygiene", "q136_unicode_nfc")) {
       val p = plan(name)
