@@ -118,21 +118,27 @@ object Bench {
         .getLines().toList
       val exit = proc.waitFor()
       val line = out.findLast(_.startsWith("{\"metric\""))
-      if (exit != 0 || line.isEmpty)
-        throw new RuntimeException(
+      if (exit != 0 || line.isEmpty) {
+        // a dead child (OOM, JVM crash) must not take the whole line with
+        // it: its queries surface as error entries and the rest of the
+        // pack still reports real numbers
+        System.err.println(
           s"bench child failed (exit $exit) for chunk ${chunk.head}..${chunk.last}")
-      val root = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(line.get)
-      // children report short qNN ids; map back to the full names so the
-      // merged line keeps one entry per query. A child's -1 entry carries
-      // its error text in the child's "errors" map.
-      val byId = root.get("queries").properties().asScala
-        .map(e => e.getKey -> e.getValue.asDouble).toMap
-      val errsById = Option(root.get("errors")).map(_.properties().asScala
-        .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
-      chunk.map { n =>
-        val id = n.takeWhile(_ != '_')
-        n -> errsById.get(id).toLeft(byId(id))
+        chunk.map(n => n -> Left(s"bench child died (exit $exit)"))
+      } else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(line.get)
+        // children report short qNN ids; map back to the full names so the
+        // merged line keeps one entry per query. A child's -1 entry carries
+        // its error text in the child's "errors" map.
+        val byId = root.get("queries").properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble).toMap
+        val errsById = Option(root.get("errors")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
+        chunk.map { n =>
+          val id = n.takeWhile(_ != '_')
+          n -> errsById.get(id).toLeft(byId(id))
+        }
       }
     }
     emit(jsonLine(sfDir, merged))
