@@ -276,21 +276,24 @@ object Similarity {
     * the candidate set is a hash-join on the cluster id, not a scan. */
   def q36AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val comp = e
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
     val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
       .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
-    // assignment: distance of every vector to every centroid, argmin.
-    // Aliased sides (cent shares e's lineage — see q35 note).
-    val d2 = comp.as("m").join(cent.as("k"), col("m.pos") === col("k.c_pos"))
-      .groupBy(col("m.vec_id").as("vec_id"), col("k.c_label").as("c_label"))
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
-    val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
-    val assigned = d2.withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("a_vec"), col("c_label").as("cluster"))
+    // coarse assignment against k broadcast centroid ARRAYS with the
+    // fold-kernel d² and a struct-min argmin — the q69 shape (N×k dot
+    // products, one hash agg) instead of the N×64×k exploded join + a
+    // window rank it replaced
+    val centA = cent.groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("c_pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .withColumn("cnrm", dotCol(col("cv"), col("cv")))
+    val assigned = e.crossJoin(broadcast(centA))
+      .select(col("vec_id"),
+        struct((col("nrm") - lit(2.0) * dotCol(col("v"), col("cv"))
+          + col("cnrm")).as("d2"), col("c_label")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("m"))
+      .select(col("vec_id").as("a_vec"), col("m.c_label").as("cluster"))
       // one row per vector, consumed by BOTH the corpus and query sides -
       // without materialization the whole assignment subtree plans twice
       .persist()
@@ -317,15 +320,19 @@ object Similarity {
       |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS d, embedding FROM e),
       |compl AS (
       |  SELECT vec_id, label, d - 1 AS pos, embedding[d]::DOUBLE AS x FROM compu),
-      |comp AS (SELECT vec_id, pos, x FROM compl),
       |cent AS (
       |  SELECT label AS c_label, pos, round(1e-9 + avg(x), 6) AS c
       |  FROM compl
       |  GROUP BY 1, 2),
+      |ca AS (SELECT c_label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+      |can AS (
+      |  SELECT c_label, cv, list_reduce(list_transform(range(1, len(cv) + 1),
+      |    i -> cv[i] * cv[i]), (x, y) -> x + y) AS cnrm FROM ca),
       |d2 AS (
-      |  SELECT vec_id, c_label, sum((x - c) * (x - c)) AS d2
-      |  FROM comp JOIN cent USING (pos)
-      |  GROUP BY 1, 2),
+      |  SELECT vec_id, c_label,
+      |    e.nrm - 2 * list_reduce(list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE * cv[i]), (x, y) -> x + y) + cnrm AS d2
+      |  FROM e CROSS JOIN can),
       |assigned AS (
       |  SELECT vec_id AS a_vec, c_label AS cluster FROM (
       |    SELECT vec_id, c_label,

@@ -556,6 +556,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["), "argmin must not use a window sort")
   }
 
+  test("q36 IVF: coarse assignment rides the same centroid-array shape") {
+    val p = plan("q36_ann_ivf")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) >= 1,
+      "coarse assignment lost its broadcast centroid-array join")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 1,
+      "cluster-probe / query join lost its broadcast")
+    assert(!p.contains("Window ["),
+      "argmin/top-k must stay aggregations, not window sorts")
+  }
+
   test("q133/q136 hygiene + NFC: row-local kernels + one source agg, no joins") {
     for (name <- Seq("q133_encoding_hygiene", "q136_unicode_nfc")) {
       val p = plan(name)
