@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -187,10 +187,22 @@ object StreamRunner {
     * gap has provably expired, and state is O(open sessions). */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =
+    sessionWindowsDynamic(events, lit(gap), watermark)
+
+  /** Dynamic-gap session windows: the gap is an EXPRESSION evaluated per
+    * event (e.g. `when(col("event_type") === "purchase", "90 minutes")
+    * .otherwise("30 minutes")`) — the session definition real funnels
+    * need, where a checkout keeps a session alive longer than a
+    * pageview. Same state story as the fixed-gap form: windows merge as
+    * events arrive, the watermark closes (and emits) sessions whose
+    * maximum possible extension has provably expired, state is O(open
+    * sessions). */
+  def sessionWindowsDynamic(events: DataFrame, gapExpr: Column,
+      watermark: String = "2 hours"): DataFrame =
     normalizeNs(events, "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("ts", watermark)
-      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .groupBy(col("user_id"), session_window(col("ts"), gapExpr))
       .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n_events"))

@@ -227,6 +227,42 @@ class StreamRunnerSpec extends SparkSpec {
       s"streamed ${streamed.size} users vs batch ${closed.size}")
   }
 
+  test("dynamic-gap session windows merge per-event gaps like the simulation") {
+    // gap depends on the EVENT: purchases hold a session open for 60
+    // minutes, everything else 30 — the session_window(col, expr) overload
+    // the streaming helper exposes. Ground truth is an independent scan:
+    // an event extends the current session iff its time is strictly
+    // inside the session's running end ([start, end) windows), and the
+    // end advances to max(end, ts + gap(event)).
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_ns"), col("event_type"))
+    val gapExpr = when(col("event_type") === "purchase", lit("60 minutes"))
+      .otherwise(lit("30 minutes"))
+    val got = StreamRunner.sessionWindowsDynamic(ev, gapExpr)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = ev.collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000, r.getString(2)))
+      .groupBy(_._1)
+    val sim = rows.map { case (user, evs) =>
+      var nSessions = 0L
+      var curEnd = Long.MinValue
+      evs.sortBy(_._2).foreach { case (_, tsUs, typ) =>
+        val gapUs = (if (typ == "purchase") 60L else 30L) * 60 * 1000000
+        if (tsUs >= curEnd) { nSessions += 1; curEnd = tsUs + gapUs }
+        else curEnd = math.max(curEnd, tsUs + gapUs)
+      }
+      user -> (nSessions, evs.size.toLong)
+    }
+    assert(got == sim, {
+      val diff = sim.collect { case (u, v) if got.get(u) != Some(v) =>
+        s"$u: sim=$v got=${got.get(u)}"
+      }
+      s"dynamic sessions diverge for ${diff.size} users: ${diff.take(5).mkString("; ")}"
+    })
+  }
+
   test("streaming count-min sketch matches the batch sketch cell-for-cell") {
     val src = Files.createTempDirectory("graft_cm_src")
     val ckp = Files.createTempDirectory("graft_cm_ckp")
