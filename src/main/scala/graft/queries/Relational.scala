@@ -159,16 +159,23 @@ object Relational {
 
   /** Window rank: per-customer top-3 orders. One shuffle on the partition
     * key; rank predicate applied before any downstream join would run. */
-  def q07TopOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  /** Top-3 orders per customer via the bounded [[graft.operators.TopK]]
+    * aggregation (ordering (price desc, orderkey asc) — TopK's own
+    * convention): map-side partials cut each partition to ≤3 rows per
+    * customer BEFORE the exchange, where the window-rank form it
+    * replaced shuffled and sorted the entire orders table to rank all of
+    * it and keep 3. The oracle keeps the row_number form — identical
+    * rows, ranks, and values. */
+  def q07TopOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
-              round(lit(1e-9) + col("o_totalprice"), 2).as("o_totalprice"))
+      .groupBy(col("o_custkey"))
+      .agg(graft.operators.TopK.topk(3)(col("o_totalprice"), col("o_orderkey"))
+        .as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("o_custkey"), (col("i") + 1).cast("int").as("rk"),
+              col("t._2").as("o_orderkey"),
+              round(lit(1e-9) + col("t._1"), 2).as("o_totalprice"))
       .orderBy(col("o_custkey"), col("rk"))
-  }
 
   val q07Sql: String =
     """SELECT o_custkey, rk, o_orderkey, round(1e-9 + o_totalprice, 2) AS o_totalprice

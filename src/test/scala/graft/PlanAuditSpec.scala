@@ -39,6 +39,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["), "window rank crept back into q33")
   }
 
+  test("q07 per-customer top-3: bounded TopK aggregation, no window sort") {
+    val p = plan("q07_top_orders_per_customer")
+    assert(p.contains("ObjectHashAggregate"), "TopK aggregation missing")
+    assert(!p.contains("Window ["),
+      "q07 regressed to ranking the whole orders table in a window")
+  }
+
   test("document scans project only the needed columns") {
     for (name <- Seq("q24_quality_score", "q52_data_split", "q57_repetition")) {
       val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan(name)).toSeq
