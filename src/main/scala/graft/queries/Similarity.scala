@@ -586,27 +586,42 @@ object Similarity {
     * keeps the shuffle at O(queries·k·partitions). */
   def q70IvfPqAdc(spark: SparkSession, dir: String): DataFrame = {
     val comp = vecs(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
     val cb = comp.groupBy(col("label").as("code"), col("pos").as("c_pos"))
       .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
-    // per-(vector, subspace, codebook entry) partial squared distance
-    val sub = comp.as("m").join(broadcast(cb).as("k"),
-        col("m.pos") === col("k.c_pos"))
-      .groupBy(col("m.vec_id").as("vec_id"),
-        floor(col("m.pos") / 8).cast("int").as("sp"), col("k.code").as("code"))
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2sub"))
+    // per-(vector, subspace, codebook entry) partial squared distance,
+    // computed as 8 slice-dots against the k broadcast codebook ARRAYS:
+    // d²sub = |v_sp|² − 2·v_sp·c_sp + |c_sp|² per subspace, so the join
+    // carries N×k rows (the earlier form joined the N×64 component
+    // explode against k×64 codebook rows — an N×64×k intermediate — and
+    // the explode here fans out a plan-time constant 8, after the join)
+    val cbA = cb.groupBy(col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("c_pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val subParts = (0 until 8).map { sp =>
+      val vs = slice(col("v"), sp * 8 + 1, 8)
+      val cs = slice(col("cv"), sp * 8 + 1, 8)
+      struct(lit(sp).as("sp"),
+        (dotCol(vs, vs) - lit(2.0) * dotCol(vs, cs) + dotCol(cs, cs)).as("d2sub"))
+    }
+    val sub = vecs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(cbA))
+      .select(col("vec_id"), col("code"), explode(array(subParts: _*)).as("s"))
+      .select(col("vec_id"), col("code"), col("s.sp").cast("int").as("sp"),
+        col("s.d2sub").as("d2sub"))
       .persist() // encoding, coarse assignment and ADC tables all read it
-    val wEnc = Window.partitionBy(col("vec_id"), col("sp"))
-      .orderBy(col("d2sub"), col("code"))
-    val enc = sub.withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1).select(col("vec_id"), col("sp"), col("code"))
-    val wCl = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("code"))
+    // both argmins are lexicographic struct-min aggregations (map-side
+    // partials, no window sort over the N×8×k sub table)
+    val enc = sub.groupBy(col("vec_id"), col("sp"))
+      .agg(min(struct(col("d2sub"), col("code"))).as("m"))
+      .select(col("vec_id"), col("sp"), col("m.code").as("code"))
     val cluster = sub.groupBy(col("vec_id"), col("code"))
       .agg(sum(col("d2sub")).as("d2"))
-      .withColumn("rn", row_number().over(wCl))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("cl_vec"), col("code").as("cluster"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("code"))).as("m"))
+      .select(col("vec_id").as("cl_vec"), col("m.code").as("cluster"))
     val q = cluster.filter(col("cl_vec") % 100 === 0)
       .select(col("cl_vec").as("qid"), col("cluster").as("qcluster"))
     // the query's asymmetric distance table: its partials to every entry
@@ -627,7 +642,8 @@ object Similarity {
   }
 
   val q70Sql: String =
-    """WITH compu AS (
+    s"""WITH $vecsSql,
+      |compu AS (
       |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS d, embedding
       |  FROM embeddings),
       |comp AS (
@@ -635,11 +651,19 @@ object Similarity {
       |cb AS (
       |  SELECT label AS code, pos AS c_pos, round(1e-9 + avg(x), 6) AS c
       |  FROM comp GROUP BY 1, 2),
+      |cba AS (SELECT code, list(c ORDER BY c_pos) AS cv FROM cb GROUP BY 1),
+      |subu AS (
+      |  SELECT vec_id, code, unnest(range(0, 8)) AS spl, embedding, cv
+      |  FROM e CROSS JOIN cba),
       |sub AS (
-      |  SELECT vec_id, CAST(floor(pos / 8) AS INT) AS sp, code,
-      |    sum((x - c) * (x - c)) AS d2sub
-      |  FROM comp JOIN cb ON comp.pos = cb.c_pos
-      |  GROUP BY 1, 2, 3),
+      |  SELECT vec_id, spl::INT AS sp, code,
+      |    list_reduce(list_transform(range(1, 9),
+      |      i -> embedding[spl*8+i]::DOUBLE * embedding[spl*8+i]::DOUBLE), (x, y) -> x + y)
+      |    - 2 * list_reduce(list_transform(range(1, 9),
+      |      i -> embedding[spl*8+i]::DOUBLE * cv[spl*8+i]), (x, y) -> x + y)
+      |    + list_reduce(list_transform(range(1, 9),
+      |      i -> cv[spl*8+i] * cv[spl*8+i]), (x, y) -> x + y) AS d2sub
+      |  FROM subu),
       |enc AS (
       |  SELECT vec_id, sp, code FROM (
       |    SELECT vec_id, sp, code,

@@ -61,7 +61,12 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q70_ivfpq_adc")
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
       "codebook/ADC join lost its broadcast")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) >= 1,
+      "sub build lost its broadcast codebook-array join")
     assert(p.contains("ObjectHashAggregate"), "TopK aggregation missing")
+    // encode/coarse argmins are struct-min aggregations over the sub table
+    assert(!p.contains("Window ["),
+      "an argmin regressed to a window sort over the sub table")
   }
 
   test("q71 boilerplate: lexicon probe is a broadcast join") {
