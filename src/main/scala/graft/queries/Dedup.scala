@@ -528,6 +528,58 @@ object Dedup {
       |GROUP BY comp
       |ORDER BY cluster_rep""".stripMargin
 
+  /** Per-source curation funnel — the one-table dashboard of how much
+    * each source survives the dedup pipeline: raw docs → exact-unique
+    * (distinct q28 content keys) → canonical after near-dup cluster
+    * collapse (q59's components keep their min-doc representative;
+    * singletons keep themselves), with the retained fraction. The
+    * number a source-mixing plan should look at BEFORE weighting by raw
+    * size — a source that is 40% internal copies contributes far less
+    * unique material than its row count claims (q113 reports the same
+    * effect corpus-wide; this is the per-source decomposition of the
+    * pipeline's stages).
+    *
+    * Scale: one content-key aggregation (8-byte keys), one join against
+    * the bounded dup-labels table (no forced broadcast — labels are
+    * corpus-fraction-sized), one 20-row output aggregation. */
+  def q138CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .join(dupLabels(spark, dir), col("doc_id") === col("id"), "left")
+      .select(col("source"), col("doc_id"),
+        rollingFp(array_sort(array_distinct(toks))).as("content_key"),
+        (col("doc_id") === coalesce(col("comp"), col("doc_id")))
+          .cast("int").as("canon"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("content_key")).as("n_exact_unique"),
+        sum(col("canon")).as("n_canonical"))
+      .select(col("source"), col("n_raw"), col("n_exact_unique"),
+        col("n_canonical"),
+        round(lit(1e-9) + col("n_canonical").cast("double") / col("n_raw"), 4)
+          .as("retained"))
+      .orderBy(col("source"))
+  }
+
+  val q138Sql: String =
+    s"""WITH $dupWalkSql,
+      |keyed AS (
+      |  SELECT source, doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(
+      |        list_sort(list_distinct(list_filter(string_split(text, ' '), t -> len(t) > 0))),
+      |        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |      (a, b) -> (a * 131 + b) % 1000000007) AS content_key,
+      |    CASE WHEN doc_id = coalesce(walk.comp, doc_id) THEN 1 ELSE 0 END AS canon
+      |  FROM documents LEFT JOIN walk ON walk.id = doc_id)
+      |SELECT source, count(*) AS n_raw,
+      |  count(DISTINCT content_key) AS n_exact_unique,
+      |  sum(canon)::BIGINT AS n_canonical,
+      |  round(1e-9 + sum(canon)::DOUBLE / count(*), 4) AS retained
+      |FROM keyed
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** Leakage-safe cross-validation folds: every document lands in a fold,
     * but all members of a duplicate CLUSTER (q59's evidence components)
     * land in the SAME fold — the split you need before held-out
@@ -1485,6 +1537,7 @@ object Dedup {
     "q32_embedding_neardup" -> (q32EmbeddingNeardup _),
     "q59_dup_clusters" -> (q59DupClusters _),
     "q135_leakage_safe_folds" -> (q135LeakageSafeFolds _),
+    "q138_curation_funnel" -> (q138CurationFunnel _),
     "q76_cdc_chunking" -> (q76CdcChunking _),
     "q80_semdedup" -> (q80SemDedup _),
     "q83_dup_spans" -> (q83DupSpans _),
@@ -1508,6 +1561,7 @@ object Dedup {
     "q32_embedding_neardup" -> q32Sql,
     "q59_dup_clusters" -> q59Sql,
     "q135_leakage_safe_folds" -> q135Sql,
+    "q138_curation_funnel" -> q138Sql,
     "q76_cdc_chunking" -> q76Sql,
     "q80_semdedup" -> q80Sql,
     "q83_dup_spans" -> q83Sql,

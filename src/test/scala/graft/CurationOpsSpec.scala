@@ -328,6 +328,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(radii.forall(_ > 0.0))
   }
 
+  test("q138 funnel stages shrink monotonically and sum to the corpus") {
+    val rows = run("q138_curation_funnel").collect()
+    val bySource = graft.sources.Tables.documents(spark, sf)
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getAs[String]("source")).toSet == bySource.keySet)
+    rows.foreach { r =>
+      val (raw, exact, canon) = (r.getAs[Long]("n_raw"),
+        r.getAs[Long]("n_exact_unique"), r.getAs[Long]("n_canonical"))
+      assert(raw == bySource(r.getAs[String]("source")))
+      // exact dups share a blocking key, so they collapse into one
+      // cluster: canonical survivors can never exceed exact-unique keys
+      assert(canon <= exact && exact <= raw,
+        s"${r.getAs[String]("source")}: funnel not monotone ($raw -> $exact -> $canon)")
+      val ret = r.getAs[Double]("retained")
+      assert(ret > 0.0 && ret <= 1.0)
+    }
+  }
+
   test("q135 folds are leakage-free: no duplicate cluster spans folds") {
     import org.apache.spark.sql.functions._
     val rows = run("q135_leakage_safe_folds").collect()
