@@ -229,20 +229,24 @@ object Similarity {
     * step of IVF. Centroids are rounded to 6 dp before the distance pass so
     * both engines feed identical constants into downstream arithmetic. */
   def q35LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val comp = vecs(spark, dir)
-      // spread the 64x posexplode AND pre-satisfy the per-vector groupBy
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-    val cent = comp.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
+    val e = vecs(spark, dir)
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
       .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
-    // explicit aliases on both sides: cent derives from comp, and an
-    // unaliased comp("pos") === cent("pos") relies on Spark's self-join
-    // attribute dedup (and logs a trivially-true-predicate warning)
-    val dist = comp.as("m").join(cent.as("k"),
-        col("m.label") === col("k.c_label") && col("m.pos") === col("k.c_pos"))
-      .groupBy(col("m.vec_id").as("vec_id"), col("m.label").as("label"))
-      .agg(sqrt(sum((col("x") - col("c")) * (col("x") - col("c")))).as("dist"))
-    dist.groupBy(col("label"))
+    // each vector's distance to ITS OWN label centroid: a hash join of
+    // the vector rows against the k broadcast centroid ARRAYS and one
+    // fold-kernel d² = |v|² − 2·v·c + |c|² — no N×64 explode joined
+    // against k×64 centroid rows, no re-aggregation (the q69/q36/q70
+    // shape; the oracle computes the identical folds)
+    val centA = cent.groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("c_pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .withColumn("cnrm", dotCol(col("cv"), col("cv")))
+    e.join(broadcast(centA), col("label") === col("c_label"))
+      .select(col("label"),
+        sqrt(col("nrm") - lit(2.0) * dotCol(col("v"), col("cv"))
+          + col("cnrm")).as("dist"))
+      .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         round(lit(1e-9) + avg(col("dist")), 5).as("avg_dist"),
         round(lit(1e-9) + min(col("dist")), 5).as("min_dist"),
@@ -251,7 +255,8 @@ object Similarity {
   }
 
   val q35Sql: String =
-    """WITH compu AS (
+    s"""WITH $vecsSql,
+      |compu AS (
       |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS d, embedding
       |  FROM embeddings),
       |comp AS (
@@ -259,10 +264,15 @@ object Similarity {
       |cent AS (
       |  SELECT label AS c_label, pos, round(1e-9 + avg(x), 6) AS c
       |  FROM comp GROUP BY 1, 2),
+      |ca AS (SELECT c_label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+      |can AS (
+      |  SELECT c_label, cv, list_reduce(list_transform(range(1, len(cv) + 1),
+      |    i -> cv[i] * cv[i]), (x, y) -> x + y) AS cnrm FROM ca),
       |dist AS (
-      |  SELECT vec_id, label, sqrt(sum((x - c) * (x - c))) AS dist
-      |  FROM comp JOIN cent ON label = c_label AND comp.pos = cent.pos
-      |  GROUP BY 1, 2)
+      |  SELECT vec_id, label,
+      |    sqrt(e.nrm - 2 * list_reduce(list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE * cv[i]), (x, y) -> x + y) + cnrm) AS dist
+      |  FROM e JOIN can ON label = c_label)
       |SELECT label, count(*) AS n_vecs,
       |  round(1e-9 + avg(dist), 5) AS avg_dist,
       |  round(1e-9 + min(dist), 5) AS min_dist,

@@ -568,6 +568,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["), "argmin must not use a window sort")
   }
 
+  test("q35 centroid stats: vector rows join broadcast arrays, one explode") {
+    val p = plan("q35_label_centroids")
+    assert(p.contains("BroadcastHashJoin"),
+      "centroid-array join lost its broadcast")
+    assert(!p.contains("Window ["), "q35 must not use a window")
+    // the only explode left is the centroid BUILD (k×64 from N×64 rows);
+    // the distance side is array-at-a-time
+    assert(p.linesIterator.count(_.contains("Generate posexplode")) == 1,
+      "distance pass regressed to the exploded component join")
+  }
+
   test("q36 IVF: coarse assignment rides the same centroid-array shape") {
     val p = plan("q36_ann_ivf")
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) >= 1,
