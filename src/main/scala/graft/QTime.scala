@@ -3,7 +3,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc per-query profiler: `runMain graft.QTime q30_minhash_lsh [reps]
   * [explain]`. Times each named query cold (cache cleared between reps,
-  * like Bench) and optionally prints the formatted physical plan. */
+  * like Bench — with Bench's one exception: the shared postings family is
+  * re-warmed UNTIMED before each rep of its consumers, so isolated and
+  * pack numbers measure the same warm-postings cost) and optionally
+  * prints the formatted physical plan. */
 object QTime {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,14 +14,16 @@ object QTime {
     val names = args.filter(a => !a.forall(_.isDigit) && a != "explain")
     val reps = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(2)
     val doExplain = args.contains("explain")
-    val spark = GraftSession.configure(
-      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    val spark = GraftSession.prime(GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (doExplain) fn(spark, sfDir).explain("formatted")
       val ts = (1 to reps).map { _ =>
+        if (queries.Dedup.sharedConsumers(name.takeWhile(_ != '_')))
+          queries.Dedup.warmShared(spark, sfDir)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9

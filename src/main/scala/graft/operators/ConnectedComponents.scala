@@ -39,7 +39,14 @@ object ConnectedComponents {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       // every round joins this; persist once (cluster analog: a
-      // materialized edge table), localCheckpoint is the local stand-in
+      // materialized edge table), localCheckpoint is the local stand-in.
+      // CLUSTER CONTRACT: localCheckpoint blocks live on executors — an
+      // executor loss loses them AND the truncated lineage, failing the
+      // job. That trade is correct here (iterative lineage growth is the
+      // bigger risk locally, and a failed run just re-runs), but a
+      // long-lived cluster deployment should flip these to reliable
+      // `checkpoint()` with `sc.setCheckpointDir` on durable storage —
+      // same semantics, fault-tolerant blocks.
       .localCheckpoint()
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))

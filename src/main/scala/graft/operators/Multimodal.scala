@@ -14,13 +14,13 @@ import org.apache.spark.sql.functions._
   * real decoder could amortize model/codec setup per batch), frame
   * sampling, and feature extraction — all without any driver-side collect.
   *
-  * Decoders: [[PpmDecoder]] is a REAL decoder for binary PPM (P6), an
-  * uncompressed format that needs no codec library. Compressed formats
-  * (JPEG/PNG/audio codecs) are not available in this container, so
-  * [[FakeDecoder]] stands in for those with deterministic pseudo-features
-  * from the bytes. Both run behind the same [[MediaDecoder]] contract, so
-  * swapping in a real codec is a one-line change at the call site; nothing
-  * else moves.
+  * Decoders: [[PpmDecoder]] (binary PPM/P6) and [[BmpDecoder]]
+  * (uncompressed 24-bit BMP) are REAL decoders for formats that need no
+  * codec library. Compressed formats (JPEG/PNG/audio codecs) are not
+  * available in this container, so [[FakeDecoder]] stands in for those —
+  * and only those — with deterministic pseudo-features from the bytes.
+  * All run behind the same [[MediaDecoder]] contract, so swapping in a
+  * real codec is a one-line change at the call site; nothing else moves.
   */
 object Multimodal {
 
@@ -103,6 +103,60 @@ object Multimodal {
         (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
       }
       MediaFeatures(rec.id, "ppm", h, checksum, b(pos) & 0xff)
+    }
+  }
+
+  /** REAL decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER) — like
+    * [[PpmDecoder]], pure byte arithmetic, no codec library. Layout:
+    * 14-byte file header (`BM`, file size, reserved, pixel-data offset),
+    * then a >=40-byte info header (width, height, planes=1, bpp=24,
+    * compression=0/BI_RGB), then the raster: rows padded to 4-byte
+    * multiples, stored bottom-up when height is positive and top-down
+    * when negative, pixels in BGR order.
+    *
+    * Features mirror [[PpmDecoder]]'s: each VISUAL (top-down) pixel row
+    * is one "frame" with its padding stripped, `nFrames` = image height,
+    * the checksum is the same rolling row hash, and the thumbnail byte is
+    * the top-left pixel's red channel (offset 2 of the stored BGR
+    * triple). Malformed payloads throw `IllegalArgumentException` naming
+    * the violated field — decode errors surface per-record. */
+  final class BmpDecoder extends MediaDecoder {
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    override def decode(rec: MediaRecord): MediaFeatures = {
+      val b = rec.media
+      require(b.length >= 54 && b(0) == 'B' && b(1) == 'M',
+        s"not a BMP payload (len=${b.length})")
+      val dataOff = i32(b, 10)
+      val hdrSize = i32(b, 14)
+      require(hdrSize >= 40, s"info header size $hdrSize < BITMAPINFOHEADER")
+      val w = i32(b, 18)
+      val hRaw = i32(b, 22)
+      val planes = u16(b, 26)
+      val bpp = u16(b, 28)
+      val comp = i32(b, 30)
+      require(planes == 1, s"planes=$planes (must be 1)")
+      require(bpp == 24, s"bpp=$bpp unsupported (24-bit uncompressed only)")
+      require(comp == 0, s"compression=$comp unsupported (BI_RGB only)")
+      val h = math.abs(hRaw)
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$hRaw")
+      val rowLen = w * 3
+      val stride = (rowLen + 3) & ~3 // rows pad to 4-byte multiples
+      require(dataOff >= 54 && b.length - dataOff >= stride.toLong * h,
+        s"truncated raster: need ${stride.toLong * h} bytes at $dataOff, have ${b.length - dataOff}")
+      val rows = (0 until h).map { r =>
+        val srcRow = if (hRaw > 0) h - 1 - r else r // bottom-up -> visual order
+        val start = dataOff + srcRow * stride
+        b.slice(start, start + rowLen)
+      }
+      val checksum = rows.foldLeft(0L) { (acc, f) =>
+        (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
+      }
+      MediaFeatures(rec.id, "bmp", h, checksum, rows.head(2) & 0xff)
     }
   }
 

@@ -83,14 +83,25 @@ object Launcher {
   def processTransport(binary: String): String => Unit = msg => {
     try {
       val pb = new ProcessBuilder(binary, "-t", "-oi")
+      // child output goes straight to /dev/null: an MTA chattier than the
+      // OS pipe buffer (~64 KB) would otherwise block on write and wedge
+      // the crash drain on waitFor (the reference's Popen.communicate
+      // drains for the same reason; we match by never buffering at all —
+      // the exit status is the only signal either implementation uses)
       pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
       val in = proc.getOutputStream
       in.write(msg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       in.close()
-      val exit = proc.waitFor()
-      if (exit != 0)
-        Console.err.println(s"sendmail transport '$binary' exited $exit")
+      // bounded wait: a wedged MTA must not stall crash handling forever
+      val done = proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) {
+        proc.destroyForcibly()
+        Console.err.println(s"sendmail transport '$binary' timed out after 60s")
+      } else if (proc.exitValue() != 0)
+        Console.err.println(
+          s"sendmail transport '$binary' exited ${proc.exitValue()}")
     } catch {
       case e: Exception =>
         Console.err.println(s"sendmail transport '$binary' failed: $e")

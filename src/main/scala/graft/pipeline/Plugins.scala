@@ -903,6 +903,52 @@ object Plugins {
     }
   }
 
+  /** Deterministic circular-orbit ground-track model — the synthetic
+    * stand-in for the reference's TLE propagation (trollsched `Pass`,
+    * plugins/__init__.py:851, 880-882): standard ground-track math for a
+    * circular orbit (argument of latitude u = 2π·m/T; sin(track lat) =
+    * sin(incl)·sin(u); track lon = node + atan2(cos(incl)·sin u, cos u)
+    * − ω⊕·m with Earth turning 0.25068°/min under the orbit plane). The
+    * swath footprint is every point within `swathHalfAngleDeg` central
+    * angle of the sub-satellite track, sampled every `stepMin` minutes —
+    * the same model q139's oracle-checked query form pins numerically.
+    * Swapping in real TLE propagation replaces only [[track]]; the
+    * swath test and everything above it stay put. Defaults match a
+    * sun-synchronous LEO imager (and q139's constants). */
+  final case class OrbitModel(inclinationDeg: Double = 98.7,
+      periodMin: Double = 101.0, ascNodeLonDeg: Double = -80.0,
+      swathHalfAngleDeg: Double = 12.0, stepMin: Double = 2.0) {
+    /** (sin(track lat), cos(track lat), track lon°) `m` minutes after
+      * the ascending-node epoch. cos via sqrt(1−sin²) — exact, since
+      * |track lat| ≤ 90°. */
+    def track(m: Double): (Double, Double, Double) = {
+      val u = 2.0 * math.Pi * m / periodMin
+      val inc = math.toRadians(inclinationDeg)
+      val s = math.sin(inc) * math.sin(u)
+      val lon = ascNodeLonDeg +
+        math.toDegrees(math.atan2(math.cos(inc) * math.sin(u), math.cos(u))) -
+        0.25068 * m
+      (s, math.sqrt(1.0 - s * s), lon)
+    }
+
+    /** Does the swath cover (lat°, lon°) at any sampled instant within
+      * `windowMin` minutes of the epoch? */
+    def inSwath(latDeg: Double, lonDeg: Double, windowMin: Double): Boolean = {
+      val sp = math.sin(math.toRadians(latDeg))
+      val cp = math.cos(math.toRadians(latDeg))
+      var m = 0.0
+      var hit = false
+      while (!hit && m <= windowMin + 1e-9) {
+        val (s, c, tl) = track(m)
+        val dot = math.min(1.0, math.max(-1.0,
+          sp * s + cp * c * math.cos(math.toRadians(lonDeg - tl))))
+        hit = math.toDegrees(math.acos(dot)) <= swathHalfAngleDeg
+        m += stepMin
+      }
+      hit
+    }
+  }
+
   /** F3 `covers` (plugins/__init__.py:580-684) as a pipeline Plugin: drop
     * work-list items whose area is covered by the pass footprint below the
     * item's `min_coverage` setting (percent), and republish the computed
@@ -1022,37 +1068,61 @@ object Plugins {
     * sunlit iff its solar zenith < 90°), memoized per area exactly like
     * the reference memoizes per (area, check_pass) (:829-856); drop items
     * outside the limits and republish `area_sunlight_coverage_percent`
-    * into the survivors' settings (:859-860). The reference's
-    * `check_pass` overpass intersection needs TLE orbital geometry —
-    * same documented divergence as [[Covers]]. */
+    * into the survivors' settings (:859-860).
+    *
+    * `check_pass` (:840, 851-856): an item whose config sets
+    * `check_pass: true` measures sunlight over only the grid points the
+    * satellite OVERPASS actually sees — the reference's
+    * `adp.intersection(ovp)` cut, with [[OrbitModel]] standing in for
+    * TLE propagation (same deterministic orbit q139's oracle pins). The
+    * pass window is [start_time, end_time] (falling back to
+    * `passWindowMin` when the metadata carries no end time), and an
+    * area the pass never touches scores 0.0 exactly like the
+    * reference's outside-the-overpass branch (:886-888). Coverage is
+    * memoized per (area, check_pass) exactly like the reference's
+    * `coverage = {True: None, False: None}` dict (:829-856). */
   final case class SunlightCoverage(
       areaBounds: Map[String, AreaBounds],
       startTimeKey: String = "start_time",
       minKey: String = "sunlight_min", maxKey: String = "sunlight_max",
-      gridN: Int = 8) extends Plugin {
+      gridN: Int = 8,
+      orbit: OrbitModel = OrbitModel(),
+      checkPassKey: String = "check_pass",
+      endTimeKey: String = "end_time",
+      passWindowMin: Double = 90.0) extends Plugin {
     val name = "check_sunlight_coverage"
     def apply(ctx: PipelineContext): PipelineContext =
       if (ctx.aborted.isDefined) ctx
       else ctx.metadata.get(startTimeKey).map(Instant.parse) match {
         case None => ctx
         case Some(t) =>
-          val memo = scala.collection.mutable.Map.empty[String, Double]
-          def sunlitPct(a: String): Double = memo.getOrElseUpdate(a, {
-            val b = areaBounds(a)
-            val pts = for { i <- 0 until gridN; j <- 0 until gridN } yield {
-              val lon = b.lonMin + (i + 0.5) * (b.lonMax - b.lonMin) / gridN
-              val lat = b.latMin + (j + 0.5) * (b.latMax - b.latMin) / gridN
-              if (Solar.szaDeg(lat, lon, t) < 90.0) 1.0 else 0.0
-            }
-            100.0 * pts.sum / pts.size
-          })
+          val windowMin = ctx.metadata.get(endTimeKey).map(Instant.parse)
+            .map(e => math.max(0.0, java.time.Duration.between(t, e).toSeconds / 60.0))
+            .getOrElse(passWindowMin)
+          val memo = scala.collection.mutable.Map.empty[(String, Boolean), Double]
+          def sunlitPct(a: String, checkPass: Boolean): Double =
+            memo.getOrElseUpdate((a, checkPass), {
+              val b = areaBounds(a)
+              val pts = for { i <- 0 until gridN; j <- 0 until gridN } yield {
+                val lon = b.lonMin + (i + 0.5) * (b.lonMax - b.lonMin) / gridN
+                val lat = b.latMin + (j + 0.5) * (b.latMax - b.latMin) / gridN
+                (lat, lon)
+              }
+              val cut = if (checkPass)
+                pts.filter { case (lat, lon) => orbit.inSwath(lat, lon, windowMin) }
+              else pts
+              if (cut.isEmpty) 0.0 // pass misses the area (ref :886-888)
+              else 100.0 * cut.count { case (lat, lon) =>
+                Solar.szaDeg(lat, lon, t) < 90.0 } / cut.size
+            })
           val pruned = ctx.worklist.flatMap { item =>
-            def conf(k: String): Option[Double] =
-              Worklist.configValue(ctx.spec, item, k).map(_.toDouble)
-            val (mn, mx) = (conf(minKey), conf(maxKey))
+            def conf(k: String): Option[String] =
+              Worklist.configValue(ctx.spec, item, k)
+            val (mn, mx) = (conf(minKey).map(_.toDouble), conf(maxKey).map(_.toDouble))
             item.area.filter(areaBounds.contains) match {
               case Some(a) if mn.isDefined || mx.isDefined =>
-                val pct = sunlitPct(a)
+                val checkPass = conf(checkPassKey).exists(_.toBoolean)
+                val pct = sunlitPct(a, checkPass)
                 if (mn.exists(pct < _) || mx.exists(pct > _)) None
                 else Some(item.copy(settings = item.settings +
                   ("area_sunlight_coverage_percent" -> pct.toString)))

@@ -627,8 +627,11 @@ object Similarity {
     val enc = sub.groupBy(col("vec_id"), col("sp"))
       .agg(min(struct(col("d2sub"), col("code"))).as("m"))
       .select(col("vec_id"), col("sp"), col("m.code").as("code"))
+    // round BEFORE the argmin (the repo's round-before-argmax idiom): d2
+    // is an unordered float sum over 8 subspace rows, so engines summing
+    // in different orders could flip a near-tie without the rounding
     val cluster = sub.groupBy(col("vec_id"), col("code"))
-      .agg(sum(col("d2sub")).as("d2"))
+      .agg(round(lit(1e-9) + sum(col("d2sub")), 6).as("d2"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("code"))).as("m"))
       .select(col("vec_id").as("cl_vec"), col("m.code").as("cluster"))
@@ -642,7 +645,11 @@ object Similarity {
       .join(broadcast(adc),
         col("sp") === col("a_sp") && col("code") === col("a_code") &&
           col("cluster") === col("qcluster") && col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id")).agg(sum(col("dt")).as("ad2"))
+      // same idiom for the top-5 cut: ad2 is an unordered 8-row float
+      // sum — rank on the rounded value (ties fall to the smaller
+      // vec_id in both TopK and the oracle's row_number)
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(lit(1e-9) + sum(col("dt")), 6).as("ad2"))
       .groupBy(col("qid"))
       .agg(graft.operators.TopK.topk(5)(negate(col("ad2")), col("vec_id")).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))
@@ -681,8 +688,9 @@ object Similarity {
       |    FROM sub) WHERE rn = 1),
       |cluster AS (
       |  SELECT vec_id AS cl_vec, code AS cluster FROM (
-      |    SELECT vec_id, code, sum(d2sub) AS d2,
-      |      row_number() OVER (PARTITION BY vec_id ORDER BY sum(d2sub), code) AS rn
+      |    SELECT vec_id, code,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY round(1e-9 + sum(d2sub), 6), code) AS rn
       |    FROM sub GROUP BY vec_id, code) WHERE rn = 1),
       |q AS (
       |  SELECT cl_vec AS qid, cluster AS qcluster FROM cluster WHERE cl_vec % 100 = 0),
@@ -690,7 +698,7 @@ object Similarity {
       |  SELECT qid, qcluster, sp AS a_sp, code AS a_code, d2sub AS dt
       |  FROM sub JOIN q ON vec_id = qid),
       |scored AS (
-      |  SELECT qid, enc.vec_id, sum(dt) AS ad2
+      |  SELECT qid, enc.vec_id, round(1e-9 + sum(dt), 6) AS ad2
       |  FROM enc
       |  JOIN cluster ON enc.vec_id = cl_vec
       |  JOIN adc ON enc.sp = a_sp AND enc.code = a_code

@@ -663,8 +663,132 @@ object Trollflow {
       |HAVING round(1e-9 + avg(CASE WHEN sza < 90.0 THEN 1.0 ELSE 0.0 END), 5) >= 0.05
       |ORDER BY area_name""".stripMargin
 
+  /** F5's `check_pass: true` variant (plugins/__init__.py:823-846,
+    * 871-902): the reference cuts the area polygon by the satellite
+    * OVERPASS footprint (trollsched `Pass` from TLE orbit propagation)
+    * before intersecting with the twilight polygon, so the coverage
+    * fraction is "sunlit share of the part of the area the satellite
+    * actually sees", and an area the pass never touches scores 0.0
+    * (:886-888). Here the overpass footprint comes from a deterministic
+    * synthetic circular orbit — standard ground-track math (sun-sync
+    * inclination 98.7°, 101-min period, ascending node at −80°E at the
+    * scene-window start, Earth rotating 0.25068°/min under the track),
+    * swath = all points within 12° central angle of the sub-satellite
+    * track sampled every 2 min across the 90-min scene window. A fixed
+    * epoch (the window start derives from the fixture's max event ts)
+    * keeps every number oracle-reproducible; swapping in real TLE
+    * propagation changes only the track-point formula. Per area:
+    * points in pass, the q45-style whole-area sunlit fraction, and the
+    * pass-cut fraction (0.0 when the pass misses the area — at the
+    * fixture epoch the track crosses `americas` near the terminator, so
+    * the cut fraction (0.86) genuinely differs from the whole-area one
+    * (0.81), and the other two areas exercise the miss branch).
+    *
+    * Scale: 3 areas × 64 grid points × 46 track samples = 8832 rows,
+    * computed once per scene regardless of corpus size (the reference
+    * memoizes per (area, check_pass) the same way); the only data-sized
+    * term is the one-row max(ts) aggregate. */
+  def q139OverpassSunlight(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val areas = Seq(
+      ("euro", -10.0, 40.0, 35.0, 70.0),
+      ("pacific", 140.0, 180.0, -50.0, 10.0),
+      ("americas", -120.0, -60.0, -30.0, 50.0)
+    ).toDF("area_name", "lon_min", "lon_max", "lat_min", "lat_max")
+    val t0 = Tables.events(spark, dir)
+      .agg((max(col("ts")) - expr("INTERVAL 90 MINUTES")).as("t0"))
+    val incl = lit(98.7)
+    // sin/cos of the track latitude without an asin round-trip:
+    // sin(tlat) = sin(incl)·sin(u), cos(tlat) = sqrt(1 − sin²) (valid —
+    // |tlat| ≤ 90°), so both engines run the identical arithmetic
+    val sinT = sin(radians(incl)) * sin(col("u"))
+    val tlon = lit(-80.0) +
+      degrees(atan2(cos(radians(incl)) * sin(col("u")), cos(col("u")))) -
+      lit(0.25068) * col("m")
+    val pts = areas.crossJoin(broadcast(t0))
+      .withColumn("i", explode(sequence(lit(0), lit(7))))
+      .withColumn("j", explode(sequence(lit(0), lit(7))))
+      .withColumn("plon",
+        col("lon_min") + (col("i") + 0.5) * (col("lon_max") - col("lon_min")) / 8.0)
+      .withColumn("plat",
+        col("lat_min") + (col("j") + 0.5) * (col("lat_max") - col("lat_min")) / 8.0)
+      .withColumn("sunlit",
+        when(szaDeg(col("plat"), col("plon"), col("t0")) < 90.0, 1.0).otherwise(0.0))
+      .withColumn("k", explode(sequence(lit(0), lit(45))))
+      .withColumn("m", col("k") * 2.0)
+      .withColumn("u", radians(col("m") / 101.0 * 360.0))
+      .withColumn("a", degrees(acos(least(lit(1.0), greatest(lit(-1.0),
+        sin(radians(col("plat"))) * sinT +
+          cos(radians(col("plat"))) * sqrt(lit(1.0) - sinT * sinT) *
+            cos(radians(col("plon") - tlon)))))))
+      .groupBy(col("area_name"), col("plon"), col("plat"), col("sunlit"))
+      .agg(round(lit(1e-9) + min(col("a")), 4).as("min_ang"))
+      .withColumn("in_pass", when(col("min_ang") <= 12.0, 1.0).otherwise(0.0))
+    pts.groupBy(col("area_name"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("in_pass")).cast("long").as("n_in_pass"),
+        round(lit(1e-9) + avg(col("sunlit")), 5).as("area_sunlit_frac"),
+        when(sum(col("in_pass")) > 0,
+          round(lit(1e-9) + sum(col("in_pass") * col("sunlit")) / sum(col("in_pass")), 5))
+          .otherwise(0.0).as("pass_sunlit_frac"))
+      .orderBy(col("area_name"))
+  }
+
+  val q139Sql: String =
+    """WITH areas(area_name, lon_min, lon_max, lat_min, lat_max) AS (VALUES
+      |    ('euro', -10.0, 40.0, 35.0, 70.0),
+      |    ('pacific', 140.0, 180.0, -50.0, 10.0),
+      |    ('americas', -120.0, -60.0, -30.0, 50.0)),
+      |st AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 90 MINUTE AS t0 FROM events),
+      |grid AS (
+      |  SELECT area_name, t0,
+      |    lon_min + (i + 0.5) * (lon_max - lon_min) / 8.0 AS plon,
+      |    lat_min + (j + 0.5) * (lat_max - lat_min) / 8.0 AS plat
+      |  FROM areas CROSS JOIN st, range(0, 8) ti(i), range(0, 8) tj(j)),
+      |sz AS (
+      |  SELECT area_name, plon, plat,
+      |    CASE WHEN degrees(acos(
+      |      sin(radians(plat))
+      |        * sin(radians(-23.44 * cos(radians(360.0/365.0 * (dayofyear(t0)::DOUBLE + 10.0)))))
+      |      + cos(radians(plat))
+      |        * cos(radians(-23.44 * cos(radians(360.0/365.0 * (dayofyear(t0)::DOUBLE + 10.0)))))
+      |        * cos(radians(15.0 * (date_part('hour', t0)::DOUBLE
+      |                              + date_part('minute', t0)::DOUBLE / 60.0
+      |                              + date_part('second', t0)::DOUBLE / 3600.0
+      |                              - 12.0)
+      |                      + plon)))) < 90.0 THEN 1.0 ELSE 0.0 END AS sunlit
+      |  FROM grid),
+      |trk AS (
+      |  SELECT area_name, plon, plat, sunlit, k * 2.0 AS m,
+      |    radians(k * 2.0 / 101.0 * 360.0) AS u
+      |  FROM sz, range(0, 46) tk(k)),
+      |ang AS (
+      |  SELECT area_name, plon, plat, sunlit,
+      |    degrees(acos(least(1.0, greatest(-1.0,
+      |      sin(radians(plat)) * (sin(radians(98.7)) * sin(u))
+      |      + cos(radians(plat))
+      |        * sqrt(1.0 - (sin(radians(98.7)) * sin(u)) * (sin(radians(98.7)) * sin(u)))
+      |        * cos(radians(plon - (-80.0
+      |            + degrees(atan2(cos(radians(98.7)) * sin(u), cos(u)))
+      |            - 0.25068 * m))))))) AS a
+      |  FROM trk),
+      |pt AS (
+      |  SELECT area_name, plon, plat, sunlit, round(1e-9 + min(a), 4) AS min_ang
+      |  FROM ang GROUP BY 1, 2, 3, 4)
+      |SELECT area_name, count(*) AS n_points,
+      |  sum(CASE WHEN min_ang <= 12.0 THEN 1 ELSE 0 END)::BIGINT AS n_in_pass,
+      |  round(1e-9 + avg(sunlit), 5) AS area_sunlit_frac,
+      |  CASE WHEN sum(CASE WHEN min_ang <= 12.0 THEN 1.0 ELSE 0.0 END) > 0
+      |    THEN round(1e-9 + sum(CASE WHEN min_ang <= 12.0 THEN sunlit ELSE 0.0 END)
+      |      / sum(CASE WHEN min_ang <= 12.0 THEN 1.0 ELSE 0.0 END), 5)
+      |    ELSE 0.0 END AS pass_sunlit_frac
+      |FROM pt
+      |GROUP BY area_name
+      |ORDER BY area_name""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q39_block_aggregate" -> (q39BlockAggregate _),
+    "q139_overpass_sunlight" -> (q139OverpassSunlight _),
     "q40_resample" -> (q40Resample _),
     "q41_valid_fraction" -> (q41ValidFraction _),
     "q42_sza_check" -> (q42SzaCheck _),
@@ -679,6 +803,7 @@ object Trollflow {
 
   val oracles: Map[String, String] = Map(
     "q39_block_aggregate" -> q39Sql,
+    "q139_overpass_sunlight" -> q139Sql,
     "q40_resample" -> q40Sql,
     "q41_valid_fraction" -> q41Sql,
     "q42_sza_check" -> q42Sql,

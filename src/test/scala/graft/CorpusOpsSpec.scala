@@ -113,6 +113,40 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q137 paragraph dedup: arithmetic closes, one keeper per distinct paragraph") {
+    val rows = run("q137_paragraph_dedup").collect()
+    assert(rows.length == 20, s"expected 20 sources, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed") ==
+        r.getAs[Long]("n_paras"))
+      val pct = r.getAs[Double]("removed_pct")
+      assert(pct >= 0.0 && pct <= 1.0 + 1e-9)
+    }
+    // exactly one instance of every distinct paragraph survives globally
+    val inst = graft.queries.Dedup.paraInstances(spark, sf)
+    val distinctPh = inst.select("ph").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == distinctPh,
+      "kept-instance total must equal the distinct-paragraph count")
+  }
+
+  test("q137 paragraph grain agrees with q76's CDC chunk geometry") {
+    // same boundary rule: paragraph count per doc equals q76's n_chunks,
+    // minus one exactly when the document's final token is itself a
+    // boundary (q137 merges the empty trailing segment; q76 counts it)
+    val perDoc = graft.queries.Dedup.paraInstances(spark, sf)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+    val chunks = run("q76_cdc_chunking").collect()
+    assert(chunks.nonEmpty)
+    chunks.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nc = r.getAs[Long]("n_chunks")
+      val np = perDoc.getOrElse(id, 0L)
+      assert(np == nc || np == nc - 1,
+        s"doc $id: $np paragraphs vs $nc CDC chunks")
+    }
+  }
+
   test("q95 Bloom filter: no false negatives, bounded false-positive leakage") {
     val rows = run("q95_bloom_prune").collect()
     val urgent = rows.find(_.getAs[String]("o_orderpriority") == "1-URGENT").get

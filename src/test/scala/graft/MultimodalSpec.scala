@@ -85,6 +85,59 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { decoder.decode(notPpm) }
   }
 
+  test("BmpDecoder decodes a hand-built 24-bit BMP through the batched path") {
+    import spark.implicits._
+    // 2x2 24-bit bottom-up BMP: rowLen 6 pads to stride 8. Visual pixels
+    // (BGR): top row (1,2,3)(4,5,6), bottom row (7,8,9)(10,11,12) —
+    // stored bottom-up, so the file carries the bottom row FIRST.
+    val w = 2; val h = 2
+    val stride = 8
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val topRow = Array[Byte](1, 2, 3, 4, 5, 6)
+    val bottomRow = Array[Byte](7, 8, 9, 10, 11, 12)
+    val pad = Array[Byte](0, 0)
+    val raster = bottomRow ++ pad ++ topRow ++ pad
+    val fileSize = 54 + raster.length
+    def bmp(height: Int) =
+      "BM".getBytes("US-ASCII") ++ le32(fileSize) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w) ++ le32(height) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(raster.length) ++ le32(2835) ++ le32(2835) ++
+        le32(0) ++ le32(0) ++ raster
+    val img = bmp(h)
+    val rec = MediaRecord(9L, img, MediaMeta("bmp", w, h, img.length.toLong))
+    val decoder = new BmpDecoder
+    val feats = decoder.decode(rec)
+    assert(feats.format == "bmp")
+    assert(feats.nFrames == h)
+    assert(feats.thumbFirstByte == 3) // top-left pixel's RED channel (BGR)
+    // checksum over VISUAL-order rows with padding stripped
+    val expected = Seq(topRow, bottomRow).foldLeft(0L) { (acc, f) =>
+      (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
+    }
+    assert(feats.checksum == expected)
+    // a TOP-DOWN file (negative height) with rows in visual order decodes
+    // to the identical features
+    val topDown = "BM".getBytes("US-ASCII") ++ le32(fileSize) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(w) ++ le32(-h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(raster.length) ++ le32(2835) ++ le32(2835) ++
+      le32(0) ++ le32(0) ++ (topRow ++ pad ++ bottomRow ++ pad)
+    val tdFeats = decoder.decode(rec.copy(media = topDown))
+    assert(tdFeats.copy(id = 9L) == feats)
+    // same features through the distributed batched mapPartitions path
+    val ds = Seq(rec, rec.copy(id = 10L)).toDS()
+    val out = Multimodal.extractFeatures(ds, decoder, batchSize = 1)
+      .collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(9L, 10L))
+    assert(out.forall(f => f.nFrames == h && f.checksum == expected))
+    // malformed payloads surface per-record: truncated raster, wrong
+    // bpp, wrong magic
+    intercept[IllegalArgumentException] { decoder.decode(rec.copy(media = img.dropRight(1))) }
+    val bpp8 = img.clone(); bpp8(28) = 8
+    intercept[IllegalArgumentException] { decoder.decode(rec.copy(media = bpp8)) }
+    intercept[IllegalArgumentException] { decoder.decode(rec.copy(media = "P6 1 1 255 xyz".getBytes("US-ASCII"))) }
+  }
+
   test("q117 perceptual near-dup: exact duplicates collide at hamming 0") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q117_perceptual_dup")(spark, sf).collect()

@@ -109,6 +109,33 @@ class PluginChecksSpec extends SparkSpec {
     assert(run(Map.empty).size == 1) // unconfigured -> untouched
   }
 
+  test("check_pass cuts sunlight coverage to the overpass footprint") {
+    // zero-length scene window -> the orbit contributes exactly one
+    // sub-satellite point: the ascending node at (lat 0, lon 0), swath =
+    // a 12-degree cap around it
+    val md = Map("start_time" -> "2026-08-12T12:00:00Z",
+      "end_time" -> "2026-08-12T12:00:00Z")
+    val areas = Map(
+      "equator" -> AreaBounds(-5.0, 5.0, -5.0, 5.0),
+      "far" -> AreaBounds(70.0, 80.0, 10.0, 20.0))
+    val orbit = OrbitModel(ascNodeLonDeg = 0.0)
+    def run(area: String, settings: Map[String, String]) =
+      SunlightCoverage(areas, orbit = orbit)(
+        ctxOf(oneProductSpec(settings, area = area), Map.empty, md)).worklist
+    // the pass goes right over the equator box (every grid point within
+    // ~6.7 degrees of the node): pass-cut coverage = full noon sun
+    val hit = run("equator", Map("sunlight_min" -> "50", "check_pass" -> "true"))
+    assert(hit.size == 1)
+    assert(hit.head.settings("area_sunlight_coverage_percent").toDouble == 100.0)
+    // the far box (75 degrees away) is outside the swath: check_pass
+    // scores it 0.0 (ref plugins/__init__.py:886-888) and min prunes it...
+    assert(run("far", Map("sunlight_min" -> "50", "check_pass" -> "true")).isEmpty)
+    // ...while the same box WITHOUT check_pass is sunlit and kept
+    val noPass = run("far", Map("sunlight_min" -> "50"))
+    assert(noPass.size == 1)
+    assert(noPass.head.settings("area_sunlight_coverage_percent").toDouble == 100.0)
+  }
+
   // ------------------------------------------------------- save_datasets
 
   private def saveSpec = oneProductSpec()
