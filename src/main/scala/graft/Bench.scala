@@ -82,8 +82,7 @@ object Bench {
         // 3–8× isolated because every timed run — after the clearCache
         // below — paid a full postings rebuild the isolated best-of-2
         // amortized differently). A fast no-op when already warm.
-        if (queries.Dedup.sharedConsumers(name.takeWhile(_ != '_')))
-          queries.Dedup.warmShared(spark, sfDir)
+        queries.SharedFrames.warmFor(name, spark, sfDir)
         val t0 = System.nanoTime()
         val out = try { fn(spark, sfDir).count(); Right(()) } catch {
           case e: Throwable => Left(err(e))
@@ -207,10 +206,15 @@ object Bench {
     val rows = root.get("queries").properties().asScala.toSeq
       .sortBy(_.getKey)
       .map(e => s"""{"round":$round,"query":"${e.getKey}","sec":${e.getValue.asDouble}}""")
-    java.nio.file.Files.write(cwd.resolve("BENCH_HISTORY.jsonl"),
-      rows.mkString("", "\n", "\n").getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+    // idempotent per round: a re-run replaces the round's rows instead of
+    // appending a duplicate block (the file is a trend line, not a log)
+    val path = cwd.resolve("BENCH_HISTORY.jsonl")
+    val kept = if (java.nio.file.Files.exists(path))
+      java.nio.file.Files.readAllLines(path).asScala.toSeq
+        .filterNot(_.startsWith(s"""{"round":$round,"""))
+    else Seq.empty
+    java.nio.file.Files.write(path,
+      (kept ++ rows).mkString("", "\n", "\n").getBytes("UTF-8"))
     ()
   } catch { case scala.util.control.NonFatal(_) => () }
 

@@ -22,8 +22,7 @@ object QTime {
       val fn = SparkEntry.queries(name)
       if (doExplain) fn(spark, sfDir).explain("formatted")
       val ts = (1 to reps).map { _ =>
-        if (queries.Dedup.sharedConsumers(name.takeWhile(_ != '_')))
-          queries.Dedup.warmShared(spark, sfDir)
+        queries.SharedFrames.warmFor(name, spark, sfDir)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9

@@ -26,11 +26,19 @@ object Curation {
     * Split buckets are a pure function of doc_id, so consumers that need
     * them derive the column on top of the cache — narrow, shuffle-free. */
   private[queries] def sh8Postings(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(shingleH32(col("text"), 8)).as("h"))
-      .distinct()
-      .persist()
+    SharedFrames.cached(spark, dir, "sh8") {
+      Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(shingleH32(col("text"), 8)).as("h"))
+        .distinct()
+    }
+
+  /** Materialize the 8-gram postings if not currently cached — see
+    * [[SharedFrames.warmFor]]. */
+  private[graft] def warmShared(spark: SparkSession, dir: String): Unit = {
+    sh8Postings(spark, dir).count()
+    ()
+  }
 
   /** Deterministic train/val/test split by content-independent key hash
     * (90/5/5): split = h32("split_" + doc_id) % 100. Per-split stats
@@ -1417,8 +1425,108 @@ object Curation {
       |FROM alloc CROSS JOIN total
       |ORDER BY decile DESC""".stripMargin
 
+  /** Calibration audit (reliability diagram + ECE terms) for a quality
+    * classifier — the monitoring pass that closes the classifier-ops
+    * loop the pack already opens (q110 trains the model, q99 audits its
+    * labels): batch-score the corpus with a FIXED model from the
+    * registry (literal weights over q110's exact feature definitions —
+    * auditing a frozen model is the production shape; training stays
+    * q110's job), bucket predictions into 10 probability bins, and
+    * report per bin the mean predicted probability vs the empirical
+    * positive rate, their gap, and the bin's expected-calibration-error
+    * contribution (n_b/N·|gap_b| — ECE is their sum). A well-calibrated
+    * model shows gap ≈ 0 everywhere; this fixture's heuristic model
+    * predicts a spread of probabilities against a flat ~0.44 base rate,
+    * exactly the miscalibration shape the audit exists to catch.
+    *
+    * Determinism: features, z and σ(z) round exactly as q110 does; the
+    * bin comes from INTEGER arithmetic on the 6-dp-rounded probability
+    * (round(p·10⁶) then divide) because `floor(p*10)` on a float flips
+    * bins when p sits exactly on a tenth (two docs do at sf0.1).
+    *
+    * Scale design: scoring is a zero-shuffle row kernel; the audit is
+    * one 10-key aggregation with map-side partials; the 1-row total
+    * broadcasts back onto 10 rows. Nothing is corpus-sized after the
+    * scan at any corpus size. */
+  def q140CalibrationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val x = Tables.documents(spark, dir)
+      .select(
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
+        size(toks).as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).as("word_chars"),
+        size(filter(toks, t =>
+          array_contains(array(lit("the"), lit("a"), lit("data"), lit("value")), t)))
+          .as("n_stop"))
+      .select(col("y"),
+        round(lit(1e-9) +
+          least(lit(1.0), col("n_words").cast("double") / 100.0), 5).as("x1"),
+        round(lit(1e-9) +
+          col("n_stop").cast("double") / col("n_words"), 5).as("x2"),
+        round(lit(1e-9) + least(lit(1.0),
+          (col("word_chars").cast("double") / col("n_words")) / 8.0), 5).as("x3"))
+    val z = round(lit(1e-9) + lit(-3.0) + lit(2.0) * col("x1") +
+      lit(8.0) * col("x2") + lit(2.0) * col("x3"), 6)
+    val p = round(lit(1e-9) + lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    val binned = x.select(col("y"), p.as("p"))
+      .withColumn("bin", least(lit(9),
+        floor(round(col("p") * 1000000, 0).cast("long") / 100000.0)).cast("int"))
+    val tot = binned.agg(count(lit(1)).as("n_total"))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(lit(1e-9) + avg(col("p")), 5).as("mean_p"),
+        round(lit(1e-9) + avg(col("y")), 5).as("frac_pos"))
+      .crossJoin(broadcast(tot))
+      .withColumn("gap", round(lit(1e-9) + col("mean_p") - col("frac_pos"), 5))
+      .withColumn("ece_part", round(lit(1e-9) +
+        abs(col("gap")) * col("n_docs") / col("n_total"), 6))
+      .select(col("bin"), col("n_docs"), col("mean_p"), col("frac_pos"),
+        col("gap"), col("ece_part"))
+      .orderBy(col("bin"))
+  }
+
+  val q140Sql: String =
+    """WITH feat AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+      |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_words,
+      |    len(replace(text, ' ', '')) AS word_chars,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'data', 'value'))) AS n_stop
+      |  FROM documents),
+      |x AS (
+      |  SELECT y,
+      |    round(1e-9 + least(1.0, n_words::DOUBLE / 100.0), 5) AS x1,
+      |    round(1e-9 + n_stop::DOUBLE / n_words, 5) AS x2,
+      |    round(1e-9 + least(1.0, (word_chars::DOUBLE / n_words) / 8.0), 5) AS x3
+      |  FROM feat),
+      |scored AS (
+      |  SELECT y,
+      |    round(1e-9 + 1.0 / (1.0 +
+      |      exp(-round(1e-9 + (-3.0) + 2.0*x1 + 8.0*x2 + 2.0*x3, 6))), 6) AS p
+      |  FROM x),
+      |b AS (
+      |  SELECT y, p,
+      |    least(9, round(p * 1000000, 0)::BIGINT // 100000)::INT AS bin
+      |  FROM scored),
+      |tot AS (SELECT count(*) AS n_total FROM b),
+      |bins AS (
+      |  SELECT bin, count(*) AS n_docs,
+      |    round(1e-9 + avg(p), 5) AS mean_p,
+      |    round(1e-9 + avg(y), 5) AS frac_pos,
+      |    any_value(n_total) AS n_total
+      |  FROM b CROSS JOIN tot
+      |  GROUP BY bin)
+      |SELECT bin, n_docs,
+      |  mean_p, frac_pos,
+      |  round(1e-9 + mean_p - frac_pos, 5) AS gap,
+      |  round(1e-9 + abs(round(1e-9 + mean_p - frac_pos, 5)) * n_docs / n_total, 6)
+      |    AS ece_part
+      |FROM bins
+      |ORDER BY bin""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q122_dedup_by_source" -> (q122DedupBySource _),
+    "q140_calibration_audit" -> (q140CalibrationAudit _),
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
     "q56_contamination" -> (q56Contamination _),
@@ -1444,6 +1552,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q122_dedup_by_source" -> q122Sql,
+    "q140_calibration_audit" -> q140Sql,
     "q52_data_split" -> q52Sql,
     "q53_balanced_sample" -> q53Sql,
     "q56_contamination" -> q56Sql,

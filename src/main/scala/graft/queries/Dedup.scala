@@ -40,49 +40,19 @@ object Dedup {
       |            list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
       |          FROM documents)))""".stripMargin
 
-  /** One Dataset object per (session, dir, key) for the shared postings
-    * family. Without the memo every call built a NEW Dataset over an
-    * identical plan and re-`persist()`ed it; Spark's CacheManager
-    * plan-matches those into one cache entry, but each re-registration
-    * raced recomputation of the same cached partitions ("Block rdd_N
-    * already exists" churn all over the round-7 bench tail). One object
-    * per key means one registration, zero churn. Entries hold only
-    * logical plans; stale entries for stopped test sessions are bytes. */
-  private val sharedMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
-
+  /** Memoized session-shared frames — see [[SharedFrames]] for the
+    * registration/warm-up contract the bench harness relies on. */
   private def shared(spark: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame = {
-    val df = sharedMemo.getOrElseUpdate((spark, dir, key), build)
-    // re-arm after any cacheManager.clearCache() (Bench/QTime drop all
-    // caches between timed runs): persist() is lazy and idempotent here —
-    // storageLevel reads NONE exactly when the entry is gone.
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-    df
-  }
+      build: => DataFrame): DataFrame =
+    SharedFrames.cached(spark, dir, key)(build)
 
-  /** Short qNN ids of every query that reads the shared postings family
-    * (directly or via [[Curation]]'s q98). Bench/QTime consult this to
-    * warm the shared frames UNTIMED before timing these queries, so pack
-    * and isolated numbers both report warm-postings cost — the number
-    * that matters at scale, where the postings/signature table is written
-    * once and joined many times, not rebuilt inside every query. */
-  val sharedConsumers: Set[String] =
-    Set("q29", "q30", "q31", "q98", "q108", "q119", "q120", "q121", "q129")
-
-  /** Materialize the shared postings frames if (and only if) they are not
-    * currently cached — a fast no-op when warm. Call sites: Bench/QTime,
-    * outside the timed region. */
-  def warmShared(spark: SparkSession, dir: String): Unit = {
-    import org.apache.spark.storage.StorageLevel.NONE
-    // order matters: capped's anti-join reads postings + dfCounts, so
-    // warming those first means each count materializes exactly one frame
-    Seq(shPostings(spark, dir), shDfCounts(spark, dir),
-        cappedShPostings(spark, dir)).foreach { df =>
-      if (df.storageLevel == NONE) df.persist()
-    }
-    // storageLevel != NONE only says "registered"; force materialization
-    // via count. A warm count over the InMemoryRelation is milliseconds.
+  /** Materialize the 3-gram postings frames if (and only if) they are
+    * not currently cached — a fast no-op when warm. Call sites:
+    * [[SharedFrames.warmFor]] from Bench/QTime, outside the timed
+    * region. */
+  private[graft] def warmShared(spark: SparkSession, dir: String): Unit = {
+    // the capped count materializes postings + dfCounts on the way (its
+    // anti-join reads both); the postings count is then a warm no-op
     cappedShPostings(spark, dir).count()
     shPostings(spark, dir).count()
     ()

@@ -363,4 +363,28 @@ class CurationOpsSpec extends SparkSpec {
       .filter(col("nf") > 1).count()
     assert(spanning == 0, s"$spanning clusters span folds")
   }
+
+  test("q140 calibration audit: bins partition the corpus, ECE terms consistent") {
+    val rows = run("q140_calibration_audit").collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "bins must partition every document exactly once")
+    rows.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      assert(bin >= 0 && bin <= 9)
+      val meanP = r.getAs[Double]("mean_p")
+      // mean predicted probability lives inside its own bin (cap bin 9
+      // absorbs p = 1.0)
+      assert(meanP >= bin / 10.0 - 1e-6 &&
+        meanP <= (if (bin == 9) 1.0 else (bin + 1) / 10.0) + 1e-6,
+        s"bin $bin mean_p $meanP outside its bounds")
+      val fracPos = r.getAs[Double]("frac_pos")
+      assert(fracPos >= 0.0 && fracPos <= 1.0 + 1e-9)
+      assert(math.abs(r.getAs[Double]("gap") - (meanP - fracPos)) < 2e-5)
+      val ece = r.getAs[Double]("ece_part")
+      assert(math.abs(ece -
+        math.abs(r.getAs[Double]("gap")) * r.getAs[Long]("n_docs") / nDocs) < 2e-6)
+    }
+  }
 }

@@ -618,4 +618,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Join"), "q135 lost its labels join")
     assert(!p.contains("Window ["), "q135 must not use a window")
   }
+
+  test("q137 paragraph dedup: min-struct canonical, no window over ph") {
+    val p = plan("q137_paragraph_dedup")
+    // the canonical-instance choice must stay a map-side-combinable
+    // aggregation — a row_number window partitioned by ph would pile a
+    // corpus-frequent boilerplate paragraph onto one partition
+    assert(!p.contains("Window ["),
+      "q137 regressed to a window over paragraph hashes (skew bomb)")
+    // canonical table joins back without a forced broadcast (it is
+    // distinct-paragraph-sized, i.e. corpus-scale)
+    assert(p.contains("Join"), "q137 lost its canonical join")
+    assert(!p.contains("CartesianProduct"), "q137 must never cross-join")
+  }
+
+  test("q139 overpass sunlight: constant-size grid, single data-sized agg") {
+    val p = plan("q139_overpass_sunlight")
+    // the only corpus-sized term is the one-row max(ts) aggregate; the
+    // grid×track expansion is plan-constant and rides a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the one-row scene timestamp must broadcast onto the constant grid")
+    assert(!p.contains("SortMergeJoin"), "q139 must not shuffle-join")
+    assert(!p.contains("Window ["), "q139 must not use a window")
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+    assert(schemas.forall(_.contains("ts")) && schemas.forall(!_.contains("user_id")),
+      s"q139 should read only events.ts: $schemas")
+  }
 }
