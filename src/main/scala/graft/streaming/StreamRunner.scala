@@ -156,6 +156,23 @@ object StreamRunner {
       .withWatermark("ts", watermark)
       .dropDuplicates(keys :+ "ts")
 
+  /** Streaming admission gate — the streaming face of q100's
+    * incremental-ingest dedup: a new document enters the corpus only if
+    * its content key is unseen in BOTH the historical corpus and the
+    * stream so far. The historical side is a stream-static left_anti
+    * join (state-free: the static side re-plans per micro-batch, and at
+    * production scale it is the materialized content-key table the batch
+    * dedup pass already writes — small enough keyed storage to
+    * broadcast-or-shuffle per batch, never the raw corpus); the
+    * within-stream side is the watermarked dropDuplicates gate, so
+    * replayed deliveries and intra-stream dupes both bounce. State is
+    * O(stream keys inside the watermark horizon) — the historical keys
+    * live in storage, not in stream state. */
+  def admissionGate(stream: DataFrame, corpusKeys: DataFrame,
+      keys: Seq[String], watermark: String = "2 hours"): DataFrame =
+    dedupStream(stream, keys, watermark)
+      .join(corpusKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
   /** Stream-stream interval join: match each left event with right events
     * of the same key that happened inside the preceding `window`. Both
     * sides carry a watermark and the join condition bounds event-time

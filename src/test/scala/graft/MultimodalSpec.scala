@@ -138,6 +138,39 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { decoder.decode(rec.copy(media = "P6 1 1 255 xyz".getBytes("US-ASCII"))) }
   }
 
+  test("BmpDecoder round-trips seeded random images (bottom-up == top-down)") {
+    val rnd = new scala.util.Random(13)
+    val decoder = new BmpDecoder
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def header(w: Int, h: Int, rasterLen: Int) =
+      "BM".getBytes("US-ASCII") ++ le32(54 + rasterLen) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(rasterLen) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    for (_ <- 1 to 40) {
+      val w = 1 + rnd.nextInt(9); val h = 1 + rnd.nextInt(9)
+      val stride = (w * 3 + 3) & ~3
+      // visual rows, then serialize both ways
+      val rows = Array.fill(h) {
+        val r = new Array[Byte](stride); rnd.nextBytes(r)
+        java.util.Arrays.fill(r, w * 3, stride, 0.toByte); r
+      }
+      val bottomUp = header(w, h, stride * h) ++ rows.reverse.flatten
+      val topDown = header(w, -h, stride * h) ++ rows.flatten
+      val rec = MediaRecord(1L, bottomUp, MediaMeta("bmp", w, h, 0L))
+      val a = decoder.decode(rec)
+      val b = decoder.decode(rec.copy(media = topDown))
+      assert(a == b, s"bottom-up and top-down decode disagree at ${w}x$h")
+      assert(a.nFrames == h)
+      assert(a.thumbFirstByte == (rows.head(2) & 0xff))
+      // checksum matches an independent recomputation over visual rows
+      val expected = rows.map(_.take(w * 3)).foldLeft(0L) { (acc, f) =>
+        (acc * 131 + f.foldLeft(0L)((x, y) => (x * 31 + (y & 0xff)) % 1000000007L)) % 1000000007L
+      }
+      assert(a.checksum == expected)
+    }
+  }
+
   test("q117 perceptual near-dup: exact duplicates collide at hamming 0") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q117_perceptual_dup")(spark, sf).collect()

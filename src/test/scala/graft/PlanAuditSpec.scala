@@ -632,6 +632,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "q137 must never cross-join")
   }
 
+  test("q140 calibration: row-kernel scoring, 10-key agg, broadcast total") {
+    val p = plan("q140_calibration_audit")
+    // scoring is a zero-join row kernel; the only joins are the 1-row
+    // total broadcast back onto <=10 bin rows
+    assert(!p.contains("SortMergeJoin"), "q140 must not shuffle-join")
+    assert(!p.contains("Window ["), "q140 must not use a window")
+    assert(hashExchanges(p) <= 2,
+      "q140 should shuffle only for the bin agg (+ the 1-row total)")
+  }
+
   test("q139 overpass sunlight: constant-size grid, single data-sized agg") {
     val p = plan("q139_overpass_sunlight")
     // the only corpus-sized term is the one-row max(ts) aggregate; the

@@ -109,6 +109,32 @@ class PluginChecksSpec extends SparkSpec {
     assert(run(Map.empty).size == 1) // unconfigured -> untouched
   }
 
+  test("OrbitModel laws: unit track vectors, inclination band, swath monotonicity") {
+    val rnd = new scala.util.Random(17)
+    val orb = OrbitModel()
+    val maxSinLat = math.abs(math.sin(math.toRadians(orb.inclinationDeg)))
+    for (_ <- 1 to 200) {
+      val m = rnd.nextDouble() * 300
+      val (s, c, lon) = orb.track(m)
+      assert(math.abs(s * s + c * c - 1.0) < 1e-12, "track (sin,cos) not unit")
+      assert(math.abs(s) <= maxSinLat + 1e-12,
+        "ground track left the inclination latitude band")
+      // every SAMPLED sub-satellite point lies inside its own swath
+      val msnap = math.floor(m / orb.stepMin) * orb.stepMin
+      val (s2, _, lon2) = orb.track(msnap)
+      assert(orb.inSwath(math.toDegrees(math.asin(s2)), lon2, 300.0),
+        s"track point at m=$msnap outside its own swath")
+      // widening the swath never loses coverage
+      val lat = math.toDegrees(math.asin(s))
+      if (orb.inSwath(lat, lon, 300.0))
+        assert(orb.copy(swathHalfAngleDeg = orb.swathHalfAngleDeg * 2)
+          .inSwath(lat, lon, 300.0), "wider swath lost a covered point")
+    }
+    // antipode of a sampled track point is never in a <90-degree swath
+    val (s0, _, lon0) = orb.track(0.0)
+    assert(!orb.inSwath(-math.toDegrees(math.asin(s0)), lon0 + 180.0, 0.0))
+  }
+
   test("check_pass cuts sunlight coverage to the overpass footprint") {
     // zero-length scene window -> the orbit contributes exactly one
     // sub-satellite point: the ascending node at (lat 0, lon 0), swath =

@@ -82,6 +82,41 @@ class StreamRunnerSpec extends SparkSpec {
     assert(total.get() == perFile)
   }
 
+  test("admission gate: corpus-known keys bounce, replays bounce, the rest enter") {
+    import org.apache.spark.sql.functions._
+    // historical corpus = the even event_ids; the stream replays every
+    // event twice — admitted = each ODD event_id exactly once
+    val (src, ckp) = stageMessages(2)
+    val stream = StreamRunner.fileStream(spark, src, eventsSchema)
+      .withColumnRenamed("ts", "ts_ns")
+    val corpus = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_id") % 2 === 0).select("event_id")
+    val admitted = new java.util.concurrent.atomic.AtomicLong()
+    val dupAdmitted = new java.util.concurrent.atomic.AtomicLong()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = StreamRunner.admissionGate(stream, corpus, Seq("event_id"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("event_id").collect().foreach { r =>
+          admitted.incrementAndGet()
+          if (!seen.add(r.getLong(0))) dupAdmitted.incrementAndGet()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val expected = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_id") % 2 =!= 0).select("event_id").distinct().count()
+    assert(dupAdmitted.get() == 0, "an event_id was admitted twice")
+    assert(admitted.get() == expected,
+      s"admitted ${admitted.get()} != $expected odd event_ids")
+    assert(seen.stream().allMatch(id => id % 2 != 0),
+      "a corpus-known (even) key slipped through the gate")
+  }
+
   test("runMessages: generate_messages -> message_to_jobs -> process_jobs") {
     import graft.pipeline._
     val src = Files.createTempDirectory("graft_msg_src")
