@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * real decoder could amortize model/codec setup per batch), frame
   * sampling, and feature extraction — all without any driver-side collect.
   *
-  * Decoders: [[PpmDecoder]] (binary PPM/P6) and [[BmpDecoder]]
-  * (uncompressed 24-bit BMP) are REAL decoders for formats that need no
-  * codec library. Compressed formats (JPEG/PNG/audio codecs) are not
-  * available in this container, so [[FakeDecoder]] stands in for those —
-  * and only those — with deterministic pseudo-features from the bytes.
+  * Decoders: [[PpmDecoder]] (binary PPM/P6), [[BmpDecoder]]
+  * (uncompressed 24-bit BMP), and [[WavDecoder]] (RIFF WAVE integer PCM)
+  * are REAL decoders for formats that need no codec library — one image,
+  * one image-with-chunked-layout, one audio. Compressed formats
+  * (JPEG/PNG/MP3/video codecs) are not available in this container, so
+  * [[FakeDecoder]] stands in for those — and only those — with
+  * deterministic pseudo-features from the bytes.
   * All run behind the same [[MediaDecoder]] contract, so swapping in a
   * real codec is a one-line change at the call site; nothing else moves.
   */
@@ -157,6 +159,79 @@ object Multimodal {
         (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
       }
       MediaFeatures(rec.id, "bmp", h, checksum, rows.head(2) & 0xff)
+    }
+  }
+
+  /** REAL decoder for PCM WAV (RIFF WAVE, integer PCM) — the audio
+    * analog of [[PpmDecoder]]/[[BmpDecoder]]: pure byte arithmetic, no
+    * codec library. Layout per the RIFF spec: `RIFF` + chunk size +
+    * `WAVE`, then tagged sub-chunks (each `id` + little-endian size +
+    * payload, padded to even length); `fmt ` must declare audioFormat=1
+    * (integer PCM) with 8- or 16-bit samples, `data` carries the raster.
+    * Unknown sub-chunks (LIST/INFO/fact/...) are skipped, as a real
+    * reader must.
+    *
+    * Features mirror the image decoders': one "frame" is a 256
+    * sample-frame block of the data raster (the hop a feature extractor
+    * would window over), `nFrames` counts those blocks (tail included),
+    * the checksum is the same rolling block hash, and the thumbnail byte
+    * is the first data byte. Malformed payloads throw
+    * `IllegalArgumentException` naming the violated field. */
+  final class WavDecoder(blockFrames: Int = 256) extends MediaDecoder {
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    override def decode(rec: MediaRecord): MediaFeatures = {
+      val b = rec.media
+      require(b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+        s"not a RIFF WAVE payload (len=${b.length})")
+      var pos = 12
+      var blockAlign = -1
+      var dataOff = -1
+      var dataLen = -1L
+      while (pos + 8 <= b.length && (blockAlign < 0 || dataOff < 0)) {
+        val id = tag(b, pos)
+        val sz = u32(b, pos + 4)
+        require(pos + 8 + sz <= b.length,
+          s"chunk $id at $pos overruns payload (size=$sz)")
+        if (id == "fmt ") {
+          require(sz >= 16, s"fmt chunk size $sz < 16")
+          val audioFormat = u16(b, pos + 8)
+          val channels = u16(b, pos + 10)
+          val bits = u16(b, pos + 22)
+          require(audioFormat == 1, s"audioFormat=$audioFormat (PCM only)")
+          require(channels > 0, "zero channels")
+          require(bits == 8 || bits == 16, s"bits=$bits (8/16-bit PCM only)")
+          blockAlign = u16(b, pos + 20)
+          require(blockAlign == channels * bits / 8,
+            s"blockAlign $blockAlign != channels*bytes ${channels * bits / 8}")
+        } else if (id == "data") {
+          dataOff = pos + 8
+          dataLen = sz
+        }
+        pos += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even length
+      }
+      require(blockAlign > 0, "missing fmt chunk")
+      require(dataOff > 0, "missing data chunk")
+      require(dataLen % blockAlign == 0,
+        s"data length $dataLen not a multiple of blockAlign $blockAlign")
+      val blockBytes = blockAlign * blockFrames
+      val nBlocks = ((dataLen + blockBytes - 1) / blockBytes).toInt
+      val blocks = (0 until nBlocks).map { i =>
+        val start = dataOff + i.toLong * blockBytes
+        val end = math.min(start + blockBytes, dataOff + dataLen)
+        b.slice(start.toInt, end.toInt)
+      }
+      val checksum = blocks.foldLeft(0L) { (acc, f) =>
+        (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
+      }
+      MediaFeatures(rec.id, "wav", nBlocks, checksum,
+        if (dataLen > 0) b(dataOff) & 0xff else -1)
     }
   }
 

@@ -1524,8 +1524,223 @@ object Curation {
       |FROM bins
       |ORDER BY bin""".stripMargin
 
+  /** Inter-labeler agreement (Cohen's κ) between the frozen registry
+    * classifier (q140's model, hard-thresholded at p ≥ 0.5) and the
+    * rule-based quality labeler the classifier is meant to replace
+    * (stopword ratio ≥ 0.12 ∧ ≥ 25 words). Reports the full 2×2
+    * confusion (n_11/n_10/n_01/n_00; model index first), observed
+    * agreement p_o, chance agreement p_e from the marginals, and
+    * κ = (p_o − p_e)/(1 − p_e) — the standard go/no-go gate before a
+    * learned filter is allowed to replace a heuristic one in a curation
+    * pipeline (κ near 0 says the model is re-deriving coin flips, not
+    * the rule).
+    *
+    * Determinism: both labels are integer 0/1, so every confusion count
+    * is exact; p_o/p_e/κ are ratios of those integers, rounded once with
+    * the repo's `round(1e-9 + x, 5)` idiom.
+    *
+    * Scale design: label assignment is a zero-shuffle codegen row
+    * kernel; the whole audit is ONE map-side-combined aggregation to a
+    * single row. Nothing downstream of the scan grows with the corpus. */
+  def q141LabelAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val feat = Tables.documents(spark, dir)
+      .select(
+        size(toks).as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).as("word_chars"),
+        size(filter(toks, t =>
+          array_contains(array(lit("the"), lit("a"), lit("data"), lit("value")), t)))
+          .as("n_stop"))
+    val x1 = round(lit(1e-9) +
+      least(lit(1.0), col("n_words").cast("double") / 100.0), 5)
+    val x2 = round(lit(1e-9) + col("n_stop").cast("double") / col("n_words"), 5)
+    val x3 = round(lit(1e-9) + least(lit(1.0),
+      (col("word_chars").cast("double") / col("n_words")) / 8.0), 5)
+    val z = round(lit(1e-9) + lit(-3.0) + lit(2.0) * x1 +
+      lit(8.0) * x2 + lit(2.0) * x3, 6)
+    val p = round(lit(1e-9) + lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    val lab = feat.select(
+      when(p >= 0.5, lit(1L)).otherwise(lit(0L)).as("m"),
+      when(x2 >= 0.12 && col("n_words") >= 25, lit(1L)).otherwise(lit(0L)).as("h"))
+    val cells = lab.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("m") === 1 && col("h") === 1, 1L).otherwise(0L)).as("n_11"),
+      sum(when(col("m") === 1 && col("h") === 0, 1L).otherwise(0L)).as("n_10"),
+      sum(when(col("m") === 0 && col("h") === 1, 1L).otherwise(0L)).as("n_01"),
+      sum(when(col("m") === 0 && col("h") === 0, 1L).otherwise(0L)).as("n_00"))
+    val n = col("n_docs").cast("double")
+    val po = round(lit(1e-9) + (col("n_11") + col("n_00")) / n, 5)
+    val pe = round(lit(1e-9) +
+      ((col("n_11") + col("n_10")) * (col("n_11") + col("n_01")) +
+        (col("n_01") + col("n_00")) * (col("n_10") + col("n_00"))) / (n * n), 5)
+    cells.select(
+      col("n_docs"), col("n_11"), col("n_10"), col("n_01"), col("n_00"),
+      po.as("po"), pe.as("pe"),
+      round(lit(1e-9) + (po - pe) / (lit(1.0) - pe), 5).as("kappa"))
+  }
+
+  val q141Sql: String =
+    """WITH feat AS (
+      |  SELECT
+      |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_words,
+      |    len(replace(text, ' ', '')) AS word_chars,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'data', 'value'))) AS n_stop
+      |  FROM documents),
+      |x AS (
+      |  SELECT n_words,
+      |    round(1e-9 + least(1.0, n_words::DOUBLE / 100.0), 5) AS x1,
+      |    round(1e-9 + n_stop::DOUBLE / n_words, 5) AS x2,
+      |    round(1e-9 + least(1.0, (word_chars::DOUBLE / n_words) / 8.0), 5) AS x3
+      |  FROM feat),
+      |lab AS (
+      |  SELECT
+      |    CASE WHEN round(1e-9 + 1.0 / (1.0 +
+      |      exp(-round(1e-9 + (-3.0) + 2.0*x1 + 8.0*x2 + 2.0*x3, 6))), 6) >= 0.5
+      |      THEN 1 ELSE 0 END AS m,
+      |    CASE WHEN x2 >= 0.12 AND n_words >= 25 THEN 1 ELSE 0 END AS h
+      |  FROM x),
+      |cells AS (
+      |  SELECT count(*) AS n_docs,
+      |    sum(CASE WHEN m = 1 AND h = 1 THEN 1 ELSE 0 END)::BIGINT AS n_11,
+      |    sum(CASE WHEN m = 1 AND h = 0 THEN 1 ELSE 0 END)::BIGINT AS n_10,
+      |    sum(CASE WHEN m = 0 AND h = 1 THEN 1 ELSE 0 END)::BIGINT AS n_01,
+      |    sum(CASE WHEN m = 0 AND h = 0 THEN 1 ELSE 0 END)::BIGINT AS n_00
+      |  FROM lab),
+      |rates AS (
+      |  SELECT *,
+      |    round(1e-9 + (n_11 + n_00) / n_docs::DOUBLE, 5) AS po,
+      |    round(1e-9 + ((n_11 + n_10) * (n_11 + n_01) +
+      |      (n_01 + n_00) * (n_10 + n_00))
+      |      / (n_docs::DOUBLE * n_docs::DOUBLE), 5) AS pe
+      |  FROM cells)
+      |SELECT n_docs, n_11, n_10, n_01, n_00, po, pe,
+      |  round(1e-9 + (po - pe) / (1.0 - pe), 5) AS kappa
+      |FROM rates""".stripMargin
+
+  /** Seeded epoch-shuffle uniformity audit: training order at corpus
+    * scale is a HASH, not a sort — shard-of-order = h32('ep1_' ∥ doc_id)
+    * mod 16 gives every epoch a deterministic, seed-switchable
+    * permutation with zero global sorts. This audit proves the property
+    * that makes that safe: within every source stratum the 16 order
+    * shards are statistically uniform (no source is front- or
+    * back-loaded in the epoch). Per source: χ² against uniform —
+    * computed in INTEGER arithmetic as Σ(16·obs − n)²/(16n), so no
+    * float-sum ordering can flip a digit — and the worst per-shard
+    * absolute deviation in document units.
+    *
+    * Scale design: one shuffle to (source, shard) grain with map-side
+    * partials; after that the data is |sources|×16 rows regardless of
+    * corpus size. The shuffle audit is O(corpus) scan + O(sources)
+    * state — the same shape at 100 TB. */
+  def q142ShuffleUniformity(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("source"),
+        (h32(concat(lit("ep1_"), col("doc_id"))) % 16).as("shard"))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("obs"))
+    val tot = cells.groupBy(col("source"))
+      .agg(sum(col("obs")).as("n_docs"), count(lit(1)).as("n_shards"))
+    cells.join(tot, Seq("source"))
+      .withColumn("dev16", col("obs") * 16 - col("n_docs"))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("n_shards")).as("n_shards"),
+        round(lit(1e-9) + sum(col("dev16") * col("dev16")).cast("double") /
+          (lit(16.0) * first(col("n_docs"))), 4).as("chi2"),
+        round(lit(1e-9) + max(abs(col("dev16"))).cast("double") / 16.0, 4)
+          .as("max_dev"))
+      .orderBy(col("source"))
+  }
+
+  val q142Sql: String =
+    """WITH b AS (
+      |  SELECT source,
+      |    ('0x' || substr(md5('ep1_' || doc_id), 1, 8))::BIGINT % 16 AS shard
+      |  FROM documents),
+      |cells AS (
+      |  SELECT source, shard, count(*) AS obs FROM b GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT source, sum(obs)::BIGINT AS n_docs, count(*) AS n_shards
+      |  FROM cells GROUP BY 1)
+      |SELECT c.source, any_value(n_docs) AS n_docs,
+      |  any_value(n_shards) AS n_shards,
+      |  round(1e-9 + sum((obs * 16 - n_docs) * (obs * 16 - n_docs))::DOUBLE
+      |    / (16.0 * any_value(n_docs)), 4) AS chi2,
+      |  round(1e-9 + max(abs(obs * 16 - n_docs))::DOUBLE / 16.0, 4) AS max_dev
+      |FROM cells c JOIN tot t ON c.source = t.source
+      |GROUP BY c.source
+      |ORDER BY c.source""".stripMargin
+
+  /** Sequence-length bucketing / padding-waste audit — prices the
+    * batch-shape decision of training ingestion: with documents bucketed
+    * to the smallest cap in {16, 32, 64, 128} subword tokens (overflow
+    * truncates at the largest cap), how many pad tokens does each bucket
+    * burn, and how many real tokens does truncation destroy? `pad_frac`
+    * per bucket is the fraction of the bucket's token capacity spent on
+    * padding — the number a packing stage (q65) exists to reclaim, and
+    * the direct comparison point for choosing bucket boundaries. Subword
+    * lengths use q23's BPE-ish regex kernel, so the audit prices the
+    * same token count the packing/budget queries consume. The cap list
+    * is a parameter of the audit (real pipelines run 512–8192); the
+    * fixture's 12–152-token documents make the 128 truncation arm
+    * non-vacuous at every SF.
+    *
+    * Determinism: lengths, caps, capacities, and pad counts are all
+    * integers; the single double (pad_frac) is one rounded ratio of
+    * integers.
+    *
+    * Scale design: a zero-shuffle row kernel (regexp count + a 4-arm
+    * CASE) into ONE map-side-combined aggregation with 4 groups —
+    * O(buckets) state at any corpus size. */
+  def q145PaddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val caps = Seq(16, 32, 64, 128)
+    val len = size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+    val cap = caps.init.reverse.foldLeft(lit(caps.last): Column) {
+      (acc, c) => when(len <= c, lit(c)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(len.as("n_tok"), cap.as("cap"))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("n_tok"), col("cap"))).as("used_tokens"),
+        sum(greatest(lit(0), col("n_tok") - col("cap"))).as("truncated_tokens"))
+      .select(col("cap"), col("n_docs"), col("used_tokens"),
+        (col("cap") * col("n_docs") - col("used_tokens")).as("pad_tokens"),
+        round(lit(1e-9) +
+          (col("cap") * col("n_docs") - col("used_tokens")).cast("double") /
+          (col("cap") * col("n_docs")), 5).as("pad_frac"),
+        col("truncated_tokens"))
+      .orderBy(col("cap"))
+  }
+
+  val q145Sql: String =
+    """WITH t AS (
+      |  SELECT len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT n_tok,
+      |    CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+      |         WHEN n_tok <= 64 THEN 64 ELSE 128 END AS cap
+      |  FROM t),
+      |g AS (
+      |  SELECT cap, count(*) AS n_docs,
+      |    sum(least(n_tok, cap))::BIGINT AS used_tokens,
+      |    sum(greatest(0, n_tok - cap))::BIGINT AS truncated_tokens
+      |  FROM b GROUP BY 1)
+      |SELECT cap, n_docs, used_tokens,
+      |  (cap * n_docs - used_tokens)::BIGINT AS pad_tokens,
+      |  round(1e-9 + (cap * n_docs - used_tokens)::DOUBLE / (cap * n_docs), 5)
+      |    AS pad_frac,
+      |  truncated_tokens
+      |FROM g
+      |ORDER BY cap""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q122_dedup_by_source" -> (q122DedupBySource _),
+    "q141_label_agreement" -> (q141LabelAgreement _),
+    "q142_shuffle_uniformity" -> (q142ShuffleUniformity _),
+    "q145_padding_waste" -> (q145PaddingWaste _),
     "q140_calibration_audit" -> (q140CalibrationAudit _),
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
@@ -1552,6 +1767,9 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q122_dedup_by_source" -> q122Sql,
+    "q141_label_agreement" -> q141Sql,
+    "q142_shuffle_uniformity" -> q142Sql,
+    "q145_padding_waste" -> q145Sql,
     "q140_calibration_audit" -> q140Sql,
     "q52_data_split" -> q52Sql,
     "q53_balanced_sample" -> q53Sql,

@@ -223,11 +223,35 @@ object Dedup {
     * exact Jaccard verification of candidates only. This is the 100 TB
     * path: signature cost is linear, candidate generation is an equi-join
     * on the band key, and the quadratic verify touches only collisions. */
-  /** q30's candidate stage, shared with the q119 recall audit: band
-    * fingerprints as projections over the 16 parallel signature minima,
-    * candidates = band-fingerprint equi-join. ONE shuffle for the whole
-    * signature (no postings × 16 explode). */
-  private def mhCands(spark: SparkSession, sh: DataFrame): DataFrame = {
+  /** Row-local MinHash band fingerprints of a text column — numerically
+    * identical to [[mhCands]]' per-doc aggregation (min over a multiset
+    * equals min over the distinct set, and the band fold is the same
+    * (acc·131 + mh) % P over the same [[perms]] constants), but computed
+    * entirely inside one row: no explode, no shuffle, no state. This is
+    * the signature path a STREAMING admission gate needs — per-document
+    * cost is O(|shingles|), stream state stays zero. Returns one column
+    * per band (null when the document has < 3 tokens, i.e. no shingles —
+    * no signature, no near-dup evidence). */
+  private[graft] def rowBandFps(text: Column): Seq[Column] = {
+    val sh = shingleH32(text, 3)
+    val mh = perms.map { case (_, a, b) =>
+      array_min(transform(sh, h => (h * a + b) % P))
+    }
+    (0 until 4).map { bnd =>
+      (0 until 4).foldLeft(lit(0L)) { (acc, j) =>
+        (acc * 131 + mh(bnd * 4 + j)) % P
+      }
+    }
+  }
+
+  /** The corpus-side (doc_id, band, bfp) fingerprint table of
+    * [[mhCands]]' candidate stage — the artifact a batch LSH dedup pass
+    * persists and the streaming near-dup gate anti-joins against. Band
+    * fingerprints as projections over the 16 parallel signature minima:
+    * ONE shuffle for the whole signature (no postings × 16 explode). At
+    * production scale this is the stored LSH index, O(4·|docs|) keyed
+    * rows, never the raw corpus. */
+  private[graft] def bandTable(sh: DataFrame): DataFrame = {
     val mhCols = perms.map { case (i, a, b) =>
       min((col("h") * a + b) % P).as(s"mh$i")
     }
@@ -236,10 +260,54 @@ object Dedup {
       (0 until 4).foldLeft(lit(0L)) { (acc, j) =>
         (acc * 131 + col(s"mh${b * 4 + j}")) % P
       }
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), bandFp(b).as("bfp"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bfp").as("bfp"))
+  }
+
+  /** Convenience overload over the session-shared postings. */
+  private[graft] def bandTable(spark: SparkSession, dir: String): DataFrame =
+    bandTable(shPostings(spark, dir))
+
+  /** Source-grain postings (source, h) DERIVED from the session-shared
+    * doc-grain postings: the md5+explode expansion (profiled at ~4× the
+    * rest of q111) runs once per session, not per query. The doc→source
+    * map is a narrow 2-column shuffle against the doc_id-partitioned
+    * cache (never a corpus-sized broadcast; AQE picks the join strategy),
+    * and the (source, h) distinct is the same reduction a direct build
+    * would pay anyway. Memoized under the [[SharedFrames]] warm-bench
+    * contract ([[SharedFrames.consumersSrc]]). */
+  private def srcPostings(spark: SparkSession, dir: String): DataFrame =
+    shared(spark, dir, "srcsh") {
+      shPostings(spark, dir)
+        .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .select(col("source"), col("h"))
+        .distinct()
+    }
+
+  /** Untimed warm-up of [[srcPostings]] (warms [[shPostings]] on the
+    * way) — called by [[SharedFrames.warmFor]] from Bench/QTime. */
+  private[graft] def warmSrcShared(spark: SparkSession, dir: String): Unit = {
+    srcPostings(spark, dir).count()
+    ()
+  }
+
+  /** Band table of an arbitrary (doc_id, text) frame — the entry point a
+    * batch indexing job uses to build or refresh the persisted LSH index
+    * that [[graft.streaming.StreamRunner.nearDupGate]] anti-joins
+    * against (e.g. index only the curated corpus slice, not the raw
+    * crawl). Same distinct-shingle postings shape as [[shPostings]]. */
+  private[graft] def bandTableOf(docs: DataFrame): DataFrame =
+    bandTable(docs
+      .select(col("doc_id"), explode(shingleH32(col("text"), 3)).as("h"))
+      .distinct())
+
+  /** q30's candidate stage, shared with the q119 recall audit:
+    * candidates = band-fingerprint equi-join over [[bandTable]]. */
+  private def mhCands(spark: SparkSession, sh: DataFrame): DataFrame = {
+    val bands = bandTable(sh)
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bfp") === col("y.bfp") &&
@@ -1188,11 +1256,7 @@ object Dedup {
     * signature tables of |sources| rows, and the exact side is q98's
     * postings equi-join reusing the SAME persisted postings. */
   def q111MinhashDrift(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("source"), explode(shingleH32(col("text"), 3)).as("h"))
-      .distinct()
-      .persist() // signature build + exact sides all read this once
+    val sh = srcPostings(spark, dir) // sig build + exact sides read once
     val mhCols = perms.map { case (i, a, b) =>
       min((col("h") * a + b) % P).as(s"mh$i")
     }
@@ -1659,8 +1723,81 @@ object Dedup {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Jaccard threshold sweep — the tuning companion to q29: before a
+    * corpus-wide dedup run commits to a similarity cutoff, sweep the
+    * FULL candidate-pair Jaccard distribution (every pair sharing ≥ 1
+    * retained shingle) into deciles and report, per decile, the pair
+    * count and the cumulative pairs a threshold at that decile would
+    * flag. The curve answers "how many pairs does moving the knob from
+    * 0.6 to 0.5 pull in" without re-running dedup per candidate
+    * threshold — one pass prices every threshold at once.
+    *
+    * Binning reuses q140's integer idiom (round(jac·10⁶) // 10⁵, capped
+    * at 9) so a pair sitting exactly on a decile boundary bins
+    * identically in both engines.
+    *
+    * Scale design: identical cost shape to q29 (the inverted-index
+    * self-join on df-capped postings is the dominant term; the sweep
+    * adds one 10-key aggregation and a 10-row window). At 100 TB this
+    * is THE reason the query exists: the postings join runs once,
+    * not once per threshold candidate. */
+  def q143JaccardSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShPostings(spark, dir)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val jac = round(lit(1e-9) + col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter")), 5)
+    val binned = sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
+      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
+      .select(least(lit(9),
+        floor(round(jac * 1000000, 0).cast("long") / 100000.0)).cast("int")
+        .as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+    binned
+      .withColumn("cum_pairs_ge",
+        sum(col("n_pairs")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("decile").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("decile"), col("n_pairs"), col("cum_pairs_ge"))
+      .orderBy(col("decile"))
+  }
+
+  val q143Sql: String =
+    s"""WITH $shPostingsSql,
+      |nd AS (SELECT count(*) AS ndocs FROM documents),
+      |hot AS (
+      |  SELECT h FROM sh CROSS JOIN nd
+      |  GROUP BY h, ndocs
+      |  HAVING count(*) * 100 > greatest(2500, ndocs)),
+      |shc AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT least(9, round(round(1e-9 +
+      |      CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5)
+      |      * 1000000, 0)::BIGINT // 100000)::INT AS decile
+      |  FROM pairs
+      |  JOIN cnt ca ON ca.doc_id = da
+      |  JOIN cnt cb ON cb.doc_id = db),
+      |bins AS (SELECT decile, count(*) AS n_pairs FROM j GROUP BY 1)
+      |SELECT decile, n_pairs,
+      |  sum(n_pairs) OVER (ORDER BY decile DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |    AS cum_pairs_ge
+      |FROM bins
+      |ORDER BY decile""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q121_winnowing" -> (q121Winnowing _),
+    "q143_jaccard_sweep" -> (q143JaccardSweep _),
     "q137_paragraph_dedup" -> (q137ParagraphDedup _),
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
@@ -1686,6 +1823,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q121_winnowing" -> q121Sql,
+    "q143_jaccard_sweep" -> q143Sql,
     "q137_paragraph_dedup" -> q137Sql,
     "q28_exact_dedup" -> q28Sql,
     "q29_ngram_jaccard" -> q29Sql,

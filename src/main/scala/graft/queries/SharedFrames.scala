@@ -37,11 +37,16 @@ private[graft] object SharedFrames {
   /** Short qNN ids of every query that reads the 3-gram postings family
     * ([[Dedup.shPostings]] and derivatives, incl. [[Curation]]'s q98). */
   val consumers3: Set[String] =
-    Set("q29", "q30", "q31", "q98", "q108", "q119", "q120", "q121", "q129")
+    Set("q29", "q30", "q31", "q98", "q108", "q119", "q120", "q121", "q129",
+      "q143")
 
   /** Short qNN ids of every query reading the 8-gram postings
     * ([[Curation.sh8Postings]]). */
   val consumers8: Set[String] = Set("q56", "q107", "q124")
+
+  /** Queries reading the source-grain postings derived from the 3-gram
+    * family ([[Dedup]]'s `srcsh`). */
+  val consumersSrc: Set[String] = Set("q111")
 
   /** Materialize (untimed) whatever shared frames `queryName` reads — a
     * fast no-op when they are already warm, or when the query reads
@@ -50,5 +55,6 @@ private[graft] object SharedFrames {
     val id = queryName.takeWhile(_ != '_')
     if (consumers3(id)) Dedup.warmShared(spark, dir)
     if (consumers8(id)) Curation.warmShared(spark, dir)
+    if (consumersSrc(id)) Dedup.warmSrcShared(spark, dir)
   }
 }

@@ -1051,9 +1051,80 @@ object Similarity {
     sb.toString
   }
 
+  /** Embedding anisotropy audit — the geometry sanity check run before an
+    * embedding column is trusted for near-dup (q32/q80) or ANN (q33–q36)
+    * work: per label, the ratio ‖μ‖²/E‖x‖² (squared norm of the mean
+    * vector over the mean squared norm). For an isotropic cloud the mean
+    * vector cancels and the ratio → 0; a collapsed ("cone-shaped")
+    * embedding space — the classic failure mode that silently breaks
+    * cosine thresholds — pushes it toward 1. By Jensen the ratio lives in
+    * [0, 1] (pinned in spec). Also reports the largest per-dimension
+    * |mean| as the rogue-dimension indicator.
+    *
+    * Determinism: per-dim means are rounded to 6 dp BEFORE the norm fold
+    * (q35's centroid idiom), ‖μ‖² is the ordered left-to-right `dot_f64`
+    * fold over the sorted dim array (identical to the oracle's
+    * list_reduce), and E‖x‖² averages row-local exact folds.
+    *
+    * Scale design: one map-side-combined shuffle to (label, dim) grain
+    * (O(labels·64) state regardless of corpus size), one to label grain
+    * for the norms, and a label-count-sized join — nothing downstream of
+    * the scan grows with the corpus. */
+  def q144AnisotropyAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label").as("c_label"), col("pos"))
+      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
+    val mu = cent.groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"),
+        round(lit(1e-9) + max(abs(col("c"))), 6).as("max_abs_mean"))
+      .select(col("c_label"),
+        round(lit(1e-9) + dotCol(col("cv"), col("cv")), 6).as("mu_nrm"),
+        col("max_abs_mean"))
+    e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(lit(1e-9) + avg(col("nrm")), 5).as("mean_sq_norm"))
+      .join(mu, col("label") === col("c_label"))
+      .select(col("label"), col("n_vecs"), col("mean_sq_norm"), col("mu_nrm"),
+        round(lit(1e-9) + col("mu_nrm") / col("mean_sq_norm"), 5)
+          .as("anisotropy"),
+        col("max_abs_mean"))
+      .orderBy(col("label"))
+  }
+
+  val q144Sql: String =
+    s"""WITH $vecsSql,
+      |compu AS (
+      |  SELECT label, unnest(range(1, len(embedding) + 1)) AS d, embedding
+      |  FROM e),
+      |comp AS (SELECT label, d - 1 AS pos, embedding[d]::DOUBLE AS x FROM compu),
+      |cent AS (
+      |  SELECT label AS c_label, pos, round(1e-9 + avg(x), 6) AS c
+      |  FROM comp GROUP BY 1, 2),
+      |ca AS (
+      |  SELECT c_label, list(c ORDER BY pos) AS cv,
+      |    round(1e-9 + max(abs(c)), 6) AS max_abs_mean
+      |  FROM cent GROUP BY 1),
+      |mu AS (
+      |  SELECT c_label,
+      |    round(1e-9 + list_reduce(list_transform(range(1, len(cv) + 1),
+      |      i -> cv[i] * cv[i]), (x, y) -> x + y), 6) AS mu_nrm,
+      |    max_abs_mean
+      |  FROM ca),
+      |nrms AS (
+      |  SELECT label, count(*) AS n_vecs,
+      |    round(1e-9 + avg(nrm), 5) AS mean_sq_norm
+      |  FROM e GROUP BY 1)
+      |SELECT label, n_vecs, mean_sq_norm, mu_nrm,
+      |  round(1e-9 + mu_nrm / mean_sq_norm, 5) AS anisotropy, max_abs_mean
+      |FROM nrms JOIN mu ON label = c_label
+      |ORDER BY label""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q33_ann_bruteforce" -> (q33AnnBruteforce _),
     "q34_ann_lsh" -> (q34AnnLsh _),
+    "q144_anisotropy_audit" -> (q144AnisotropyAudit _),
     "q35_label_centroids" -> (q35LabelCentroids _),
     "q36_ann_ivf" -> (q36AnnIvf _),
     "q58_quantization" -> (q58Quantization _),
@@ -1070,6 +1141,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q33_ann_bruteforce" -> q33Sql,
     "q34_ann_lsh" -> q34Sql,
+    "q144_anisotropy_audit" -> q144Sql,
     "q35_label_centroids" -> q35Sql,
     "q36_ann_ivf" -> q36Sql,
     "q58_quantization" -> q58Sql,

@@ -173,6 +173,37 @@ object StreamRunner {
     dedupStream(stream, keys, watermark)
       .join(corpusKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
 
+  /** Streaming NEAR-dup admission gate — the LSH face of
+    * [[admissionGate]]: a streamed document is rejected when ANY of its
+    * 4 MinHash band fingerprints collides with the historical corpus'
+    * LSH index (the (band, bfp) table a batch q30-style pass persists —
+    * [[graft.queries.Dedup.bandTable]]). Signatures are computed
+    * ROW-LOCALLY ([[graft.queries.Dedup.rowBandFps]] — numerically
+    * identical to the batch aggregation), so the stream side adds zero
+    * shuffles and zero state; "no band collides" is four stream-static
+    * left_anti joins, one per band key, each state-free (the static
+    * index re-plans per micro-batch). Combined with the watermarked
+    * exact gate ([[dedupStream]] on `keys`), replays, intra-stream
+    * dupes, and corpus near-dups all bounce; stream state stays
+    * O(stream keys inside the watermark horizon). Documents with < 3
+    * tokens carry no shingles, hence null fingerprints and no near-dup
+    * evidence: they pass the LSH stage (null never equi-matches) and
+    * rely on the exact gate alone — same as batch, where a shingle-less
+    * doc never enters the postings. */
+  def nearDupGate(stream: DataFrame, corpusBands: DataFrame,
+      keys: Seq[String], textCol: String = "text",
+      watermark: String = "2 hours"): DataFrame = {
+    val fps = graft.queries.Dedup.rowBandFps(col(textCol))
+    fps.zipWithIndex.foldLeft(dedupStream(stream, keys, watermark)) {
+      case (df, (fp, band)) =>
+        df.withColumn("_bfp", fp)
+          .join(corpusBands.filter(col("band") === band)
+              .select(col("bfp").as("_bfp")).distinct(),
+            Seq("_bfp"), "left_anti")
+          .drop("_bfp")
+    }
+  }
+
   /** Stream-stream interval join: match each left event with right events
     * of the same key that happened inside the preceding `window`. Both
     * sides carry a watermark and the join condition bounds event-time

@@ -147,6 +147,129 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q141 agreement: cells close over the corpus, kappa ties to po/pe") {
+    val r = run("q141_label_agreement").collect()
+    assert(r.length == 1)
+    val row = r.head
+    val n = row.getAs[Long]("n_docs")
+    val cells = Seq("n_11", "n_10", "n_01", "n_00").map(row.getAs[Long](_))
+    assert(cells.sum == n, s"confusion cells ${cells.sum} != n_docs $n")
+    assert(cells.forall(_ > 0), s"degenerate confusion matrix: $cells")
+    val (po, pe, k) = (row.getAs[Double]("po"), row.getAs[Double]("pe"),
+      row.getAs[Double]("kappa"))
+    assert(po >= 0 && po <= 1 && pe > 0 && pe < 1)
+    // kappa re-derives from the published po/pe (both pre-rounded, so
+    // the identity holds to the rounding grain)
+    assert(math.abs(k - (po - pe) / (1 - pe)) < 1e-4,
+      s"kappa $k inconsistent with po=$po pe=$pe")
+  }
+
+  test("q142 shuffle audit: strata close over the corpus, stats non-negative") {
+    val rows = run("q142_shuffle_uniformity").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = graft.sources.Tables.documents(spark, sf).count()
+    assert(total == corpus, s"per-source docs $total != corpus $corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shards") >= 1 && r.getAs[Long]("n_shards") <= 16)
+      assert(r.getAs[Double]("chi2") >= 0.0)
+      assert(r.getAs[Double]("max_dev") >= 0.0)
+      // max per-shard deviation can't exceed the stratum itself
+      assert(r.getAs[Double]("max_dev") <= r.getAs[Long]("n_docs").toDouble)
+    }
+  }
+
+  test("q143 sweep: suffix-sums close and the >=0.6 tail equals q29's pairs") {
+    val rows = run("q143_jaccard_sweep").collect()
+    assert(rows.nonEmpty)
+    val byDec = rows.map(r => r.getAs[Int]("decile") -> r).toMap
+    rows.foreach { r =>
+      val d = r.getAs[Int]("decile")
+      assert(d >= 0 && d <= 9)
+      // cum_pairs_ge is the suffix-sum of n_pairs over deciles >= d
+      val suffix = rows.filter(_.getAs[Int]("decile") >= d)
+        .map(_.getAs[Long]("n_pairs")).sum
+      assert(r.getAs[Long]("cum_pairs_ge") == suffix,
+        s"decile $d cum ${r.getAs[Long]("cum_pairs_ge")} != suffix $suffix")
+    }
+    // pricing the q29 threshold off the sweep must agree with q29 itself:
+    // jac >= 0.6 pairs = every decile-6..9 pair (bins are round-to-5dp
+    // exact, so the 0.6 boundary bins identically in both queries)
+    val tail = rows.filter(_.getAs[Int]("decile") >= 6)
+      .map(_.getAs[Long]("n_pairs")).sum
+    val q29Pairs = run("q29_ngram_jaccard").count()
+    assert(tail == q29Pairs, s"sweep tail $tail != q29 pair count $q29Pairs")
+    assert(byDec.keySet.subsetOf((0 to 9).toSet))
+  }
+
+  test("q144 anisotropy: Jensen bound holds and strata close over the corpus") {
+    val rows = run("q144_anisotropy_audit").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(total == corpus, s"per-label vecs $total != corpus $corpus")
+    rows.foreach { r =>
+      val (mu, ms, a) = (r.getAs[Double]("mu_nrm"),
+        r.getAs[Double]("mean_sq_norm"), r.getAs[Double]("anisotropy"))
+      // Jensen: ||E x||^2 <= E ||x||^2 (slack for the 6dp centroid rounding)
+      assert(mu <= ms + 1e-3, s"label ${r.get(0)}: mu_nrm $mu > mean_sq_norm $ms")
+      assert(a >= 0.0 && a <= 1.0 + 1e-3, s"anisotropy $a outside [0,1]")
+      assert(math.abs(a - mu / ms) < 1e-4, s"anisotropy $a inconsistent")
+      assert(r.getAs[Double]("max_abs_mean") >= 0.0)
+    }
+  }
+
+  test("q145 padding: capacity identity, corpus closure, truncation only at the top cap") {
+    val rows = run("q145_padding_waste").collect()
+    assert(rows.nonEmpty)
+    val caps = Set(16L, 32L, 64L, 128L)
+    assert(rows.map(_.getAs[Int]("cap").toLong).forall(caps))
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = graft.sources.Tables.documents(spark, sf).count()
+    assert(total == corpus, s"bucketed docs $total != corpus $corpus")
+    rows.foreach { r =>
+      val cap = r.getAs[Int]("cap").toLong
+      val capacity = cap * r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("used_tokens") + r.getAs[Long]("pad_tokens") == capacity,
+        s"cap $cap: used+pad != capacity")
+      val pf = r.getAs[Double]("pad_frac")
+      assert(pf >= 0.0 && pf < 1.0)
+      if (cap != 128)
+        assert(r.getAs[Long]("truncated_tokens") == 0L,
+          s"cap $cap truncated below the top bucket")
+    }
+    // the fixture's >128-token tail makes the truncation arm non-vacuous
+    assert(rows.find(_.getAs[Int]("cap") == 128)
+      .exists(_.getAs[Long]("truncated_tokens") > 0L),
+      "expected truncation in the 128 bucket at this fixture")
+  }
+
+  test("row-local MinHash band fingerprints equal the batch bandTable exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Dedup
+    // the streaming nearDupGate's whole correctness story rests on
+    // rowBandFps(text) being numerically identical to the aggregated
+    // batch signature — prove it fingerprint-for-fingerprint
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fps = Dedup.rowBandFps(col("text"))
+    val rowSide = docs
+      .select(col("doc_id") +: fps.zipWithIndex.map {
+        case (c, b) => c.as(s"b$b")
+      }: _*)
+      .select(col("doc_id"), posexplode(
+        array((0 until 4).map(b => col(s"b$b")): _*)).as(Seq("band", "bfp")))
+    val batchSide = Dedup.bandTableOf(docs)
+    val n = docs.count()
+    // no sub-3-token docs in the fixture, so both sides cover all docs
+    assert(rowSide.filter(col("bfp").isNull).count() == 0)
+    assert(rowSide.count() == 4 * n && batchSide.count() == 4 * n)
+    val mismatches = rowSide.as("r")
+      .join(batchSide.as("g"),
+        col("r.doc_id") === col("g.doc_id") && col("r.band") === col("g.band"))
+      .filter(col("r.bfp") =!= col("g.bfp")).count()
+    assert(mismatches == 0, s"$mismatches row-local fps diverge from batch")
+  }
+
   test("q95 Bloom filter: no false negatives, bounded false-positive leakage") {
     val rows = run("q95_bloom_prune").collect()
     val urgent = rows.find(_.getAs[String]("o_orderpriority") == "1-URGENT").get

@@ -171,6 +171,85 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WavDecoder decodes hand-built PCM WAVs, skipping foreign chunks") {
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def fmtChunk(channels: Int, bits: Int, rate: Int) =
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+        le32(rate) ++ le32(rate * channels * bits / 8) ++
+        le16(channels * bits / 8) ++ le16(bits)
+    def wav(chunks: Array[Byte]*) = {
+      val body = "WAVE".getBytes("US-ASCII") ++ chunks.flatten
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    // stereo 16-bit: 600 sample frames = 2400 data bytes -> 3 blocks of
+    // 256 frames (256, 256, 88). Samples are a known ramp.
+    val data = Array.tabulate[Byte](2400)(i => (i * 7 % 251).toByte)
+    val dataChunk = "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    // an odd-sized LIST chunk BEFORE fmt exercises skip + even-padding
+    val listChunk = "LIST".getBytes("US-ASCII") ++ le32(5) ++
+      Array[Byte]('I', 'N', 'F', 'O', 'x') ++ Array[Byte](0)
+    val img = wav(listChunk, fmtChunk(2, 16, 8000), dataChunk)
+    val rec = MediaRecord(11L, img, MediaMeta("wav", 0, 0, img.length.toLong))
+    val decoder = new WavDecoder
+    val feats = decoder.decode(rec)
+    assert(feats.format == "wav")
+    assert(feats.nFrames == 3) // ceil(600 / 256) blocks
+    assert(feats.thumbFirstByte == (data(0) & 0xff))
+    val blockBytes = 4 * 256
+    val blocks = data.grouped(blockBytes).toSeq
+    val expected = blocks.foldLeft(0L) { (acc, f) =>
+      (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
+    }
+    assert(feats.checksum == expected)
+    // same features through the distributed batched mapPartitions path
+    val out = Multimodal.extractFeatures(
+        Seq(rec, rec.copy(id = 12L)).toDS(), decoder, batchSize = 1)
+      .collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(11L, 12L))
+    assert(out.forall(f => f.nFrames == 3 && f.checksum == expected))
+    // malformed payloads surface per-record: non-PCM format, ragged data
+    // length, chunk overrun, wrong magic
+    val float32 = img.clone()
+    val fmtOff = 12 + listChunk.length + 8
+    float32(fmtOff) = 3 // IEEE float audioFormat
+    intercept[IllegalArgumentException] { decoder.decode(rec.copy(media = float32)) }
+    val ragged = wav(fmtChunk(2, 16, 8000),
+      "data".getBytes("US-ASCII") ++ le32(7) ++ data.take(7))
+    intercept[IllegalArgumentException] { decoder.decode(rec.copy(media = ragged)) }
+    intercept[IllegalArgumentException] { decoder.decode(rec.copy(media = img.dropRight(1))) }
+    intercept[IllegalArgumentException] { decoder.decode(rec.copy(media = "BM123456".getBytes("US-ASCII"))) }
+  }
+
+  test("WavDecoder round-trips seeded random PCM payloads") {
+    val rnd = new scala.util.Random(29)
+    val decoder = new WavDecoder
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    for (_ <- 1 to 40) {
+      val channels = 1 + rnd.nextInt(2)
+      val bits = if (rnd.nextBoolean()) 8 else 16
+      val blockAlign = channels * bits / 8
+      val nFrames = 1 + rnd.nextInt(700)
+      val data = new Array[Byte](nFrames * blockAlign); rnd.nextBytes(data)
+      val body = "WAVE".getBytes("US-ASCII") ++
+        ("fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+          le32(8000) ++ le32(8000 * blockAlign) ++ le16(blockAlign) ++ le16(bits)) ++
+        ("data".getBytes("US-ASCII") ++ le32(data.length) ++ data) ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+      val payload = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+      val f = decoder.decode(MediaRecord(1L, payload, MediaMeta("wav", 0, 0, 0L)))
+      assert(f.nFrames == (nFrames + 255) / 256,
+        s"$channels ch ${bits}b $nFrames frames -> ${f.nFrames} blocks")
+      assert(f.thumbFirstByte == (data(0) & 0xff))
+      val expected = data.grouped(blockAlign * 256).foldLeft(0L) { (acc, blk) =>
+        (acc * 131 + blk.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
+      }
+      assert(f.checksum == expected)
+    }
+  }
+
   test("q117 perceptual near-dup: exact duplicates collide at hamming 0") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q117_perceptual_dup")(spark, sf).collect()

@@ -654,4 +654,60 @@ class PlanAuditSpec extends SparkSpec {
     assert(schemas.forall(_.contains("ts")) && schemas.forall(!_.contains("user_id")),
       s"q139 should read only events.ts: $schemas")
   }
+
+  test("q141 agreement: zero-shuffle row kernel into one global agg") {
+    val p = plan("q141_label_agreement")
+    assert(hashExchanges(p) == 0,
+      "q141 must reduce to a single map-side-combined global aggregation")
+    assert(!p.contains("Join"), "q141 must not join")
+    assert(!p.contains("Window ["), "q141 must not use a window")
+  }
+
+  test("q142 shuffle audit: cell-grain aggs only, no cartesian/window") {
+    val p = plan("q142_shuffle_uniformity")
+    assert(!p.contains("CartesianProduct"), "q142 must never cross-join")
+    assert(!p.contains("Window ["), "q142 must not use a window")
+    // everything after the scan lives at (source, shard) grain or finer:
+    // the cells agg, the per-source rollup, and the source equi-join
+    assert(hashExchanges(p) <= 3,
+      s"q142 grew extra shuffles:\n$p")
+  }
+
+  test("q111 drift: rides the shared postings cache, sig compare stays source-grain") {
+    val p = plan("q111_minhash_drift")
+    assert(p.contains("InMemoryTableScan"),
+      "q111 must derive source postings from the shared postings cache")
+    assert(!p.contains("CartesianProduct"), "q111 must never cross-join")
+    assert(!p.contains("Window ["), "q111 must not use a window")
+  }
+
+  test("q144 anisotropy: bounded-grain aggs, no window, no cartesian") {
+    val p = plan("q144_anisotropy_audit")
+    assert(!p.contains("CartesianProduct"), "q144 must never cross-join")
+    assert(!p.contains("Window ["), "q144 must not use a window")
+    // (label, dim) cells, label norms, the label-grain join, and the
+    // final tiny sort — nothing at vector grain crosses an exchange twice
+    assert(hashExchanges(p) <= 4, s"q144 grew extra shuffles:\n$p")
+  }
+
+  test("q145 padding: zero joins, one aggregation over a row kernel") {
+    val p = plan("q145_padding_waste")
+    assert(!p.contains("Join"), "q145 must not join")
+    assert(!p.contains("Window ["), "q145 must not use a window")
+    assert(hashExchanges(p) <= 1,
+      s"q145 must be one map-side-combined agg:\n$p")
+  }
+
+  test("q143 sweep: rides the shared capped postings, no cartesian") {
+    val p = plan("q143_jaccard_sweep")
+    assert(p.contains("InMemoryTableScan"),
+      "q143 must read the session-shared capped postings cache")
+    assert(!p.contains("CartesianProduct"), "q143 must never cross-join")
+    // the candidate join must stay an equi-join on the shingle hash
+    // (the only nested-loop join in the tree is the cached postings
+    // build's 1-row ndocs stat cross — plan-constant, not pair-grain)
+    assert("Join \\[h#\\d".r.findFirstIn(p).isDefined ||
+      p.contains("Join [h#"),
+      s"q143 lost the shingle-hash equi-join:\n${p.take(2000)}")
+  }
 }

@@ -117,6 +117,76 @@ class StreamRunnerSpec extends SparkSpec {
       "a corpus-known (even) key slipped through the gate")
   }
 
+  test("near-dup gate: corpus near-dups bounce on LSH bands, fresh docs enter once") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Dedup
+    val src = Files.createTempDirectory("graft_neardup_src")
+    val ckp = Files.createTempDirectory("graft_neardup_ckp")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // historical corpus = the even doc_ids; its persisted LSH index
+    val corpusBands = Dedup.bandTableOf(docs.filter(col("doc_id") % 2 === 0))
+    // the stream: the whole fixture delivered twice (replays) plus five
+    // "mutants" — even-doc text under NEW odd ids. A mutant is the case
+    // the exact admission gate cannot catch (fresh key, duplicated
+    // content); identical text means an identical shingle set, hence all
+    // four band fingerprints collide deterministically.
+    val docsFile = Paths.get(s"$sf/documents.parquet")
+    (1 to 2).foreach { i =>
+      Files.copy(docsFile, src.resolve(s"msg_$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val mutants = docs.filter(col("doc_id") % 2 === 0)
+      .orderBy(col("doc_id")).limit(5)
+      .withColumn("doc_id", col("doc_id") + lit(100001L))
+    val mutDir = Files.createTempDirectory("graft_neardup_mut")
+    mutants.coalesce(1).write.mode("overwrite").parquet(mutDir.toString)
+    val part = Files.list(mutDir).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part, src.resolve("msg_3.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val stream = StreamRunner.fileStream(spark, src.toString, docs.schema)
+      .withColumn("ts_ns", lit(1700000000000000000L)) // ingest tick
+    val admitted = new java.util.concurrent.atomic.AtomicLong()
+    val dupAdmitted = new java.util.concurrent.atomic.AtomicLong()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = StreamRunner.nearDupGate(stream, corpusBands, Seq("doc_id"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("doc_id").collect().foreach { r =>
+          admitted.incrementAndGet()
+          if (!seen.add(r.getLong(0))) dupAdmitted.incrementAndGet()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    // independent expectation via the BATCH signature path (aggregated
+    // bandTable, not the gate's row-local kernel): bounced = any band
+    // fingerprint colliding with the corpus index
+    val streamedDocs = docs.unionByName(mutants)
+    val bounced = Dedup.bandTableOf(streamedDocs)
+      .join(corpusBands.select(col("band"), col("bfp")).distinct(),
+        Seq("band", "bfp"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val expected = streamedDocs.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet -- bounced
+    val mutantIds = mutants.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mutantIds.forall(bounced), "a same-text mutant escaped the LSH gate")
+    assert(docs.filter(col("doc_id") % 2 === 0).count() ==
+      bounced.count(_ % 2 == 0), "a corpus doc escaped its own index")
+    assert(dupAdmitted.get() == 0, "a doc_id was admitted twice")
+    val seenSet = {
+      val it = seen.iterator(); val b = Set.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result()
+    }
+    assert(seenSet == expected,
+      s"admitted ${seenSet.size} docs != expected ${expected.size}: " +
+        s"extra=${(seenSet -- expected).take(5)} missing=${(expected -- seenSet).take(5)}")
+  }
+
   test("runMessages: generate_messages -> message_to_jobs -> process_jobs") {
     import graft.pipeline._
     val src = Files.createTempDirectory("graft_msg_src")
