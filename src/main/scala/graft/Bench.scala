@@ -60,6 +60,21 @@ object Bench {
     // warmup: a scan+agg touches the parquet footer cache, codegen, and
     // shuffle machinery once before anything is timed
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // sacrificial UNTIMED run of the chunk's first query: the first real
+    // query in a fresh JVM otherwise absorbs the Janino/JIT/whole-stage-
+    // codegen warmup that every later query gets for free (profiled:
+    // q129 as a chunk head timed 2.9 s pack vs 0.7 s once warm, and a
+    // single-rep isolated q119 in a fresh JVM pays 2.6 s vs 0.5 s after
+    // any other query has run). QTime's best-of-2 discards the same
+    // effect via its first rep, so this keeps pack and isolated numbers
+    // measuring the same warm-JVM plan cost.
+    names.headOption.foreach { name =>
+      queries.SharedFrames.warmFor(name, spark, sfDir)
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () } // a failure re-surfaces when timed
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+    }
     // best-of-2 per query: the host carries fluctuating background load,
     // so single-shot timings swing on identical plans; the minimum of two
     // runs reports the plan's actual cost (standard bench practice).

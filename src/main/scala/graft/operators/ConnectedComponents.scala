@@ -23,6 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Lineage cut between rounds. Iterative self-referencing plans grow
+    * without this; the cut strategy follows the session's checkpoint
+    * configuration: when `sc.setCheckpointDir` points at durable storage
+    * (the cluster deployment), use reliable `checkpoint()` — blocks
+    * survive executor loss; otherwise `localCheckpoint()` — executor-
+    * local blocks, the right trade for local/dev runs where a lost run
+    * just re-runs and the iterative lineage growth is the bigger risk.
+    * One knob, set once at session setup, flips every cut site. */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   /** Non-convergence within the round budget. A subtype of
     * IllegalStateException (so callers treating it as a generic failure
     * keep working), but distinct enough that [[runAuto]]'s dispatch never
@@ -38,19 +51,17 @@ object ConnectedComponents {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      // every round joins this; persist once (cluster analog: a
-      // materialized edge table), localCheckpoint is the local stand-in.
-      // CLUSTER CONTRACT: localCheckpoint blocks live on executors — an
-      // executor loss loses them AND the truncated lineage, failing the
-      // job. That trade is correct here (iterative lineage growth is the
-      // bigger risk locally, and a failed run just re-runs), but a
-      // long-lived cluster deployment should flip these to reliable
-      // `checkpoint()` with `sc.setCheckpointDir` on durable storage —
-      // same semantics, fault-tolerant blocks.
-      .localCheckpoint()
+      // every round joins this; materialize once (cluster analog: a
+      // materialized edge table). CLUSTER CONTRACT: [[cut]] picks
+      // reliable checkpoint() when sc.setCheckpointDir is configured
+      // (durable blocks, survives executor loss) and localCheckpoint()
+      // otherwise (local/dev: lineage growth is the bigger risk and a
+      // failed run just re-runs). Proven label-identical both ways in
+      // ConnectedComponentsSpec.
+      .transform(cut)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .transform(cut)
     // labels are monotone non-increasing, so Σcomp strictly decreases
     // until the fixpoint: comparing consecutive sums detects convergence
     // with one cheap aggregate per round instead of a diff join. Decimal
@@ -65,7 +76,7 @@ object ConnectedComponents {
       val next = labels.as("l").join(nbrMin.as("n"), Seq("id"), "left")
         .select(col("id"),
           least(col("l.comp"), coalesce(col("n.ncomp"), col("l.comp"))).as("comp"))
-        .localCheckpoint()
+        .transform(cut)
       val cur = checksum(next)
       labels = next
       if (cur.compareTo(prev) == 0) return labels
@@ -113,9 +124,9 @@ object ConnectedComponents {
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint()
+      .transform(cut)
     val allNodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("id"))).distinct().transform(cut)
     var round = 0
     while (round < maxIters) {
       // large-star: symmetrize; every neighbor LARGER than u attaches to
@@ -132,7 +143,7 @@ object ConnectedComponents {
       val next = withM.select(col("src"), col("m").as("dst"))
         .union(withM.select(col("dst").as("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst")).distinct()
-        .localCheckpoint()
+        .transform(cut)
       val changed = next.exceptAll(e).limit(1).count() +
         e.exceptAll(next).limit(1).count()
       e = next

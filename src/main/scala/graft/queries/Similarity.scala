@@ -1121,10 +1121,74 @@ object Similarity {
       |FROM nrms JOIN mu ON label = c_label
       |ORDER BY label""".stripMargin
 
+  /** Semantic (embedding-space) decontamination — the third face of the
+    * decontam triad: q56 catches lexical n-gram contamination, q124 the
+    * Bloom-accelerated exact variant, and this catches PARAPHRASED
+    * benchmark leakage that shares no n-grams: a corpus vector is
+    * flagged when its max cosine to ANY held-out eval vector (the
+    * vec_id % 50 == 0 slice standing in for a benchmark suite) reaches
+    * the threshold. 0.35 sits above this fixture's p95 eval-corpus
+    * cosine (the synthetic embeddings live in a low-similarity regime —
+    * q32 treats ≥ 0.40 as near-dup); production thresholds sit near
+    * 0.9 on real encoder geometry, where q144's anisotropy audit is the
+    * prerequisite sanity check.
+    *
+    * Scale design: the eval suite is k-bounded by nature (benchmarks are
+    * small), so it broadcasts as ONE sorted array row; per corpus vector
+    * the max-cosine is a row-local fold (zip_with dot + greatest) —
+    * ZERO shuffles until the final O(labels) aggregation, one linear
+    * scan of the corpus. For eval sets too big to broadcast, the blocked
+    * variant composes q36's IVF routing (compare only within shared
+    * coarse cells) — same kernel, bucketed join. */
+  def q146SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val evArr = e.filter(col("vec_id") % 50 === 0)
+      .agg(array_sort(collect_list(
+        struct(col("vec_id").as("eid"), col("v").as("ev"), col("nrm").as("enrm"))))
+        .as("evs"))
+    val maxCos = aggregate(col("evs"), lit(-1.0), (acc, s) =>
+      greatest(acc,
+        aggregate(zip_with(col("v"), s.getField("ev"), (a, b) => a * b),
+          lit(0.0), (a2, x) => a2 + x) / sqrt(col("nrm") * s.getField("enrm"))))
+    e.filter(col("vec_id") % 50 =!= 0)
+      .crossJoin(broadcast(evArr))
+      .select(col("label"),
+        when(round(lit(1e-9) + maxCos, 5) >= 0.35, 1L).otherwise(0L).as("flag"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(col("flag")).as("n_flagged"),
+        round(lit(1e-9) + avg(col("flag")), 5).as("flag_rate"))
+      .orderBy(col("label"))
+  }
+
+  val q146Sql: String =
+    s"""WITH $vecsSql,
+      |ev AS (
+      |  SELECT vec_id AS eid, embedding AS evv, nrm AS enrm
+      |  FROM e WHERE vec_id % 50 = 0),
+      |mx AS (
+      |  SELECT c.vec_id, c.label,
+      |    round(1e-9 + max(
+      |      list_reduce(list_transform(range(1, len(c.embedding) + 1),
+      |        i -> c.embedding[i]::DOUBLE * evv[i]::DOUBLE), (x, y) -> x + y)
+      |      / sqrt(c.nrm * enrm)), 5) AS max_cos
+      |  FROM e c CROSS JOIN ev
+      |  WHERE c.vec_id % 50 <> 0
+      |  GROUP BY 1, 2),
+      |fl AS (
+      |  SELECT label, CASE WHEN max_cos >= 0.35 THEN 1 ELSE 0 END AS flag
+      |  FROM mx)
+      |SELECT label, count(*) AS n_corpus, sum(flag)::BIGINT AS n_flagged,
+      |  round(1e-9 + avg(flag::DOUBLE), 5) AS flag_rate
+      |FROM fl
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q33_ann_bruteforce" -> (q33AnnBruteforce _),
     "q34_ann_lsh" -> (q34AnnLsh _),
     "q144_anisotropy_audit" -> (q144AnisotropyAudit _),
+    "q146_semantic_decontam" -> (q146SemanticDecontam _),
     "q35_label_centroids" -> (q35LabelCentroids _),
     "q36_ann_ivf" -> (q36AnnIvf _),
     "q58_quantization" -> (q58Quantization _),
@@ -1142,6 +1206,7 @@ object Similarity {
     "q33_ann_bruteforce" -> q33Sql,
     "q34_ann_lsh" -> q34Sql,
     "q144_anisotropy_audit" -> q144Sql,
+    "q146_semantic_decontam" -> q146Sql,
     "q35_label_centroids" -> q35Sql,
     "q36_ann_ivf" -> q36Sql,
     "q58_quantization" -> q58Sql,

@@ -25,6 +25,35 @@ class ConnectedComponentsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 30L -> 20L))
   }
 
+  test("reliable-checkpoint mode produces identical labels (cluster contract)") {
+    import spark.implicits._
+    val edges = Seq((5L, 3L), (3L, 8L), (20L, 21L), (30L, 20L), (1L, 2L))
+      .toDF("src", "dst")
+    val local = ConnectedComponents.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(dir.toString)
+    try {
+      // with a checkpoint dir configured, every lineage cut uses reliable
+      // checkpoint() — same labels, durable blocks
+      val reliable = ConnectedComponents.run(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      val alt = ConnectedComponents.runAlternating(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(alt == local)
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(dir).filter(_.toFile.isFile).count()
+      assert(wrote > 0, "no checkpoint blocks written in reliable mode")
+    } finally {
+      // reset for the other suites sharing this session:
+      // setCheckpointDir(null) -> Option(null) -> None
+      sc.setCheckpointDir(null)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("non-convergence within maxIters throws") {
     import spark.implicits._
     val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")

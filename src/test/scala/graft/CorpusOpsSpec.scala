@@ -244,6 +244,26 @@ class CorpusOpsSpec extends SparkSpec {
       "expected truncation in the 128 bucket at this fixture")
   }
 
+  test("q146 decontam: strata close over the held-in corpus, flags non-vacuous") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q146_semantic_decontam").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_corpus")).sum
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 50 =!= 0).count()
+    assert(total == corpus, s"per-label corpus $total != held-in $corpus")
+    rows.foreach { r =>
+      val (n, f, rate) = (r.getAs[Long]("n_corpus"), r.getAs[Long]("n_flagged"),
+        r.getAs[Double]("flag_rate"))
+      assert(f >= 0 && f <= n)
+      assert(math.abs(rate - f.toDouble / n) < 1e-4,
+        s"flag_rate $rate inconsistent with $f/$n")
+    }
+    val flagged = rows.map(_.getAs[Long]("n_flagged")).sum
+    assert(flagged > 0, "threshold should flag the fixture's similarity tail")
+    assert(flagged < total, "threshold must not flag everything")
+  }
+
   test("row-local MinHash band fingerprints equal the batch bandTable exactly") {
     import org.apache.spark.sql.functions._
     import graft.queries.Dedup

@@ -690,6 +690,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges(p) <= 4, s"q144 grew extra shuffles:\n$p")
   }
 
+  test("q146 decontam: row-local max-cos kernel, one label-grain shuffle") {
+    val p = plan("q146_semantic_decontam")
+    // the eval suite rides in as ONE broadcast array row; the per-vector
+    // max-cos is a fold, so the only hash exchange is the label agg
+    assert(hashExchanges(p) <= 1, s"q146 grew a vector-grain shuffle:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "q146 must cross the 1-row broadcast eval array")
+    assert(!p.contains("SortMergeJoin"), "q146 must not shuffle-join")
+    assert(!p.contains("Window ["), "q146 must not use a window")
+  }
+
   test("q145 padding: zero joins, one aggregation over a row kernel") {
     val p = plan("q145_padding_waste")
     assert(!p.contains("Join"), "q145 must not join")

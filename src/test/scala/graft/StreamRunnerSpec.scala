@@ -187,6 +187,54 @@ class StreamRunnerSpec extends SparkSpec {
         s"extra=${(seenSet -- expected).take(5)} missing=${(expected -- seenSet).take(5)}")
   }
 
+  test("near-dup gate closed loop: indexing admitted docs makes a replay bounce fully") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Dedup
+    // the production lifecycle: stream docs through the gate, fold the
+    // ADMITTED docs into the LSH index (the batch upsert a nightly
+    // indexing job runs = union of band tables), then the same delivery
+    // replayed against the updated index must admit NOTHING.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy(col("doc_id")).limit(80)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val index0 = Dedup.bandTableOf(corpus)
+    def runGate(index: org.apache.spark.sql.DataFrame, tag: String): Set[Long] = {
+      val src = Files.createTempDirectory(s"graft_loop_src_$tag")
+      val ckp = Files.createTempDirectory(s"graft_loop_ckp_$tag")
+      val tmp = Files.createTempDirectory(s"graft_loop_tmp_$tag")
+      docs.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, src.resolve("msg_1.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val stream = StreamRunner.fileStream(spark, src.toString, docs.schema)
+        .withColumn("ts_ns", lit(1700000000000000000L))
+      val q = StreamRunner.nearDupGate(stream, index, Seq("doc_id"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.select("doc_id").collect().foreach(r => seen.add(r.getLong(0)))
+          ()
+        }
+        .start()
+      q.awaitTermination(120000)
+      val it = seen.iterator(); val b = Set.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result()
+    }
+    val admitted = runGate(index0, "a")
+    assert(admitted.nonEmpty, "first pass should admit the dissimilar odd docs")
+    assert(admitted.forall(_ % 2 == 1), "a corpus doc escaped its own index")
+    // batch upsert: the updated index is just the union of band tables
+    val index1 = index0.unionByName(
+      Dedup.bandTableOf(docs.filter(col("doc_id").isin(admitted.toSeq: _*))))
+    val admitted2 = runGate(index1, "b")
+    assert(admitted2.isEmpty,
+      s"replay against the updated index admitted ${admitted2.take(5)}")
+  }
+
   test("runMessages: generate_messages -> message_to_jobs -> process_jobs") {
     import graft.pipeline._
     val src = Files.createTempDirectory("graft_msg_src")
