@@ -204,6 +204,89 @@ object StreamRunner {
     }
   }
 
+  /** Self-maintaining streaming near-dup gate — the full production
+    * ingest loop in ONE streaming query: the LSH index the gate checks
+    * GROWS as documents are admitted, so later deliveries of the same
+    * (or near-duplicate) content bounce even when nothing was indexed
+    * up front. Micro-batches run strictly sequentially, which makes the
+    * read-then-append on `indexDir` safe without coordination:
+    *
+    *  1. replays inside the stream bounce on the watermarked exact gate
+    *     ([[dedupStream]] on `key`);
+    *  2. rows whose row-local band fingerprints
+    *     ([[graft.queries.Dedup.rowBandFps]]) collide with the index
+    *     parquet at `indexDir` bounce (batch-side left_semi — the index
+    *     is re-read per micro-batch, exactly the stream-static
+    *     contract);
+    *  3. intra-batch near-dups reduce to a canonical owner: for every
+    *     (band, bfp) group inside the batch the minimum key wins, and a
+    *     row is admitted only if no smaller key owns any of its bands
+    *     (chains that dodge this single-round rule collapse anyway on
+    *     the next delivery, because admitted rows are indexed);
+    *  4. the admitted rows' band rows are APPENDED to `indexDir`
+    *     (plain parquet here; a transactional table format makes the
+    *     append atomic at production scale), and the admitted rows flow
+    *     to `onBatch`.
+    *
+    * State stays O(stream keys inside the watermark horizon): the index
+    * lives in storage, not in stream state. */
+  def selfIndexingGate(stream: DataFrame, indexDir: String,
+      checkpointDir: String, key: String = "doc_id",
+      textCol: String = "text", watermark: String = "2 hours")(
+      onBatch: DataFrame => Unit): StreamingQuery = {
+    val bandSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bfp",
+        org.apache.spark.sql.types.LongType)))
+    dedupStream(stream, Seq(key), watermark)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val rows = batch.persist()
+        try {
+          val fps = graft.queries.Dedup.rowBandFps(col(textCol))
+          val bands = rows.select(
+              col(key),
+              posexplode(array(fps: _*)).as(Seq("band", "bfp")))
+            .filter(col("bfp").isNotNull)
+          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val index =
+            if (fs.exists(idxPath)) spark.read.schema(bandSchema).parquet(indexDir)
+            else spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), bandSchema)
+          val bounced = bands
+            .join(index.select(col("band"), col("bfp")), Seq("band", "bfp"),
+              "left_semi")
+            .select(col(key)).distinct()
+          val survivors = rows.join(bounced, Seq(key), "left_anti")
+          val sBands = survivors.select(col(key),
+              posexplode(array(fps: _*)).as(Seq("band", "bfp")))
+            .filter(col("bfp").isNotNull)
+          val owners = sBands.groupBy(col("band"), col("bfp"))
+            .agg(min(col(key)).as("_owner"))
+          val losers = sBands.join(owners, Seq("band", "bfp"))
+            .filter(col(key) =!= col("_owner"))
+            .select(col(key)).distinct()
+          val admitted = survivors.join(losers, Seq(key), "left_anti").persist()
+          try {
+            admitted.select(col(key),
+                posexplode(array(fps: _*)).as(Seq("band", "bfp")))
+              .filter(col("bfp").isNotNull)
+              .select(col("band"), col("bfp"))
+              .write.mode("append").parquet(indexDir)
+            onBatch(admitted)
+          } finally { admitted.unpersist(); () }
+        } finally { rows.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+
   /** Stream-stream interval join: match each left event with right events
     * of the same key that happened inside the preceding `window`. Both
     * sides carry a watermark and the join condition bounds event-time

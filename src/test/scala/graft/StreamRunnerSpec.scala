@@ -235,6 +235,66 @@ class StreamRunnerSpec extends SparkSpec {
       s"replay against the updated index admitted ${admitted2.take(5)}")
   }
 
+  test("self-indexing gate: the index grows per batch, replays and intra-batch dups bounce") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("graft_sig_src")
+    val ckp = Files.createTempDirectory("graft_sig_ckp")
+    val idx = Files.createTempDirectory("graft_sig_idx").resolve("index").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy(col("doc_id")).limit(40).persist()
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_sig_tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, src.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // batch 1: the 40 docs PLUS an intra-batch mutant of the smallest doc
+    // (same text, bigger id) — only the original may survive the batch
+    val mutant = docs.orderBy(col("doc_id")).limit(1)
+      .withColumn("doc_id", col("doc_id") + lit(900001L))
+    stage(docs.unionByName(mutant), "msg_1")
+    // batch 2: the same 40 docs again under NEW ids (near-dup replay with
+    // fresh keys — the case only the grown index can catch)
+    stage(docs.withColumn("doc_id", col("doc_id") + lit(500000L)), "msg_2")
+    val perBatch = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    val stream = StreamRunner.fileStream(spark, src.toString, docs.schema)
+      .withColumn("ts_ns", lit(1700000000000000000L))
+    val q = StreamRunner.selfIndexingGate(stream, idx, ckp.toString) { admitted =>
+      perBatch.add(admitted.select("doc_id").collect().map(_.getLong(0)).toSet)
+    }
+    q.awaitTermination(180000)
+    val batches = perBatch.toArray(Array.empty[Set[Long]]).toSeq
+    assert(batches.length == 2, s"expected 2 micro-batches, got ${batches.length}")
+    val origIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val minId = origIds.min
+    // independent expectation for batch 1 via the BATCH aggregation path:
+    // a row is admitted iff no smaller key owns any of its band groups
+    val b1 = graft.queries.Dedup.bandTableOf(docs.unionByName(mutant))
+    val owners = b1.groupBy(col("band"), col("bfp"))
+      .agg(min(col("doc_id")).as("own"))
+    val expected1 = (origIds + (minId + 900001L)) --
+      b1.join(owners, Seq("band", "bfp")).filter(col("doc_id") =!= col("own"))
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(batches.head == expected1,
+      s"batch 1 admitted ${batches.head.size} != expected ${expected1.size}: " +
+        s"extra=${(batches.head -- expected1).take(5)} " +
+        s"missing=${(expected1 -- batches.head).take(5)}")
+    // the same-text mutant lost every band group to the smaller original
+    assert(!batches.head.contains(minId + 900001L))
+    // batch 2: all re-keyed near-dups bounce against the batch-1-built
+    // index (every re-keyed doc shares at least one band with an indexed
+    // batch-1 winner by construction)
+    assert(batches(1).isEmpty,
+      s"re-keyed replay admitted ${batches(1).take(5)} against the grown index")
+    // the index on disk holds exactly the admitted docs' band rows
+    val indexRows = spark.read.parquet(idx).count()
+    assert(indexRows == 4L * batches.head.size,
+      s"index rows $indexRows != 4 bands x ${batches.head.size} admitted docs")
+    docs.unpersist()
+  }
+
   test("runMessages: generate_messages -> message_to_jobs -> process_jobs") {
     import graft.pipeline._
     val src = Files.createTempDirectory("graft_msg_src")
