@@ -1736,11 +1736,74 @@ object Curation {
       |FROM g
       |ORDER BY cap""".stripMargin
 
+  /** Active-learning acquisition batch — the final arc of the
+    * classifier-ops loop (q110 trains, q140 calibrates, q141 gates
+    * against the heuristic, q99 audits label errors): pick the 20
+    * documents the frozen registry classifier is LEAST sure about
+    * (margin = |p − ½| smallest, doc_id tie-break) as the next batch to
+    * send for human labels — uncertainty sampling, the standard
+    * label-budget allocator in curation pipelines.
+    *
+    * Determinism: p and margin are rounded before ranking and ties break
+    * on doc_id, so the selected set is unique.
+    *
+    * Scale design: zero-shuffle scoring into a global top-k —
+    * `TakeOrderedAndProject` keeps a 20-row heap per partition and
+    * merges partials on the driver (O(n log k) work, O(k·partitions)
+    * driver rows), never a global sort. */
+  def q147UncertaintySample(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val feat = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).as("word_chars"),
+        size(filter(toks, t =>
+          array_contains(array(lit("the"), lit("a"), lit("data"), lit("value")), t)))
+          .as("n_stop"))
+    val x1 = round(lit(1e-9) +
+      least(lit(1.0), col("n_words").cast("double") / 100.0), 5)
+    val x2 = round(lit(1e-9) + col("n_stop").cast("double") / col("n_words"), 5)
+    val x3 = round(lit(1e-9) + least(lit(1.0),
+      (col("word_chars").cast("double") / col("n_words")) / 8.0), 5)
+    val z = round(lit(1e-9) + lit(-3.0) + lit(2.0) * x1 +
+      lit(8.0) * x2 + lit(2.0) * x3, 6)
+    val p = round(lit(1e-9) + lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    feat.select(col("doc_id"), p.as("p"),
+        round(lit(1e-9) + abs(p - lit(0.5)), 6).as("margin"))
+      .orderBy(col("margin"), col("doc_id"))
+      .limit(20)
+  }
+
+  val q147Sql: String =
+    """WITH feat AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_words,
+      |    len(replace(text, ' ', '')) AS word_chars,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'data', 'value'))) AS n_stop
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id,
+      |    round(1e-9 + least(1.0, n_words::DOUBLE / 100.0), 5) AS x1,
+      |    round(1e-9 + n_stop::DOUBLE / n_words, 5) AS x2,
+      |    round(1e-9 + least(1.0, (word_chars::DOUBLE / n_words) / 8.0), 5) AS x3
+      |  FROM feat),
+      |sc AS (
+      |  SELECT doc_id,
+      |    round(1e-9 + 1.0 / (1.0 +
+      |      exp(-round(1e-9 + (-3.0) + 2.0*x1 + 8.0*x2 + 2.0*x3, 6))), 6) AS p
+      |  FROM x)
+      |SELECT doc_id, p, round(1e-9 + abs(p - 0.5), 6) AS margin
+      |FROM sc
+      |ORDER BY margin, doc_id
+      |LIMIT 20""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q122_dedup_by_source" -> (q122DedupBySource _),
     "q141_label_agreement" -> (q141LabelAgreement _),
     "q142_shuffle_uniformity" -> (q142ShuffleUniformity _),
     "q145_padding_waste" -> (q145PaddingWaste _),
+    "q147_uncertainty_sample" -> (q147UncertaintySample _),
     "q140_calibration_audit" -> (q140CalibrationAudit _),
     "q52_data_split" -> (q52DataSplit _),
     "q53_balanced_sample" -> (q53BalancedSample _),
@@ -1770,6 +1833,7 @@ object Curation {
     "q141_label_agreement" -> q141Sql,
     "q142_shuffle_uniformity" -> q142Sql,
     "q145_padding_waste" -> q145Sql,
+    "q147_uncertainty_sample" -> q147Sql,
     "q140_calibration_audit" -> q140Sql,
     "q52_data_split" -> q52Sql,
     "q53_balanced_sample" -> q53Sql,

@@ -244,6 +244,47 @@ class CorpusOpsSpec extends SparkSpec {
       "expected truncation in the 128 bucket at this fixture")
   }
 
+  test("q147 acquisition: global min-margin batch, sorted and consistent") {
+    val rows = run("q147_uncertainty_sample").collect()
+    assert(rows.length == 20)
+    val margins = rows.map(_.getAs[Double]("margin"))
+    assert(margins.zip(margins.tail).forall { case (a, b) => a <= b },
+      "acquisition batch must come back in ascending-margin order")
+    rows.foreach { r =>
+      val (p, m) = (r.getAs[Double]("p"), r.getAs[Double]("margin"))
+      assert(p >= 0.0 && p <= 1.0)
+      assert(math.abs(m - math.abs(p - 0.5)) < 1e-5,
+        s"margin $m inconsistent with p $p")
+    }
+    // global top-k, not partition-local: no unselected doc may beat the
+    // batch's worst margin (ties may straddle the cut)
+    val worst = margins.max
+    val selected = rows.map(_.getAs[Long]("doc_id")).toSet
+    val strictlyBetter = {
+      import org.apache.spark.sql.functions._
+      val toks = graft.functions.TextFns.tokens(col("text"))
+      // recompute margins corpus-wide with the same frozen model
+      val feat = graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          size(toks).as("n_words"),
+          length(regexp_replace(col("text"), " ", "")).as("word_chars"),
+          size(filter(toks, t => array_contains(
+            array(lit("the"), lit("a"), lit("data"), lit("value")), t)))
+            .as("n_stop"))
+      val x1 = round(lit(1e-9) + least(lit(1.0), col("n_words").cast("double") / 100.0), 5)
+      val x2 = round(lit(1e-9) + col("n_stop").cast("double") / col("n_words"), 5)
+      val x3 = round(lit(1e-9) + least(lit(1.0),
+        (col("word_chars").cast("double") / col("n_words")) / 8.0), 5)
+      val z = round(lit(1e-9) + lit(-3.0) + lit(2.0) * x1 + lit(8.0) * x2 + lit(2.0) * x3, 6)
+      val p = round(lit(1e-9) + lit(1.0) / (lit(1.0) + exp(-z)), 6)
+      feat.select(col("doc_id"), round(lit(1e-9) + abs(p - lit(0.5)), 6).as("m"))
+        .filter(col("m") < worst && !col("doc_id").isin(selected.toSeq: _*))
+        .count()
+    }
+    assert(strictlyBetter == 0,
+      s"$strictlyBetter unselected docs have strictly smaller margins than the batch")
+  }
+
   test("q146 decontam: strata close over the held-in corpus, flags non-vacuous") {
     import org.apache.spark.sql.functions._
     val rows = run("q146_semantic_decontam").collect()

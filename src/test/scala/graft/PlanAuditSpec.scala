@@ -690,6 +690,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges(p) <= 4, s"q144 grew extra shuffles:\n$p")
   }
 
+  test("q147 acquisition: bounded top-k, never a global sort") {
+    val p = plan("q147_uncertainty_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "q147 must select via per-partition top-k heaps, not a sort+limit")
+    assert(hashExchanges(p) == 0, s"q147 must not shuffle:\n$p")
+    assert(!p.contains("Window ["), "q147 must not use a window")
+  }
+
   test("q146 decontam: row-local max-cos kernel, one label-grain shuffle") {
     val p = plan("q146_semantic_decontam")
     // the eval suite rides in as ONE broadcast array row; the per-vector
