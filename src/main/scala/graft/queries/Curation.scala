@@ -1798,7 +1798,111 @@ object Curation {
       |ORDER BY margin, doc_id
       |LIMIT 20""".stripMargin
 
+  /** Per-source quality mean with SEEDED-BOOTSTRAP confidence intervals —
+    * the statistical-rigor layer on q24's point estimates: before a
+    * curation decision keys off "source A scores lower than source B",
+    * this prices how much of that gap is sampling noise. 32 Poisson(1)
+    * bootstrap replicates, with every replicate weight derived
+    * DETERMINISTICALLY from h32('bs<b>_' ∥ doc_id) through the fixed
+    * Poisson(1) inverse-CDF thresholds — no RNG, so the interval is
+    * reproducible across runs, engines, and cluster shapes (the same
+    * property q52's splits have). The CI is the [2nd, 31st] order
+    * statistic of the 32 replicate means (≈ a 94% interval by integer
+    * indexing — no percentile interpolation to diverge on).
+    *
+    * Determinism: quality is integerized to 1e-5 grain (q5 ∈ 0..100000),
+    * so every replicate sum is EXACT integer arithmetic; the only floats
+    * are final rounded ratios.
+    *
+    * Scale design: one explode(32) over the scan (bounded ×32 row
+    * inflation, map-side combined) into a (source, b)-grain aggregation —
+    * O(sources·32) state; the order statistic sorts a 32-element array
+    * per source. Nothing grows with the corpus. */
+  def q148BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val feat = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks).as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).as("word_chars"),
+        size(filter(toks, t =>
+          array_contains(array(lit("the"), lit("a"), lit("data"), lit("value")), t)))
+          .as("n_stop"))
+    val q = round(lit(1e-9) +
+      lit(0.3) * least(lit(1.0), col("n_words").cast("double") / 100.0) +
+      lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_words")) +
+      lit(0.4) * least(lit(1.0),
+        (col("word_chars").cast("double") / col("n_words")) / 8.0), 5)
+    val q5 = round(q * 100000, 0).cast("long")
+    val scored = feat.select(col("doc_id"), col("source"), q5.as("q5"))
+    val u = (h32(concat(lit("bs"), col("b"), lit("_"), col("doc_id"))) % 1000000)
+      .cast("double") / 1000000.0
+    val w = when(u < 0.367879, 0L).when(u < 0.735759, 1L)
+      .when(u < 0.919699, 2L).when(u < 0.981012, 3L)
+      .when(u < 0.996340, 4L).otherwise(5L)
+    val reps = scored
+      .select(col("doc_id"), col("source"), col("q5"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .select(col("source"), col("b"), col("q5"), w.as("w"))
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("w") * col("q5")).as("wq"), sum(col("w")).as("ww"))
+      .select(col("source"),
+        round(lit(1e-9) + col("wq").cast("double") / (col("ww") * 100000.0), 6)
+          .as("m"))
+    val ci = reps.groupBy(col("source"))
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
+      .select(col("source"),
+        round(lit(1e-9) + element_at(col("ms"), 2), 5).as("ci_lo"),
+        round(lit(1e-9) + element_at(col("ms"), 31), 5).as("ci_hi"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(lit(1e-9) + sum(col("q5")).cast("double") /
+          (count(lit(1)) * 100000.0), 5).as("mean_q"))
+      .join(ci, Seq("source"))
+      .orderBy(col("source"))
+  }
+
+  val q148Sql: String =
+    """WITH feat AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_words,
+      |    len(replace(text, ' ', '')) AS word_chars,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'data', 'value'))) AS n_stop
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, source,
+      |    round(round(1e-9 +
+      |      0.3 * least(1.0, n_words::DOUBLE / 100.0) +
+      |      0.3 * (1.0 - n_stop::DOUBLE / n_words) +
+      |      0.4 * least(1.0, (word_chars::DOUBLE / n_words) / 8.0), 5)
+      |      * 100000, 0)::BIGINT AS q5
+      |  FROM feat),
+      |wts AS (
+      |  SELECT source, b, q5,
+      |    CASE WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1
+      |         WHEN u < 0.919699 THEN 2 WHEN u < 0.981012 THEN 3
+      |         WHEN u < 0.996340 THEN 4 ELSE 5 END AS w
+      |  FROM (
+      |    SELECT source, b, q5,
+      |      (('0x' || substr(md5('bs' || b || '_' || doc_id), 1, 8))::BIGINT
+      |        % 1000000)::DOUBLE / 1000000.0 AS u
+      |    FROM scored, unnest(range(0, 32)) AS t(b))),
+      |reps AS (
+      |  SELECT source, b,
+      |    round(1e-9 + sum(w * q5)::DOUBLE / (sum(w) * 100000.0), 6) AS m
+      |  FROM wts GROUP BY 1, 2),
+      |ci AS (
+      |  SELECT source, list(m ORDER BY m) AS ms FROM reps GROUP BY 1)
+      |SELECT s.source, count(*) AS n_docs,
+      |  round(1e-9 + sum(q5)::DOUBLE / (count(*) * 100000.0), 5) AS mean_q,
+      |  round(1e-9 + any_value(ms[2]), 5) AS ci_lo,
+      |  round(1e-9 + any_value(ms[31]), 5) AS ci_hi
+      |FROM scored s JOIN ci ON s.source = ci.source
+      |GROUP BY s.source
+      |ORDER BY s.source""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q148_bootstrap_ci" -> (q148BootstrapCi _),
     "q122_dedup_by_source" -> (q122DedupBySource _),
     "q141_label_agreement" -> (q141LabelAgreement _),
     "q142_shuffle_uniformity" -> (q142ShuffleUniformity _),
@@ -1834,6 +1938,7 @@ object Curation {
     "q142_shuffle_uniformity" -> q142Sql,
     "q145_padding_waste" -> q145Sql,
     "q147_uncertainty_sample" -> q147Sql,
+    "q148_bootstrap_ci" -> q148Sql,
     "q140_calibration_audit" -> q140Sql,
     "q52_data_split" -> q52Sql,
     "q53_balanced_sample" -> q53Sql,

@@ -287,6 +287,27 @@ object StreamRunner {
       .start()
   }
 
+  /** Exactly-once parquet sink for `foreachBatch`: Structured Streaming
+    * guarantees batch REPLAY after a failure (same id, same data), not
+    * sink-side non-duplication — an at-least-once sink turns every
+    * recovery into duplicate rows. The standard repair is an IDEMPOTENT
+    * sink keyed by the batch id: rows land in `batch_id=<id>` partition
+    * directories; a replayed id whose partition already carries the
+    * `_SUCCESS` marker is a no-op, and a partial write WITHOUT the marker
+    * (the crash happened mid-write) is overwritten whole. Readers see
+    * exactly-once output by construction (`spark.read.parquet(outDir)`
+    * with partition discovery). At production scale a transactional
+    * table format subsumes the marker protocol; the directory contract
+    * here is the plain-parquet equivalent. */
+  def idempotentBatchSink(outDir: String)(batch: DataFrame, id: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$id")
+    val fs = dir.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      batch.write.mode("overwrite").parquet(dir.toString)
+    }
+  }
+
   /** Stream-stream interval join: match each left event with right events
     * of the same key that happened inside the preceding `window`. Both
     * sides carry a watermark and the join condition bounds event-time

@@ -244,6 +244,23 @@ class CorpusOpsSpec extends SparkSpec {
       "expected truncation in the 128 bucket at this fixture")
   }
 
+  test("q148 bootstrap: strata close, intervals ordered and bracket the mean") {
+    val rows = run("q148_bootstrap_ci").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (m, lo, hi) = (r.getAs[Double]("mean_q"),
+        r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(m >= 0.0 && m <= 1.0)
+      assert(lo <= hi, s"${r.get(0)}: ci_lo $lo > ci_hi $hi")
+      assert(hi - lo < 0.5, s"${r.get(0)}: degenerate interval [$lo, $hi]")
+      // 32 Poisson replicates cluster tightly around the point mean
+      assert(lo <= m + 0.01 && m - 0.01 <= hi,
+        s"${r.get(0)}: mean $m outside [$lo, $hi]")
+    }
+  }
+
   test("q147 acquisition: global min-margin batch, sorted and consistent") {
     val rows = run("q147_uncertainty_sample").collect()
     assert(rows.length == 20)

@@ -690,6 +690,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges(p) <= 4, s"q144 grew extra shuffles:\n$p")
   }
 
+  test("q148 bootstrap: bounded-grain aggs only, no window, no cartesian") {
+    val p = plan("q148_bootstrap_ci")
+    assert(!p.contains("CartesianProduct"), "q148 must never cross-join")
+    assert(!p.contains("Window ["), "q148 must not use a window")
+    // (source, b) replicate agg, the source-grain CI + mean aggs, their
+    // join — everything past the explode lives at O(sources·32) grain
+    assert(hashExchanges(p) <= 4, s"q148 grew extra shuffles:\n$p")
+  }
+
   test("q147 acquisition: bounded top-k, never a global sort") {
     val p = plan("q147_uncertainty_sample")
     assert(p.contains("TakeOrderedAndProject"),

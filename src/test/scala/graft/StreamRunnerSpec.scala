@@ -295,6 +295,36 @@ class StreamRunnerSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("idempotent sink: batch replays write once, partial writes heal") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_once_out").resolve("data").toString
+    val batch = (1L to 50L).toDF("v")
+    val sink = StreamRunner.idempotentBatchSink(out) _
+    // the recovery contract: the same (data, id) delivered twice lands once
+    sink(batch, 0L); sink(batch, 0L)
+    sink(batch.withColumn("v", col("v") + 100), 1L)
+    val all = spark.read.parquet(out)
+    assert(all.count() == 100, "a replayed batch id wrote twice")
+    assert(all.select("batch_id").distinct().count() == 2)
+    // a partial write (no _SUCCESS marker — crash mid-write) heals whole:
+    // fabricate a torn partition, then deliver its batch
+    val torn = java.nio.file.Paths.get(out, "batch_id=2")
+    Files.createDirectories(torn)
+    Files.writeString(torn.resolve("part-corrupt.parquet"), "torn bytes")
+    sink(batch.withColumn("v", col("v") + 200), 2L)
+    val healed = spark.read.parquet(s"$out/batch_id=2")
+    assert(healed.count() == 50, "partial write was not overwritten whole")
+    assert(!Files.exists(torn.resolve("part-corrupt.parquet")),
+      "torn partial file survived the healing overwrite")
+    // and now that its marker exists, a replay of id 2 is a no-op
+    val before = Files.list(torn).count()
+    sink(batch.limit(1), 2L)
+    assert(Files.list(torn).count() == before,
+      "a committed batch id was rewritten on replay")
+    assert(spark.read.parquet(out).count() == 150)
+  }
+
   test("runMessages: generate_messages -> message_to_jobs -> process_jobs") {
     import graft.pipeline._
     val src = Files.createTempDirectory("graft_msg_src")
