@@ -146,10 +146,15 @@ object Multimodal {
       require(comp == 0, s"compression=$comp unsupported (BI_RGB only)")
       val h = math.abs(hRaw)
       require(w > 0 && h > 0, s"bad dimensions ${w}x$hRaw")
+      // row arithmetic in Long: a crafted width near 2^31 would wrap an
+      // Int rowLen past the truncated-raster check and decode garbage
+      // (or AIOOBE) instead of throwing the contractual IAE
+      val strideL = (w.toLong * 3 + 3) & ~3L // rows pad to 4-byte multiples
+      require(dataOff >= 54 && b.length - dataOff >= strideL * h,
+        s"truncated raster: need ${strideL * h} bytes at $dataOff, have ${b.length - dataOff}")
+      // the require bounds strideL by the payload length, so Int is safe now
       val rowLen = w * 3
-      val stride = (rowLen + 3) & ~3 // rows pad to 4-byte multiples
-      require(dataOff >= 54 && b.length - dataOff >= stride.toLong * h,
-        s"truncated raster: need ${stride.toLong * h} bytes at $dataOff, have ${b.length - dataOff}")
+      val stride = strideL.toInt
       val rows = (0 until h).map { r =>
         val srcRow = if (hRaw > 0) h - 1 - r else r // bottom-up -> visual order
         val start = dataOff + srcRow * stride

@@ -1448,27 +1448,59 @@ object Curation {
     * one 10-key aggregation with map-side partials; the 1-row total
     * broadcasts back onto 10 rows. Nothing is corpus-sized after the
     * scan at any corpus size. */
-  def q140CalibrationAudit(spark: SparkSession, dir: String): DataFrame = {
+  /** The frozen registry classifier shared by q140/q141/q147 — q110's
+    * exact feature definitions with the registry weights (-3, 2, 8, 2),
+    * every intermediate rounded exactly once, so all consumers (and
+    * their SQL twins via [[registrySql]]) score identical
+    * probabilities from ONE definition. Zero-shuffle codegen row
+    * kernel over the documents scan. */
+  private def registryScored(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    val x = Tables.documents(spark, dir)
-      .select(
-        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
+    val z = round(lit(1e-9) + lit(-3.0) + lit(2.0) * col("x1") +
+      lit(8.0) * col("x2") + lit(2.0) * col("x3"), 6)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
         size(toks).as("n_words"),
         length(regexp_replace(col("text"), " ", "")).as("word_chars"),
         size(filter(toks, t =>
           array_contains(array(lit("the"), lit("a"), lit("data"), lit("value")), t)))
           .as("n_stop"))
-      .select(col("y"),
+      .select(col("doc_id"), col("source"), col("lang"), col("n_words"),
         round(lit(1e-9) +
           least(lit(1.0), col("n_words").cast("double") / 100.0), 5).as("x1"),
-        round(lit(1e-9) +
-          col("n_stop").cast("double") / col("n_words"), 5).as("x2"),
+        round(lit(1e-9) + col("n_stop").cast("double") / col("n_words"), 5).as("x2"),
         round(lit(1e-9) + least(lit(1.0),
           (col("word_chars").cast("double") / col("n_words")) / 8.0), 5).as("x3"))
-    val z = round(lit(1e-9) + lit(-3.0) + lit(2.0) * col("x1") +
-      lit(8.0) * col("x2") + lit(2.0) * col("x3"), 6)
-    val p = round(lit(1e-9) + lit(1.0) / (lit(1.0) + exp(-z)), 6)
-    val binned = x.select(col("y"), p.as("p"))
+      .withColumn("p",
+        round(lit(1e-9) + lit(1.0) / (lit(1.0) + exp(-z)), 6))
+  }
+
+  /** DuckDB fragment mirroring [[registryScored]]: CTE chain ending in
+    * `rp` (doc_id, source, lang, n_words, x1, x2, x3, p). */
+  private val registrySql: String =
+    """feat AS (
+      |  SELECT doc_id, source, lang,
+      |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_words,
+      |    len(replace(text, ' ', '')) AS word_chars,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'data', 'value'))) AS n_stop
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, source, lang, n_words,
+      |    round(1e-9 + least(1.0, n_words::DOUBLE / 100.0), 5) AS x1,
+      |    round(1e-9 + n_stop::DOUBLE / n_words, 5) AS x2,
+      |    round(1e-9 + least(1.0, (word_chars::DOUBLE / n_words) / 8.0), 5) AS x3
+      |  FROM feat),
+      |rp AS (
+      |  SELECT doc_id, source, lang, n_words, x1, x2, x3,
+      |    round(1e-9 + 1.0 / (1.0 +
+      |      exp(-round(1e-9 + (-3.0) + 2.0*x1 + 8.0*x2 + 2.0*x3, 6))), 6) AS p
+      |  FROM x)""".stripMargin
+
+  def q140CalibrationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val binned = registryScored(spark, dir)
+      .select(when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"),
+        col("p"))
       .withColumn("bin", least(lit(9),
         floor(round(col("p") * 1000000, 0).cast("long") / 100000.0)).cast("int"))
     val tot = binned.agg(count(lit(1)).as("n_total"))
@@ -1486,28 +1518,11 @@ object Curation {
   }
 
   val q140Sql: String =
-    """WITH feat AS (
-      |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-      |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_words,
-      |    len(replace(text, ' ', '')) AS word_chars,
-      |    len(list_filter(string_split(text, ' '),
-      |      t -> t IN ('the', 'a', 'data', 'value'))) AS n_stop
-      |  FROM documents),
-      |x AS (
-      |  SELECT y,
-      |    round(1e-9 + least(1.0, n_words::DOUBLE / 100.0), 5) AS x1,
-      |    round(1e-9 + n_stop::DOUBLE / n_words, 5) AS x2,
-      |    round(1e-9 + least(1.0, (word_chars::DOUBLE / n_words) / 8.0), 5) AS x3
-      |  FROM feat),
-      |scored AS (
-      |  SELECT y,
-      |    round(1e-9 + 1.0 / (1.0 +
-      |      exp(-round(1e-9 + (-3.0) + 2.0*x1 + 8.0*x2 + 2.0*x3, 6))), 6) AS p
-      |  FROM x),
+    s"""WITH $registrySql,
       |b AS (
-      |  SELECT y, p,
+      |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, p,
       |    least(9, round(p * 1000000, 0)::BIGINT // 100000)::INT AS bin
-      |  FROM scored),
+      |  FROM rp),
       |tot AS (SELECT count(*) AS n_total FROM b),
       |bins AS (
       |  SELECT bin, count(*) AS n_docs,
@@ -1543,25 +1558,10 @@ object Curation {
     * kernel; the whole audit is ONE map-side-combined aggregation to a
     * single row. Nothing downstream of the scan grows with the corpus. */
   def q141LabelAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val feat = Tables.documents(spark, dir)
-      .select(
-        size(toks).as("n_words"),
-        length(regexp_replace(col("text"), " ", "")).as("word_chars"),
-        size(filter(toks, t =>
-          array_contains(array(lit("the"), lit("a"), lit("data"), lit("value")), t)))
-          .as("n_stop"))
-    val x1 = round(lit(1e-9) +
-      least(lit(1.0), col("n_words").cast("double") / 100.0), 5)
-    val x2 = round(lit(1e-9) + col("n_stop").cast("double") / col("n_words"), 5)
-    val x3 = round(lit(1e-9) + least(lit(1.0),
-      (col("word_chars").cast("double") / col("n_words")) / 8.0), 5)
-    val z = round(lit(1e-9) + lit(-3.0) + lit(2.0) * x1 +
-      lit(8.0) * x2 + lit(2.0) * x3, 6)
-    val p = round(lit(1e-9) + lit(1.0) / (lit(1.0) + exp(-z)), 6)
-    val lab = feat.select(
-      when(p >= 0.5, lit(1L)).otherwise(lit(0L)).as("m"),
-      when(x2 >= 0.12 && col("n_words") >= 25, lit(1L)).otherwise(lit(0L)).as("h"))
+    val lab = registryScored(spark, dir).select(
+      when(col("p") >= 0.5, lit(1L)).otherwise(lit(0L)).as("m"),
+      when(col("x2") >= 0.12 && col("n_words") >= 25, lit(1L))
+        .otherwise(lit(0L)).as("h"))
     val cells = lab.agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("m") === 1 && col("h") === 1, 1L).otherwise(0L)).as("n_11"),
@@ -1580,26 +1580,12 @@ object Curation {
   }
 
   val q141Sql: String =
-    """WITH feat AS (
-      |  SELECT
-      |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_words,
-      |    len(replace(text, ' ', '')) AS word_chars,
-      |    len(list_filter(string_split(text, ' '),
-      |      t -> t IN ('the', 'a', 'data', 'value'))) AS n_stop
-      |  FROM documents),
-      |x AS (
-      |  SELECT n_words,
-      |    round(1e-9 + least(1.0, n_words::DOUBLE / 100.0), 5) AS x1,
-      |    round(1e-9 + n_stop::DOUBLE / n_words, 5) AS x2,
-      |    round(1e-9 + least(1.0, (word_chars::DOUBLE / n_words) / 8.0), 5) AS x3
-      |  FROM feat),
+    s"""WITH $registrySql,
       |lab AS (
       |  SELECT
-      |    CASE WHEN round(1e-9 + 1.0 / (1.0 +
-      |      exp(-round(1e-9 + (-3.0) + 2.0*x1 + 8.0*x2 + 2.0*x3, 6))), 6) >= 0.5
-      |      THEN 1 ELSE 0 END AS m,
+      |    CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS m,
       |    CASE WHEN x2 >= 0.12 AND n_words >= 25 THEN 1 ELSE 0 END AS h
-      |  FROM x),
+      |  FROM rp),
       |cells AS (
       |  SELECT count(*) AS n_docs,
       |    sum(CASE WHEN m = 1 AND h = 1 THEN 1 ELSE 0 END)::BIGINT AS n_11,
@@ -1751,50 +1737,17 @@ object Curation {
     * `TakeOrderedAndProject` keeps a 20-row heap per partition and
     * merges partials on the driver (O(n log k) work, O(k·partitions)
     * driver rows), never a global sort. */
-  def q147UncertaintySample(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val feat = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(toks).as("n_words"),
-        length(regexp_replace(col("text"), " ", "")).as("word_chars"),
-        size(filter(toks, t =>
-          array_contains(array(lit("the"), lit("a"), lit("data"), lit("value")), t)))
-          .as("n_stop"))
-    val x1 = round(lit(1e-9) +
-      least(lit(1.0), col("n_words").cast("double") / 100.0), 5)
-    val x2 = round(lit(1e-9) + col("n_stop").cast("double") / col("n_words"), 5)
-    val x3 = round(lit(1e-9) + least(lit(1.0),
-      (col("word_chars").cast("double") / col("n_words")) / 8.0), 5)
-    val z = round(lit(1e-9) + lit(-3.0) + lit(2.0) * x1 +
-      lit(8.0) * x2 + lit(2.0) * x3, 6)
-    val p = round(lit(1e-9) + lit(1.0) / (lit(1.0) + exp(-z)), 6)
-    feat.select(col("doc_id"), p.as("p"),
-        round(lit(1e-9) + abs(p - lit(0.5)), 6).as("margin"))
+  def q147UncertaintySample(spark: SparkSession, dir: String): DataFrame =
+    registryScored(spark, dir)
+      .select(col("doc_id"), col("p"),
+        round(lit(1e-9) + abs(col("p") - lit(0.5)), 6).as("margin"))
       .orderBy(col("margin"), col("doc_id"))
       .limit(20)
-  }
 
   val q147Sql: String =
-    """WITH feat AS (
-      |  SELECT doc_id,
-      |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_words,
-      |    len(replace(text, ' ', '')) AS word_chars,
-      |    len(list_filter(string_split(text, ' '),
-      |      t -> t IN ('the', 'a', 'data', 'value'))) AS n_stop
-      |  FROM documents),
-      |x AS (
-      |  SELECT doc_id,
-      |    round(1e-9 + least(1.0, n_words::DOUBLE / 100.0), 5) AS x1,
-      |    round(1e-9 + n_stop::DOUBLE / n_words, 5) AS x2,
-      |    round(1e-9 + least(1.0, (word_chars::DOUBLE / n_words) / 8.0), 5) AS x3
-      |  FROM feat),
-      |sc AS (
-      |  SELECT doc_id,
-      |    round(1e-9 + 1.0 / (1.0 +
-      |      exp(-round(1e-9 + (-3.0) + 2.0*x1 + 8.0*x2 + 2.0*x3, 6))), 6) AS p
-      |  FROM x)
+    s"""WITH $registrySql
       |SELECT doc_id, p, round(1e-9 + abs(p - 0.5), 6) AS margin
-      |FROM sc
+      |FROM rp
       |ORDER BY margin, doc_id
       |LIMIT 20""".stripMargin
 

@@ -37,8 +37,10 @@ private[graft] object SharedFrames {
   /** Short qNN ids of every query that reads the 3-gram postings family
     * ([[Dedup.shPostings]] and derivatives, incl. [[Curation]]'s q98). */
   val consumers3: Set[String] =
-    Set("q29", "q30", "q31", "q98", "q108", "q119", "q120", "q121", "q129",
-      "q143")
+    Set("q29", "q30", "q31", "q98", "q108", "q119", "q120", "q129", "q143")
+  // NOT q121: winnowing builds its own 5-gram fingerprint selection and
+  // never reads the 3-gram family — warming it there only added cache
+  // pressure to q121's own timed run
 
   /** Short qNN ids of every query reading the 8-gram postings
     * ([[Curation.sh8Postings]]). */

@@ -223,10 +223,19 @@ object StreamRunner {
     *     row is admitted only if no smaller key owns any of its bands
     *     (chains that dodge this single-round rule collapse anyway on
     *     the next delivery, because admitted rows are indexed);
-    *  4. the admitted rows' band rows are APPENDED to `indexDir`
-    *     (plain parquet here; a transactional table format makes the
-    *     append atomic at production scale), and the admitted rows flow
+    *  4. the admitted rows' band rows are written to the
+    *     `batch_id=<id>` partition of `indexDir` with
+    *     [[idempotentBatchSink]] semantics, and the admitted rows flow
     *     to `onBatch`.
+    *
+    * REPLAY SAFETY: foreachBatch replays a batch (same id, same rows)
+    * after a crash, so the collision check reads only partitions with
+    * `batch_id < id` — a torn write from the failed attempt of THIS id
+    * can never bounce the batch against itself — and the batch's own
+    * partition is overwritten whole. The replay therefore recomputes the
+    * identical admitted set and re-delivers it to `onBatch`, whose
+    * downstream must be idempotent per batch id (use
+    * [[idempotentBatchSink]]).
     *
     * State stays O(stream keys inside the watermark horizon): the index
     * lives in storage, not in stream state. */
@@ -244,44 +253,55 @@ object StreamRunner {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        val rows = batch.persist()
+        // ONE signature pass per batch: later sets (survivor bands, the
+        // index write) derive from this persisted explode instead of
+        // re-running the shingle+MinHash kernel per consumer
+        val fps = graft.queries.Dedup.rowBandFps(col(textCol))
+        val bands = batch.select(
+            col(key),
+            posexplode(array(fps: _*)).as(Seq("band", "bfp")))
+          .filter(col("bfp").isNotNull)
+          .persist()
         try {
-          val fps = graft.queries.Dedup.rowBandFps(col(textCol))
-          val bands = rows.select(
-              col(key),
-              posexplode(array(fps: _*)).as(Seq("band", "bfp")))
-            .filter(col("bfp").isNotNull)
           val idxPath = new org.apache.hadoop.fs.Path(indexDir)
           val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // replay safety: only COMMITTED partitions (batch_id < id) gate
+          // this batch — a torn write from a failed attempt of the SAME
+          // id must not bounce the batch against itself
           val index =
-            if (fs.exists(idxPath)) spark.read.schema(bandSchema).parquet(indexDir)
+            if (fs.exists(idxPath))
+              spark.read.option("basePath", indexDir)
+                .schema(bandSchema.add(org.apache.spark.sql.types.StructField(
+                  "batch_id", org.apache.spark.sql.types.LongType)))
+                .parquet(indexDir)
+                .filter(col("batch_id") < id)
             else spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](), bandSchema)
           val bounced = bands
             .join(index.select(col("band"), col("bfp")), Seq("band", "bfp"),
               "left_semi")
             .select(col(key)).distinct()
-          val survivors = rows.join(bounced, Seq(key), "left_anti")
-          val sBands = survivors.select(col(key),
-              posexplode(array(fps: _*)).as(Seq("band", "bfp")))
-            .filter(col("bfp").isNotNull)
+          val sBands = bands.join(bounced, Seq(key), "left_anti")
           val owners = sBands.groupBy(col("band"), col("bfp"))
             .agg(min(col(key)).as("_owner"))
           val losers = sBands.join(owners, Seq("band", "bfp"))
             .filter(col(key) =!= col("_owner"))
             .select(col(key)).distinct()
-          val admitted = survivors.join(losers, Seq(key), "left_anti").persist()
+          val adBands = sBands.join(losers, Seq(key), "left_anti").persist()
           try {
-            admitted.select(col(key),
-                posexplode(array(fps: _*)).as(Seq("band", "bfp")))
-              .filter(col("bfp").isNotNull)
-              .select(col("band"), col("bfp"))
-              .write.mode("append").parquet(indexDir)
-            onBatch(admitted)
-          } finally { admitted.unpersist(); () }
-        } finally { rows.unpersist(); () }
+            // the batch's own partition is overwritten whole — the
+            // idempotentBatchSink contract, healing torn writes
+            adBands.select(col("band"), col("bfp"))
+              .write.mode("overwrite").parquet(s"$indexDir/batch_id=$id")
+            // admitted = batch minus rejected: shingle-less rows carry no
+            // bands, hence no near-dup evidence — they pass (the exact
+            // gate upstream already handled replays), same as batch dedup
+            onBatch(batch.join(bounced.unionByName(losers), Seq(key),
+              "left_anti"))
+          } finally { adBands.unpersist(); () }
+        } finally { bands.unpersist(); () }
         ()
       }
       .start()

@@ -295,6 +295,51 @@ class StreamRunnerSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  test("self-indexing gate replay: a torn write of the SAME batch id cannot bounce it") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Dedup
+    // simulate the crash window: a prior attempt of batch 0 wrote its
+    // band partition, but the streaming checkpoint never committed — on
+    // restart the batch replays with the same id and MUST reproduce the
+    // same admitted set, not bounce against its own torn write
+    val src = Files.createTempDirectory("graft_replay_src")
+    val ckp = Files.createTempDirectory("graft_replay_ckp")
+    val idx = Files.createTempDirectory("graft_replay_idx").resolve("index").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy(col("doc_id")).limit(30)
+    val tmp = Files.createTempDirectory("graft_replay_tmp")
+    docs.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part, src.resolve("msg_1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    // the torn write: every doc's bands already sit under batch_id=0
+    Dedup.bandTableOf(docs).select(col("band"), col("bfp"))
+      .write.mode("overwrite").parquet(s"$idx/batch_id=0")
+    val admitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val stream = StreamRunner.fileStream(spark, src.toString, docs.schema)
+      .withColumn("ts_ns", lit(1700000000000000000L))
+    val q = StreamRunner.selfIndexingGate(stream, idx, ckp.toString) { b =>
+      b.select("doc_id").collect().foreach(r => admitted.add(r.getLong(0)))
+    }
+    q.awaitTermination(120000)
+    // the torn partition gated nothing: the batch admitted exactly what a
+    // clean first run admits (every doc not losing a band to a smaller id)
+    assert(!admitted.isEmpty,
+      "replayed batch bounced against its own torn index write")
+    val b1 = Dedup.bandTableOf(docs)
+    val owners = b1.groupBy(col("band"), col("bfp"))
+      .agg(min(col("doc_id")).as("own"))
+    val losers = b1.join(owners, Seq("band", "bfp"))
+      .filter(col("doc_id") =!= col("own"))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val expected = docs.select("doc_id").collect().map(_.getLong(0)).toSet -- losers
+    val got = { val it = admitted.iterator(); val b = Set.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result() }
+    assert(got == expected,
+      s"replay admitted ${got.size} != expected ${expected.size}")
+  }
+
   test("idempotent sink: batch replays write once, partial writes heal") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
