@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.functions.TextFns.{h32, shingleH32, shingles, tokens, P}
+import graft.functions.VecOps.dotCol
 
 /** Corpus-curation pack: the selection/splitting stage of a training-data
   * pipeline. Both operators are pure per-row hash/rank arithmetic — no
@@ -1854,7 +1855,158 @@ object Curation {
       |GROUP BY s.source
       |ORDER BY s.source""".stripMargin
 
+  /** Decontamination method-agreement matrix — the capstone audit over
+    * the decontam triad: on ONE split protocol (q56's doc_id-hash
+    * buckets: train < 90, test ≥ 95), flag every test document by each
+    * production method — `lex` (exact 8-gram collision, q56's rule),
+    * `bloom` (the k=3/2²⁰ Bloom approximation, q124's rule), `sem`
+    * (sign-signature-blocked cosine ≥ 0.35 against the train vectors —
+    * the LSH-routed form that scales, not the all-pairs form) — and
+    * report, per method pair, the confusion counts, observed agreement,
+    * and flagged-set Jaccard. This is the audit that answers "can the
+    * Bloom filter replace the exact join" and "what does semantic add
+    * over lexical" with numbers instead of anecdotes. (The fixture keys
+    * embeddings and documents by one id space, so `vec_id` IS `doc_id`.)
+    *
+    * Scale design: lex/bloom ride the shared 8-gram postings (one
+    * distinct + equi-joins; Bloom positions are k-bounded explodes);
+    * sem is a bucket equi-join on the 8-bit sign signature (never
+    * all-pairs, never a corpus-sized broadcast); the flags frame is
+    * test-split-sized and the matrix is a 3-row aggregation. */
+  def q149DecontamAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1 << 20
+    val sh = sh8Postings(spark, dir)
+      .withColumn("bucket", h32(concat(lit("split_"), col("doc_id"))) % 100)
+    val trainH = sh.filter(col("bucket") < 90).select(col("h")).distinct()
+    val test = sh.filter(col("bucket") >= 95).select(col("doc_id"), col("h"))
+    val lex = test.join(trainH, Seq("h")).select("doc_id").distinct()
+    def positions(df: DataFrame): DataFrame = df
+      .withColumn("seed", explode(sequence(lit(0), lit(2))))
+      .withColumn("pos",
+        h32(concat(lit("b"), col("seed"), lit("_"), col("h"))) % m)
+    val occupied = positions(trainH).select(col("pos")).distinct()
+    val bloom = positions(test)
+      .join(occupied, Seq("pos"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("k_hit"))
+      .filter(col("k_hit") === 3).select("doc_id").distinct()
+    val e = Similarity.vecs(spark, dir)
+    val es = e
+      .withColumn("sig",
+        Similarity.sigCol(col("v"), Similarity.sigBits(Similarity.nVecs(spark, dir))))
+      .withColumn("bucket", h32(concat(lit("split_"), col("vec_id"))) % 100)
+    val trainV = es.filter(col("bucket") < 90)
+      .select(col("sig").as("tsig"), col("v").as("tv"), col("nrm").as("tnrm"))
+    val sem = es.filter(col("bucket") >= 95)
+      .join(trainV, col("sig") === col("tsig"))
+      .filter(round(lit(1e-9) +
+        dotCol(col("v"), col("tv")) / sqrt(col("nrm") * col("tnrm")), 5) >= 0.35)
+      .select(col("vec_id").as("doc_id")).distinct()
+    val flags = Tables.documents(spark, dir)
+      .withColumn("bucket", h32(concat(lit("split_"), col("doc_id"))) % 100)
+      .filter(col("bucket") >= 95).select(col("doc_id"))
+      .join(lex.withColumn("l", lit(1)), Seq("doc_id"), "left")
+      .join(bloom.withColumn("b", lit(1)), Seq("doc_id"), "left")
+      .join(sem.withColumn("s", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("l"), lit(0)).as("l"),
+        coalesce(col("b"), lit(0)).as("b"), coalesce(col("s"), lit(0)).as("s"))
+    val pairs = Seq(("bloom", "lex", "b", "l"), ("bloom", "sem", "b", "s"),
+        ("lex", "sem", "l", "s"))
+      .map { case (na, nb2, ca, cb) =>
+        flags.select(lit(na).as("method_a"), lit(nb2).as("method_b"),
+          col(ca).as("fa"), col(cb).as("fb"))
+      }.reduce(_.unionByName(_))
+    pairs.groupBy(col("method_a"), col("method_b"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("fa") === 1 && col("fb") === 1, 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("fa") === 1 && col("fb") === 0, 1L).otherwise(0L)).as("n_only_a"),
+        sum(when(col("fa") === 0 && col("fb") === 1, 1L).otherwise(0L)).as("n_only_b"),
+        sum(when(col("fa") =!= col("fb"), 1L).otherwise(0L)).as("n_disagree"),
+        sum(when(col("fa") === 1 || col("fb") === 1, 1L).otherwise(0L)).as("n_any"))
+      .select(col("method_a"), col("method_b"), col("n_docs"),
+        col("n_both"), col("n_only_a"), col("n_only_b"),
+        round(lit(1e-9) +
+          (col("n_docs") - col("n_disagree")).cast("double") / col("n_docs"), 5)
+          .as("agreement"),
+        when(col("n_any") === 0, lit(0.0))
+          .otherwise(round(lit(1e-9) +
+            col("n_both").cast("double") / col("n_any"), 5)).as("jaccard"))
+      .orderBy(col("method_a"), col("method_b"))
+  }
+
+  val q149Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, text,
+      |    ('0x' || substr(md5('split_' || doc_id), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, bucket,
+      |    ('0x' || substr(md5(s), 1, 8))::BIGINT AS h
+      |  FROM (
+      |    SELECT doc_id, bucket, unnest(list_transform(range(1, len(toks) - 6),
+      |      i -> array_to_string(toks[i:i+7], ' '))) AS s
+      |    FROM (SELECT doc_id, bucket,
+      |            list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |          FROM d))),
+      |tr AS (SELECT DISTINCT h FROM sh WHERE bucket < 90),
+      |te AS (SELECT doc_id, h FROM sh WHERE bucket >= 95),
+      |lexf AS (SELECT DISTINCT doc_id FROM te JOIN tr USING (h)),
+      |occ AS (
+      |  SELECT DISTINCT
+      |    ('0x' || substr(md5('b' || seed || '_' || h), 1, 8))::BIGINT
+      |      % 1048576 AS pos
+      |  FROM tr, unnest(range(0, 3)) AS u(seed)),
+      |bpos AS (
+      |  SELECT doc_id, h,
+      |    ('0x' || substr(md5('b' || seed || '_' || h), 1, 8))::BIGINT
+      |      % 1048576 AS pos
+      |  FROM te, unnest(range(0, 3)) AS u(seed)),
+      |bloomf AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, h, count(*) AS k_hit
+      |    FROM bpos JOIN occ USING (pos)
+      |    GROUP BY 1, 2) WHERE k_hit = 3),
+      |${Similarity.vecsSql},
+      |${Similarity.sigSqlCtes},
+      |evb AS (
+      |  SELECT e.vec_id, e.embedding, e.nrm, sig.sig,
+      |    ('0x' || substr(md5('split_' || vec_id), 1, 8))::BIGINT % 100 AS vbucket
+      |  FROM e JOIN sig ON vec_id = s_vec),
+      |semf AS (
+      |  SELECT DISTINCT t.vec_id AS doc_id
+      |  FROM evb t JOIN evb tv ON t.sig = tv.sig
+      |    AND t.vbucket >= 95 AND tv.vbucket < 90
+      |  WHERE round(1e-9 + list_reduce(list_transform(range(1, len(t.embedding) + 1),
+      |      i -> t.embedding[i]::DOUBLE * tv.embedding[i]::DOUBLE), (x, y) -> x + y)
+      |      / sqrt(t.nrm * tv.nrm), 5) >= 0.35),
+      |flags AS (
+      |  SELECT u.doc_id,
+      |    CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS l,
+      |    CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS b,
+      |    CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s
+      |  FROM (SELECT doc_id FROM d WHERE bucket >= 95) u
+      |  LEFT JOIN lexf l ON u.doc_id = l.doc_id
+      |  LEFT JOIN bloomf b ON u.doc_id = b.doc_id
+      |  LEFT JOIN semf s ON u.doc_id = s.doc_id),
+      |pairs AS (
+      |  SELECT 'bloom' AS method_a, 'lex' AS method_b, b AS fa, l AS fb FROM flags
+      |  UNION ALL SELECT 'bloom', 'sem', b, s FROM flags
+      |  UNION ALL SELECT 'lex', 'sem', l, s FROM flags)
+      |SELECT method_a, method_b, count(*) AS n_docs,
+      |  sum(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END)::BIGINT AS n_both,
+      |  sum(CASE WHEN fa = 1 AND fb = 0 THEN 1 ELSE 0 END)::BIGINT AS n_only_a,
+      |  sum(CASE WHEN fa = 0 AND fb = 1 THEN 1 ELSE 0 END)::BIGINT AS n_only_b,
+      |  round(1e-9 + (count(*) -
+      |    sum(CASE WHEN fa <> fb THEN 1 ELSE 0 END))::DOUBLE / count(*), 5)
+      |    AS agreement,
+      |  CASE WHEN sum(CASE WHEN fa = 1 OR fb = 1 THEN 1 ELSE 0 END) = 0 THEN 0.0
+      |    ELSE round(1e-9 + sum(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END)::DOUBLE
+      |      / sum(CASE WHEN fa = 1 OR fb = 1 THEN 1 ELSE 0 END), 5) END AS jaccard
+      |FROM pairs
+      |GROUP BY method_a, method_b
+      |ORDER BY method_a, method_b""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q149_decontam_agreement" -> (q149DecontamAgreement _),
     "q148_bootstrap_ci" -> (q148BootstrapCi _),
     "q122_dedup_by_source" -> (q122DedupBySource _),
     "q141_label_agreement" -> (q141LabelAgreement _),
@@ -1892,6 +2044,7 @@ object Curation {
     "q145_padding_waste" -> q145Sql,
     "q147_uncertainty_sample" -> q147Sql,
     "q148_bootstrap_ci" -> q148Sql,
+    "q149_decontam_agreement" -> q149Sql,
     "q140_calibration_audit" -> q140Sql,
     "q52_data_split" -> q52Sql,
     "q53_balanced_sample" -> q53Sql,

@@ -244,6 +244,34 @@ class CorpusOpsSpec extends SparkSpec {
       "expected truncation in the 128 bucket at this fixture")
   }
 
+  test("q149 agreement matrix: closure, Bloom superset law, consistent ratios") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q149_decontam_agreement").collect()
+    assert(rows.length == 3)
+    val nTest = graft.sources.Tables.documents(spark, sf)
+      .filter(graft.functions.TextFns.h32(
+        concat(lit("split_"), col("doc_id"))) % 100 >= 95).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == nTest)
+      val (both, oa, ob, n) = (r.getAs[Long]("n_both"), r.getAs[Long]("n_only_a"),
+        r.getAs[Long]("n_only_b"), r.getAs[Long]("n_docs"))
+      val agree = r.getAs[Double]("agreement")
+      assert(math.abs(agree - (n - oa - ob).toDouble / n) < 1e-4)
+      val jac = r.getAs[Double]("jaccard")
+      val any = both + oa + ob
+      if (any > 0) assert(math.abs(jac - both.toDouble / any) < 1e-4)
+      else assert(jac == 0.0)
+    }
+    // the Bloom guarantee: no false negatives — every exact-lexical flag
+    // is also a Bloom flag, so 'lex only' must be empty in (bloom, lex)
+    val bl = rows.find(r => r.getAs[String]("method_a") == "bloom" &&
+      r.getAs[String]("method_b") == "lex").get
+    assert(bl.getAs[Long]("n_only_b") == 0L,
+      "a lexically-flagged doc escaped the Bloom filter (false negative)")
+    // the fixture plants lexical contamination — the matrix is non-vacuous
+    assert(bl.getAs[Long]("n_both") > 0L, "no lexical contamination found")
+  }
+
   test("q148 bootstrap: strata close, intervals ordered and bracket the mean") {
     val rows = run("q148_bootstrap_ci").collect()
     assert(rows.nonEmpty)

@@ -690,6 +690,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges(p) <= 4, s"q144 grew extra shuffles:\n$p")
   }
 
+  test("q149 agreement: shared postings, sig-blocked semantic join, no cartesian") {
+    val p = plan("q149_decontam_agreement")
+    assert(p.contains("InMemoryTableScan"),
+      "q149 must ride the shared 8-gram postings cache")
+    assert(!p.contains("CartesianProduct"), "q149 must never cross-join")
+    // the semantic side must stay a signature-bucket equi-join (sig=tsig)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "q149's semantic side degenerated to a nested-loop join")
+  }
+
   test("q148 bootstrap: bounded-grain aggs only, no window, no cartesian") {
     val p = plan("q148_bootstrap_ci")
     assert(!p.contains("CartesianProduct"), "q148 must never cross-join")
