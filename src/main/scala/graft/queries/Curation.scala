@@ -128,10 +128,26 @@ object Curation {
     * document pairing ever materializes. At 100 TB the train set is the
     * big side and the join partitions by `h` exactly as a persisted
     * inverted index would. */
+  /** q56's split protocol over the shared 8-gram postings — the
+    * doc_id-hash bucket every decontam method shares (train < 90,
+    * test ≥ 95). ONE definition, consumed by q56/q124/q149 so the
+    * agreement matrix (q149) judges the production rules, not copies. */
+  private def bucketedSh8(spark: SparkSession, dir: String): DataFrame =
+    sh8Postings(spark, dir)
+      .withColumn("bucket", h32(concat(lit("split_"), col("doc_id"))) % 100)
+
+  /** q124's Bloom geometry (k = 3 seeded positions, m = 2²⁰ bits):
+    * pos = h32("b<seed>_" ∥ h) % m — re-hashes the 32-bit shingle hash,
+    * never the text. Shared with q149. */
+  private val bloomM = 1 << 20
+  private def bloomPositions(df: DataFrame): DataFrame = df
+    .withColumn("seed", explode(sequence(lit(0), lit(2))))
+    .withColumn("pos",
+      h32(concat(lit("b"), col("seed"), lit("_"), col("h"))) % bloomM)
+
   def q56Contamination(spark: SparkSession, dir: String): DataFrame = {
     // shared 8-gram postings + the doc_id-derived split bucket (narrow)
-    val sh = sh8Postings(spark, dir)
-      .withColumn("bucket", h32(concat(lit("split_"), col("doc_id"))) % 100)
+    val sh = bucketedSh8(spark, dir)
     val train = sh.filter(col("bucket") < 90).select(col("h")).distinct()
     val test = sh.filter(col("bucket") >= 95).select(col("doc_id"), col("h"))
     val tot = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -191,18 +207,11 @@ object Curation {
     * incremental-ingest pipeline ships to every executor; q100's
     * broadcast direction, made size-independent of the corpus. */
   def q124BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
-    val m = 1 << 20
     // train positions + test probe + exact control all ride the shared
-    // postings; the split bucket is derived per-read (pure doc_id hash)
-    val sh = sh8Postings(spark, dir)
-      .withColumn("bucket", h32(concat(lit("split_"), col("doc_id"))) % 100)
-    // k = 3 seeded positions per shingle: pos = h32("b<seed>_" || h) % m.
-    // Seeding re-hashes the 32-bit shingle hash, not the text — the
-    // filter builder only ever needs the postings.
-    def positions(df: DataFrame): DataFrame = df
-      .withColumn("seed", explode(sequence(lit(0), lit(2))))
-      .withColumn("pos",
-        h32(concat(lit("b"), col("seed"), lit("_"), col("h"))) % m)
+    // postings; split bucket and Bloom geometry are the shared
+    // [[bucketedSh8]]/[[bloomPositions]] definitions
+    val sh = bucketedSh8(spark, dir)
+    def positions(df: DataFrame): DataFrame = bloomPositions(df)
     val occupied = positions(sh.filter(col("bucket") < 90).select(col("h")).distinct())
       .select(col("pos")).distinct()
     val test = sh.filter(col("bucket") >= 95).select(col("doc_id"), col("h"))
@@ -1781,12 +1790,7 @@ object Curation {
         size(filter(toks, t =>
           array_contains(array(lit("the"), lit("a"), lit("data"), lit("value")), t)))
           .as("n_stop"))
-    val q = round(lit(1e-9) +
-      lit(0.3) * least(lit(1.0), col("n_words").cast("double") / 100.0) +
-      lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_words")) +
-      lit(0.4) * least(lit(1.0),
-        (col("word_chars").cast("double") / col("n_words")) / 8.0), 5)
-    val q5 = round(q * 100000, 0).cast("long")
+    val q5 = round(TextAnalysis.qualityCol * 100000, 0).cast("long")
     val scored = feat.select(col("doc_id"), col("source"), q5.as("q5"))
     val u = (h32(concat(lit("bs"), col("b"), lit("_"), col("doc_id"))) % 1000000)
       .cast("double") / 1000000.0
@@ -1799,14 +1803,26 @@ object Curation {
       .select(col("source"), col("b"), col("q5"), w.as("w"))
       .groupBy(col("source"), col("b"))
       .agg(sum(col("w") * col("q5")).as("wq"), sum(col("w")).as("ww"))
+      // a replicate whose weights are all zero (P(w=0)=e⁻¹ per doc, so
+      // near-certain for 1-doc strata) carries no resample: drop it
+      // identically in both engines instead of dividing by zero (null
+      // in Spark vs NaN in DuckDB — an oracle mismatch)
+      .filter(col("ww") > 0)
       .select(col("source"),
         round(lit(1e-9) + col("wq").cast("double") / (col("ww") * 100000.0), 6)
           .as("m"))
+    val nRep = size(col("ms"))
+    val loIdx = greatest(lit(1),
+      floor((nRep * 2).cast("double") / 32).cast("int"))
+    val hiIdx = least(nRep,
+      floor((nRep * 31 + 31).cast("double") / 32).cast("int"))
     val ci = reps.groupBy(col("source"))
       .agg(array_sort(collect_list(col("m"))).as("ms"))
+      // order-statistic indices scale with the surviving replicate count
+      // (all-integer arithmetic; [2nd, 31st] when all 32 survive)
       .select(col("source"),
-        round(lit(1e-9) + element_at(col("ms"), 2), 5).as("ci_lo"),
-        round(lit(1e-9) + element_at(col("ms"), 31), 5).as("ci_hi"))
+        round(lit(1e-9) + element_at(col("ms"), loIdx), 5).as("ci_lo"),
+        round(lit(1e-9) + element_at(col("ms"), hiIdx), 5).as("ci_hi"))
     scored.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(lit(1e-9) + sum(col("q5")).cast("double") /
@@ -1844,13 +1860,15 @@ object Curation {
       |reps AS (
       |  SELECT source, b,
       |    round(1e-9 + sum(w * q5)::DOUBLE / (sum(w) * 100000.0), 6) AS m
-      |  FROM wts GROUP BY 1, 2),
+      |  FROM wts GROUP BY 1, 2
+      |  HAVING sum(w) > 0),
       |ci AS (
       |  SELECT source, list(m ORDER BY m) AS ms FROM reps GROUP BY 1)
       |SELECT s.source, count(*) AS n_docs,
       |  round(1e-9 + sum(q5)::DOUBLE / (count(*) * 100000.0), 5) AS mean_q,
-      |  round(1e-9 + any_value(ms[2]), 5) AS ci_lo,
-      |  round(1e-9 + any_value(ms[31]), 5) AS ci_hi
+      |  round(1e-9 + any_value(ms[greatest(1, (len(ms) * 2) // 32)]), 5) AS ci_lo,
+      |  round(1e-9 + any_value(ms[least(len(ms), (len(ms) * 31 + 31) // 32)]), 5)
+      |    AS ci_hi
       |FROM scored s JOIN ci ON s.source = ci.source
       |GROUP BY s.source
       |ORDER BY s.source""".stripMargin
@@ -1874,18 +1892,12 @@ object Curation {
     * all-pairs, never a corpus-sized broadcast); the flags frame is
     * test-split-sized and the matrix is a 3-row aggregation. */
   def q149DecontamAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val m = 1 << 20
-    val sh = sh8Postings(spark, dir)
-      .withColumn("bucket", h32(concat(lit("split_"), col("doc_id"))) % 100)
+    val sh = bucketedSh8(spark, dir)
     val trainH = sh.filter(col("bucket") < 90).select(col("h")).distinct()
     val test = sh.filter(col("bucket") >= 95).select(col("doc_id"), col("h"))
     val lex = test.join(trainH, Seq("h")).select("doc_id").distinct()
-    def positions(df: DataFrame): DataFrame = df
-      .withColumn("seed", explode(sequence(lit(0), lit(2))))
-      .withColumn("pos",
-        h32(concat(lit("b"), col("seed"), lit("_"), col("h"))) % m)
-    val occupied = positions(trainH).select(col("pos")).distinct()
-    val bloom = positions(test)
+    val occupied = bloomPositions(trainH).select(col("pos")).distinct()
+    val bloom = bloomPositions(test)
       .join(occupied, Seq("pos"))
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("k_hit"))
       .filter(col("k_hit") === 3).select("doc_id").distinct()

@@ -44,7 +44,7 @@ private[graft] object SharedFrames {
 
   /** Short qNN ids of every query reading the 8-gram postings
     * ([[Curation.sh8Postings]]). */
-  val consumers8: Set[String] = Set("q56", "q107", "q124")
+  val consumers8: Set[String] = Set("q56", "q107", "q124", "q149")
 
   /** Queries reading the source-grain postings derived from the 3-gram
     * family ([[Dedup]]'s `srcsh`). */

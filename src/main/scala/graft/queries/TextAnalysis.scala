@@ -45,6 +45,17 @@ object TextAnalysis {
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
 
+  /** The 0.3/0.3/0.4 heuristic quality blend over (n_words, word_chars,
+    * n_stop) feature columns — ONE definition shared by q24's point
+    * scores and [[Curation]]'s q148 bootstrap CIs (whose docs promise
+    * they price exactly these point estimates). */
+  private[queries] def qualityCol: org.apache.spark.sql.Column =
+    round(lit(1e-9) +
+      lit(0.3) * least(lit(1.0), col("n_words").cast("double") / 100.0) +
+      lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_words")) +
+      lit(0.4) * least(lit(1.0),
+        (col("word_chars").cast("double") / col("n_words")) / 8.0), 5)
+
   /** Per-document quality score from length / stopword-ratio / mean word
     * length — the heuristic-filter stage of a corpus-cleaning pipeline. */
   def q24QualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -58,11 +69,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_words"),
         round(lit(1e-9) + col("word_chars").cast("double") / col("n_words"), 5).as("avg_wlen"),
         round(lit(1e-9) + col("n_stop").cast("double") / col("n_words"), 5).as("stop_ratio"),
-        round(lit(1e-9) + 
-          lit(0.3) * least(lit(1.0), col("n_words").cast("double") / 100.0) +
-          lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_words")) +
-          lit(0.4) * least(lit(1.0), (col("word_chars").cast("double") / col("n_words")) / 8.0),
-          5).as("quality"))
+        qualityCol.as("quality"))
       .orderBy(col("doc_id"))
   }
 

@@ -9,8 +9,10 @@ import org.apache.spark.sql.types._
   * exists. Real dumps always carry broken lines (truncated writes,
   * encoding damage, schema drift); dropping them silently corrupts the
   * corpus-closure audits (q138's funnel), so ingestion must SPLIT the
-  * input, never filter it: every input line lands in exactly one of
-  * (clean, quarantine).
+  * input, never filter it: every non-blank input line lands in exactly
+  * one of (clean, quarantine), and [[audit]] counts the
+  * whitespace-only lines Spark's JSON source skips so the funnel
+  * closes over the physical line count.
   *
   * Spark-first mechanics: JSONL is newline-splittable, so the scan
   * parallelizes by byte range with no coordination, and `PERMISSIVE`
@@ -82,12 +84,21 @@ object JsonDocs {
   }
 
   /** Ingest-funnel audit: every input line is accounted for exactly once
-    * across (clean, quarantined-by-reason). */
-  def audit(parsed: DataFrame): DataFrame = {
+    * across (clean, quarantined-by-reason, blank). The `blank` bucket
+    * exists because Spark's JSON source silently SKIPS whitespace-only
+    * lines (they reach neither clean nor quarantine) — common separator
+    * noise in concatenated dumps; the audit re-counts them from a raw
+    * text scan of the same path so the funnel still closes over the
+    * physical line count. */
+  def audit(spark: SparkSession, path: String, parsed: DataFrame): DataFrame = {
     val c = clean(parsed).agg(count(lit(1)).as("n"))
       .select(lit("clean").as("bucket"), col("n"))
     val q = quarantine(parsed).groupBy(col("reason").as("bucket"))
       .agg(count(lit(1)).as("n"))
-    c.unionByName(q).orderBy(col("bucket"))
+    val blank = spark.read.text(path)
+      .filter(length(trim(col("value"))) === 0)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("blank").as("bucket"), col("n"))
+    c.unionByName(q).unionByName(blank).orderBy(col("bucket"))
   }
 }

@@ -237,11 +237,24 @@ object StreamRunner {
     * downstream must be idempotent per batch id (use
     * [[idempotentBatchSink]]).
     *
+    * RECOVERY UNIT: the `batch_id < id` guard ties index partitions to
+    * the checkpoint's batch counter, so the index and the checkpoint
+    * form ONE recovery unit (exactly like any stateful sink's state):
+    * restore or move them TOGETHER. Restarting with a fresh checkpoint
+    * against a populated index would silently re-admit and clobber —
+    * the gate detects that (existing `batch_id` ≥ the stream's counter,
+    * or a non-partitioned legacy layout) and fails loudly instead. To
+    * seed from an existing batch-built index (e.g.
+    * [[graft.queries.Dedup.bandTableOf]] over the historical corpus),
+    * pass it as `seedBands` — a static side checked alongside the
+    * growing index, outside the recovery unit.
+    *
     * State stays O(stream keys inside the watermark horizon): the index
     * lives in storage, not in stream state. */
   def selfIndexingGate(stream: DataFrame, indexDir: String,
       checkpointDir: String, key: String = "doc_id",
-      textCol: String = "text", watermark: String = "2 hours")(
+      textCol: String = "text", watermark: String = "2 hours",
+      seedBands: Option[DataFrame] = None)(
       onBatch: DataFrame => Unit): StreamingQuery = {
     val bandSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("band",
@@ -267,6 +280,29 @@ object StreamRunner {
         try {
           val idxPath = new org.apache.hadoop.fs.Path(indexDir)
           val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // recovery-unit validation: an index partition AHEAD of the
+          // stream's batch counter, or a non-partitioned (legacy/foreign)
+          // layout, means the checkpoint was reset or points elsewhere —
+          // proceeding would silently re-admit and clobber; fail loudly
+          if (fs.exists(idxPath)) {
+            val entries = fs.listStatus(idxPath)
+            entries.foreach { st =>
+              val n = st.getPath.getName
+              if (st.isDirectory && n.startsWith("batch_id=")) {
+                val k = n.stripPrefix("batch_id=").toLong
+                require(k <= id,
+                  s"index at $indexDir carries batch_id=$k beyond the " +
+                    s"stream's batch $id: the LSH index and the streaming " +
+                    "checkpoint form one recovery unit — restore or " +
+                    "re-point them together (seed an external index via " +
+                    "seedBands instead)")
+              } else if (!n.startsWith("_") && !n.startsWith("."))
+                throw new IllegalArgumentException(
+                  s"index at $indexDir contains non-partitioned entry $n — " +
+                    "not a selfIndexingGate index (seed external band " +
+                    "tables via seedBands)")
+            }
+          }
           // replay safety: only COMMITTED partitions (batch_id < id) gate
           // this batch — a torn write from a failed attempt of the SAME
           // id must not bounce the batch against itself
@@ -279,9 +315,13 @@ object StreamRunner {
                 .filter(col("batch_id") < id)
             else spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](), bandSchema)
+          val gateBands = seedBands match {
+            case Some(sb) => index.select(col("band"), col("bfp"))
+              .unionByName(sb.select(col("band"), col("bfp")))
+            case None => index.select(col("band"), col("bfp"))
+          }
           val bounced = bands
-            .join(index.select(col("band"), col("bfp")), Seq("band", "bfp"),
-              "left_semi")
+            .join(gateBands, Seq("band", "bfp"), "left_semi")
             .select(col(key)).distinct()
           val sBands = bands.join(bounced, Seq(key), "left_anti")
           val owners = sBands.groupBy(col("band"), col("bfp"))
@@ -297,9 +337,13 @@ object StreamRunner {
               .write.mode("overwrite").parquet(s"$indexDir/batch_id=$id")
             // admitted = batch minus rejected: shingle-less rows carry no
             // bands, hence no near-dup evidence — they pass (the exact
-            // gate upstream already handled replays), same as batch dedup
-            onBatch(batch.join(bounced.unionByName(losers), Seq(key),
-              "left_anti"))
+            // gate upstream already handled replays), same as batch
+            // dedup. Persisted: a callback running several actions must
+            // not re-run the whole gate (index read + joins) per action.
+            val admitted = batch.join(bounced.unionByName(losers), Seq(key),
+              "left_anti").persist()
+            try onBatch(admitted)
+            finally { admitted.unpersist(); () }
           } finally { adBands.unpersist(); () }
         } finally { bands.unpersist(); () }
         ()

@@ -21,14 +21,19 @@ class JsonDocsSpec extends SparkSpec {
       """not json at all""",                               // unparseable
       """{"doc_id": null, "text": "orphan"}""",            // missing_id
       """{"doc_id": -7, "text": "negative"}""",            // negative_id
-      """{"doc_id": 9}"""                                  // missing_text
+      """{"doc_id": 9}""",                                 // missing_text
+      "",                                                  // blank separator
+      "   "                                                // whitespace-only
     )
-    val parsed = JsonDocs.parse(spark, stage(lines))
+    val path = stage(lines)
+    val parsed = JsonDocs.parse(spark, path)
     try {
       val clean = JsonDocs.clean(parsed).collect()
       val quar = JsonDocs.quarantine(parsed).collect()
-      assert(clean.length + quar.length == lines.length,
-        s"${clean.length} clean + ${quar.length} quarantined != ${lines.length} lines")
+      // Spark's JSON source silently skips whitespace-only lines — the
+      // audit's blank bucket accounts for them below
+      assert(clean.length + quar.length == lines.length - 2,
+        s"${clean.length} clean + ${quar.length} quarantined != non-blank lines")
       assert(clean.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 2L, 3L))
       // defaults and derivations
       val byId = clean.map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -44,11 +49,13 @@ class JsonDocsSpec extends SparkSpec {
       val raw = quar.filter(_.getAs[String]("reason") == "unparseable")
         .map(_.getAs[String]("raw")).toSet
       assert(raw.contains("not json at all"))
-      // the funnel audit closes over the input
-      val audit = JsonDocs.audit(parsed).collect()
+      // the funnel audit closes over the PHYSICAL line count, blanks
+      // included
+      val audit = JsonDocs.audit(spark, path, parsed).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(audit.values.sum == lines.length)
       assert(audit("clean") == 3L)
+      assert(audit("blank") == 2L)
     } finally { parsed.unpersist(); () }
   }
 
