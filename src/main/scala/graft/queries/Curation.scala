@@ -1464,25 +1464,34 @@ object Curation {
     * their SQL twins via [[registrySql]]) score identical
     * probabilities from ONE definition. Zero-shuffle codegen row
     * kernel over the documents scan. */
+  /** The frozen registry classifier as pure COLUMN expressions over a
+    * text column — the one definition behind [[registryScored]]
+    * (batch: q140/q141/q147) and
+    * [[graft.streaming.StreamRunner.qualityGate]] (stream), so a
+    * stream-admitted and a batch-curated corpus are consistent by
+    * construction. Row-local codegen throughout. */
+  private[graft] def registryCols(text: Column): Map[String, Column] = {
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val wordChars = length(regexp_replace(text, " ", ""))
+    val nStop = size(filter(toks, t =>
+      array_contains(array(lit("the"), lit("a"), lit("data"), lit("value")), t)))
+    val x1 = round(lit(1e-9) +
+      least(lit(1.0), nWords.cast("double") / 100.0), 5)
+    val x2 = round(lit(1e-9) + nStop.cast("double") / nWords, 5)
+    val x3 = round(lit(1e-9) + least(lit(1.0),
+      (wordChars.cast("double") / nWords) / 8.0), 5)
+    val z = round(lit(1e-9) + lit(-3.0) + lit(2.0) * x1 +
+      lit(8.0) * x2 + lit(2.0) * x3, 6)
+    Map("n_words" -> nWords, "x1" -> x1, "x2" -> x2, "x3" -> x3,
+      "p" -> round(lit(1e-9) + lit(1.0) / (lit(1.0) + exp(-z)), 6))
+  }
+
   private def registryScored(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val z = round(lit(1e-9) + lit(-3.0) + lit(2.0) * col("x1") +
-      lit(8.0) * col("x2") + lit(2.0) * col("x3"), 6)
+    val rc = registryCols(col("text"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("lang"),
-        size(toks).as("n_words"),
-        length(regexp_replace(col("text"), " ", "")).as("word_chars"),
-        size(filter(toks, t =>
-          array_contains(array(lit("the"), lit("a"), lit("data"), lit("value")), t)))
-          .as("n_stop"))
-      .select(col("doc_id"), col("source"), col("lang"), col("n_words"),
-        round(lit(1e-9) +
-          least(lit(1.0), col("n_words").cast("double") / 100.0), 5).as("x1"),
-        round(lit(1e-9) + col("n_stop").cast("double") / col("n_words"), 5).as("x2"),
-        round(lit(1e-9) + least(lit(1.0),
-          (col("word_chars").cast("double") / col("n_words")) / 8.0), 5).as("x3"))
-      .withColumn("p",
-        round(lit(1e-9) + lit(1.0) / (lit(1.0) + exp(-z)), 6))
+      .select(col("doc_id") +: col("source") +: col("lang") +:
+        Seq("n_words", "x1", "x2", "x3", "p").map(k => rc(k).as(k)): _*)
   }
 
   /** DuckDB fragment mirroring [[registryScored]]: CTE chain ending in

@@ -351,6 +351,18 @@ object StreamRunner {
       .start()
   }
 
+  /** Streaming quality-admission gate — the second standard stream
+    * filter beside the near-dup gates: admit only documents the frozen
+    * registry classifier ([[graft.queries.Curation.registryCols]] —
+    * the SAME column definition q140/q141/q147 score with in batch)
+    * rates at `p ≥ minP`. A pure row-local codegen kernel: no state,
+    * no shuffle, and stream-admitted vs batch-curated corpora agree by
+    * construction. */
+  def qualityGate(stream: DataFrame, minP: Double = 0.5,
+      textCol: String = "text"): DataFrame =
+    stream.filter(
+      graft.queries.Curation.registryCols(col(textCol))("p") >= minP)
+
   /** Exactly-once parquet sink for `foreachBatch`: Structured Streaming
     * guarantees batch REPLAY after a failure (same id, same data), not
     * sink-side non-duplication — an at-least-once sink turns every

@@ -340,6 +340,39 @@ class StreamRunnerSpec extends SparkSpec {
       s"replay admitted ${got.size} != expected ${expected.size}")
   }
 
+  test("quality gate: stream-admitted docs equal the batch classifier's p >= 0.5 set") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("graft_qg_src")
+    val ckp = Files.createTempDirectory("graft_qg_ckp")
+    val docsFile = Paths.get(s"$sf/documents.parquet")
+    Files.copy(docsFile, src.resolve("msg_1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val admitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val stream = StreamRunner.fileStream(spark, src.toString, docs.schema)
+    val q = StreamRunner.qualityGate(stream)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("doc_id").collect().foreach(r => admitted.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    // batch-parity: same filter over the same frozen classifier
+    val expected = docs
+      .filter(graft.queries.Curation.registryCols(col("text"))("p") >= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = { val it = admitted.iterator(); val b = Set.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result() }
+    assert(got == expected,
+      s"stream admitted ${got.size} != batch ${expected.size}")
+    assert(got.nonEmpty && got.size < docs.count(),
+      "quality gate should split the fixture non-trivially")
+  }
+
   test("idempotent sink: batch replays write once, partial writes heal") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
