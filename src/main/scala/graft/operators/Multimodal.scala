@@ -150,8 +150,13 @@ object Multimodal {
       // Int rowLen past the truncated-raster check and decode garbage
       // (or AIOOBE) instead of throwing the contractual IAE
       val strideL = (w.toLong * 3 + 3) & ~3L // rows pad to 4-byte multiples
-      require(dataOff >= 54 && b.length - dataOff >= strideL * h,
-        s"truncated raster: need ${strideL * h} bytes at $dataOff, have ${b.length - dataOff}")
+      // division-form bound: the product strideL*h can itself overflow Long
+      // for crafted w,h near 2^31 (wrapping negative and passing a
+      // product-form check); strideL >= 4 here since w > 0, so the
+      // division is safe and cannot wrap
+      require(dataOff >= 54 && dataOff <= b.length &&
+        (b.length - dataOff) / strideL >= h.toLong,
+        s"truncated raster: need ${strideL}x$h bytes at $dataOff, have ${b.length - dataOff}")
       // the require bounds strideL by the payload length, so Int is safe now
       val rowLen = w * 3
       val stride = strideL.toInt

@@ -1121,10 +1121,12 @@ object Plugins {
             val (mn, mx) = (conf(minKey).map(_.toDouble), conf(maxKey).map(_.toDouble))
             item.area.filter(areaBounds.contains) match {
               case Some(a) if mn.isDefined || mx.isDefined =>
-                // Python-truthiness parity (ref reads `if self.check_pass:`):
-                // any value except an explicit falsy literal enables the
-                // overpass term — a bare `.toBoolean` would throw on
-                // `check_pass: 1`/`yes` and abort the whole apply
+                // the string config is parsed with YAML boolean semantics
+                // (falsy literals: false/no/off/0/empty) because the
+                // reference receives `check_pass` already YAML-parsed as a
+                // bool (ref reads `if self.check_pass:`) — a bare
+                // `.toBoolean` would throw on `check_pass: 1`/`yes` and
+                // abort the whole apply
                 val checkPass = conf(checkPassKey).exists(v =>
                   !Set("false", "no", "off", "0", "").contains(v.trim.toLowerCase))
                 val pct = sunlitPct(a, checkPass)

@@ -1595,7 +1595,13 @@ object Curation {
     cells.select(
       col("n_docs"), col("n_11"), col("n_10"), col("n_01"), col("n_00"),
       po.as("po"), pe.as("pe"),
-      round(lit(1e-9) + (po - pe) / (lit(1.0) - pe), 5).as("kappa"))
+      // degenerate-corpus guard: when both labelers are constant the
+      // marginals make pe exactly 1.0 and (po-pe)/(1-pe) is 0/0 — Spark's
+      // Divide yields null while DuckDB may not, so pin kappa to 0.0
+      // (no agreement beyond chance), mirroring q149's jaccard branch
+      when(pe >= 1.0, lit(0.0))
+        .otherwise(round(lit(1e-9) + (po - pe) / (lit(1.0) - pe), 5))
+        .as("kappa"))
   }
 
   val q141Sql: String =
@@ -1620,7 +1626,8 @@ object Curation {
       |      / (n_docs::DOUBLE * n_docs::DOUBLE), 5) AS pe
       |  FROM cells)
       |SELECT n_docs, n_11, n_10, n_01, n_00, po, pe,
-      |  round(1e-9 + (po - pe) / (1.0 - pe), 5) AS kappa
+      |  CASE WHEN pe >= 1.0 THEN 0.0
+      |       ELSE round(1e-9 + (po - pe) / (1.0 - pe), 5) END AS kappa
       |FROM rates""".stripMargin
 
   /** Seeded epoch-shuffle uniformity audit: training order at corpus

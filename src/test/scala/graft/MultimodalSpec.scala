@@ -136,6 +136,14 @@ class MultimodalSpec extends SparkSpec {
     val bpp8 = img.clone(); bpp8(28) = 8
     intercept[IllegalArgumentException] { decoder.decode(rec.copy(media = bpp8)) }
     intercept[IllegalArgumentException] { decoder.decode(rec.copy(media = "P6 1 1 255 xyz".getBytes("US-ASCII"))) }
+    // crafted header whose strideL*h product overflows Long and wraps
+    // NEGATIVE (w=0x7FFFFFFF -> strideL~6.44e9, h=0x60000000): a
+    // product-form bound would pass and attempt a ~1.6-billion-row
+    // materialization; the division-form bound must throw instead
+    val crafted = img.clone()
+    crafted(18) = -1; crafted(19) = -1; crafted(20) = -1; crafted(21) = 0x7f
+    crafted(22) = 0; crafted(23) = 0; crafted(24) = 0; crafted(25) = 0x60
+    intercept[IllegalArgumentException] { decoder.decode(rec.copy(media = crafted)) }
   }
 
   test("BmpDecoder round-trips seeded random images (bottom-up == top-down)") {
