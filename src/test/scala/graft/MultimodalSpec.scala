@@ -281,4 +281,190 @@ class MultimodalSpec extends SparkSpec {
     assert(exactPairs.subsetOf(zero),
       s"missing exact-dup pairs: ${exactPairs -- zero}")
   }
+
+  // ---- PNG: hand-built serializer used by the PngDecoder tests ----
+  // Serializes raw (unfiltered) rows into a spec-compliant PNG, applying
+  // the CHOSEN forward filter per scanline — so a decode must run the
+  // matching inverse filter to round-trip.
+  private object PngWriter {
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val t = typ.getBytes("US-ASCII")
+      crc.update(t); crc.update(payload)
+      be32(payload.length) ++ t ++ payload ++ be32(crc.getValue.toInt)
+    }
+    def colorType(channels: Int): Int = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+    }
+    def write(w: Int, h: Int, channels: Int, rows: Array[Array[Byte]],
+        filters: Array[Int]): Array[Byte] = {
+      val bpp = channels
+      val stride = w * channels
+      val filtered = new java.io.ByteArrayOutputStream()
+      for (r <- 0 until h) {
+        val cur = rows(r); val prev = if (r == 0) null else rows(r - 1)
+        def up(i: Int) = if (prev == null) 0 else prev(i) & 0xff
+        def left(i: Int) = if (i < bpp) 0 else cur(i - bpp) & 0xff
+        def upLeft(i: Int) = if (prev == null || i < bpp) 0 else prev(i - bpp) & 0xff
+        def paeth(i: Int) = {
+          val a = left(i); val b = up(i); val c = upLeft(i)
+          val p = a + b - c
+          val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+          if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        filtered.write(filters(r))
+        for (i <- 0 until stride) {
+          val raw = cur(i) & 0xff
+          val pred = filters(r) match {
+            case 0 => 0
+            case 1 => left(i)
+            case 2 => up(i)
+            case 3 => (left(i) + up(i)) / 2
+            case 4 => paeth(i)
+          }
+          filtered.write((raw - pred) & 0xff)
+        }
+      }
+      val d = new java.util.zip.Deflater()
+      d.setInput(filtered.toByteArray); d.finish()
+      val z = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](512)
+      while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+      d.end()
+      val ihdr = be32(w) ++ be32(h) ++
+        Array[Byte](8, colorType(channels).toByte, 0, 0, 0)
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", ihdr) ++
+        // a skippable ancillary chunk between IHDR and IDAT
+        chunk("tEXt", "k v".getBytes("US-ASCII")) ++
+        chunk("IDAT", z.toByteArray) ++ chunk("IEND", Array.empty[Byte])
+    }
+  }
+
+  private def rowHash(rows: Seq[Array[Byte]]): Long =
+    rows.foldLeft(0L) { (acc, f) =>
+      (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
+    }
+
+  test("PngDecoder inverts all five scanline filters on a hand-built PNG") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val (w, h, ch) = (6, 5, 3)
+    val rows = Array.fill(h) { val r = new Array[Byte](w * ch); rnd.nextBytes(r); r }
+    // one row per filter type: None, Sub, Up, Average, Paeth
+    val img = PngWriter.write(w, h, ch, rows, Array(0, 1, 2, 3, 4))
+    val rec = MediaRecord(21L, img, MediaMeta("png", w, h, img.length.toLong))
+    val decoder = new PngDecoder
+    val feats = decoder.decode(rec)
+    assert(feats.format == "png")
+    assert(feats.nFrames == h)
+    assert(feats.thumbFirstByte == (rows.head(0) & 0xff)) // top-left red
+    assert(feats.checksum == rowHash(rows.toSeq))
+    // same features through the distributed batched mapPartitions path
+    val out = Multimodal.extractFeatures(
+        Seq(rec, rec.copy(id = 22L)).toDS(), decoder, batchSize = 1)
+      .collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(21L, 22L))
+    assert(out.forall(f => f.nFrames == h && f.checksum == feats.checksum))
+  }
+
+  test("PngDecoder round-trips seeded random images across color types") {
+    val rnd = new scala.util.Random(47)
+    val decoder = new PngDecoder
+    for (_ <- 1 to 40) {
+      val w = 1 + rnd.nextInt(9); val h = 1 + rnd.nextInt(9)
+      val ch = 1 + rnd.nextInt(4) // gray / gray+alpha / RGB / RGBA
+      val rows = Array.fill(h) { val r = new Array[Byte](w * ch); rnd.nextBytes(r); r }
+      val filters = Array.fill(h)(rnd.nextInt(5))
+      val img = PngWriter.write(w, h, ch, rows, filters)
+      val feats = decoder.decode(
+        MediaRecord(1L, img, MediaMeta("png", w, h, img.length.toLong)))
+      assert(feats.nFrames == h, s"${w}x$h ch=$ch filters=${filters.toSeq}")
+      assert(feats.checksum == rowHash(rows.toSeq),
+        s"checksum mismatch at ${w}x$h ch=$ch filters=${filters.toSeq}")
+      assert(feats.thumbFirstByte == (rows.head(0) & 0xff))
+    }
+  }
+
+  test("PngDecoder agrees with the JDK's own ImageIO PNG writer") {
+    // independent oracle: javax.imageio (JDK-only) encodes a BufferedImage
+    // to PNG with ITS choice of scanline filters; our decoder must
+    // reconstruct the exact pixel bytes ImageIO was given
+    val rnd = new scala.util.Random(53)
+    val (w, h) = (17, 11)
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, rnd.nextInt(1 << 24))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", bos))
+    val img = bos.toByteArray
+    val rows = (0 until h).map { y =>
+      val r = new Array[Byte](w * 3)
+      for (x <- 0 until w) {
+        val px = bi.getRGB(x, y)
+        r(x * 3) = ((px >> 16) & 0xff).toByte
+        r(x * 3 + 1) = ((px >> 8) & 0xff).toByte
+        r(x * 3 + 2) = (px & 0xff).toByte
+      }
+      r
+    }
+    val feats = (new PngDecoder).decode(
+      MediaRecord(31L, img, MediaMeta("png", w, h, img.length.toLong)))
+    assert(feats.nFrames == h)
+    assert(feats.checksum == rowHash(rows))
+    assert(feats.thumbFirstByte == (rows.head(0) & 0xff))
+  }
+
+  test("PngDecoder rejects malformed payloads with the contractual IAE") {
+    val rnd = new scala.util.Random(59)
+    val (w, h, ch) = (4, 3, 3)
+    val rows = Array.fill(h) { val r = new Array[Byte](w * ch); rnd.nextBytes(r); r }
+    val img = PngWriter.write(w, h, ch, rows, Array(0, 1, 2))
+    val decoder = new PngDecoder
+    val rec = MediaRecord(1L, img, MediaMeta("png", w, h, img.length.toLong))
+    // corrupt a byte inside the IDAT payload -> CRC catches it
+    val corrupted = img.clone()
+    def chunkLen(p: Int): Int =
+      ((img(p) & 0xff) << 24) | ((img(p + 1) & 0xff) << 16) |
+        ((img(p + 2) & 0xff) << 8) | (img(p + 3) & 0xff)
+    val idatOff = {
+      var p = 8
+      while (new String(img, p + 4, 4, "US-ASCII") != "IDAT")
+        p += 12 + chunkLen(p)
+      p
+    }
+    corrupted(idatOff + 8) = (corrupted(idatOff + 8) ^ 0x55).toByte
+    val e1 = intercept[IllegalArgumentException] {
+      decoder.decode(rec.copy(media = corrupted)) }
+    assert(e1.getMessage.contains("CRC"))
+    // truncated payload -> chunk overrun
+    intercept[IllegalArgumentException] {
+      decoder.decode(rec.copy(media = img.dropRight(5))) }
+    // wrong magic
+    intercept[IllegalArgumentException] {
+      decoder.decode(rec.copy(media = "BM000000".getBytes("US-ASCII"))) }
+    // palette color type (3) is unsupported; patch IHDR and re-CRC it
+    val palette = img.clone()
+    palette(8 + 8 + 9) = 3
+    val crc = new java.util.zip.CRC32()
+    crc.update(palette, 12, 4 + 13)
+    System.arraycopy(PngWriter.be32(crc.getValue.toInt), 0, palette, 12 + 4 + 13, 4)
+    val e2 = intercept[IllegalArgumentException] {
+      decoder.decode(rec.copy(media = palette)) }
+    assert(e2.getMessage.contains("color type"))
+    // crafted giant dimensions must throw, not attempt allocation:
+    // w = h = 0x40000000 with a re-CRC'd IHDR
+    val giant = img.clone()
+    System.arraycopy(PngWriter.be32(0x40000000), 0, giant, 16, 4)
+    System.arraycopy(PngWriter.be32(0x40000000), 0, giant, 20, 4)
+    val crc2 = new java.util.zip.CRC32()
+    crc2.update(giant, 12, 4 + 13)
+    System.arraycopy(PngWriter.be32(crc2.getValue.toInt), 0, giant, 12 + 4 + 13, 4)
+    val e3 = intercept[IllegalArgumentException] {
+      decoder.decode(rec.copy(media = giant)) }
+    assert(e3.getMessage.contains("too large"))
+  }
 }
