@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-slope probe: times the most expensive queries at two scale
+  * factors (default sf0.01 vs sf0.1 — 10× the data) and reports the
+  * per-query ratio. A query whose time grows much faster than the data
+  * (slope ≫ 10× on 10× data) has a hidden superlinear term — a pair
+  * blowup, an unblocked join, a collapsing partition — that plan-shape
+  * audits alone can miss. This turns the "would survive 100 TB" claim
+  * from an argument about shapes into a measured slope.
+  *
+  * Interpretation note: small-SF times carry a fixed floor (planning,
+  * codegen, task dispatch — tenths of a second), so healthy sublinear
+  * slopes (≪ 10) are common and expected; the signal is a slope WELL
+  * ABOVE the data ratio. SPARK_GRAFT_SCALE_BAR (default 15) marks the
+  * "investigate" threshold in the artifact.
+  *
+  * Protocol matches Bench: GraftSession, per-dir shared-frame warmup, a
+  * sacrificial untimed head query per dir, best-of-2 with cache-clear
+  * between reps. Queries default to the top SPARK_GRAFT_SCALE_N
+  * (default 10) most expensive rows of the latest BENCH_HISTORY round;
+  * SPARK_GRAFT_SCALE_ONLY=q83,q72 overrides. Writes SCALE_r{N}.json
+  * (N = latest BENCH round) and prints the same JSON line.
+  */
+object ScaleProbe {
+  private def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def main(args: Array[String]): Unit = {
+    val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+    val sfBig = sys.env.getOrElse("SPARK_GRAFT_SF_BIG", "/root/testdata/sf0.1")
+    val bar = sys.env.getOrElse("SPARK_GRAFT_SCALE_BAR", "15").toDouble
+    val topN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "10").toInt
+    val names = pickQueries(topN)
+    require(names.nonEmpty, "no queries selected (history missing and no override)")
+    val spark = GraftSession.prime(GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    val timesSmall = timeAll(spark, sfSmall, names)
+    val timesBig = timeAll(spark, sfBig, names)
+    val round = latestRound()
+    val entries = names.map { n =>
+      val id = n.takeWhile(_ != '_')
+      val (ts, tb) = (timesSmall(n), timesBig(n))
+      val slope = if (ts > 0) tb / ts else -1.0
+      f""""$id":{"t_small":$ts%.3f,"t_big":$tb%.3f,"slope":$slope%.2f}"""
+    }
+    val maxSlope = names.map(n => timesBig(n) / math.max(1e-9, timesSmall(n))).max
+    val line =
+      f"""{"metric":"scale_slope","sf_small":"$sfSmall","sf_big":"$sfBig","data_ratio":10.0,"bar":$bar%.1f,"max_slope":$maxSlope%.2f,"queries":{${entries.mkString(",")}}}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"SCALE_r$round.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
+    println(line)
+    spark.stop()
+  }
+
+  /** Best-of-2 seconds per query at one scale dir — Bench's measurement
+    * contract (warm shared frames untimed, clear cache between reps). */
+  private def timeAll(spark: SparkSession, sfDir: String,
+      names: Seq[String]): Map[String, Double] = {
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    names.headOption.foreach { name =>
+      queries.SharedFrames.warmFor(name, spark, sfDir)
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+    }
+    names.map { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        queries.SharedFrames.warmFor(name, spark, sfDir)
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        sec
+      }
+      val best = math.min(once(), once())
+      System.gc()
+      name -> best
+    }.toMap
+  }
+
+  /** Latest round number present in BENCH_HISTORY.jsonl (0 if absent). */
+  private def latestRound(): Int = try {
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+    if (!java.nio.file.Files.exists(path)) 0
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      java.nio.file.Files.readAllLines(path).asScala
+        .filter(_.nonEmpty).map(om.readTree(_).get("round").asInt)
+        .foldLeft(0)(math.max)
+    }
+  } catch { case scala.util.control.NonFatal(_) => 0 }
+
+  /** Top-N most expensive queries of the latest BENCH_HISTORY round,
+    * mapped back to full names; SPARK_GRAFT_SCALE_ONLY overrides. */
+  private def pickQueries(topN: Int): Seq[String] = {
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
+      case Some(csv) =>
+        val pats = csv.split(",").toSeq
+        all.filter(n => pats.exists(p => n == p || n.startsWith(p + "_")))
+      case None =>
+        import scala.jdk.CollectionConverters._
+        val path = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+        if (!java.nio.file.Files.exists(path)) Seq.empty
+        else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val rows = java.nio.file.Files.readAllLines(path).asScala
+            .filter(_.nonEmpty).map(om.readTree)
+            .map(r => (r.get("round").asInt, r.get("query").asText,
+              r.get("sec").asDouble))
+          val last = rows.map(_._1).foldLeft(0)(math.max)
+          val byId = all.groupBy(_.takeWhile(_ != '_')).view.mapValues(_.head)
+          rows.collect { case (r, q, s) if r == last && s > 0 => (q, s) }
+            .sortBy(-_._2).map(_._1).flatMap(byId.get).distinct.take(topN).toSeq
+        }
+    }
+  }
+}

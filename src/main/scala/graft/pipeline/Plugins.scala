@@ -903,33 +903,21 @@ object Plugins {
     }
   }
 
-  /** Deterministic circular-orbit ground-track model — the synthetic
-    * stand-in for the reference's TLE propagation (trollsched `Pass`,
-    * plugins/__init__.py:851, 880-882): standard ground-track math for a
-    * circular orbit (argument of latitude u = 2π·m/T; sin(track lat) =
-    * sin(incl)·sin(u); track lon = node + atan2(cos(incl)·sin u, cos u)
-    * − ω⊕·m with Earth turning 0.25068°/min under the orbit plane). The
-    * swath footprint is every point within `swathHalfAngleDeg` central
-    * angle of the sub-satellite track, sampled every `stepMin` minutes —
-    * the same model q139's oracle-checked query form pins numerically.
-    * Swapping in real TLE propagation replaces only [[track]]; the
-    * swath test and everything above it stay put. Defaults match a
-    * sun-synchronous LEO imager (and q139's constants). */
-  final case class OrbitModel(inclinationDeg: Double = 98.7,
-      periodMin: Double = 101.0, ascNodeLonDeg: Double = -80.0,
-      swathHalfAngleDeg: Double = 12.0, stepMin: Double = 2.0) {
+  /** Ground-track model behind F5's overpass cut — the reference derives
+    * this from TLE propagation (trollsched `Pass` via pyorbital,
+    * plugins/__init__.py:851, 880-882). The swath footprint is every
+    * point within `swathHalfAngleDeg` central angle of the sub-satellite
+    * track, sampled every `stepMin` minutes; [[track]] is the one
+    * swap-in point between models. Two implementations:
+    * [[CircularOrbit]] (deterministic synthetic, the model q139's
+    * oracle pins) and [[Sgp4Orbit]] (real SGP4/TLE propagation, the
+    * model q150's oracle pins). */
+  trait OrbitModel {
+    def swathHalfAngleDeg: Double
+    def stepMin: Double
     /** (sin(track lat), cos(track lat), track lon°) `m` minutes after
-      * the ascending-node epoch. cos via sqrt(1−sin²) — exact, since
-      * |track lat| ≤ 90°. */
-    def track(m: Double): (Double, Double, Double) = {
-      val u = 2.0 * math.Pi * m / periodMin
-      val inc = math.toRadians(inclinationDeg)
-      val s = math.sin(inc) * math.sin(u)
-      val lon = ascNodeLonDeg +
-        math.toDegrees(math.atan2(math.cos(inc) * math.sin(u), math.cos(u))) -
-        0.25068 * m
-      (s, math.sqrt(1.0 - s * s), lon)
-    }
+      * the model's epoch. */
+    def track(m: Double): (Double, Double, Double)
 
     /** Does the swath cover (lat°, lon°) at any sampled instant within
       * `windowMin` minutes of the epoch? */
@@ -946,6 +934,55 @@ object Plugins {
         m += stepMin
       }
       hit
+    }
+  }
+
+  object OrbitModel {
+    /** Back-compat constructor: the default model is the synthetic
+      * circular orbit (existing configs and q139 keep their numbers). */
+    def apply(inclinationDeg: Double = 98.7,
+        periodMin: Double = 101.0, ascNodeLonDeg: Double = -80.0,
+        swathHalfAngleDeg: Double = 12.0, stepMin: Double = 2.0): CircularOrbit =
+      CircularOrbit(inclinationDeg, periodMin, ascNodeLonDeg,
+        swathHalfAngleDeg, stepMin)
+  }
+
+  /** Deterministic circular-orbit ground track: standard math (argument
+    * of latitude u = 2π·m/T; sin(track lat) = sin(incl)·sin(u); track
+    * lon = node + atan2(cos(incl)·sin u, cos u) − ω⊕·m with Earth
+    * turning 0.25068°/min under the orbit plane). Defaults match a
+    * sun-synchronous LEO imager (and q139's constants). cos via
+    * sqrt(1−sin²) — exact, since |track lat| ≤ 90°. */
+  final case class CircularOrbit(inclinationDeg: Double = 98.7,
+      periodMin: Double = 101.0, ascNodeLonDeg: Double = -80.0,
+      swathHalfAngleDeg: Double = 12.0, stepMin: Double = 2.0)
+      extends OrbitModel {
+    def track(m: Double): (Double, Double, Double) = {
+      val u = 2.0 * math.Pi * m / periodMin
+      val inc = math.toRadians(inclinationDeg)
+      val s = math.sin(inc) * math.sin(u)
+      val lon = ascNodeLonDeg +
+        math.toDegrees(math.atan2(math.cos(inc) * math.sin(u), math.cos(u))) -
+        0.25068 * m
+      (s, math.sqrt(1.0 - s * s), lon)
+    }
+  }
+
+  /** REAL TLE-propagated ground track: [[graft.pipeline.Sgp4]]
+    * (Spacetrack Report #3, verified against its published test vector)
+    * produces the sub-satellite geodetic point at each sample — the same
+    * chain the reference runs through pyorbital's `Orbital`
+    * (plugins/__init__.py:823-846). `windowStartMin` offsets the scene
+    * window from the TLE epoch (a pass rarely starts exactly at the
+    * element set's epoch). */
+  final case class Sgp4Orbit(tle: Tle,
+      swathHalfAngleDeg: Double = 12.0, stepMin: Double = 2.0,
+      windowStartMin: Double = 0.0) extends OrbitModel {
+    @transient private lazy val prop = new Sgp4(tle)
+    def track(m: Double): (Double, Double, Double) = {
+      val (latDeg, lonDeg, _) = prop.subPoint(windowStartMin + m)
+      val rad = math.toRadians(latDeg)
+      (math.sin(rad), math.cos(rad), lonDeg)
     }
   }
 
@@ -1073,8 +1110,10 @@ object Plugins {
     * `check_pass` (:840, 851-856): an item whose config sets
     * `check_pass: true` measures sunlight over only the grid points the
     * satellite OVERPASS actually sees — the reference's
-    * `adp.intersection(ovp)` cut, with [[OrbitModel]] standing in for
-    * TLE propagation (same deterministic orbit q139's oracle pins). The
+    * `adp.intersection(ovp)` cut, with the [[OrbitModel]] trait
+    * supplying the ground track: [[Sgp4Orbit]] for real TLE propagation
+    * (the configuration q150's oracle pins) or [[CircularOrbit]] for
+    * the deterministic synthetic orbit (q139's). The
     * pass window is [start_time, end_time] (falling back to
     * `passWindowMin` when the metadata carries no end time), and an
     * area the pass never touches scores 0.0 exactly like the

@@ -138,12 +138,45 @@ object Curation {
 
   /** q124's Bloom geometry (k = 3 seeded positions, m = 2²⁰ bits):
     * pos = h32("b<seed>_" ∥ h) % m — re-hashes the 32-bit shingle hash,
-    * never the text. Shared with q149. */
+    * never the text. Shared with q149 and the streaming decontam gate. */
   private val bloomM = 1 << 20
   private def bloomPositions(df: DataFrame): DataFrame = df
     .withColumn("seed", explode(sequence(lit(0), lit(2))))
     .withColumn("pos",
       h32(concat(lit("b"), col("seed"), lit("_"), col("h"))) % bloomM)
+
+  /** The occupied-position BITSET of a protected document set's 8-gram
+    * Bloom filter (q124's geometry), materialized as m/64 = 16384 longs
+    * (128 KiB) — the artifact a streaming ingest gate ships to every
+    * executor. Bounded by the plan constant m regardless of how large
+    * the protected set grows (the whole point of q124's design), so the
+    * driver-side collect here is O(m), never O(corpus). */
+  private[graft] def bloomBitsOf(docs: DataFrame,
+      textCol: String = "text"): Array[Long] = {
+    val hashes = docs
+      .select(explode(shingleH32(col(textCol), 8)).as("h")).distinct()
+    val occupied = bloomPositions(hashes).select(col("pos")).distinct()
+      .collect().map(_.getLong(0))
+    val bits = new Array[Long](bloomM / 64)
+    occupied.foreach(p => bits((p >> 6).toInt) |= 1L << (p & 63).toInt)
+    bits
+  }
+
+  /** Row-local Bloom membership of one shingle hash `h` against a bitset
+    * literal (array<long> column, [[bloomBitsOf]]'s layout): member iff
+    * ALL k = 3 seeded positions are occupied — numerically identical to
+    * [[bloomPositions]]'s join form (same "b<seed>_∥h" re-hash, same m),
+    * but a pure codegen expression: zero joins, zero shuffles, zero
+    * stream state. StreamRunnerSpec pins stream-bounced ≡ q124's batch
+    * flagged set on the same split protocol. */
+  private[graft] def bloomMember(h: Column, bits: Column): Column =
+    (0 to 2).map { seed =>
+      val pos = h32(concat(lit("b"), lit(seed), lit("_"), h)) % bloomM
+      call_function("shiftright",
+          element_at(bits, (pos / 64).cast("int") + 1),
+          (pos % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
 
   def q56Contamination(spark: SparkSession, dir: String): DataFrame = {
     // shared 8-gram postings + the doc_id-derived split bucket (narrow)

@@ -676,8 +676,8 @@ object Trollflow {
     * swath = all points within 12° central angle of the sub-satellite
     * track sampled every 2 min across the 90-min scene window. A fixed
     * epoch (the window start derives from the fixture's max event ts)
-    * keeps every number oracle-reproducible; swapping in real TLE
-    * propagation changes only the track-point formula. Per area:
+    * keeps every number oracle-reproducible; q150 is the same query
+    * with the track swapped for real SGP4/TLE propagation. Per area:
     * points in pass, the q45-style whole-area sunlit fraction, and the
     * pass-cut fraction (0.0 when the pass misses the area — at the
     * fixture epoch the track crosses `americas` near the terminator, so
@@ -786,9 +786,142 @@ object Trollflow {
       |GROUP BY area_name
       |ORDER BY area_name""".stripMargin
 
+  /** TLE fixture for q150: a synthetic sun-synchronous imager (incl
+    * 98.7°, ~101.3-min period) with a FIXED epoch 2024-01-30T22:27 UTC —
+    * minutes before the events fixture's last timestamp, so the
+    * propagated pass and the scene window tell one coherent story. The
+    * checksums are valid; Tle.parse validates them. */
+  private[graft] val q150TleLine1 =
+    "1 99999U 24001A   24030.93541667  .00000100  00000-0  10000-3 0  0011"
+  private[graft] val q150TleLine2 =
+    "2 99999  98.7000 120.0000 0011000  90.0000 270.1000 14.21000000  0014"
+
+  /** The SGP4-propagated ground track: 46 sub-satellite points at 2-min
+    * steps across the 90-min scene window, computed ONCE at class init
+    * by [[graft.pipeline.Sgp4]] (the real Spacetrack Report #3
+    * propagator, test-vector-verified in Sgp4Spec) and rounded to 6 dp.
+    * Both the Spark plan and the DuckDB oracle embed THESE values as
+    * literals — the track is pass-schedule configuration (the reference
+    * computes it driver-side from the TLE via pyorbital the same way,
+    * plugins/__init__.py:823-846), so the oracle pins everything
+    * downstream of the propagator while Sgp4Spec pins the propagator
+    * itself against the published STR#3 vector. */
+  private[graft] lazy val q150Track: Seq[(Int, Double, Double)] = {
+    val orb = graft.pipeline.Plugins.Sgp4Orbit(
+      graft.pipeline.Tle.parse(q150TleLine1, q150TleLine2))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    (0 to 45).map { k =>
+      val (s, _, lon) = orb.track(k * 2.0)
+      (k, r6(math.toDegrees(math.asin(s))), r6(lon))
+    }
+  }
+
+  /** F5 with REAL TLE propagation (plugins/__init__.py:823-846 via
+    * pyorbital's `Orbital`): identical query shape to q139 — per area,
+    * the whole-area sunlit fraction and the overpass-cut fraction — but
+    * the overpass footprint comes from [[q150Track]], the SGP4
+    * propagation of [[q150TleLine1]]/[[q150TleLine2]]. At this fixture
+    * epoch the ascending pass crosses `euro` (samples 5-9) and the
+    * descending pass crosses `pacific` near the date line (samples
+    * 26-32), while `americas` is never touched and exercises the
+    * pass-misses-area → 0.0 branch (:886-888).
+    *
+    * Scale: 3 areas × 64 grid points × 46 track samples = 8832 rows from
+    * a broadcast literal, computed once per scene regardless of corpus
+    * size; the only data-sized term is the one-row max(ts) aggregate —
+    * same design as q139. */
+  def q150Sgp4Overpass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val areas = Seq(
+      ("euro", -10.0, 40.0, 35.0, 70.0),
+      ("pacific", 140.0, 180.0, -50.0, 10.0),
+      ("americas", -120.0, -60.0, -30.0, 50.0)
+    ).toDF("area_name", "lon_min", "lon_max", "lat_min", "lat_max")
+    val t0 = Tables.events(spark, dir)
+      .agg((max(col("ts")) - expr("INTERVAL 90 MINUTES")).as("t0"))
+    val track = q150Track.toDF("k", "tlat", "tlon")
+    val pts = areas.crossJoin(broadcast(t0))
+      .withColumn("i", explode(sequence(lit(0), lit(7))))
+      .withColumn("j", explode(sequence(lit(0), lit(7))))
+      .withColumn("plon",
+        col("lon_min") + (col("i") + 0.5) * (col("lon_max") - col("lon_min")) / 8.0)
+      .withColumn("plat",
+        col("lat_min") + (col("j") + 0.5) * (col("lat_max") - col("lat_min")) / 8.0)
+      .withColumn("sunlit",
+        when(szaDeg(col("plat"), col("plon"), col("t0")) < 90.0, 1.0).otherwise(0.0))
+      .crossJoin(broadcast(track))
+      .withColumn("a", degrees(acos(least(lit(1.0), greatest(lit(-1.0),
+        sin(radians(col("plat"))) * sin(radians(col("tlat"))) +
+          cos(radians(col("plat"))) * cos(radians(col("tlat"))) *
+            cos(radians(col("plon") - col("tlon"))))))))
+      .groupBy(col("area_name"), col("plon"), col("plat"), col("sunlit"))
+      .agg(round(lit(1e-9) + min(col("a")), 4).as("min_ang"))
+      .withColumn("in_pass", when(col("min_ang") <= 12.0, 1.0).otherwise(0.0))
+    pts.groupBy(col("area_name"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("in_pass")).cast("long").as("n_in_pass"),
+        round(lit(1e-9) + avg(col("sunlit")), 5).as("area_sunlit_frac"),
+        when(sum(col("in_pass")) > 0,
+          round(lit(1e-9) + sum(col("in_pass") * col("sunlit")) / sum(col("in_pass")), 5))
+          .otherwise(0.0).as("pass_sunlit_frac"))
+      .orderBy(col("area_name"))
+  }
+
+  lazy val q150Sql: String = {
+    val trackValues = q150Track
+      .map { case (k, la, lo) => f"($k, $la%.6f, $lo%.6f)" }
+      .mkString(",\n    ")
+    s"""WITH areas(area_name, lon_min, lon_max, lat_min, lat_max) AS (VALUES
+      |    ('euro', -10.0, 40.0, 35.0, 70.0),
+      |    ('pacific', 140.0, 180.0, -50.0, 10.0),
+      |    ('americas', -120.0, -60.0, -30.0, 50.0)),
+      |track(k, tlat, tlon) AS (VALUES
+      |    $trackValues),
+      |st AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 90 MINUTE AS t0 FROM events),
+      |grid AS (
+      |  SELECT area_name, t0,
+      |    lon_min + (i + 0.5) * (lon_max - lon_min) / 8.0 AS plon,
+      |    lat_min + (j + 0.5) * (lat_max - lat_min) / 8.0 AS plat
+      |  FROM areas CROSS JOIN st, range(0, 8) ti(i), range(0, 8) tj(j)),
+      |sz AS (
+      |  SELECT area_name, plon, plat,
+      |    CASE WHEN degrees(acos(
+      |      sin(radians(plat))
+      |        * sin(radians(-23.44 * cos(radians(360.0/365.0 * (dayofyear(t0)::DOUBLE + 10.0)))))
+      |      + cos(radians(plat))
+      |        * cos(radians(-23.44 * cos(radians(360.0/365.0 * (dayofyear(t0)::DOUBLE + 10.0)))))
+      |        * cos(radians(15.0 * (date_part('hour', t0)::DOUBLE
+      |                              + date_part('minute', t0)::DOUBLE / 60.0
+      |                              + date_part('second', t0)::DOUBLE / 3600.0
+      |                              - 12.0)
+      |                      + plon)))) < 90.0 THEN 1.0 ELSE 0.0 END AS sunlit
+      |  FROM grid),
+      |ang AS (
+      |  SELECT area_name, plon, plat, sunlit,
+      |    degrees(acos(least(1.0, greatest(-1.0,
+      |      sin(radians(plat)) * sin(radians(tlat::DOUBLE))
+      |      + cos(radians(plat)) * cos(radians(tlat::DOUBLE))
+      |        * cos(radians(plon - tlon::DOUBLE)))))) AS a
+      |  FROM sz CROSS JOIN track),
+      |pt AS (
+      |  SELECT area_name, plon, plat, sunlit, round(1e-9 + min(a), 4) AS min_ang
+      |  FROM ang GROUP BY 1, 2, 3, 4)
+      |SELECT area_name, count(*) AS n_points,
+      |  sum(CASE WHEN min_ang <= 12.0 THEN 1 ELSE 0 END)::BIGINT AS n_in_pass,
+      |  round(1e-9 + avg(sunlit), 5) AS area_sunlit_frac,
+      |  CASE WHEN sum(CASE WHEN min_ang <= 12.0 THEN 1.0 ELSE 0.0 END) > 0
+      |    THEN round(1e-9 + sum(CASE WHEN min_ang <= 12.0 THEN sunlit ELSE 0.0 END)
+      |      / sum(CASE WHEN min_ang <= 12.0 THEN 1.0 ELSE 0.0 END), 5)
+      |    ELSE 0.0 END AS pass_sunlit_frac
+      |FROM pt
+      |GROUP BY area_name
+      |ORDER BY area_name""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "q39_block_aggregate" -> (q39BlockAggregate _),
     "q139_overpass_sunlight" -> (q139OverpassSunlight _),
+    "q150_sgp4_overpass" -> (q150Sgp4Overpass _),
     "q40_resample" -> (q40Resample _),
     "q41_valid_fraction" -> (q41ValidFraction _),
     "q42_sza_check" -> (q42SzaCheck _),
@@ -804,6 +937,7 @@ object Trollflow {
   val oracles: Map[String, String] = Map(
     "q39_block_aggregate" -> q39Sql,
     "q139_overpass_sunlight" -> q139Sql,
+    "q150_sgp4_overpass" -> q150Sql,
     "q40_resample" -> q40Sql,
     "q41_valid_fraction" -> q41Sql,
     "q42_sza_check" -> q42Sql,

@@ -254,14 +254,23 @@ object StreamRunner {
   def selfIndexingGate(stream: DataFrame, indexDir: String,
       checkpointDir: String, key: String = "doc_id",
       textCol: String = "text", watermark: String = "2 hours",
-      seedBands: Option[DataFrame] = None)(
+      seedBands: Option[DataFrame] = None,
+      evalBloomBits: Option[Array[Long]] = None)(
       onBatch: DataFrame => Unit): StreamingQuery = {
     val bandSchema = StructType(Seq(
       org.apache.spark.sql.types.StructField("band",
         org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("bfp",
         org.apache.spark.sql.types.LongType)))
-    dedupStream(stream, Seq(key), watermark)
+    // eval-suite decontamination runs FIRST: a document contaminated
+    // against the protected suite must bounce at ingest — before it can
+    // claim a band-group ownership or grow the index ([[decontamGate]],
+    // row-local, stateless)
+    val guarded = evalBloomBits match {
+      case Some(bits) => decontamGate(stream, bits, textCol)
+      case None => stream
+    }
+    dedupStream(guarded, Seq(key), watermark)
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -349,6 +358,30 @@ object StreamRunner {
         ()
       }
       .start()
+  }
+
+  /** Streaming DECONTAMINATION gate — eval-suite protection at ingest:
+    * a streamed document bounces when ANY of its 8-gram shingles is a
+    * member of the protected set's Bloom filter (q124's exact geometry,
+    * [[graft.queries.Curation.bloomBitsOf]] builds the bitset from the
+    * eval suite once at gate setup). The probe is ROW-LOCAL
+    * ([[graft.queries.Curation.bloomMember]] over the row's
+    * `shingle_h32` array, the bitset riding the plan as a 128 KiB
+    * array<long> literal — the broadcast-occupied-set design of q124,
+    * shipped to every executor): zero joins, zero shuffles, zero stream
+    * state, and the admitted set is micro-batch-slicing-independent.
+    * Bloom semantics mean no false negatives — nothing sharing an
+    * 8-gram with the eval suite can slip through — at q124's measured
+    * false-positive rate. Documents with < 8 tokens carry no shingles
+    * and pass (no contamination evidence), exactly like the batch
+    * triad. Compose with [[qualityGate]]/[[selfIndexingGate]] for the
+    * full admission stack. */
+  def decontamGate(stream: DataFrame, evalBloomBits: Array[Long],
+      textCol: String = "text"): DataFrame = {
+    val bits = typedLit(evalBloomBits.toSeq)
+    stream.filter(!exists(
+      graft.functions.TextFns.shingleH32(col(textCol), 8),
+      h => graft.queries.Curation.bloomMember(h, bits)))
   }
 
   /** Streaming quality-admission gate — the second standard stream

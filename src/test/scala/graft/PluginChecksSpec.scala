@@ -162,6 +162,37 @@ class PluginChecksSpec extends SparkSpec {
     assert(noPass.head.settings("area_sunlight_coverage_percent").toDouble == 100.0)
   }
 
+  test("check_pass with SGP4 TLE propagation hits and misses the right areas") {
+    // the q150 fixture TLE: its ascending pass crosses western Europe in
+    // the first ~20 minutes after epoch and never touches the Americas —
+    // the real-propagation version of the synthetic-orbit test above
+    val tle = graft.pipeline.Tle.parse(
+      graft.queries.Trollflow.q150TleLine1,
+      graft.queries.Trollflow.q150TleLine2)
+    val orbit = Sgp4Orbit(tle)
+    // 90-min window starting at the TLE epoch
+    val md = Map("start_time" -> "2024-01-30T22:27:00Z",
+      "end_time" -> "2024-01-30T23:57:00Z")
+    val areas = Map(
+      // crossed by the ascending pass (track samples 5-9) but dark at
+      // 22:27 UTC -> pass-cut sunlight is 0, so a min prunes it
+      "euro" -> AreaBounds(-10.0, 40.0, 35.0, 70.0),
+      // crossed by the descending pass near the date line in daylight
+      "pacific" -> AreaBounds(140.0, 180.0, -50.0, 10.0),
+      // never touched: the pass-misses-area -> 0.0 branch (ref :886-888)
+      "americas" -> AreaBounds(-120.0, -60.0, -30.0, 50.0))
+    def run(area: String, settings: Map[String, String]) =
+      SunlightCoverage(areas, orbit = orbit)(
+        ctxOf(oneProductSpec(settings, area = area), Map.empty, md)).worklist
+    val pacific = run("pacific", Map("sunlight_min" -> "50", "check_pass" -> "true"))
+    assert(pacific.size == 1)
+    assert(pacific.head.settings("area_sunlight_coverage_percent").toDouble == 100.0)
+    assert(run("euro", Map("sunlight_min" -> "50", "check_pass" -> "true")).isEmpty)
+    assert(run("americas", Map("sunlight_min" -> "1", "check_pass" -> "true")).isEmpty)
+    // americas without the pass cut is broadly sunlit and survives
+    assert(run("americas", Map("sunlight_min" -> "50")).size == 1)
+  }
+
   // ------------------------------------------------------- save_datasets
 
   private def saveSpec = oneProductSpec()

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.streaming.StreamRunner
 
@@ -371,6 +372,104 @@ class StreamRunnerSpec extends SparkSpec {
       s"stream admitted ${got.size} != batch ${expected.size}")
     assert(got.nonEmpty && got.size < docs.count(),
       "quality gate should split the fixture non-trivially")
+  }
+
+  test("decontam gate: stream-bounced docs equal q124's batch flagged set") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns.h32
+    val src = Files.createTempDirectory("graft_dc_src")
+    val ckp = Files.createTempDirectory("graft_dc_ckp")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // q124's split protocol: train (bucket < 90) is the protected set the
+    // Bloom is built from; test (bucket >= 95) is what streams in
+    val bucketed = docs.withColumn("bucket",
+      h32(concat(lit("split_"), col("doc_id"))) % 100)
+    val train = bucketed.filter(col("bucket") < 90).drop("bucket")
+    val test = bucketed.filter(col("bucket") >= 95).drop("bucket")
+    val bits = graft.queries.Curation.bloomBitsOf(train)
+    // stream ONLY the test docs through the gate (flat file: the file
+    // source lists the directory, it does not recurse into subdirs)
+    val staging = Files.createTempDirectory("graft_dc_stage")
+    test.coalesce(1).write.mode("overwrite")
+      .parquet(staging.resolve("out").toString)
+    val part = Files.list(staging.resolve("out")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, src.resolve("msg_1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val admitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val stream = StreamRunner.fileStream(spark, src.toString, docs.schema)
+    val q = StreamRunner.decontamGate(stream, bits)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("doc_id").collect().foreach(r => admitted.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val got = { val it = admitted.iterator(); val b = Set.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result() }
+    val streamed = test.select("doc_id").collect().map(_.getLong(0)).toSet
+    val bounced = streamed -- got
+    // THE equivalence: the stream-bounced set IS q124's flagged set on
+    // the same protocol (same Bloom geometry, same split)
+    val flagged = graft.queries.Curation.q124BloomDecontam(spark, sf)
+      .filter(col("contaminated") === 1)
+      .select("test_doc").collect().map(_.getLong(0)).toSet
+    assert(bounced == flagged,
+      s"stream bounced ${bounced.size} != q124 flagged ${flagged.size}; " +
+        s"extra=${(bounced -- flagged).take(5)} missing=${(flagged -- bounced).take(5)}")
+    // the gate must split the fixture non-trivially: q124's exact-hit
+    // docs all bounce (no false negatives), and clean docs pass
+    assert(bounced.nonEmpty && got.nonEmpty,
+      s"degenerate split: bounced=${bounced.size} admitted=${got.size}")
+    val exactHit = graft.queries.Curation.q124BloomDecontam(spark, sf)
+      .filter(col("n_exact") > 0)
+      .select("test_doc").collect().map(_.getLong(0)).toSet
+    assert(exactHit.subsetOf(bounced),
+      "Bloom false negative: an exact-contaminated doc passed the gate")
+  }
+
+  test("self-indexing gate with eval Bloom bounces contaminated docs at ingest") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_sib_src")
+    val ckp = Files.createTempDirectory("graft_sib_ckp")
+    val idx = Files.createTempDirectory("graft_sib_idx").resolve("index").toString
+    // protected eval suite: one known document
+    val evalSuite = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog every single day"))
+      .toDF("doc_id", "text")
+    val bits = graft.queries.Curation.bloomBitsOf(evalSuite)
+    // the stream: one doc sharing an 8-gram with the suite (contaminated),
+    // one clean doc, one short doc (< 8 tokens, no shingles -> passes)
+    val batch = Seq(
+      (1L, "we saw the quick brown fox jumps over the lazy dog yesterday evening"),
+      (2L, "completely unrelated text about distributed query engines and shuffles at scale"),
+      (3L, "too short to shingle"))
+      .toDF("doc_id", "text")
+    val staging = Files.createTempDirectory("graft_sib_stage")
+    batch.coalesce(1).write.mode("overwrite")
+      .parquet(staging.resolve("out").toString)
+    val part = Files.list(staging.resolve("out")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, src.resolve("msg_1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val admitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val stream = StreamRunner.fileStream(spark, src.toString, batch.schema)
+      .withColumn("ts_ns", lit(1700000000000000000L))
+    val q = StreamRunner.selfIndexingGate(stream, idx, ckp.toString,
+        evalBloomBits = Some(bits)) { b =>
+      b.select("doc_id").collect().foreach(r => admitted.add(r.getLong(0)))
+      ()
+    }
+    q.awaitTermination(120000)
+    val got = { val it = admitted.iterator(); val b = Set.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result() }
+    assert(got == Set(2L, 3L),
+      s"expected contaminated doc 1 to bounce at ingest, got admitted=$got")
   }
 
   test("idempotent sink: batch replays write once, partial writes heal") {
