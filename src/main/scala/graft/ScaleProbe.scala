@@ -38,7 +38,9 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val timesSmall = timeAll(spark, sfSmall, names)
     val timesBig = timeAll(spark, sfBig, names)
-    val round = latestRound()
+    // like Bench's appendHistory: this run produces the NEXT round's
+    // artifact (history holds completed rounds)
+    val round = latestRound() + 1
     val entries = names.map { n =>
       val id = n.takeWhile(_ != '_')
       val (ts, tb) = (timesSmall(n), timesBig(n))
@@ -49,7 +51,7 @@ object ScaleProbe {
     val line =
       f"""{"metric":"scale_slope","sf_small":"$sfSmall","sf_big":"$sfBig","data_ratio":10.0,"bar":$bar%.1f,"max_slope":$maxSlope%.2f,"queries":{${entries.mkString(",")}}}"""
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"SCALE_r$round.json"),
+      java.nio.file.Paths.get(f"SCALE_r$round%02d.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }
     println(line)
