@@ -806,15 +806,21 @@ object Trollflow {
     * plugins/__init__.py:823-846), so the oracle pins everything
     * downstream of the propagator while Sgp4Spec pins the propagator
     * itself against the published STR#3 vector. */
-  private[graft] lazy val q150Track: Seq[(Int, Double, Double)] = {
+  /** SGP4 track points of the fixture TLE at 2-min steps, 6-dp rounded —
+    * shared by q150 (46 samples, the scene window) and q151 (720
+    * samples, a 24 h scheduling horizon). */
+  private def sgp4TrackPoints(n: Int): Seq[(Int, Double, Double)] = {
     val orb = graft.pipeline.Plugins.Sgp4Orbit(
       graft.pipeline.Tle.parse(q150TleLine1, q150TleLine2))
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
-    (0 to 45).map { k =>
+    (0 until n).map { k =>
       val (s, _, lon) = orb.track(k * 2.0)
       (k, r6(math.toDegrees(math.asin(s))), r6(lon))
     }
   }
+
+  private[graft] lazy val q150Track: Seq[(Int, Double, Double)] =
+    sgp4TrackPoints(46)
 
   /** F5 with REAL TLE propagation (plugins/__init__.py:823-846 via
     * pyorbital's `Orbital`): identical query shape to q139 — per area,
@@ -918,10 +924,141 @@ object Trollflow {
       |ORDER BY area_name""".stripMargin
   }
 
+  private[graft] lazy val q151Track: Seq[(Int, Double, Double)] =
+    sgp4TrackPoints(720)
+
+  /** Pass-schedule base epoch: the fixture TLE's epoch rounded to the
+    * second, as exact epoch-NANOS (the repo's integer time idiom) —
+    * embedded identically in both engines. */
+  private val q151BaseNs: Long =
+    java.time.Instant.parse("2024-01-30T22:27:00Z").getEpochSecond * 1000000000L
+
+  /** Satellite PASS SCHEDULING — the trollsched face of the reference
+    * (trollsched `Pass` objects feed the `covers` plugin,
+    * plugins/__init__.py:580-684): detect every overpass window of the
+    * fixture TLE over each production area across a 24 h horizon, and
+    * attribute the fixture's events to the window that captured them.
+    *
+    * Shape: [[q151Track]] (720 SGP4 samples at 2-min steps) × the 8×8
+    * area grids → per (area, sample) closest-approach angle (q139's
+    * rounded-min idiom) → in-pass samples (≤ 12°) → contiguous runs via
+    * gaps-and-islands (k − row_number — pure integer arithmetic, both
+    * engines identical) → one row per pass window: [start_min,
+    * end_min) (end covers the last sample's 2-min slot), sample count,
+    * closest approach (max-elevation proxy), and the count of events
+    * with ts_ns inside the window (exact integer nanos).
+    *
+    * Scale: everything upstream of the event attribution is
+    * config-sized (3 areas × 64 points × 720 samples = 138 k rows from
+    * broadcast literals, window partitions ≤ 720 rows); the attribution
+    * is ONE events scan against a broadcast of ≤ dozens of windows —
+    * the only data-sized term, and exactly how a 100 TB telemetry
+    * attribution would run. */
+  def q151PassSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val areas = Seq(
+      ("euro", -10.0, 40.0, 35.0, 70.0),
+      ("pacific", 140.0, 180.0, -50.0, 10.0),
+      ("americas", -120.0, -60.0, -30.0, 50.0)
+    ).toDF("area_name", "lon_min", "lon_max", "lat_min", "lat_max")
+    val track = q151Track.toDF("k", "tlat", "tlon")
+    val ang = areas
+      .withColumn("i", explode(sequence(lit(0), lit(7))))
+      .withColumn("j", explode(sequence(lit(0), lit(7))))
+      .withColumn("plon",
+        col("lon_min") + (col("i") + 0.5) * (col("lon_max") - col("lon_min")) / 8.0)
+      .withColumn("plat",
+        col("lat_min") + (col("j") + 0.5) * (col("lat_max") - col("lat_min")) / 8.0)
+      .crossJoin(broadcast(track))
+      .withColumn("a", degrees(acos(least(lit(1.0), greatest(lit(-1.0),
+        sin(radians(col("plat"))) * sin(radians(col("tlat"))) +
+          cos(radians(col("plat"))) * cos(radians(col("tlat"))) *
+            cos(radians(col("plon") - col("tlon"))))))))
+      .groupBy(col("area_name"), col("k"))
+      .agg(round(lit(1e-9) + min(col("a")), 4).as("min_ang"))
+    val inPass = ang.filter(col("min_ang") <= 12.0)
+    val byArea = Window.partitionBy(col("area_name")).orderBy(col("k"))
+    val runs = inPass
+      .withColumn("grp", col("k") - row_number().over(byArea))
+      .groupBy(col("area_name"), col("grp"))
+      .agg((min(col("k")) * 2).cast("long").as("start_min"),
+        (max(col("k")) * 2 + 2).cast("long").as("end_min"),
+        count(lit(1)).as("n_samples"),
+        min(col("min_ang")).as("closest_deg"))
+    val windows = runs.withColumn("pass_idx",
+      row_number().over(
+        Window.partitionBy(col("area_name")).orderBy(col("start_min")))
+        .cast("long"))
+    val ev = Tables.events(spark, dir).select(col("ts_ns"))
+    val hits = ev.join(broadcast(windows),
+        col("ts_ns") >= lit(q151BaseNs) + col("start_min") * 60000000000L &&
+          col("ts_ns") < lit(q151BaseNs) + col("end_min") * 60000000000L)
+      .groupBy(col("area_name"), col("pass_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    windows.join(hits, Seq("area_name", "pass_idx"), "left")
+      .select(col("area_name"), col("pass_idx"), col("start_min"),
+        col("end_min"), col("n_samples"), col("closest_deg"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("area_name"), col("pass_idx"))
+  }
+
+  lazy val q151Sql: String = {
+    val trackValues = q151Track
+      .map { case (k, la, lo) => f"($k, $la%.6f, $lo%.6f)" }
+      .mkString(",\n    ")
+    s"""WITH areas(area_name, lon_min, lon_max, lat_min, lat_max) AS (VALUES
+      |    ('euro', -10.0, 40.0, 35.0, 70.0),
+      |    ('pacific', 140.0, 180.0, -50.0, 10.0),
+      |    ('americas', -120.0, -60.0, -30.0, 50.0)),
+      |track(k, tlat, tlon) AS (VALUES
+      |    $trackValues),
+      |grid AS (
+      |  SELECT area_name,
+      |    lon_min + (i + 0.5) * (lon_max - lon_min) / 8.0 AS plon,
+      |    lat_min + (j + 0.5) * (lat_max - lat_min) / 8.0 AS plat
+      |  FROM areas, range(0, 8) ti(i), range(0, 8) tj(j)),
+      |ang AS (
+      |  SELECT area_name, k, round(1e-9 + min(degrees(acos(least(1.0, greatest(-1.0,
+      |      sin(radians(plat)) * sin(radians(tlat::DOUBLE))
+      |      + cos(radians(plat)) * cos(radians(tlat::DOUBLE))
+      |        * cos(radians(plon - tlon::DOUBLE))))))), 4) AS min_ang
+      |  FROM grid CROSS JOIN track
+      |  GROUP BY area_name, k),
+      |ip AS (
+      |  SELECT area_name, k, min_ang,
+      |    k - row_number() OVER (PARTITION BY area_name ORDER BY k) AS grp
+      |  FROM ang WHERE min_ang <= 12.0),
+      |runs AS (
+      |  SELECT area_name, grp,
+      |    (min(k) * 2)::BIGINT AS start_min,
+      |    (max(k) * 2 + 2)::BIGINT AS end_min,
+      |    count(*) AS n_samples,
+      |    min(min_ang) AS closest_deg
+      |  FROM ip GROUP BY area_name, grp),
+      |win AS (
+      |  SELECT area_name, start_min, end_min, n_samples, closest_deg,
+      |    row_number() OVER (PARTITION BY area_name ORDER BY start_min)::BIGINT AS pass_idx
+      |  FROM runs),
+      |hits AS (
+      |  SELECT w.area_name, w.pass_idx, count(*) AS n_events
+      |  FROM events e JOIN win w
+      |    ON epoch_ns(CAST(e.ts AS TIMESTAMP)) >= $q151BaseNs + w.start_min * 60000000000
+      |   AND epoch_ns(CAST(e.ts AS TIMESTAMP)) < $q151BaseNs + w.end_min * 60000000000
+      |  GROUP BY w.area_name, w.pass_idx)
+      |SELECT win.area_name, win.pass_idx, win.start_min, win.end_min,
+      |  win.n_samples, win.closest_deg,
+      |  coalesce(hits.n_events, 0) AS n_events
+      |FROM win LEFT JOIN hits
+      |  ON win.area_name = hits.area_name AND win.pass_idx = hits.pass_idx
+      |ORDER BY win.area_name, win.pass_idx""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "q39_block_aggregate" -> (q39BlockAggregate _),
     "q139_overpass_sunlight" -> (q139OverpassSunlight _),
     "q150_sgp4_overpass" -> (q150Sgp4Overpass _),
+    "q151_pass_schedule" -> (q151PassSchedule _),
     "q40_resample" -> (q40Resample _),
     "q41_valid_fraction" -> (q41ValidFraction _),
     "q42_sza_check" -> (q42SzaCheck _),
@@ -938,6 +1075,7 @@ object Trollflow {
     "q39_block_aggregate" -> q39Sql,
     "q139_overpass_sunlight" -> q139Sql,
     "q150_sgp4_overpass" -> q150Sql,
+    "q151_pass_schedule" -> q151Sql,
     "q40_resample" -> q40Sql,
     "q41_valid_fraction" -> q41Sql,
     "q42_sza_check" -> q42Sql,
