@@ -390,6 +390,20 @@ object Multimodal {
     }
   }
 
+  /** Format-dispatched decoder selection — the call-site convenience a
+    * mixed-format corpus needs: REAL decoders for every format this
+    * library decodes without a codec (ppm, bmp, wav, png), the
+    * deterministic [[FakeDecoder]] for genuinely-unavailable lossy
+    * codecs (jpeg, mp3, mp4, ...). Case-insensitive on the metadata
+    * format tag. */
+  def decoderFor(format: String): MediaDecoder = format.toLowerCase match {
+    case "ppm" => new PpmDecoder
+    case "bmp" => new BmpDecoder
+    case "wav" => new WavDecoder()
+    case "png" => new PngDecoder
+    case _ => new FakeDecoder()
+  }
+
   /** Fixed-stride frame sampling over an opaque payload — the byte-level
     * skeleton of video frame extraction. Pure, allocation-light. */
   def sampleFrames(bytes: Array[Byte], stride: Int, frameLen: Int): Seq[Array[Byte]] = {

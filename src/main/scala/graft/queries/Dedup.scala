@@ -1733,6 +1733,75 @@ object Dedup {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Boilerplate-segment REMOVAL — the C4/RefinedWeb line rule at the
+    * corpus grain: a segment (same CDC paragraph grain as q137, which on
+    * real web text is a line/paragraph) whose document frequency reaches
+    * `df ≥ 3` is boilerplate (navigation chrome, legal footers, cookie
+    * banners) and EVERY instance is removed — unlike [[q137ParagraphDedup]],
+    * which keeps the first occurrence of every duplicated paragraph.
+    * The two compose in a real pipeline: boilerplate removal first
+    * (content that should exist zero times), then paragraph dedup
+    * (content that should exist once). Per source: segment instances,
+    * boilerplate instances removed, distinct boilerplate shapes,
+    * documents touched, and the removed fraction.
+    *
+    * Scale design: df is a map-side-combinable two-phase distinct count
+    * per segment hash; the instance join back is ph-keyed 1:N
+    * (AQE-skew-splittable — the hottest boilerplate key is exactly the
+    * skew case, and no window ever partitions by ph); output is one row
+    * per source. Same cost shape as q137, one extra ph-grain agg. */
+  def q152BoilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val inst = paraInstances(spark, dir)
+    val dfreq = inst.groupBy(col("ph"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val flagged = dfreq.filter(col("df") >= 3).select(col("ph"))
+    val marked = inst.join(flagged.withColumn("boiler", lit(1)), Seq("ph"), "left")
+      .withColumn("boiler", coalesce(col("boiler"), lit(0)))
+    marked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("boiler")).cast("long").as("n_removed"),
+        countDistinct(when(col("boiler") === 1, col("ph"))).as("n_shapes"),
+        countDistinct(when(col("boiler") === 1, col("doc_id"))).as("n_docs_touched"))
+      .withColumn("removed_pct",
+        round(lit(1e-9) + col("n_removed").cast("double") / col("n_segments"), 4))
+      .orderBy(col("source"))
+  }
+
+  val q152Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, source, i, toks[i] AS tk,
+      |    CASE WHEN i >= 3 AND
+      |      ('0x' || substr(md5(array_to_string(toks[i-2:i], ' ')), 1, 8))::BIGINT % 16 = 0
+      |      THEN 1 ELSE 0 END AS bnd
+      |  FROM tok, unnest(range(1, len(toks) + 1)) AS u(i)),
+      |p AS (
+      |  SELECT doc_id, source, i, tk,
+      |    coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pid
+      |  FROM t),
+      |paras AS (
+      |  SELECT doc_id, source, pid,
+      |    ('0x' || substr(md5(string_agg(tk, ' ' ORDER BY i)), 1, 8))::BIGINT AS ph
+      |  FROM p GROUP BY 1, 2, 3),
+      |dfreq AS (
+      |  SELECT ph, count(DISTINCT doc_id) AS df FROM paras GROUP BY ph),
+      |m AS (
+      |  SELECT paras.source, paras.doc_id, paras.ph,
+      |    CASE WHEN dfreq.df >= 3 THEN 1 ELSE 0 END AS boiler
+      |  FROM paras JOIN dfreq USING (ph))
+      |SELECT source, count(*) AS n_segments,
+      |  sum(boiler)::BIGINT AS n_removed,
+      |  count(DISTINCT CASE WHEN boiler = 1 THEN ph END) AS n_shapes,
+      |  count(DISTINCT CASE WHEN boiler = 1 THEN doc_id END) AS n_docs_touched,
+      |  round(1e-9 + sum(boiler)::DOUBLE / count(*), 4) AS removed_pct
+      |FROM m
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** Jaccard threshold sweep — the tuning companion to q29: before a
     * corpus-wide dedup run commits to a similarity cutoff, sweep the
     * FULL candidate-pair Jaccard distribution (every pair sharing ≥ 1
@@ -1809,6 +1878,7 @@ object Dedup {
     "q121_winnowing" -> (q121Winnowing _),
     "q143_jaccard_sweep" -> (q143JaccardSweep _),
     "q137_paragraph_dedup" -> (q137ParagraphDedup _),
+    "q152_boilerplate_removal" -> (q152BoilerplateRemoval _),
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
     "q30_minhash_lsh" -> (q30MinhashLsh _),
@@ -1835,6 +1905,7 @@ object Dedup {
     "q121_winnowing" -> q121Sql,
     "q143_jaccard_sweep" -> q143Sql,
     "q137_paragraph_dedup" -> q137Sql,
+    "q152_boilerplate_removal" -> q152Sql,
     "q28_exact_dedup" -> q28Sql,
     "q29_ngram_jaccard" -> q29Sql,
     "q30_minhash_lsh" -> q30Sql,

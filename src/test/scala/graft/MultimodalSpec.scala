@@ -418,6 +418,15 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.thumbFirstByte == (rows.head(0) & 0xff))
   }
 
+  test("decoderFor dispatches real decoders by format tag, FakeDecoder for lossy codecs") {
+    assert(Multimodal.decoderFor("ppm").isInstanceOf[PpmDecoder])
+    assert(Multimodal.decoderFor("BMP").isInstanceOf[BmpDecoder])
+    assert(Multimodal.decoderFor("wav").isInstanceOf[WavDecoder])
+    assert(Multimodal.decoderFor("png").isInstanceOf[PngDecoder])
+    assert(Multimodal.decoderFor("jpeg").isInstanceOf[FakeDecoder])
+    assert(Multimodal.decoderFor("mp4").isInstanceOf[FakeDecoder])
+  }
+
   test("PngDecoder rejects malformed payloads with the contractual IAE") {
     val rnd = new scala.util.Random(59)
     val (w, h, ch) = (4, 3, 3)
