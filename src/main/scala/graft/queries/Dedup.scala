@@ -219,6 +219,80 @@ object Dedup {
       |WHERE round(1e-9 + CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) >= 0.6
       |ORDER BY da, db""".stripMargin
 
+  /** Asymmetric CONTAINMENT dedup (Broder's resemblance/containment
+    * split): C = |A∩B| / |A| for the pair's smaller-shingle-set doc — a
+    * short document wholly embedded in a longer one (article + wrapper
+    * chrome, quote-with-commentary, elongated replica) scores near 1.0
+    * here while its Jaccard stays LOW because the union is dominated by
+    * the container. The output keeps jac beside containment so the rows
+    * Jaccard-at-0.6 would miss are visible; direction is reported as
+    * (contained, container), ties on shingle count broken by doc_id.
+    *
+    * Scale design: identical cost shape to q29 — the df-capped postings
+    * self-join is the dominant term and is shared (same equi-join, same
+    * candidate set); containment adds only the per-pair least/greatest
+    * projection. No new shuffles, no windows. */
+  def q153Containment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = cappedShPostings(spark, dir)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
+      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
+    pairs
+      .withColumn("contained",
+        when(col("na") < col("nb") ||
+          (col("na") === col("nb") && col("da") < col("db")), col("da"))
+          .otherwise(col("db")))
+      .withColumn("container",
+        when(col("contained") === col("da"), col("db")).otherwise(col("da")))
+      .withColumn("n_small", least(col("na"), col("nb")))
+      .withColumn("n_big", greatest(col("na"), col("nb")))
+      .withColumn("containment",
+        round(lit(1e-9) + col("inter").cast("double") / col("n_small"), 5))
+      .withColumn("jac",
+        round(lit(1e-9) + col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 5))
+      .filter(col("containment") >= 0.8)
+      .select(col("contained"), col("container"), col("inter"),
+        col("n_small"), col("n_big"), col("containment"), col("jac"))
+      .orderBy(col("contained"), col("container"))
+  }
+
+  val q153Sql: String =
+    s"""WITH $shPostingsSql,
+      |nd AS (SELECT count(*) AS ndocs FROM documents),
+      |hot AS (
+      |  SELECT h FROM sh CROSS JOIN nd
+      |  GROUP BY h, ndocs
+      |  HAVING count(*) * 100 > greatest(2500, ndocs)),
+      |shc AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sized AS (
+      |  SELECT da, db, inter, ca.n_sh AS na, cb.n_sh AS nb
+      |  FROM pairs
+      |  JOIN cnt ca ON ca.doc_id = da
+      |  JOIN cnt cb ON cb.doc_id = db),
+      |oriented AS (
+      |  SELECT
+      |    CASE WHEN na < nb OR (na = nb AND da < db) THEN da ELSE db END AS contained,
+      |    CASE WHEN na < nb OR (na = nb AND da < db) THEN db ELSE da END AS container,
+      |    inter, least(na, nb) AS n_small, greatest(na, nb) AS n_big,
+      |    round(1e-9 + CAST(inter AS DOUBLE) / least(na, nb), 5) AS containment,
+      |    round(1e-9 + CAST(inter AS DOUBLE) / (na + nb - inter), 5) AS jac
+      |  FROM sized)
+      |SELECT contained, container, inter, n_small, n_big, containment, jac
+      |FROM oriented
+      |WHERE containment >= 0.8
+      |ORDER BY contained, container""".stripMargin
+
   /** MinHash + LSH: 16-permutation signature over shingle hashes, 4 bands
     * of 4 rows, bucket-join on (band, band fingerprint) for candidates,
     * exact Jaccard verification of candidates only. This is the 100 TB
@@ -1881,6 +1955,7 @@ object Dedup {
     "q152_boilerplate_removal" -> (q152BoilerplateRemoval _),
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
+    "q153_containment" -> (q153Containment _),
     "q30_minhash_lsh" -> (q30MinhashLsh _),
     "q31_simhash" -> (q31Simhash _),
     "q32_embedding_neardup" -> (q32EmbeddingNeardup _),
@@ -1905,6 +1980,7 @@ object Dedup {
     "q121_winnowing" -> q121Sql,
     "q143_jaccard_sweep" -> q143Sql,
     "q137_paragraph_dedup" -> q137Sql,
+    "q153_containment" -> q153Sql,
     "q152_boilerplate_removal" -> q152Sql,
     "q28_exact_dedup" -> q28Sql,
     "q29_ngram_jaccard" -> q29Sql,
