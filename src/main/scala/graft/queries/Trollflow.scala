@@ -996,7 +996,7 @@ object Trollflow {
           col("ts_ns") < lit(q151BaseNs) + col("end_min") * 60000000000L)
       .groupBy(col("area_name"), col("pass_idx"))
       .agg(count(lit(1)).as("n_events"))
-    windows.join(hits, Seq("area_name", "pass_idx"), "left")
+    windows.join(broadcast(hits), Seq("area_name", "pass_idx"), "left")
       .select(col("area_name"), col("pass_idx"), col("start_min"),
         col("end_min"), col("n_samples"), col("closest_deg"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))

@@ -736,6 +736,33 @@ class PlanAuditSpec extends SparkSpec {
       s"q145 must be one map-side-combined agg:\n$p")
   }
 
+  test("q152 boilerplate removal: no ph-partitioned window, equi-joins only") {
+    val p = plan("q152_boilerplate_removal")
+    assert(!p.contains("Window ["),
+      "q152 must not window-partition by segment hash (hot-key pile-up)")
+    assert(!p.contains("CartesianProduct"), "q152 must never cross-join")
+    assert(p.contains("partial_count"),
+      "q152's df count must partial-aggregate map-side")
+  }
+
+  test("q153 containment: rides the shared capped postings, no window") {
+    val p = plan("q153_containment")
+    assert(p.contains("InMemoryTableScan"),
+      "q153 must read the session-shared capped postings cache")
+    assert(!p.contains("CartesianProduct"), "q153 must never cross-join")
+    assert(!p.contains("Window ["), "q153 must not use a window")
+  }
+
+  test("q151 pass schedule: events scan prunes to ts_ns, windows broadcast") {
+    val p = plan("q151_pass_schedule")
+    // the only data-sized term: events joined against the broadcast
+    // window table — never a shuffle-join of events by window key
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "q151's event attribution must broadcast the window table")
+    assert(!p.contains("SortMergeJoin"),
+      "q151 must not shuffle the events table against config-sized windows")
+  }
+
   test("q143 sweep: rides the shared capped postings, no cartesian") {
     val p = plan("q143_jaccard_sweep")
     assert(p.contains("InMemoryTableScan"),
