@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   *
   * Decoders: [[PpmDecoder]] (binary PPM/P6), [[BmpDecoder]]
   * (uncompressed 24-bit BMP), [[WavDecoder]] (RIFF WAVE integer PCM),
-  * and [[PngDecoder]] (zlib-compressed PNG — the JDK's `Inflater` plus
-  * the five scanline filters, no codec library needed) are REAL
-  * decoders. Only genuinely-unavailable LOSSY codecs (JPEG/MP3/video)
-  * fall back to [[FakeDecoder]], which stands in with deterministic
-  * pseudo-features from the bytes.
+  * [[PngDecoder]] (zlib-compressed PNG — the JDK's `Inflater` plus the
+  * five scanline filters), and [[GifDecoder]] (LZW-compressed GIF
+  * 87a/89a incl. interlace) are REAL decoders — every LOSSLESS format
+  * here decodes without a codec library. Only genuinely-unavailable
+  * LOSSY codecs (JPEG/MP3/video) fall back to [[FakeDecoder]], which
+  * stands in with deterministic pseudo-features from the bytes;
+  * [[decoderFor]] dispatches on the metadata format tag.
   * All run behind the same [[MediaDecoder]] contract, so swapping in a
   * real codec is a one-line change at the call site; nothing else moves.
   */
@@ -390,6 +392,176 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for GIF (87a/89a, non-interlaced, first frame) — the
+    * fourth codec-library-free image format: LZW decompression (Welch
+    * 1984; the GIF89a spec's variable-code-width LSB-first variant) is
+    * ~60 lines of table-walking, everything else is byte arithmetic.
+    * Layout per the spec: 6-byte signature, logical screen descriptor
+    * (+ optional global color table), then blocks — 0x21 extensions
+    * (skipped via their length-prefixed sub-block chains), 0x2C image
+    * descriptor (+ optional local color table) followed by the LZW
+    * minimum code size and the compressed index stream in sub-blocks,
+    * 0x3B trailer. The FIRST image block is decoded (animated GIFs'
+    * later frames are composition state, not raster); GIF's four-pass
+    * interlacing is supported (it's pure row reordering — the JDK's own
+    * writer emits interlaced files).
+    *
+    * Features mirror the other image decoders: each pixel row is one
+    * "frame" as RGB bytes through the active color table, `nFrames` =
+    * image height, same rolling row hash, thumbnail byte = top-left
+    * pixel's red channel. Malformed payloads (bad signature, truncated
+    * blocks, code overflow, missing color table) throw
+    * `IllegalArgumentException` per-record. */
+  final class GifDecoder extends MediaDecoder {
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    override def decode(rec: MediaRecord): MediaFeatures = {
+      val b = rec.media
+      require(b.length >= 13, s"not a GIF payload (len=${b.length})")
+      val sig = new String(b, 0, 6, "US-ASCII")
+      require(sig == "GIF87a" || sig == "GIF89a", s"bad GIF signature '$sig'")
+      var pos = 6
+      val packed = b(pos + 4) & 0xff
+      val gctSize = if ((packed & 0x80) != 0) 2 << (packed & 7) else 0
+      pos += 7
+      val gct = pos
+      require(pos + 3 * gctSize <= b.length, "truncated global color table")
+      pos += 3 * gctSize
+      // walk blocks to the first image descriptor
+      var imgAt = -1
+      while (imgAt < 0) {
+        require(pos < b.length, "no image block before end of payload")
+        (b(pos) & 0xff) match {
+          case 0x2c => imgAt = pos
+          case 0x21 => // extension: label byte then length-prefixed sub-blocks
+            pos += 2
+            while ({ require(pos < b.length, "truncated extension")
+              val n = b(pos) & 0xff; pos += 1 + n; n != 0 }) ()
+          case 0x3b => throw new IllegalArgumentException("trailer before any image")
+          case x => throw new IllegalArgumentException(
+            s"unknown block 0x${x.toHexString} at $pos")
+        }
+      }
+      pos = imgAt + 1
+      require(pos + 9 <= b.length, "truncated image descriptor")
+      val w = u16(b, pos + 4); val h = u16(b, pos + 6)
+      val ipacked = b(pos + 8) & 0xff
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      val interlaced = (ipacked & 0x40) != 0
+      require(w.toLong * h <= (Int.MaxValue - 8) / 3, s"raster ${w}x$h too large")
+      pos += 9
+      val lctSize = if ((ipacked & 0x80) != 0) 2 << (ipacked & 7) else 0
+      val ct = if (lctSize > 0) pos else gct
+      val ctSize = if (lctSize > 0) lctSize else gctSize
+      require(ctSize > 0, "no color table (global absent, local absent)")
+      if (lctSize > 0) {
+        require(pos + 3 * lctSize <= b.length, "truncated local color table")
+        pos += 3 * lctSize
+      }
+      require(pos < b.length, "missing LZW minimum code size")
+      val minCode = b(pos) & 0xff; pos += 1
+      require(minCode >= 2 && minCode <= 8, s"LZW min code size $minCode out of [2,8]")
+      // concatenate the image data sub-blocks
+      val data = new java.io.ByteArrayOutputStream()
+      while ({ require(pos < b.length, "truncated image data")
+        val n = b(pos) & 0xff
+        require(pos + 1 + n <= b.length, s"image sub-block at $pos overruns")
+        data.write(b, pos + 1, n); pos += 1 + n; n != 0 }) ()
+      val indices = lzwDecode(minCode, data.toByteArray, w * h)
+      // interlace (GIF89a appendix E): stored rows come in four passes —
+      // every 8th from 0, every 8th from 4, every 4th from 2, every 2nd
+      // from 1 — so storedOf(visual row) inverts that order
+      val storedOf: Int => Int =
+        if (!interlaced) identity
+        else {
+          val order = Seq(0 until h by 8, 4 until h by 8,
+            2 until h by 4, 1 until h by 2).flatten
+          val inv = new Array[Int](h)
+          order.zipWithIndex.foreach { case (visual, stored) => inv(visual) = stored }
+          inv
+        }
+      // palette-map each VISUAL row to RGB
+      val rows = (0 until h).map { vr =>
+        val r = storedOf(vr)
+        val out = new Array[Byte](w * 3)
+        var x = 0
+        while (x < w) {
+          val idx = indices(r * w + x) & 0xff
+          require(idx < ctSize, s"pixel index $idx outside color table ($ctSize)")
+          out(x * 3) = b(ct + 3 * idx)
+          out(x * 3 + 1) = b(ct + 3 * idx + 1)
+          out(x * 3 + 2) = b(ct + 3 * idx + 2)
+          x += 1
+        }
+        out
+      }
+      val checksum = rows.foldLeft(0L) { (acc, f) =>
+        (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
+      }
+      MediaFeatures(rec.id, "gif", h, checksum, rows.head(0) & 0xff)
+    }
+
+    /** GIF-variant LZW: variable code width starting at minCode+1,
+      * LSB-first bit packing, clear/end control codes, 12-bit cap. */
+    private def lzwDecode(minCode: Int, data: Array[Byte], npix: Int): Array[Byte] = {
+      val clear = 1 << minCode
+      val endCode = clear + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      var dictSize = endCode + 1
+      var codeSize = minCode + 1
+      java.util.Arrays.fill(prefix, -1)
+      for (i <- 0 until clear) suffix(i) = i.toByte
+      val out = new Array[Byte](npix)
+      var outPos = 0
+      var bitPos = 0
+      var prev = -1
+      val stack = new Array[Byte](4096)
+      def firstOf(code: Int): Byte = {
+        var c = code
+        while (prefix(c) >= 0) c = prefix(c)
+        suffix(c)
+      }
+      while (outPos < npix) {
+        // read `codeSize` bits LSB-first
+        require(bitPos + codeSize <= data.length * 8,
+          s"LZW stream exhausted at $outPos of $npix pixels")
+        var code = 0
+        var i = 0
+        while (i < codeSize) {
+          val bp = bitPos + i
+          if ((data(bp >> 3) >> (bp & 7) & 1) != 0) code |= 1 << i
+          i += 1
+        }
+        bitPos += codeSize
+        if (code == clear) {
+          dictSize = endCode + 1; codeSize = minCode + 1; prev = -1
+        } else if (code == endCode) {
+          require(outPos == npix, s"end code after $outPos of $npix pixels")
+        } else {
+          require(code < dictSize || (code == dictSize && prev >= 0),
+            s"LZW code $code beyond dictionary ($dictSize)")
+          // expand: the KwKwK case (code == dictSize) is prev + first(prev)
+          var sp = 0
+          if (code == dictSize) { stack(sp) = firstOf(prev); sp += 1 }
+          var c = if (code == dictSize) prev else code
+          while (c >= 0) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+          require(outPos + sp <= npix, s"LZW output overruns raster at $outPos")
+          while (sp > 0) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+          if (prev >= 0 && dictSize < 4096) {
+            prefix(dictSize) = prev
+            suffix(dictSize) = firstOf(code)
+            dictSize += 1
+            if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = code
+        }
+      }
+      out
+    }
+  }
+
   /** Format-dispatched decoder selection — the call-site convenience a
     * mixed-format corpus needs: REAL decoders for every format this
     * library decodes without a codec (ppm, bmp, wav, png), the
@@ -401,6 +573,7 @@ object Multimodal {
     case "bmp" => new BmpDecoder
     case "wav" => new WavDecoder()
     case "png" => new PngDecoder
+    case "gif" => new GifDecoder
     case _ => new FakeDecoder()
   }
 

@@ -418,11 +418,89 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.thumbFirstByte == (rows.head(0) & 0xff))
   }
 
+  test("GifDecoder agrees with the JDK's own ImageIO GIF writer") {
+    import spark.implicits._
+    // independent oracle: javax.imageio encodes an indexed BufferedImage
+    // to GIF with ITS palette and LZW stream; our decoder must
+    // reconstruct the exact RGB pixels
+    val rnd = new scala.util.Random(61)
+    val (w, h) = (23, 13)
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, rnd.nextInt(1 << 24))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", bos))
+    val img = bos.toByteArray
+    val rows = (0 until h).map { y =>
+      val r = new Array[Byte](w * 3)
+      for (x <- 0 until w) {
+        val px = bi.getRGB(x, y) // palette-quantized RGB — what the GIF stores
+        r(x * 3) = ((px >> 16) & 0xff).toByte
+        r(x * 3 + 1) = ((px >> 8) & 0xff).toByte
+        r(x * 3 + 2) = (px & 0xff).toByte
+      }
+      r
+    }
+    val expected = rows.foldLeft(0L) { (acc, f) =>
+      (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
+    }
+    val decoder = new GifDecoder
+    val rec = MediaRecord(41L, img, MediaMeta("gif", w, h, img.length.toLong))
+    val feats = decoder.decode(rec)
+    assert(feats.format == "gif")
+    assert(feats.nFrames == h)
+    assert(feats.checksum == expected)
+    assert(feats.thumbFirstByte == (rows.head(0) & 0xff))
+    // same features through the distributed batched mapPartitions path
+    val out = Multimodal.extractFeatures(
+        Seq(rec, rec.copy(id = 42L)).toDS(), decoder, batchSize = 1)
+      .collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(41L, 42L))
+    assert(out.forall(f => f.nFrames == h && f.checksum == expected))
+    // a grayscale image exercises a different writer palette path. NOTE:
+    // TYPE_BYTE_GRAY.getRGB runs a linear-gray -> sRGB conversion, so
+    // the pre-write pixels are NOT what the GIF palette stores — compare
+    // against the JDK's own GIF DECODER on the same bytes instead
+    val gray = new java.awt.image.BufferedImage(
+      9, 7, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 7; x <- 0 until 9) {
+      val v = rnd.nextInt(256); gray.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val gos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "gif", gos))
+    val gbytes = gos.toByteArray
+    val gfeats = decoder.decode(rec.copy(media = gbytes))
+    val gback = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gbytes))
+    val gexp = (0 until 7).map { y =>
+      val r = new Array[Byte](9 * 3)
+      for (x <- 0 until 9) {
+        val px = gback.getRGB(x, y)
+        r(x * 3) = ((px >> 16) & 0xff).toByte
+        r(x * 3 + 1) = ((px >> 8) & 0xff).toByte
+        r(x * 3 + 2) = (px & 0xff).toByte
+      }
+      r
+    }.foldLeft(0L) { (acc, f) =>
+      (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
+    }
+    assert(gfeats.checksum == gexp)
+    // malformed payloads: wrong magic, truncated data, truncated header
+    intercept[IllegalArgumentException] {
+      decoder.decode(rec.copy(media = "NOTAGIF!89a".getBytes("US-ASCII"))) }
+    intercept[IllegalArgumentException] {
+      decoder.decode(rec.copy(media = img.dropRight(8))) }
+    intercept[IllegalArgumentException] {
+      decoder.decode(rec.copy(media = img.take(10))) }
+  }
+
   test("decoderFor dispatches real decoders by format tag, FakeDecoder for lossy codecs") {
     assert(Multimodal.decoderFor("ppm").isInstanceOf[PpmDecoder])
     assert(Multimodal.decoderFor("BMP").isInstanceOf[BmpDecoder])
     assert(Multimodal.decoderFor("wav").isInstanceOf[WavDecoder])
     assert(Multimodal.decoderFor("png").isInstanceOf[PngDecoder])
+    assert(Multimodal.decoderFor("gif").isInstanceOf[GifDecoder])
     assert(Multimodal.decoderFor("jpeg").isInstanceOf[FakeDecoder])
     assert(Multimodal.decoderFor("mp4").isInstanceOf[FakeDecoder])
   }
