@@ -219,80 +219,6 @@ object Dedup {
       |WHERE round(1e-9 + CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter), 5) >= 0.6
       |ORDER BY da, db""".stripMargin
 
-  /** Asymmetric CONTAINMENT dedup (Broder's resemblance/containment
-    * split): C = |A∩B| / |A| for the pair's smaller-shingle-set doc — a
-    * short document wholly embedded in a longer one (article + wrapper
-    * chrome, quote-with-commentary, elongated replica) scores near 1.0
-    * here while its Jaccard stays LOW because the union is dominated by
-    * the container. The output keeps jac beside containment so the rows
-    * Jaccard-at-0.6 would miss are visible; direction is reported as
-    * (contained, container), ties on shingle count broken by doc_id.
-    *
-    * Scale design: identical cost shape to q29 — the df-capped postings
-    * self-join is the dominant term and is shared (same equi-join, same
-    * candidate set); containment adds only the per-pair least/greatest
-    * projection. No new shuffles, no windows. */
-  def q153Containment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShPostings(spark, dir)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
-      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
-    pairs
-      .withColumn("contained",
-        when(col("na") < col("nb") ||
-          (col("na") === col("nb") && col("da") < col("db")), col("da"))
-          .otherwise(col("db")))
-      .withColumn("container",
-        when(col("contained") === col("da"), col("db")).otherwise(col("da")))
-      .withColumn("n_small", least(col("na"), col("nb")))
-      .withColumn("n_big", greatest(col("na"), col("nb")))
-      .withColumn("containment",
-        round(lit(1e-9) + col("inter").cast("double") / col("n_small"), 5))
-      .withColumn("jac",
-        round(lit(1e-9) + col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 5))
-      .filter(col("containment") >= 0.8)
-      .select(col("contained"), col("container"), col("inter"),
-        col("n_small"), col("n_big"), col("containment"), col("jac"))
-      .orderBy(col("contained"), col("container"))
-  }
-
-  val q153Sql: String =
-    s"""WITH $shPostingsSql,
-      |nd AS (SELECT count(*) AS ndocs FROM documents),
-      |hot AS (
-      |  SELECT h FROM sh CROSS JOIN nd
-      |  GROUP BY h, ndocs
-      |  HAVING count(*) * 100 > greatest(2500, ndocs)),
-      |shc AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
-      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
-      |pairs AS (
-      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-      |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |sized AS (
-      |  SELECT da, db, inter, ca.n_sh AS na, cb.n_sh AS nb
-      |  FROM pairs
-      |  JOIN cnt ca ON ca.doc_id = da
-      |  JOIN cnt cb ON cb.doc_id = db),
-      |oriented AS (
-      |  SELECT
-      |    CASE WHEN na < nb OR (na = nb AND da < db) THEN da ELSE db END AS contained,
-      |    CASE WHEN na < nb OR (na = nb AND da < db) THEN db ELSE da END AS container,
-      |    inter, least(na, nb) AS n_small, greatest(na, nb) AS n_big,
-      |    round(1e-9 + CAST(inter AS DOUBLE) / least(na, nb), 5) AS containment,
-      |    round(1e-9 + CAST(inter AS DOUBLE) / (na + nb - inter), 5) AS jac
-      |  FROM sized)
-      |SELECT contained, container, inter, n_small, n_big, containment, jac
-      |FROM oriented
-      |WHERE containment >= 0.8
-      |ORDER BY contained, container""".stripMargin
-
   /** MinHash + LSH: 16-permutation signature over shingle hashes, 4 bands
     * of 4 rows, bucket-join on (band, band fingerprint) for candidates,
     * exact Jaccard verification of candidates only. This is the 100 TB
@@ -700,6 +626,86 @@ object Dedup {
       |    (a, k) -> (a * 131 + k % 1000000007) % 1000000007) AS members_fp
       |FROM walk
       |GROUP BY comp
+      |ORDER BY cluster_rep""".stripMargin
+
+  /** Duplicate-cluster REPRESENTATIVE SELECTION by quality — the policy
+    * upgrade over "keep the min doc_id": q60/q138's canonical choice is
+    * the smallest id in each cluster, but a production pipeline keeps
+    * the member the quality model scores HIGHEST (the cleanest copy of
+    * boilerplate-wrapped or truncated near-duplicates). Per cluster
+    * ([[dupLabels]]'s components): size, the naive min-id choice, the
+    * argmax-quality choice (q24's exact 0.3/0.3/0.4 blend — ONE shared
+    * definition, ties broken by smaller doc_id), and whether the two
+    * policies disagree — the rows where switching policy changes the
+    * corpus.
+    *
+    * Determinism: quality is the 5-dp-rounded shared blend, so the
+    * argmax is an exact equality join against the cluster max — no
+    * argmax_by with unspecified tie-breaks in either engine.
+    *
+    * Scale design: quality is a row-local projection; the cluster max
+    * is a map-side-combinable agg over the bounded labels table; the
+    * tie-break is a (comp, quality)-keyed equi-join back. No windows,
+    * no pair blowup — everything is cluster-grain. */
+  def q153ClusterRepresentative(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).as("word_chars"),
+        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"))
+      .select(col("doc_id"), TextAnalysis.qualityCol.as("quality"))
+    val members = dupLabels(spark, dir)
+      .join(quality, col("doc_id") === col("id"))
+      .select(col("comp"), col("id"), col("quality"))
+    val stats = members.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("id")).as("min_doc"),
+        max(col("quality")).as("best_quality"))
+    val best = members
+      .join(stats.select(col("comp"), col("best_quality").as("quality")),
+        Seq("comp", "quality"))
+      .groupBy(col("comp")).agg(min(col("id")).as("best_doc"))
+    stats.join(best, Seq("comp"))
+      .select(col("comp").as("cluster_rep"), col("n_docs"), col("min_doc"),
+        col("best_doc"), col("best_quality"),
+        (col("best_doc") =!= col("min_doc")).cast("int")
+          .as("quality_beats_minid"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  val q153Sql: String =
+    s"""WITH $dupWalkSql,
+      |feat AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_words,
+      |    length(replace(text, ' ', '')) AS word_chars,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> list_contains(['the', 'a', 'data', 'value'], t))) AS n_stop
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id,
+      |    round(1e-9 + 0.3 * least(1.0, CAST(n_words AS DOUBLE) / 100.0)
+      |        + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_words)
+      |        + 0.4 * least(1.0, (CAST(word_chars AS DOUBLE) / n_words) / 8.0),
+      |      5) AS quality
+      |  FROM feat),
+      |m AS (
+      |  SELECT walk.comp, walk.id, q.quality
+      |  FROM walk JOIN q ON q.doc_id = walk.id),
+      |s AS (
+      |  SELECT comp, count(*) AS n_docs, min(id) AS min_doc,
+      |    max(quality) AS best_quality
+      |  FROM m GROUP BY comp),
+      |b AS (
+      |  SELECT m.comp, min(m.id) AS best_doc
+      |  FROM m JOIN s ON m.comp = s.comp AND m.quality = s.best_quality
+      |  GROUP BY m.comp)
+      |SELECT s.comp AS cluster_rep, s.n_docs, s.min_doc, b.best_doc,
+      |  s.best_quality,
+      |  (b.best_doc <> s.min_doc)::INT AS quality_beats_minid
+      |FROM s JOIN b ON s.comp = b.comp
       |ORDER BY cluster_rep""".stripMargin
 
   /** Per-source curation funnel — the one-table dashboard of how much
@@ -1955,7 +1961,7 @@ object Dedup {
     "q152_boilerplate_removal" -> (q152BoilerplateRemoval _),
     "q28_exact_dedup" -> (q28ExactDedup _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
-    "q153_containment" -> (q153Containment _),
+    "q153_cluster_representative" -> (q153ClusterRepresentative _),
     "q30_minhash_lsh" -> (q30MinhashLsh _),
     "q31_simhash" -> (q31Simhash _),
     "q32_embedding_neardup" -> (q32EmbeddingNeardup _),
@@ -1980,7 +1986,7 @@ object Dedup {
     "q121_winnowing" -> q121Sql,
     "q143_jaccard_sweep" -> q143Sql,
     "q137_paragraph_dedup" -> q137Sql,
-    "q153_containment" -> q153Sql,
+    "q153_cluster_representative" -> q153Sql,
     "q152_boilerplate_removal" -> q152Sql,
     "q28_exact_dedup" -> q28Sql,
     "q29_ngram_jaccard" -> q29Sql,

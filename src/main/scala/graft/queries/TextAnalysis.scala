@@ -18,7 +18,7 @@ import graft.functions.TextFns._
 object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
-  private val stopwords = Seq("the", "a", "data", "value")
+  private[queries] val stopwords = Seq("the", "a", "data", "value")
 
   /** Token counting: whitespace tokens + a BPE-ish subword count (maximal
     * runs of ≤4 letters — deterministic proxy for a subword tokenizer),

@@ -745,12 +745,11 @@ class PlanAuditSpec extends SparkSpec {
       "q152's df count must partial-aggregate map-side")
   }
 
-  test("q153 containment: rides the shared capped postings, no window") {
-    val p = plan("q153_containment")
-    assert(p.contains("InMemoryTableScan"),
-      "q153 must read the session-shared capped postings cache")
+  test("q153 cluster representative: cluster-grain aggs, no pair blowup") {
+    val p = plan("q153_cluster_representative")
     assert(!p.contains("CartesianProduct"), "q153 must never cross-join")
-    assert(!p.contains("Window ["), "q153 must not use a window")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "q153's cluster stats must partial-aggregate map-side")
   }
 
   test("q151 pass schedule: events scan prunes to ts_ns, windows broadcast") {
