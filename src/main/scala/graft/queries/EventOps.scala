@@ -267,6 +267,81 @@ object EventOps {
       |GROUP BY 1
       |ORDER BY last_op""".stripMargin
 
+  /** SCD2 dimension build — turn the per-user event CHANGELOG into
+    * type-2 slowly-changing-dimension rows: consecutive same-state
+    * events (state = event_type) compress to one VERSION with
+    * `[valid_from_ns, valid_to_ns)` validity, `valid_to_ns` = the next
+    * version's start (−1 for the open current version). This is the
+    * standard warehouse transform for point-in-time joins — [[q20]]'s
+    * as-of join probes exactly the table this query builds; q79 keeps
+    * only the LAST state, this keeps the full versioned history.
+    *
+    * Determinism: ordering is (ts_ns, event_id) — the repo's exact
+    * integer-nanos event order; version numbers are running sums of
+    * state-change markers, identical window arithmetic in both engines.
+    *
+    * Scale design: both windows partition by user_id — state bounded by
+    * one user's events, never corpus-wide; the version compression is a
+    * (user, ver)-grain agg with map-side partials. The output is the
+    * dimension table itself (O(state changes), ≤ events). */
+  def q154Scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val versioned = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("ver", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = versioned
+      .groupBy(col("user_id"), col("ver"), col("event_type").as("state"))
+      .agg(min(col("ts_ns")).as("valid_from_ns"),
+        count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("ver"))
+    intervals
+      .withColumn("valid_to_ns",
+        coalesce(lead(col("valid_from_ns"), 1).over(wv), lit(-1L)))
+      .withColumn("is_current", (col("valid_to_ns") === -1L).cast("int"))
+      .select(col("user_id"), col("ver"), col("state"),
+        col("valid_from_ns"), col("valid_to_ns"), col("n_events"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("ver"))
+  }
+
+  val q154Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, ts_ns, event_type,
+      |    CASE WHEN lag(event_type) OVER
+      |        (PARTITION BY user_id ORDER BY ts_ns, event_id) IS NULL
+      |      OR lag(event_type) OVER
+      |        (PARTITION BY user_id ORDER BY ts_ns, event_id) <> event_type
+      |      THEN 1 ELSE 0 END AS chg,
+      |    event_id
+      |  FROM e),
+      |versioned AS (
+      |  SELECT user_id, ts_ns, event_type,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+      |  FROM marked),
+      |intervals AS (
+      |  SELECT user_id, ver, event_type AS state,
+      |    min(ts_ns) AS valid_from_ns, count(*) AS n_events
+      |  FROM versioned GROUP BY 1, 2, 3)
+      |SELECT user_id, ver, state, valid_from_ns,
+      |  coalesce(lead(valid_from_ns) OVER
+      |    (PARTITION BY user_id ORDER BY ver), -1) AS valid_to_ns,
+      |  n_events,
+      |  CASE WHEN coalesce(lead(valid_from_ns) OVER
+      |    (PARTITION BY user_id ORDER BY ver), -1) = -1 THEN 1 ELSE 0 END
+      |    AS is_current
+      |FROM intervals
+      |ORDER BY user_id, ver""".stripMargin
+
   /** Time-grid gap-fill: regularize the per-user event stream onto a dense
     * hourly grid (72 hours from the corpus start) and forward-fill each
     * user's last observed value across silent hours — the resample+ffill
@@ -550,6 +625,7 @@ object EventOps {
     "q47_funnel" -> (q47Funnel _),
     "q48_interval_join" -> (q48IntervalJoin _),
     "q79_changelog_compact" -> (q79ChangelogCompact _),
+    "q154_scd2_intervals" -> (q154Scd2Intervals _),
     "q82_gap_fill" -> (q82GapFill _),
     "q85_rolling_actives" -> (q85RollingActives _),
     "q90_retention_cohorts" -> (q90RetentionCohorts _),
@@ -567,6 +643,7 @@ object EventOps {
     "q47_funnel" -> q47Sql,
     "q48_interval_join" -> q48Sql,
     "q79_changelog_compact" -> q79Sql,
+    "q154_scd2_intervals" -> q154Sql,
     "q82_gap_fill" -> q82Sql,
     "q85_rolling_actives" -> q85Sql,
     "q90_retention_cohorts" -> q90Sql,
