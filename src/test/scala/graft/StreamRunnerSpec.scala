@@ -472,6 +472,76 @@ class StreamRunnerSpec extends SparkSpec {
       s"expected contaminated doc 1 to bounce at ingest, got admitted=$got")
   }
 
+  test("full ingest stack: quality -> eval Bloom -> self-indexing LSH -> exactly-once sink") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_stack_src")
+    val ckp = Files.createTempDirectory("graft_stack_ckp")
+    val idx = Files.createTempDirectory("graft_stack_idx").resolve("index").toString
+    val out = Files.createTempDirectory("graft_stack_out").resolve("clean").toString
+    // the protected eval suite
+    val evalSuite = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog every single day"))
+      .toDF("doc_id", "text")
+    val bits = graft.queries.Curation.bloomBitsOf(evalSuite)
+    def stage(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_stack_tmp_$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.resolve("o").toString)
+      val part = Files.list(tmp.resolve("o")).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // batch 0: 1 = eval-contaminated (good quality — it must die on the
+    // BLOOM, not the quality gate); 2 = clean + good quality; 3 = low
+    // quality (no stopwords, short); 4 = intra-batch near-dup of 2
+    // (same text, bigger key -> loses band ownership); 5 = clean unique
+    val goodA = "the data value a is the data value of a cluster the data value"
+    val goodB = "a table stores the data value rows while the data value columns stay a mystery"
+    stage(Seq(
+      1L -> "we saw the quick brown fox jumps over the lazy dog near a big data value meadow",
+      2L -> goodA,
+      3L -> "zzzz qqqq wwww xxxx yyyy gggg hhhh jjjj",
+      4L -> goodA,
+      5L -> goodB), "msg_1")
+    // batch 1: 2 replayed (exact gate), 6 = near-dup of 5 under a NEW
+    // key (only the GROWN index can bounce it), 7 = clean unique
+    stage(Seq(
+      2L -> goodA,
+      6L -> goodB,
+      7L -> "the final clean document keeps a data value and the data value again safely"),
+      "msg_2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = StreamRunner.fileStream(spark, src.toString, schema)
+      .withColumn("ts_ns", lit(1700000000000000000L))
+    val sink = StreamRunner.idempotentBatchSink(out) _
+    val nextId = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamRunner.selfIndexingGate(
+        StreamRunner.qualityGate(stream), idx, ckp.toString,
+        evalBloomBits = Some(bits)) { admitted =>
+      // micro-batches are strictly sequential: the counter tracks the id
+      sink(admitted.select("doc_id", "text"), nextId.getAndIncrement())
+    }
+    q.awaitTermination(180000)
+    val landed = spark.read.parquet(out)
+    val byBatch = landed.select(col("batch_id").cast("long"), col("doc_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(byBatch == Map(0L -> Set(2L, 5L), 1L -> Set(7L)),
+      s"ingest stack admitted the wrong docs per batch: $byBatch")
+    // and the quality gate really was the thing that killed doc 3
+    // (it is NOT contaminated and NOT a near-dup)
+    val p3 = Seq(3L -> "zzzz qqqq wwww xxxx yyyy gggg hhhh jjjj")
+      .toDF("doc_id", "text")
+      .select(graft.queries.Curation.registryCols(col("text"))("p").as("p"))
+      .collect().head.getDouble(0)
+    assert(p3 < 0.5, s"doc 3 should fail the quality gate, p=$p3")
+  }
+
   test("idempotent sink: batch replays write once, partial writes heal") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
