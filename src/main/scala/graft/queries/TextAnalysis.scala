@@ -414,6 +414,100 @@ object TextAnalysis {
       |SELECT pair, n, rk FROM ranked WHERE rk <= 20
       |ORDER BY rk""".stripMargin
 
+  /** BPE vocabulary-induction LOOP — q66 ranks the FIRST merge's
+    * candidates; this runs the actual training iteration three rounds
+    * deep: count adjacent symbol pairs weighted by word frequency, adopt
+    * the most frequent pair (ties lexicographic) as a new symbol, apply
+    * it non-overlapping left-to-right to the whole vocabulary, repeat.
+    * Output: the three learned merges in order with their winning
+    * weighted counts — the head of the merges.txt a real BPE trainer
+    * emits.
+    *
+    * Encoding trick for cross-engine merge parity: a word's symbol
+    * sequence is the string `_c1_ _c2_ ..._` (each symbol wrapped in
+    * underscores, single-space separated — the fixture alphabet has no
+    * underscores), so "apply merge (x, y)" is plain
+    * `replace(w, "_x_ _y_", "_xy_")`, and both engines' replace is
+    * left-to-right non-overlapping with identical results even for the
+    * aaa/aa overlap case (the consumed wrapper makes a re-match
+    * impossible).
+    *
+    * Scale design: each round runs over the DISTINCT vocabulary (|V|
+    * rows, frequency-weighted) — never corpus rows — exactly how
+    * production BPE trainers amortize; the adopted pair is a 1-row
+    * driver decision per round (the loop is inherently sequential,
+    * like [[graft.operators.ConnectedComponents]]' rounds), and the
+    * per-round pass is one map-side-combined pair aggregation. */
+  def q155BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v0 = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit("_"),
+        array_join(transform(sequence(lit(1), length(col("tok"))),
+          i => col("tok").substr(i, lit(1))), "_ _"),
+        lit("_")).as("w"), col("freq"))
+    var v = v0
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rnd <- 1 to 3) {
+      val toksCol = split(col("w"), " ")
+      val pairs = v.select(col("freq"),
+        explode(when(size(toksCol) >= 2,
+          transform(sequence(lit(0), size(toksCol) - 2),
+            i => concat(element_at(toksCol, i + 1), lit(" "),
+              element_at(toksCol, i + 2))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      val top = pairs.groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1).collect()(0)
+      val pat = top.getString(0)
+      val merged = pat.replace("_ _", "")
+      merges += ((rnd, pat, merged, top.getLong(1)))
+      v = v.select(
+        call_function("replace", col("w"), lit(pat), lit(merged)).as("w"),
+        col("freq"))
+    }
+    merges.result().toDF("round", "pattern", "merged", "n")
+      .orderBy(col("round"))
+  }
+
+  val q155Sql: String = {
+    def pairsOf(src: String, out: String): String =
+      s"""$out AS (
+         |  SELECT toks[i] || ' ' || toks[i+1] AS pair, sum(freq)::BIGINT AS n
+         |  FROM (SELECT string_split(w, ' ') AS toks, freq FROM $src),
+         |    unnest(range(1, len(toks))) AS u(i)
+         |  GROUP BY 1)""".stripMargin
+    def argmax(src: String, out: String): String =
+      s"$out AS (SELECT pair, n FROM $src ORDER BY n DESC, pair LIMIT 1)"
+    def applied(vsrc: String, msrc: String, out: String): String =
+      s"""$out AS (
+         |  SELECT replace($vsrc.w, $msrc.pair, replace($msrc.pair, '_ _', '')) AS w, freq
+         |  FROM $vsrc CROSS JOIN $msrc)""".stripMargin
+    s"""WITH w0 AS (
+      |  SELECT tok, count(*) AS freq FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+      |    FROM documents) GROUP BY 1),
+      |v0 AS (
+      |  SELECT '_' || array_to_string(
+      |      list_transform(range(1, len(tok) + 1), i -> tok[i]), '_ _') || '_' AS w,
+      |    freq
+      |  FROM w0),
+      |${pairsOf("v0", "p1")},
+      |${argmax("p1", "m1")},
+      |${applied("v0", "m1", "v1")},
+      |${pairsOf("v1", "p2")},
+      |${argmax("p2", "m2")},
+      |${applied("v1", "m2", "v2")},
+      |${pairsOf("v2", "p3")},
+      |${argmax("p3", "m3")}
+      |SELECT 1 AS round, pair AS pattern, replace(pair, '_ _', '') AS merged, n FROM m1
+      |UNION ALL
+      |SELECT 2, pair, replace(pair, '_ _', ''), n FROM m2
+      |UNION ALL
+      |SELECT 3, pair, replace(pair, '_ _', ''), n FROM m3
+      |ORDER BY round""".stripMargin
+  }
+
   /** Corpus-frequency boilerplate masking (the CCNet/C4 "remove lines
     * shared across many pages" pass, at token-bigram granularity since
     * the fixture has no line structure): a bigram present in more than 5%
@@ -1254,6 +1348,7 @@ object TextAnalysis {
     "q61_lm_score" -> (q61LmScore _),
     "q64_kmv_sketch" -> (q64KmvSketch _),
     "q66_bpe_first_merge" -> (q66BpeFirstMerge _),
+    "q155_bpe_merges" -> (q155BpeMerges _),
     "q71_boilerplate" -> (q71Boilerplate _),
     "q72_tfidf" -> (q72Tfidf _),
     "q74_vocab_coverage" -> (q74VocabCoverage _),
@@ -1280,6 +1375,7 @@ object TextAnalysis {
     "q61_lm_score" -> q61Sql,
     "q64_kmv_sketch" -> q64Sql,
     "q66_bpe_first_merge" -> q66Sql,
+    "q155_bpe_merges" -> q155Sql,
     "q71_boilerplate" -> q71Sql,
     "q72_tfidf" -> q72Sql,
     "q74_vocab_coverage" -> q74Sql,
