@@ -307,7 +307,10 @@ object Bench {
     * under "errors" (omitted when everything passed). */
   private def jsonLine(sfDir: String,
       results: Seq[(String, Either[String, Double])]): String = {
-    def f(v: Double): String = "%.2f".format(v)
+    // Locale.ROOT: the default-locale formatter renders comma decimals
+    // on e.g. de_DE JVMs, producing an unparseable contract line
+    def f(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val shortIds = results.map(_._1.takeWhile(_ != '_'))
     require(shortIds.distinct.size == shortIds.size,
       s"duplicate qNN bench keys would silently drop timings: " +

@@ -19,9 +19,10 @@ import org.apache.spark.sql.SparkSession
   * Protocol matches Bench: GraftSession, per-dir shared-frame warmup, a
   * sacrificial untimed head query per dir, best-of-2 with cache-clear
   * between reps. Queries default to the top SPARK_GRAFT_SCALE_N
-  * (default 10) most expensive rows of the latest BENCH_HISTORY round;
+  * (default 20) most expensive rows of the latest BENCH_HISTORY round;
   * SPARK_GRAFT_SCALE_ONLY=q83,q72 overrides. Writes SCALE_r{N}.json
-  * (N = latest BENCH round) and prints the same JSON line.
+  * (N = latest BENCH round + 1 — the round in progress, matching
+  * Bench's appendHistory convention) and prints the same JSON line.
   */
 object ScaleProbe {
   private def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,7 +31,7 @@ object ScaleProbe {
     val sfSmall = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
     val sfBig = sys.env.getOrElse("SPARK_GRAFT_SF_BIG", "/root/testdata/sf0.1")
     val bar = sys.env.getOrElse("SPARK_GRAFT_SCALE_BAR", "15").toDouble
-    val topN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "10").toInt
+    val topN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "20").toInt
     val names = pickQueries(topN)
     require(names.nonEmpty, "no queries selected (history missing and no override)")
     val spark = GraftSession.prime(GraftSession.configure(
@@ -45,11 +46,15 @@ object ScaleProbe {
       val id = n.takeWhile(_ != '_')
       val (ts, tb) = (timesSmall(n), timesBig(n))
       val slope = if (ts > 0) tb / ts else -1.0
-      f""""$id":{"t_small":$ts%.3f,"t_big":$tb%.3f,"slope":$slope%.2f}"""
+      String.format(java.util.Locale.ROOT,
+        """"%s":{"t_small":%.3f,"t_big":%.3f,"slope":%.2f}""",
+        id, Double.box(ts), Double.box(tb), Double.box(slope))
     }
     val maxSlope = names.map(n => timesBig(n) / math.max(1e-9, timesSmall(n))).max
-    val line =
-      f"""{"metric":"scale_slope","sf_small":"$sfSmall","sf_big":"$sfBig","data_ratio":10.0,"bar":$bar%.1f,"max_slope":$maxSlope%.2f,"queries":{${entries.mkString(",")}}}"""
+    val line = String.format(java.util.Locale.ROOT,
+      """{"metric":"scale_slope","sf_small":"%s","sf_big":"%s","data_ratio":10.0,"bar":%.1f,"max_slope":%.2f,"queries":{%s}}""",
+      sfSmall, sfBig, Double.box(bar), Double.box(maxSlope),
+      entries.mkString(","))
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(f"SCALE_r$round%02d.json"),
       (line + "\n").getBytes("UTF-8"))

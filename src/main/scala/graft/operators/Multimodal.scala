@@ -332,6 +332,13 @@ object Multimodal {
       require(seenIend, "missing IEND chunk")
       val stride = w * channels
       val expected = (stride + 1) * h
+      // allocation bound BEFORE the buffer: zlib's maximum expansion is
+      // 1032:1, so a tiny payload whose valid-CRC IHDR claims a huge
+      // raster must throw here instead of OOMing the executor on the
+      // allocation below (the BMP decoder's crafted-header contract)
+      require(expected <= idat.size.toLong * 1032 + 64,
+        s"raster $expected bytes exceeds what the ${idat.size}-byte " +
+          "IDAT stream could inflate")
       val raw = new Array[Byte](expected)
       val inf = new java.util.zip.Inflater()
       try {
@@ -392,7 +399,7 @@ object Multimodal {
     }
   }
 
-  /** REAL decoder for GIF (87a/89a, non-interlaced, first frame) — the
+  /** REAL decoder for GIF (87a/89a, first frame, incl. interlace) — the
     * fourth codec-library-free image format: LZW decompression (Welch
     * 1984; the GIF89a spec's variable-code-width LSB-first variant) is
     * ~60 lines of table-walking, everything else is byte arithmetic.
@@ -507,6 +514,14 @@ object Multimodal {
     private def lzwDecode(minCode: Int, data: Array[Byte], npix: Int): Array[Byte] = {
       val clear = 1 << minCode
       val endCode = clear + 1
+      // allocation bound BEFORE the buffer: n codes can emit at most
+      // n·(n+3)/2 symbols (each code extends the longest expansion by
+      // one), so a tiny payload whose descriptor claims a huge raster
+      // must throw instead of OOMing on the allocation below
+      val maxCodes = data.length.toLong * 8 / (minCode + 1) + 1
+      require(npix <= maxCodes * (maxCodes + 3) / 2,
+        s"raster $npix pixels exceeds what the ${data.length}-byte " +
+          "LZW stream could decode")
       val prefix = new Array[Int](4096)
       val suffix = new Array[Byte](4096)
       var dictSize = endCode + 1
@@ -564,7 +579,7 @@ object Multimodal {
 
   /** Format-dispatched decoder selection — the call-site convenience a
     * mixed-format corpus needs: REAL decoders for every format this
-    * library decodes without a codec (ppm, bmp, wav, png), the
+    * library decodes without a codec (ppm, bmp, wav, png, gif), the
     * deterministic [[FakeDecoder]] for genuinely-unavailable lossy
     * codecs (jpeg, mp3, mp4, ...). Case-insensitive on the metadata
     * format tag. */

@@ -919,15 +919,23 @@ object Plugins {
       * the model's epoch. */
     def track(m: Double): (Double, Double, Double)
 
-    /** Does the swath cover (lat°, lon°) at any sampled instant within
-      * `windowMin` minutes of the epoch? */
-    def inSwath(latDeg: Double, lonDeg: Double, windowMin: Double): Boolean = {
+    /** The ABSOLUTE instant `track(0)` corresponds to, when the model
+      * has one: [[Sgp4Orbit]]'s TLE pins it, so a consumer can align a
+      * scene window's wall-clock start to the right orbit segment.
+      * [[CircularOrbit]] has no absolute epoch — its track is DEFINED
+      * to start at the scene window (None). */
+    def epoch: Option[Instant] = None
+
+    /** Does the swath cover (lat°, lon°) at any sampled instant in
+      * `[baseMin, baseMin + windowMin]` minutes after the model epoch? */
+    def inSwath(latDeg: Double, lonDeg: Double, windowMin: Double,
+        baseMin: Double = 0.0): Boolean = {
       val sp = math.sin(math.toRadians(latDeg))
       val cp = math.cos(math.toRadians(latDeg))
       var m = 0.0
       var hit = false
       while (!hit && m <= windowMin + 1e-9) {
-        val (s, c, tl) = track(m)
+        val (s, c, tl) = track(baseMin + m)
         val dot = math.min(1.0, math.max(-1.0,
           sp * s + cp * c * math.cos(math.toRadians(lonDeg - tl))))
         hit = math.toDegrees(math.acos(dot)) <= swathHalfAngleDeg
@@ -979,6 +987,8 @@ object Plugins {
       swathHalfAngleDeg: Double = 12.0, stepMin: Double = 2.0,
       windowStartMin: Double = 0.0) extends OrbitModel {
     @transient private lazy val prop = new Sgp4(tle)
+    override def epoch: Option[Instant] = Some(
+      tle.epoch.plusNanos(math.round(windowStartMin * 60.0 * 1e9)))
     def track(m: Double): (Double, Double, Double) = {
       val (latDeg, lonDeg, _) = prop.subPoint(windowStartMin + m)
       val rad = math.toRadians(latDeg)
@@ -1138,6 +1148,16 @@ object Plugins {
           val windowMin = ctx.metadata.get(endTimeKey).map(Instant.parse)
             .map(e => math.max(0.0, java.time.Duration.between(t, e).toSeconds / 60.0))
             .getOrElse(passWindowMin)
+          // align the scene window to the orbit: a model with an
+          // ABSOLUTE epoch (Sgp4Orbit's TLE) must be sampled at the
+          // window's offset from that epoch, not from track minute 0 —
+          // otherwise a scene starting hours after the element set
+          // would score sunlight against the wrong orbit segment. The
+          // synthetic CircularOrbit has no epoch (its track is defined
+          // to start at the window), so its base stays 0.
+          val baseMin = orbit.epoch
+            .map(e => java.time.Duration.between(e, t).toSeconds / 60.0)
+            .getOrElse(0.0)
           val memo = scala.collection.mutable.Map.empty[(String, Boolean), Double]
           def sunlitPct(a: String, checkPass: Boolean): Double =
             memo.getOrElseUpdate((a, checkPass), {
@@ -1148,7 +1168,8 @@ object Plugins {
                 (lat, lon)
               }
               val cut = if (checkPass)
-                pts.filter { case (lat, lon) => orbit.inSwath(lat, lon, windowMin) }
+                pts.filter { case (lat, lon) =>
+                  orbit.inSwath(lat, lon, windowMin, baseMin) }
               else pts
               if (cut.isEmpty) 0.0 // pass misses the area (ref :886-888)
               else 100.0 * cut.count { case (lat, lon) =>

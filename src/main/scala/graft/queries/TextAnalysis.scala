@@ -440,6 +440,11 @@ object TextAnalysis {
     * per-round pass is one map-side-combined pair aggregation. */
   def q155BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // persisted: each round's 1-row driver decision is an action, and
+    // without the cache every round would re-run the corpus tokenize +
+    // groupBy plus all prior replaces from scratch — the vocab is |V|
+    // rows, exactly the thing worth keeping hot (same pattern as
+    // Dedup.dupLabelsCompute)
     val v0 = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
@@ -447,6 +452,7 @@ object TextAnalysis {
         array_join(transform(sequence(lit(1), length(col("tok"))),
           i => col("tok").substr(i, lit(1))), "_ _"),
         lit("_")).as("w"), col("freq"))
+      .persist()
     var v = v0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rnd <- 1 to 3) {
@@ -466,6 +472,7 @@ object TextAnalysis {
         call_function("replace", col("w"), lit(pat), lit(merged)).as("w"),
         col("freq"))
     }
+    v0.unpersist()
     merges.result().toDF("round", "pattern", "merged", "n")
       .orderBy(col("round"))
   }

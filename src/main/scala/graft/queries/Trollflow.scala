@@ -875,7 +875,8 @@ object Trollflow {
 
   lazy val q150Sql: String = {
     val trackValues = q150Track
-      .map { case (k, la, lo) => f"($k, $la%.6f, $lo%.6f)" }
+      .map { case (k, la, lo) => String.format(java.util.Locale.ROOT,
+        "(%d, %.6f, %.6f)", Int.box(k), Double.box(la), Double.box(lo)) }
       .mkString(",\n    ")
     s"""WITH areas(area_name, lon_min, lon_max, lat_min, lat_max) AS (VALUES
       |    ('euro', -10.0, 40.0, 35.0, 70.0),
@@ -1005,7 +1006,8 @@ object Trollflow {
 
   lazy val q151Sql: String = {
     val trackValues = q151Track
-      .map { case (k, la, lo) => f"($k, $la%.6f, $lo%.6f)" }
+      .map { case (k, la, lo) => String.format(java.util.Locale.ROOT,
+        "(%d, %.6f, %.6f)", Int.box(k), Double.box(la), Double.box(lo)) }
       .mkString(",\n    ")
     s"""WITH areas(area_name, lon_min, lon_max, lat_min, lat_max) AS (VALUES
       |    ('euro', -10.0, 40.0, 35.0, 70.0),

@@ -495,6 +495,35 @@ class MultimodalSpec extends SparkSpec {
       decoder.decode(rec.copy(media = img.take(10))) }
   }
 
+  test("crafted huge-raster headers throw before allocating (PNG zlib / GIF LZW bounds)") {
+    // PNG: a ~100-byte payload whose valid-CRC IHDR claims a ~2.1 GB
+    // raster (w=699050 RGB, h=1023 -> (stride+1)*h just under
+    // Int.MaxValue) must die on the inflate-expansion bound, not OOM
+    val ihdr = PngWriter.be32(699050) ++ PngWriter.be32(1023) ++
+      Array[Byte](8, 2, 0, 0, 0)
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      PngWriter.chunk("IHDR", ihdr) ++
+      PngWriter.chunk("IDAT", Array[Byte](1, 2, 3)) ++
+      PngWriter.chunk("IEND", Array.empty[Byte])
+    val rec = MediaRecord(1L, png, MediaMeta("png", 0, 0, png.length.toLong))
+    val e1 = intercept[IllegalArgumentException] { (new PngDecoder).decode(rec) }
+    assert(e1.getMessage.contains("could inflate"))
+    // GIF: a ~40-byte payload whose descriptor claims a 716M-pixel
+    // raster must die on the LZW-expansion bound, not OOM
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      le16(65535) ++ le16(10922) ++ Array[Byte](0x80.toByte, 0, 0) ++
+      Array[Byte](1, 2, 3, 4, 5, 6) ++ // 2-entry global color table
+      Array[Byte](0x2c) ++ le16(0) ++ le16(0) ++ le16(65535) ++ le16(10922) ++
+      Array[Byte](0) ++ // not interlaced, no local table
+      Array[Byte](8) ++ // LZW min code size
+      Array[Byte](3, 1, 2, 3, 0) ++ // one 3-byte sub-block + terminator
+      Array[Byte](0x3b)
+    val e2 = intercept[IllegalArgumentException] {
+      (new GifDecoder).decode(rec.copy(media = gif)) }
+    assert(e2.getMessage.contains("could decode"))
+  }
+
   test("decoderFor dispatches real decoders by format tag, FakeDecoder for lossy codecs") {
     assert(Multimodal.decoderFor("ppm").isInstanceOf[PpmDecoder])
     assert(Multimodal.decoderFor("BMP").isInstanceOf[BmpDecoder])

@@ -191,6 +191,33 @@ class PluginChecksSpec extends SparkSpec {
     assert(run("americas", Map("sunlight_min" -> "1", "check_pass" -> "true")).isEmpty)
     // americas without the pass cut is broadly sunlit and survives
     assert(run("americas", Map("sunlight_min" -> "50")).size == 1)
+    // EPOCH ALIGNMENT: a scene window starting 200 min after the TLE
+    // epoch must sample the orbit's 200-290-min segment (where the
+    // track's first americas pass, samples 216-220 min, lies) — not
+    // minutes 0-90. Directly on the model: the americas grid is
+    // OUTSIDE the swath for the epoch-aligned first window and INSIDE
+    // it once the base offset moves the window onto the later segment.
+    val amGrid = for { i <- 0 until 8; j <- 0 until 8 } yield
+      (-30.0 + (j + 0.5) * 80.0 / 8, -120.0 + (i + 0.5) * 60.0 / 8)
+    assert(!amGrid.exists { case (la, lo) => orbit.inSwath(la, lo, 90.0) },
+      "americas must be untouched in the first 90 min after the epoch")
+    assert(amGrid.exists { case (la, lo) => orbit.inSwath(la, lo, 90.0, 200.0) },
+      "americas must enter the swath for a window based 200 min after the epoch")
+    // and the PLUGIN derives that base from the item's start_time vs the
+    // model's absolute epoch: at 01:47 UTC the americas pass is real but
+    // dark, so the pass-cut percent records 0-ish and a min=0 keeps it
+    val late = Map("start_time" -> "2024-01-31T01:47:00Z",
+      "end_time" -> "2024-01-31T03:17:00Z")
+    def runLate(area: String, settings: Map[String, String]) =
+      SunlightCoverage(areas, orbit = orbit)(
+        ctxOf(oneProductSpec(settings, area = area), Map.empty, late)).worklist
+    val am = runLate("americas", Map("sunlight_min" -> "0", "check_pass" -> "true"))
+    assert(am.size == 1)
+    // pass-cut percent recorded (the cut was non-empty — alignment put
+    // the americas corner inside it; the night pass just isn't sunlit)
+    assert(am.head.settings.contains("area_sunlight_coverage_percent"))
+    assert(runLate("euro", Map("sunlight_min" -> "1", "check_pass" -> "true")).isEmpty,
+      "euro is only crossed in the first 20 min after the TLE epoch")
   }
 
   // ------------------------------------------------------- save_datasets
