@@ -1184,7 +1184,75 @@ object Similarity {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** Embedding-space SOURCE-AFFINITY matrix — the semantic analog of
+    * q130's lexical domain-KL and q98's shingle-overlap matrix: per
+    * source pair, the cosine between the sources' mean embedding
+    * vectors. This is the domain-similarity table a mixture planner
+    * reads when deciding which sources are interchangeable (near-1
+    * affinity → redundant data, candidates for down-weighting) and
+    * which add coverage — judged in the embedding geometry instead of
+    * surface vocabulary. The fixture convention `vec_id IS doc_id`
+    * links the two tables (same id space, see q146/q132).
+    *
+    * Determinism: centroids are per-(source, dim) means rounded once at
+    * 6 dp (q35's idiom); the pairwise dot is the strict left-to-right
+    * `dot_f64` fold over those rounded arrays, mirrored by the oracle's
+    * `list_reduce` — fold-order parity, nothing engine-dependent.
+    *
+    * Scale design: ONE (source, dim)-grain shuffle (O(sources·64)
+    * state) off a single embeddings-documents equi-join; the pairwise
+    * stage is sources² rows of config size (20² here) from a broadcast
+    * self-join — never a vector-pair blowup. */
+  def q156SourceAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val cent = vecs(spark, dir)
+      .join(src, Seq("vec_id"))
+      .select(col("source"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("source"), col("pos"))
+      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"),
+        count(lit(1)).as("nv"))
+    val centA = cent.groupBy(col("source"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"),
+        (max(col("nv"))).as("n_vecs"))
+      .withColumn("cnrm", dotCol(col("cv"), col("cv")))
+    centA.as("a").join(broadcast(centA.as("b")),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n_vecs").as("n_a"), col("b.n_vecs").as("n_b"),
+        round(lit(1e-9) + dotCol(col("a.cv"), col("b.cv")) /
+          (sqrt(col("a.cnrm")) * sqrt(col("b.cnrm"))), 5).as("affinity"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q156Sql: String =
+    """WITH comp AS (
+      |  SELECT d.source, u.i - 1 AS pos, e.embedding[u.i]::DOUBLE AS x
+      |  FROM embeddings e
+      |  JOIN documents d ON d.doc_id = e.vec_id,
+      |    unnest(range(1, len(e.embedding) + 1)) AS u(i)),
+      |cent AS (
+      |  SELECT source, pos, round(1e-9 + avg(x), 6) AS c, count(*) AS nv
+      |  FROM comp GROUP BY 1, 2),
+      |ca AS (
+      |  SELECT source, list(c ORDER BY pos) AS cv, max(nv) AS n_vecs
+      |  FROM cent GROUP BY 1),
+      |can AS (
+      |  SELECT source, cv, n_vecs,
+      |    list_reduce(list_transform(range(1, len(cv) + 1),
+      |      i -> cv[i] * cv[i]), (x, y) -> x + y) AS cnrm
+      |  FROM ca)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  a.n_vecs AS n_a, b.n_vecs AS n_b,
+      |  round(1e-9 + list_reduce(list_transform(range(1, len(a.cv) + 1),
+      |      i -> a.cv[i] * b.cv[i]), (x, y) -> x + y)
+      |    / (sqrt(a.cnrm) * sqrt(b.cnrm)), 5) AS affinity
+      |FROM can a JOIN can b ON a.source < b.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q156_source_affinity" -> (q156SourceAffinity _),
     "q33_ann_bruteforce" -> (q33AnnBruteforce _),
     "q34_ann_lsh" -> (q34AnnLsh _),
     "q144_anisotropy_audit" -> (q144AnisotropyAudit _),
@@ -1204,6 +1272,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "q33_ann_bruteforce" -> q33Sql,
+    "q156_source_affinity" -> q156Sql,
     "q34_ann_lsh" -> q34Sql,
     "q144_anisotropy_audit" -> q144Sql,
     "q146_semantic_decontam" -> q146Sql,
