@@ -49,7 +49,7 @@ object TextAnalysis {
     * n_stop) feature columns — ONE definition shared by q24's point
     * scores and [[Curation]]'s q148 bootstrap CIs (whose docs promise
     * they price exactly these point estimates). */
-  private[queries] def qualityCol: org.apache.spark.sql.Column =
+  private[graft] def qualityCol: org.apache.spark.sql.Column =
     round(lit(1e-9) +
       lit(0.3) * least(lit(1.0), col("n_words").cast("double") / 100.0) +
       lit(0.3) * (lit(1.0) - col("n_stop").cast("double") / col("n_words")) +
