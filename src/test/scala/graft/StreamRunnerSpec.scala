@@ -472,6 +472,66 @@ class StreamRunnerSpec extends SparkSpec {
       s"expected contaminated doc 1 to bounce at ingest, got admitted=$got")
   }
 
+  test("decontam gate admits the same set under any micro-batch slicing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the gate is row-local, so ONE file vs one-file-per-doc must admit
+    // identically (the scaladoc's slicing-independence claim, pinned)
+    val evalSuite = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog every single day"))
+      .toDF("doc_id", "text")
+    val bits = graft.queries.Curation.bloomBitsOf(evalSuite)
+    val docs = Seq(
+      1L -> "we saw the quick brown fox jumps over the lazy dog yesterday at dusk",
+      2L -> "a completely unrelated note about shuffle partitions and joins",
+      3L -> "the lazy dog every single day sleeps while the quick brown fox jumps over it",
+      4L -> "short text")
+    def runSliced(slices: Seq[Seq[(Long, String)]]): Set[Long] = {
+      val src = Files.createTempDirectory("graft_slice_src")
+      val ckp = Files.createTempDirectory("graft_slice_ckp")
+      slices.zipWithIndex.foreach { case (rows, i) =>
+        val tmp = Files.createTempDirectory(s"graft_slice_tmp_$i")
+        rows.toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.resolve("o").toString)
+        val part = Files.list(tmp.resolve("o")).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.copy(part, src.resolve(f"msg_$i%03d.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val admitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val q = StreamRunner.decontamGate(
+          StreamRunner.fileStream(spark, src.toString, schema), bits)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("doc_id").collect().foreach(r => admitted.add(r.getLong(0)))
+          ()
+        }
+        .start()
+      q.awaitTermination(120000)
+      val it = admitted.iterator(); val bld = Set.newBuilder[Long]
+      while (it.hasNext) bld += it.next()
+      bld.result()
+    }
+    val oneBatch = runSliced(Seq(docs))
+    val perDoc = runSliced(docs.map(Seq(_)))
+    assert(oneBatch == perDoc,
+      s"slicing changed the admitted set: $oneBatch vs $perDoc")
+    // doc 1 carries a full eval 8-gram ("the quick brown fox jumps over
+    // the lazy") and must bounce; doc 3 shares only sub-8-gram runs
+    // ("lazy dog every single day") and passes — the gate is exact at
+    // the 8-gram grain, not a fuzzy phrase match
+    assert(oneBatch == Set(2L, 3L, 4L),
+      s"only doc 1 carries a full eval 8-gram: $oneBatch")
+  }
+
   test("full ingest stack: quality -> eval Bloom -> self-indexing LSH -> exactly-once sink") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
