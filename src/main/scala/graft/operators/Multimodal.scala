@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * Decoders: [[PpmDecoder]] (binary PPM/P6), [[BmpDecoder]]
   * (uncompressed 24-bit BMP), [[WavDecoder]] (RIFF WAVE integer PCM),
   * [[PngDecoder]] (zlib-compressed PNG — the JDK's `Inflater` plus the
-  * five scanline filters), and [[GifDecoder]] (LZW-compressed GIF
-  * 87a/89a incl. interlace) are REAL decoders — every LOSSLESS format
-  * here decodes without a codec library. Only genuinely-unavailable
+  * five scanline filters), [[GifDecoder]] (LZW-compressed GIF 87a/89a
+  * incl. interlace), and [[TiffDecoder]] (tagged-IFD baseline TIFF in
+  * either byte order) are REAL decoders — every LOSSLESS format here
+  * decodes without a codec library. Only genuinely-unavailable
   * LOSSY codecs (JPEG/MP3/video) fall back to [[FakeDecoder]], which
   * stands in with deterministic pseudo-features from the bytes;
   * [[decoderFor]] dispatches on the metadata format tag.
@@ -577,6 +578,111 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for baseline uncompressed TIFF — the fifth
+    * codec-library-free format, and a structurally different file
+    * family from the chunk-walk formats (PNG/RIFF/GIF): a TAGGED
+    * directory (IFD) of typed entries, in EITHER byte order ("II"
+    * little-endian or "MM" big-endian, per the TIFF 6.0 spec), with
+    * the raster in strips addressed by offset/length tag arrays.
+    * Supported: compression 1 (none), 8-bit samples, photometric
+    * 0/1 (grayscale, raw samples kept — no WhiteIsZero inversion) and
+    * 2 (RGB), any strip layout. The first IFD's image is decoded.
+    * Values are read type-aware: a SHORT count-1 value sits
+    * left-justified in the 4-byte value field in the FILE's byte order
+    * — the classic TIFF parsing trap.
+    *
+    * Features mirror the other image decoders: each pixel row is one
+    * "frame" in native sample order, `nFrames` = image height, same
+    * rolling row hash, thumbnail byte = first sample of the top-left
+    * pixel. Malformed payloads throw `IllegalArgumentException`
+    * per-record; every strip is bounds-checked against the payload, so
+    * the raster can never exceed the file's own data (no crafted-header
+    * allocation path). */
+  final class TiffDecoder extends MediaDecoder {
+    override def decode(rec: MediaRecord): MediaFeatures = {
+      val b = rec.media
+      require(b.length >= 8, s"not a TIFF payload (len=${b.length})")
+      val le = b(0) == 'I' && b(1) == 'I'
+      val be = b(0) == 'M' && b(1) == 'M'
+      require(le || be, "not a TIFF payload (no II/MM byte-order mark)")
+      def u16(off: Int): Int = {
+        require(off >= 0 && off + 2 <= b.length, s"u16 read at $off overruns")
+        if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+        else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+      }
+      def u32(off: Int): Long = {
+        require(off >= 0 && off + 4 <= b.length, s"u32 read at $off overruns")
+        if (le) (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+          ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+        else ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+          ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+      }
+      require(u16(2) == 42, s"TIFF magic ${u16(2)} != 42")
+      val ifd = u32(4).toInt
+      val nEntries = u16(ifd)
+      // tag -> (fieldType, count, entry offset of the value field)
+      val entries = (0 until nEntries).map { i =>
+        val e = ifd + 2 + i * 12
+        u16(e) -> ((u16(e + 2), u32(e + 4), e + 8))
+      }.toMap
+      def scalar(tag: Int, default: Long = -1L): Long =
+        entries.get(tag) match {
+          case Some((3, 1, v)) => u16(v).toLong // SHORT, left-justified
+          case Some((4, 1, v)) => u32(v)
+          case Some((t, c, _)) => throw new IllegalArgumentException(
+            s"tag $tag has unsupported type $t count $c for a scalar")
+          case None =>
+            require(default >= 0, s"required TIFF tag $tag missing")
+            default
+        }
+      /** SHORT/LONG value array: inline when it fits the 4-byte field,
+        * else at the pointed-to offset. */
+      def array(tag: Int): Seq[Long] = entries.get(tag) match {
+        case Some((t, c, v)) =>
+          require(t == 3 || t == 4, s"tag $tag type $t not SHORT/LONG")
+          val width = if (t == 3) 2 else 4
+          val base = if (c * width <= 4) v else u32(v).toInt
+          (0 until c.toInt).map(i =>
+            if (t == 3) u16(base + i * width).toLong else u32(base + i * width))
+        case None => throw new IllegalArgumentException(s"required TIFF tag $tag missing")
+      }
+      val w = scalar(256).toInt
+      val h = scalar(257).toInt
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      require(scalar(259, 1L) == 1L, "compression unsupported (uncompressed only)")
+      val photometric = scalar(262).toInt
+      require(photometric >= 0 && photometric <= 2,
+        s"photometric $photometric unsupported (gray/RGB only)")
+      val spp = scalar(277, 1L).toInt
+      require(spp == (if (photometric == 2) 3 else 1),
+        s"samplesPerPixel $spp inconsistent with photometric $photometric")
+      require(array(258).forall(_ == 8L), "bits-per-sample must be 8")
+      val offsets = array(273)
+      val counts = array(279)
+      require(offsets.length == counts.length,
+        s"strip offsets (${offsets.length}) and counts (${counts.length}) disagree")
+      val rowLen = w * spp
+      val total = counts.sum
+      require(total == rowLen.toLong * h,
+        s"strip bytes $total != raster ${rowLen.toLong * h}")
+      offsets.zip(counts).foreach { case (o, c) =>
+        require(o >= 0 && c >= 0 && o + c <= b.length,
+          s"strip at $o (+$c) overruns payload")
+      }
+      val raster = new Array[Byte](total.toInt)
+      var pos = 0
+      offsets.zip(counts).foreach { case (o, c) =>
+        System.arraycopy(b, o.toInt, raster, pos, c.toInt); pos += c.toInt
+      }
+      val rows = (0 until h).map(r =>
+        java.util.Arrays.copyOfRange(raster, r * rowLen, (r + 1) * rowLen))
+      val checksum = rows.foldLeft(0L) { (acc, f) =>
+        (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
+      }
+      MediaFeatures(rec.id, "tiff", h, checksum, rows.head(0) & 0xff)
+    }
+  }
+
   /** Format-dispatched decoder selection — the call-site convenience a
     * mixed-format corpus needs: REAL decoders for every format this
     * library decodes without a codec (ppm, bmp, wav, png, gif), the
@@ -589,6 +695,7 @@ object Multimodal {
     case "wav" => new WavDecoder()
     case "png" => new PngDecoder
     case "gif" => new GifDecoder
+    case "tiff" | "tif" => new TiffDecoder
     case _ => new FakeDecoder()
   }
 

@@ -495,6 +495,93 @@ class MultimodalSpec extends SparkSpec {
       decoder.decode(rec.copy(media = img.take(10))) }
   }
 
+  test("TiffDecoder agrees with the JDK's TIFF writer and reads both byte orders") {
+    import spark.implicits._
+    // big-endian: the JDK's writer emits uncompressed MM-order RGB
+    val rnd = new scala.util.Random(67)
+    val (w, h) = (19, 11)
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, rnd.nextInt(1 << 24))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "tiff", bos))
+    val img = bos.toByteArray
+    assert(img(0) == 'M' && img(1) == 'M') // the two-endianness claim needs both
+    val rows = (0 until h).map { y =>
+      val r = new Array[Byte](w * 3)
+      for (x <- 0 until w) {
+        val px = bi.getRGB(x, y)
+        r(x * 3) = ((px >> 16) & 0xff).toByte
+        r(x * 3 + 1) = ((px >> 8) & 0xff).toByte
+        r(x * 3 + 2) = (px & 0xff).toByte
+      }
+      r
+    }
+    def hash(rs: Seq[Array[Byte]]): Long = rs.foldLeft(0L) { (acc, f) =>
+      (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
+    }
+    val decoder = new TiffDecoder
+    val rec = MediaRecord(51L, img, MediaMeta("tiff", w, h, img.length.toLong))
+    val feats = decoder.decode(rec)
+    assert(feats.format == "tiff")
+    assert(feats.nFrames == h)
+    assert(feats.checksum == hash(rows))
+    assert(feats.thumbFirstByte == (rows.head(0) & 0xff))
+    // same features through the distributed batched mapPartitions path
+    val out = Multimodal.extractFeatures(
+        Seq(rec, rec.copy(id = 52L)).toDS(), decoder, batchSize = 1)
+      .collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(51L, 52L))
+    assert(out.forall(f => f.checksum == feats.checksum))
+    // little-endian: a hand-built II-order grayscale file with the
+    // raster split across TWO strips
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val (gw, gh) = (6, 4)
+    val gray = Array.tabulate[Byte](gw * gh)(i => ((i * 37) % 251).toByte)
+    // entry(tag, type, count, inline value bytes padded to 4)
+    def entry(tag: Int, typ: Int, count: Int, value: Array[Byte]) =
+      le16(tag) ++ le16(typ) ++ le32(count) ++ value.padTo(4, 0.toByte)
+    val nE = 9
+    val rasterAt = 8 + 2 + nE * 12 + 4
+    val strip1Len = gw * 3 // first 3 rows
+    val ifd = le16(nE) ++
+      entry(256, 3, 1, le16(gw)) ++
+      entry(257, 3, 1, le16(gh)) ++
+      entry(258, 3, 1, le16(8)) ++
+      entry(259, 3, 1, le16(1)) ++
+      entry(262, 3, 1, le16(1)) ++
+      entry(273, 4, 2, le32(rasterAt)) ++ // 2 LONGs don't fit: offset...
+      entry(277, 3, 1, le16(1)) ++
+      entry(278, 3, 1, le16(3)) ++
+      entry(279, 4, 2, le32(rasterAt)) ++ // ...patched below
+      le32(0)
+    // place the two offset/count arrays AFTER the raster
+    val arraysAt = rasterAt + gw * gh
+    val tiff = "II".getBytes("US-ASCII") ++ le16(42).take(2) ++ le32(8) ++
+      ifd ++ gray ++
+      le32(rasterAt) ++ le32(rasterAt + strip1Len) ++ // strip offsets
+      le32(strip1Len) ++ le32(gw * gh - strip1Len) // strip byte counts
+    // patch tag 273/279 value fields to point at the arrays
+    System.arraycopy(le32(arraysAt), 0, tiff, 8 + 2 + 5 * 12 + 8, 4)
+    System.arraycopy(le32(arraysAt + 8), 0, tiff, 8 + 2 + 8 * 12 + 8, 4)
+    val gfeats = decoder.decode(rec.copy(media = tiff))
+    assert(gfeats.nFrames == gh)
+    assert(gfeats.checksum == hash(gray.grouped(gw).toSeq))
+    assert(gfeats.thumbFirstByte == (gray(0) & 0xff))
+    // malformed: wrong magic, truncated payload, strip overrun
+    intercept[IllegalArgumentException] {
+      decoder.decode(rec.copy(media = "XX* abcd".getBytes("US-ASCII"))) }
+    intercept[IllegalArgumentException] {
+      decoder.decode(rec.copy(media = img.dropRight(10))) }
+    val overrun = tiff.clone()
+    System.arraycopy(le32(tiff.length + 100), 0, overrun, arraysAt, 4)
+    intercept[IllegalArgumentException] {
+      decoder.decode(rec.copy(media = overrun)) }
+  }
+
   test("crafted huge-raster headers throw before allocating (PNG zlib / GIF LZW bounds)") {
     // PNG: a ~100-byte payload whose valid-CRC IHDR claims a ~2.1 GB
     // raster (w=699050 RGB, h=1023 -> (stride+1)*h just under
@@ -530,6 +617,8 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decoderFor("wav").isInstanceOf[WavDecoder])
     assert(Multimodal.decoderFor("png").isInstanceOf[PngDecoder])
     assert(Multimodal.decoderFor("gif").isInstanceOf[GifDecoder])
+    assert(Multimodal.decoderFor("tiff").isInstanceOf[TiffDecoder])
+    assert(Multimodal.decoderFor("tif").isInstanceOf[TiffDecoder])
     assert(Multimodal.decoderFor("jpeg").isInstanceOf[FakeDecoder])
     assert(Multimodal.decoderFor("mp4").isInstanceOf[FakeDecoder])
   }
