@@ -743,4 +743,25 @@ object Multimodal {
       }
     }
   }
+
+  /** MIXED-FORMAT batched decode — the production shape, where one
+    * partition carries whatever formats the corpus shard holds: each
+    * record routes through [[decoderFor]] on its metadata format tag,
+    * with decoders memoized PER PARTITION (one instance per format seen,
+    * never per record — the setup-amortization a real codec needs).
+    * Same narrow, shuffle-free contract as [[extractFeatures]]. */
+  def extractFeaturesAuto(ds: Dataset[MediaRecord],
+                          batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val decoders = scala.collection.mutable.Map.empty[String, MediaDecoder]
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { rec =>
+          decoders.getOrElseUpdate(rec.meta.format.toLowerCase,
+            decoderFor(rec.meta.format)).decode(rec)
+        }
+      }
+    }
+  }
 }

@@ -582,6 +582,34 @@ class MultimodalSpec extends SparkSpec {
       decoder.decode(rec.copy(media = overrun)) }
   }
 
+  test("extractFeaturesAuto decodes a mixed-format partition by metadata tag") {
+    import spark.implicits._
+    // one PPM, one WAV, one unknown-codec payload in ONE dataset: each
+    // must route to its real decoder (or FakeDecoder) per its format tag
+    val ppm = ("P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6))
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val pcm = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(4 + 24 + 8 + pcm.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+      "data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm
+    val blob = Array.tabulate[Byte](48)(i => (i * 7).toByte)
+    val recs = Seq(
+      MediaRecord(61L, ppm, MediaMeta("ppm", 2, 1, ppm.length.toLong)),
+      MediaRecord(62L, wav, MediaMeta("wav", 0, 0, wav.length.toLong)),
+      MediaRecord(63L, blob, MediaMeta("jpeg", 0, 0, blob.length.toLong)))
+    val out = Multimodal.extractFeaturesAuto(recs.toDS().coalesce(1), batchSize = 2)
+      .collect().map(f => f.id -> f).toMap
+    assert(out(61L) == (new PpmDecoder).decode(recs(0)))
+    assert(out(62L) == (new WavDecoder()).decode(recs(1)))
+    assert(out(63L) == (new FakeDecoder()).decode(recs(2)))
+    assert(out(61L).format == "ppm" && out(62L).format == "wav" &&
+      out(63L).format == "jpeg")
+  }
+
   test("crafted huge-raster headers throw before allocating (PNG zlib / GIF LZW bounds)") {
     // PNG: a ~100-byte payload whose valid-CRC IHDR claims a ~2.1 GB
     // raster (w=699050 RGB, h=1023 -> (stride+1)*h just under
