@@ -23,6 +23,9 @@ object QTime {
       if (doExplain) fn(spark, sfDir).explain("formatted")
       val ts = (1 to reps).map { _ =>
         queries.SharedFrames.warmFor(name, spark, sfDir)
+        // same untimed post-warm GC breather as Bench.runPack — pack and
+        // isolated numbers must pay (or skip) the same costs
+        if (queries.SharedFrames.isConsumer(name)) System.gc()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val sec = (System.nanoTime() - t0) / 1e9

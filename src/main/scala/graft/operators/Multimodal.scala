@@ -650,6 +650,10 @@ object Multimodal {
       val h = scalar(257).toInt
       require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
       require(scalar(259, 1L) == 1L, "compression unsupported (uncompressed only)")
+      // a planar (=2) RGB TIFF would pass every size check below but
+      // interleave wrong: per-row bytes are per-plane, not per-pixel
+      require(scalar(284, 1L) == 1L,
+        "planar configuration unsupported (chunky only)")
       val photometric = scalar(262).toInt
       require(photometric >= 0 && photometric <= 2,
         s"photometric $photometric unsupported (gray/RGB only)")
@@ -683,12 +687,427 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for baseline sequential JPEG (ITU-T T.81, SOF0) — the
+    * last common container format that was still behind [[FakeDecoder]],
+    * and the first LOSSY one decoded from raw bytes: marker segments
+    * (DQT/DHT/DRI/SOF0/SOS), canonical Huffman entropy decoding with
+    * 0xFF00 byte unstuffing and RSTn restart handling, dequantization in
+    * zigzag order, a double-precision separable 8×8 IDCT, nearest
+    * upsampling of subsampled chroma planes, and BT.601 YCbCr→RGB.
+    * Supported: 8-bit precision, 1 component (grayscale, decoded
+    * non-interleaved per F.2.3) or 3 components (YCbCr, interleaved),
+    * sampling factors 1–4, restart intervals. Rejected loudly:
+    * progressive/extended/lossless/arithmetic SOFs (SOF1/2/3/5–15),
+    * 16-bit quantization tables, truncated scans, markers inside
+    * entropy-coded data.
+    *
+    * Lossy caveat, by design: unlike the lossless decoders there is no
+    * bit-exact "right answer" to pin — different conformant decoders
+    * differ by ±1–2 per sample from IDCT rounding and by more at chroma
+    * edges from upsampling filters. MultimodalSpec therefore compares
+    * against ImageIO's independent decode with a small per-pixel
+    * tolerance rather than by checksum (the T.81 Annex A accuracy
+    * framing), and pins the rejection surface exactly like PNG/GIF/TIFF.
+    *
+    * Features mirror the other image decoders: each output pixel row is
+    * one "frame" (gray 1 byte/px or RGB 3 bytes/px), `nFrames` = height,
+    * same rolling row hash, thumbnail byte = first sample of the
+    * top-left pixel. All plane/raster sizes are division-form bounded
+    * before allocation, so a crafted header throws instead of OOMing. */
+  final class JpegDecoder extends MediaDecoder {
+    import JpegDecoder._
+
+    override def decode(rec: MediaRecord): MediaFeatures = {
+      val (w, h, ch, pix) = decodeRaster(rec.media)
+      val rowLen = w * ch
+      val rows = (0 until h).map(r =>
+        java.util.Arrays.copyOfRange(pix, r * rowLen, (r + 1) * rowLen))
+      val checksum = rows.foldLeft(0L) { (acc, f) =>
+        (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
+      }
+      MediaFeatures(rec.id, "jpeg", h, checksum, rows.head(0) & 0xff)
+    }
+
+    /** Full decode to (width, height, channels, interleaved samples) —
+      * exposed for the spec's tolerance compare against ImageIO. */
+    private[graft] def decodeRaster(b: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+      require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+        s"not a JPEG payload (no SOI, len=${b.length})")
+      var pos = 2
+      def u8(i: Int): Int = { require(i < b.length, "truncated JPEG"); b(i) & 0xff }
+      def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+
+      // ---- marker-segment parse up to SOS ----
+      val qtab = Array.ofDim[Int](4, 64) // zigzag order
+      val qSeen = new Array[Boolean](4)
+      val huff = Array.ofDim[Huff](2, 4) // (class dc=0/ac=1)(id)
+      var w = 0; var h = 0; var nComp = 0
+      var compId: Array[Int] = null; var compHs: Array[Int] = null
+      var compVs: Array[Int] = null; var compTq: Array[Int] = null
+      var compTd: Array[Int] = null; var compTa: Array[Int] = null
+      var restartInterval = 0
+      var sofSeen = false
+      var scanStart = -1
+      while (scanStart < 0) {
+        require(u8(pos) == 0xff, f"expected a marker at $pos, got ${u8(pos)}%02x")
+        var mPos = pos + 1
+        while (u8(mPos) == 0xff) mPos += 1 // fill bytes
+        val m = u8(mPos)
+        pos = mPos + 1
+        m match {
+          case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
+          case 0x01 => () // TEM, standalone
+          case x if x >= 0xd0 && x <= 0xd7 =>
+            throw new IllegalArgumentException("RST marker outside scan")
+          case 0xdb => // DQT
+            val len = u16(pos); var p = pos + 2
+            while (p < pos + len) {
+              val pq = u8(p) >> 4; val tq = u8(p) & 15
+              require(pq == 0, s"16-bit quantization table $tq unsupported (8-bit only)")
+              require(tq < 4, s"bad quant table id $tq")
+              var i = 0
+              while (i < 64) { qtab(tq)(i) = u8(p + 1 + i); i += 1 }
+              qSeen(tq) = true
+              p += 65
+            }
+            require(p == pos + len, "DQT length inconsistent")
+            pos += len
+          case 0xc4 => // DHT
+            val len = u16(pos); var p = pos + 2
+            while (p < pos + len) {
+              val tc = u8(p) >> 4; val th = u8(p) & 15
+              require(tc <= 1, s"bad Huffman class $tc")
+              require(th < 4, s"bad Huffman table id $th")
+              val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+              val n = bits.sum
+              require(n <= 256, s"Huffman table with $n codes")
+              val vals = Array.tabulate(n)(i => u8(p + 17 + i))
+              huff(tc)(th) = buildHuff(bits, vals)
+              p += 17 + n
+            }
+            require(p == pos + len, "DHT length inconsistent")
+            pos += len
+          case 0xdd => // DRI
+            require(u16(pos) == 4, "bad DRI length")
+            restartInterval = u16(pos + 2)
+            pos += 4
+          case 0xc0 => // SOF0 baseline sequential
+            require(!sofSeen, "duplicate SOF")
+            val len = u16(pos)
+            require(u8(pos + 2) == 8, s"precision ${u8(pos + 2)} unsupported (8-bit only)")
+            h = u16(pos + 3); w = u16(pos + 5)
+            nComp = u8(pos + 7)
+            require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+            require(nComp == 1 || nComp == 3,
+              s"$nComp components unsupported (grayscale or YCbCr only)")
+            require(len == 8 + 3 * nComp, "SOF0 length inconsistent")
+            compId = new Array[Int](nComp); compHs = new Array[Int](nComp)
+            compVs = new Array[Int](nComp); compTq = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              compId(c) = u8(pos + 8 + 3 * c)
+              val hv = u8(pos + 9 + 3 * c)
+              compHs(c) = hv >> 4; compVs(c) = hv & 15
+              require(compHs(c) >= 1 && compHs(c) <= 4 &&
+                compVs(c) >= 1 && compVs(c) <= 4,
+                s"sampling ${compHs(c)}x${compVs(c)} out of range")
+              compTq(c) = u8(pos + 10 + 3 * c)
+              require(compTq(c) < 4, s"bad quant selector ${compTq(c)}")
+              c += 1
+            }
+            sofSeen = true
+            pos += len
+          case x if (x >= 0xc1 && x <= 0xcf) && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+            throw new IllegalArgumentException(
+              f"SOF${x - 0xc0} unsupported (baseline sequential SOF0 only)")
+          case 0xcc => throw new IllegalArgumentException(
+            "arithmetic coding conditioning (DAC) unsupported")
+          case 0xda => // SOS
+            require(sofSeen, "SOS before SOF0")
+            val len = u16(pos)
+            val ns = u8(pos + 2)
+            require(ns == nComp,
+              s"scan has $ns components, frame $nComp (interleaved single scan only)")
+            compTd = new Array[Int](nComp); compTa = new Array[Int](nComp)
+            var s = 0
+            while (s < ns) {
+              val cs = u8(pos + 3 + 2 * s)
+              val c = compId.indexOf(cs)
+              require(c >= 0, s"scan component $cs not in frame")
+              compTd(c) = u8(pos + 4 + 2 * s) >> 4
+              compTa(c) = u8(pos + 4 + 2 * s) & 15
+              s += 1
+            }
+            require(u8(pos + 3 + 2 * ns) == 0 && u8(pos + 5 + 2 * ns) == 0,
+              "spectral selection / successive approximation must be 0/63/0 (baseline)")
+            scanStart = pos + len
+          case _ => // APPn, COM, anything else with a length field
+            val len = u16(pos)
+            require(len >= 2, s"bad segment length $len")
+            pos += len
+        }
+      }
+      (0 until nComp).foreach(c => require(qSeen(compTq(c)),
+        s"component $c references undefined quant table ${compTq(c)}"))
+      (0 until nComp).foreach { c =>
+        require(huff(0)(compTd(c)) != null, s"undefined DC table ${compTd(c)}")
+        require(huff(1)(compTa(c)) != null, s"undefined AC table ${compTa(c)}")
+      }
+
+      // ---- geometry (F.2.3: a single-component scan is non-interleaved:
+      // one data unit per MCU, no subsampling regardless of hs/vs) ----
+      val hs = if (nComp == 1) Array(1) else compHs
+      val vs = if (nComp == 1) Array(1) else compVs
+      val hMax = hs.max; val vMax = vs.max
+      val mcusX = (w + hMax * 8 - 1) / (hMax * 8)
+      val mcusY = (h + vMax * 8 - 1) / (vMax * 8)
+      // division-form allocation bounds: every plane and the final raster
+      // must fit an Int array even for crafted 65535x65535 headers
+      require(w.toLong * nComp <= Int.MaxValue / math.max(h, 1),
+        s"raster ${w}x$h x$nComp too large")
+      val planeW = new Array[Int](nComp); val planeH = new Array[Int](nComp)
+      val planes = new Array[Array[Byte]](nComp)
+      var c = 0
+      while (c < nComp) {
+        planeW(c) = mcusX * hs(c) * 8; planeH(c) = mcusY * vs(c) * 8
+        require(planeW(c) > 0 && planeW(c) <= Int.MaxValue / planeH(c),
+          s"component $c plane ${planeW(c)}x${planeH(c)} too large")
+        planes(c) = new Array[Byte](planeW(c) * planeH(c))
+        c += 1
+      }
+
+      // ---- entropy-coded scan ----
+      var sp = scanStart
+      var bitBuf = 0; var bitCnt = 0
+      def nextByte(): Int = {
+        require(sp < b.length, "truncated entropy-coded data")
+        val v = b(sp) & 0xff; sp += 1
+        if (v == 0xff) {
+          require(sp < b.length, "truncated after 0xFF in scan")
+          val nx = b(sp) & 0xff
+          if (nx == 0x00) { sp += 1; 0xff }
+          else throw new IllegalArgumentException(
+            f"marker ff$nx%02x inside entropy-coded data (truncated scan?)")
+        } else v
+      }
+      def getBit(): Int = {
+        if (bitCnt == 0) { bitBuf = nextByte(); bitCnt = 8 }
+        bitCnt -= 1
+        (bitBuf >> bitCnt) & 1
+      }
+      def receive(n: Int): Int = {
+        var v = 0; var i = 0
+        while (i < n) { v = (v << 1) | getBit(); i += 1 }
+        v
+      }
+      def decodeSym(hf: Huff): Int = {
+        var code = getBit(); var l = 1
+        while (code > hf.maxcode(l)) {
+          code = (code << 1) | getBit(); l += 1
+          require(l <= 16, "invalid Huffman code in scan")
+        }
+        hf.vals(hf.valptr(l) + code - hf.mincode(l))
+      }
+      def extend(v: Int, t: Int): Int =
+        if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+      val pred = new Array[Int](nComp)
+      val coefs = new Array[Int](64)
+      val pixels = new Array[Int](64)
+      var rstIdx = 0
+      var mcusSinceRestart = 0
+      val totalMcus = mcusX.toLong * mcusY
+      var mcu = 0L
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcusSinceRestart == restartInterval) {
+          // align to byte, expect RSTn, reset DC predictors
+          bitCnt = 0
+          require(sp + 1 < b.length, "truncated at restart marker")
+          require((b(sp) & 0xff) == 0xff, "expected RST marker")
+          var mp = sp + 1
+          while ((b(mp) & 0xff) == 0xff) mp += 1
+          require((b(mp) & 0xff) == 0xd0 + rstIdx,
+            f"expected RST$rstIdx, got ff${b(mp) & 0xff}%02x")
+          sp = mp + 1
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+          mcusSinceRestart = 0
+        }
+        val mx = (mcu % mcusX).toInt; val my = (mcu / mcusX).toInt
+        c = 0
+        while (c < nComp) {
+          val q = qtab(compTq(c))
+          var by = 0
+          while (by < vs(c)) {
+            var bx = 0
+            while (bx < hs(c)) {
+              // decode one 8x8 block: DC diff + AC run/size, dequantized
+              // into natural order
+              java.util.Arrays.fill(coefs, 0)
+              val t = decodeSym(huff(0)(compTd(c)))
+              require(t <= 11, s"DC category $t out of range")
+              pred(c) += extend(receive(t), t)
+              coefs(0) = pred(c) * q(0)
+              var k = 1
+              while (k < 64) {
+                val rs = decodeSym(huff(1)(compTa(c)))
+                val r = rs >> 4; val s = rs & 15
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL: sixteen zeros
+                  else k = 64 // EOB
+                } else {
+                  k += r
+                  require(k < 64, "AC coefficient run overflows the block")
+                  coefs(ZIGZAG(k)) = extend(receive(s), s) * q(k)
+                  k += 1
+                }
+              }
+              idct8x8(coefs, pixels)
+              // place into the component plane (replicated-edge MCUs may
+              // extend past w/h; the plane is MCU-aligned so no clipping)
+              val px0 = (mx * hs(c) + bx) * 8
+              val py0 = (my * vs(c) + by) * 8
+              val plane = planes(c); val pw = planeW(c)
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                val rowOff = (py0 + yy) * pw + px0
+                while (xx < 8) {
+                  plane(rowOff + xx) = pixels(yy * 8 + xx).toByte
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        mcusSinceRestart += 1
+        mcu += 1
+      }
+
+      // ---- upsample + color convert ----
+      val out = new Array[Byte](w * h * nComp)
+      if (nComp == 1) {
+        val plane = planes(0); val pw = planeW(0)
+        var y = 0
+        while (y < h) {
+          System.arraycopy(plane, y * pw, out, y * w, w)
+          y += 1
+        }
+      } else {
+        val py = planes(0); val pcb = planes(1); val pcr = planes(2)
+        var y = 0
+        while (y < h) {
+          val yY = y * vs(0) / vMax * planeW(0)
+          val yCb = y * vs(1) / vMax * planeW(1)
+          val yCr = y * vs(2) / vMax * planeW(2)
+          var x = 0
+          while (x < w) {
+            val lum = py(yY + x * hs(0) / hMax) & 0xff
+            val cb = (pcb(yCb + x * hs(1) / hMax) & 0xff) - 128
+            val cr = (pcr(yCr + x * hs(2) / hMax) & 0xff) - 128
+            val o = (y * w + x) * 3
+            out(o) = clamp8(lum + 1.402 * cr)
+            out(o + 1) = clamp8(lum - 0.344136 * cb - 0.714136 * cr)
+            out(o + 2) = clamp8(lum + 1.772 * cb)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      (w, h, nComp, out)
+    }
+  }
+
+  object JpegDecoder {
+    /** Canonical Huffman decode tables (T.81 Annex C): per code length
+      * 1..16, the smallest/largest code and the index of the first value. */
+    private[operators] final case class Huff(mincode: Array[Int],
+        maxcode: Array[Int], valptr: Array[Int], vals: Array[Int])
+
+    private[operators] def buildHuff(bits: Array[Int], vals: Array[Int]): Huff = {
+      val mincode = new Array[Int](17)
+      val maxcode = new Array[Int](17)
+      val valptr = new Array[Int](17)
+      var code = 0; var k = 0
+      var l = 1
+      while (l <= 16) {
+        valptr(l) = k
+        mincode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxcode(l) = if (bits(l - 1) == 0) -1 else code - 1
+        require(code <= (1 << l), s"over-subscribed Huffman code lengths at $l")
+        code <<= 1
+        l += 1
+      }
+      Huff(mincode, maxcode, valptr, vals)
+    }
+
+    /** Zigzag index -> natural (row-major) index, T.81 Figure A.6. */
+    private val ZIGZAG: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+    /** COS(u)(x) = C(u)/2 · cos((2x+1)uπ/16) — the separable IDCT basis
+      * with normalization folded in (C(0)=1/√2). */
+    private val COS: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+      (if (u == 0) math.sqrt(0.5) else 1.0) / 2.0 *
+        math.cos((2 * x + 1) * u * math.Pi / 16)
+    }
+
+    /** Double-precision separable 8×8 inverse DCT with +128 level shift
+      * and clamp — slow-but-exact reference arithmetic (the accuracy
+      * anchor; a production path would swap in AAN fixed-point). */
+    private def idct8x8(coefs: Array[Int], outPix: Array[Int]): Unit = {
+      val tmp = new Array[Double](64)
+      // horizontal pass: rows indexed by vertical frequency v
+      var v = 0
+      while (v < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) { s += coefs(v * 8 + u) * COS(u)(x); u += 1 }
+          tmp(v * 8 + x) = s
+          x += 1
+        }
+        v += 1
+      }
+      // vertical pass
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var vv = 0
+          while (vv < 8) { s += tmp(vv * 8 + x) * COS(vv)(y); vv += 1 }
+          val p = math.round(s + 128.0).toInt
+          outPix(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    private def clamp8(v: Double): Byte = {
+      val r = math.round(v).toInt
+      (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+    }
+  }
+
   /** Format-dispatched decoder selection — the call-site convenience a
     * mixed-format corpus needs: REAL decoders for every format this
     * library decodes without a codec (ppm, bmp, wav, png, gif), the
     * deterministic [[FakeDecoder]] for genuinely-unavailable lossy
-    * codecs (jpeg, mp3, mp4, ...). Case-insensitive on the metadata
-    * format tag. */
+    * codecs (explicit allowlist below). Case-insensitive on the
+    * metadata format tag. An UNKNOWN tag throws rather than silently
+    * fake-decoding: a typo ("tiif") or a new format must surface as a
+    * per-record error, not corrupt features downstream. */
   def decoderFor(format: String): MediaDecoder = format.toLowerCase match {
     case "ppm" => new PpmDecoder
     case "bmp" => new BmpDecoder
@@ -696,7 +1115,12 @@ object Multimodal {
     case "png" => new PngDecoder
     case "gif" => new GifDecoder
     case "tiff" | "tif" => new TiffDecoder
-    case _ => new FakeDecoder()
+    case "jpeg" | "jpg" | "mp3" | "mp4" | "webm" | "ogg" | "heic" |
+        "avif" | "webp" | "flac" | "aac" | "mov" | "avi" =>
+      new FakeDecoder()
+    case other => throw new IllegalArgumentException(
+      s"unknown media format tag '$other': not a decodable format and " +
+        "not on the lossy-codec allowlist")
   }
 
   /** Fixed-stride frame sampling over an opaque payload — the byte-level

@@ -277,11 +277,19 @@ final class Sgp4(tle: Tle) {
       temp4 = ayn * cosepw
       temp5 = axn * cosepw
       temp6 = ayn * sinepw
-      val next = (capu - temp4 + temp3 - epw) / (1.0 - temp5 - temp6) + epw
+      // Vallado's ±0.95-rad step clamp: near-singular (1 - axn·cosE -
+      // ayn·sinE) denominators otherwise fling the Newton iterate far
+      // from the root and the loop oscillates instead of converging
+      val rawStep = (capu - temp4 + temp3 - epw) / (1.0 - temp5 - temp6)
+      val step = max(-0.95, min(0.95, rawStep))
+      val next = epw + step
       converged = abs(next - epw) <= 1.0e-12
       epw = next
       iter += 1
     }
+    require(converged,
+      s"Kepler iteration did not converge in $iter steps at t=$tMin " +
+        s"(axn=$axn ayn=$ayn) — refusing to emit a degraded position")
     sinepw = sin(epw); cosepw = cos(epw)
     temp4 = ayn * cosepw; temp5 = axn * cosepw; temp6 = ayn * sinepw
     // short-period preliminary quantities

@@ -332,7 +332,7 @@ object EventOps {
       |  SELECT user_id, ver, event_type AS state,
       |    min(ts_ns) AS valid_from_ns, count(*) AS n_events
       |  FROM versioned GROUP BY 1, 2, 3)
-      |SELECT user_id, ver, state, valid_from_ns,
+      |SELECT user_id, ver::BIGINT AS ver, state, valid_from_ns,
       |  coalesce(lead(valid_from_ns) OVER
       |    (PARTITION BY user_id ORDER BY ver), -1) AS valid_to_ns,
       |  n_events,
@@ -341,6 +341,87 @@ object EventOps {
       |    AS is_current
       |FROM intervals
       |ORDER BY user_id, ver""".stripMargin
+
+  /** Point-in-time (as-of) probe against the SCD2 dimension — the query
+    * [[q154Scd2Intervals]]'s docstring promises: for every purchase
+    * event, find the dimension version whose `[valid_from_ns,
+    * valid_to_ns)` interval contains the purchase timestamp. This is the
+    * warehouse "what was the customer's state when they bought" join,
+    * the canonical consumer of a type-2 dimension.
+    *
+    * Implemented as [[operators.AsOfJoin.backward]] on the version START
+    * timestamps rather than an interval-predicate join: the intervals
+    * are contiguous and disjoint per user (each `valid_to_ns` IS the
+    * next `valid_from_ns`), so "last version starting at-or-before the
+    * probe" ≡ interval containment — one union + one per-user ordered
+    * window instead of a range join that Catalyst would plan as
+    * broadcast-nested-loop. Every probe lands in an interval because a
+    * user's first version starts at their first event.
+    *
+    * EventOpsSpec pins the equivalence the docstring claims: this
+    * probe's `state` matches an independent AsOfJoin over the RAW
+    * changelog (last event at-or-before the probe) row for row.
+    *
+    * Scale design: the as-of shuffle partitions by user_id (window
+    * state bounded per user), the dimension side is O(state changes) ≤
+    * events, and no pair explosion exists anywhere — the 100 TB shape
+    * for point-in-time feature joins. */
+  def q157Scd2Probe(spark: SparkSession, dir: String): DataFrame = {
+    val dim = q154Scd2Intervals(spark, dir)
+      .select(col("user_id"), col("ver"), col("state"),
+        col("valid_from_ns"), col("valid_from_ns").as("ts_ns"))
+    val probes = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("probe_event_id"), col("user_id"),
+        col("ts_ns"))
+    AsOfJoin.backward(
+      probes, dim,
+      key = "user_id", ts = "ts_ns",
+      rightCols = Map("state" -> "state", "ver" -> "ver",
+        "valid_from_ns" -> "state_since_ns"),
+      rightTieBreak = "ver")
+      .select(col("probe_event_id"),
+        col("user_id"),
+        col("ts_ns").as("probe_ts_ns"),
+        col("ver").cast("long").as("ver"),
+        col("state"),
+        col("state_since_ns").cast("long").as("state_since_ns"))
+      .orderBy(col("probe_event_id"))
+  }
+
+  val q157Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, ts_ns, event_type,
+      |    CASE WHEN lag(event_type) OVER
+      |        (PARTITION BY user_id ORDER BY ts_ns, event_id) IS NULL
+      |      OR lag(event_type) OVER
+      |        (PARTITION BY user_id ORDER BY ts_ns, event_id) <> event_type
+      |      THEN 1 ELSE 0 END AS chg,
+      |    event_id
+      |  FROM e),
+      |versioned AS (
+      |  SELECT user_id, ts_ns, event_type,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ver
+      |  FROM marked),
+      |dim AS (
+      |  SELECT user_id, ver, event_type AS state,
+      |    min(ts_ns) AS valid_from_ns,
+      |    coalesce(lead(min(ts_ns)) OVER
+      |      (PARTITION BY user_id ORDER BY ver), -1) AS valid_to_ns
+      |  FROM versioned GROUP BY user_id, ver, event_type),
+      |probes AS (
+      |  SELECT event_id AS probe_event_id, user_id, ts_ns
+      |  FROM e WHERE event_type = 'purchase')
+      |SELECT p.probe_event_id, p.user_id, p.ts_ns AS probe_ts_ns,
+      |  d.ver::BIGINT AS ver, d.state, d.valid_from_ns AS state_since_ns
+      |FROM probes p JOIN dim d ON p.user_id = d.user_id
+      |  AND d.valid_from_ns <= p.ts_ns
+      |  AND (d.valid_to_ns = -1 OR p.ts_ns < d.valid_to_ns)
+      |ORDER BY probe_event_id""".stripMargin
 
   /** Time-grid gap-fill: regularize the per-user event stream onto a dense
     * hourly grid (72 hours from the corpus start) and forward-fill each
@@ -626,6 +707,7 @@ object EventOps {
     "q48_interval_join" -> (q48IntervalJoin _),
     "q79_changelog_compact" -> (q79ChangelogCompact _),
     "q154_scd2_intervals" -> (q154Scd2Intervals _),
+    "q157_scd2_probe" -> (q157Scd2Probe _),
     "q82_gap_fill" -> (q82GapFill _),
     "q85_rolling_actives" -> (q85RollingActives _),
     "q90_retention_cohorts" -> (q90RetentionCohorts _),
@@ -644,6 +726,7 @@ object EventOps {
     "q48_interval_join" -> q48Sql,
     "q79_changelog_compact" -> q79Sql,
     "q154_scd2_intervals" -> q154Sql,
+    "q157_scd2_probe" -> q157Sql,
     "q82_gap_fill" -> q82Sql,
     "q85_rolling_actives" -> q85Sql,
     "q90_retention_cohorts" -> q90Sql,

@@ -50,6 +50,14 @@ private[graft] object SharedFrames {
     * family ([[Dedup]]'s `srcsh`). */
   val consumersSrc: Set[String] = Set("q111")
 
+  /** Does `queryName` read any shared postings family? (The bench/QTime
+    * harnesses insert an untimed GC breather after warming exactly these
+    * — the warm's allocation debt must not land inside the timed run.) */
+  def isConsumer(queryName: String): Boolean = {
+    val id = queryName.takeWhile(_ != '_')
+    consumers3(id) || consumers8(id) || consumersSrc(id)
+  }
+
   /** Materialize (untimed) whatever shared frames `queryName` reads — a
     * fast no-op when they are already warm, or when the query reads
     * none. */

@@ -417,6 +417,218 @@ object StreamRunner {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Streaming CDC apply: SCD2 dimension maintenance
+  // ---------------------------------------------------------------------
+
+  /** The SCD2 dimension schema [[graft.queries.EventOps.q154Scd2Intervals]]
+    * emits, plus one internal bookkeeping column: `wm_ns` — the max
+    * applied event timestamp, carried on the open (current) version row
+    * only — which lets the next merge REJECT out-of-order arrivals
+    * loudly instead of silently corrupting history. */
+  private val scd2Schema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ver",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("state",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("valid_from_ns",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("valid_to_ns",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_events",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("is_current",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("wm_ns",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Pure micro-batch SCD2 MERGE: apply a changelog slice to an existing
+    * type-2 dimension — close open intervals whose user changed state,
+    * extend those that didn't, append new versions, admit new users —
+    * and return the next dimension. The streaming face of
+    * [[graft.queries.EventOps.q154Scd2Intervals]]: replaying a changelog
+    * through this merge batch-by-batch yields EXACTLY the table the
+    * batch query builds from the same events (StreamRunnerSpec pins it).
+    *
+    * Contract: per-user event order across batches must follow the
+    * (ts_ns, event_id) order q154's windows use — the normal shape of a
+    * CDC changelog. A batch carrying an event OLDER than a user's
+    * applied watermark throws rather than silently rewriting closed
+    * history (the dimension is append/extend-only by construction).
+    *
+    * Mechanics, all set-based: affected users' open versions become
+    * carry-in pseudo-rows (side 0 — they sort before same-timestamp
+    * events) unioned with the batch; one per-user ordered window
+    * recomputes state-change markers and local version numbers exactly
+    * like q154; a (user, local-version)-grain aggregation rebuilds the
+    * open-and-newer versions; closed versions and untouched users pass
+    * through untouched.
+    *
+    * Scale design: cost is O(batch + affected users' open versions + a
+    * pass over the stored dimension for the semi/anti splits). The
+    * windows partition by user_id (state bounded per user), the merge
+    * shuffles on user_id once, and nothing is corpus-wide. At production
+    * scale the snapshot write below is a transactional-format MERGE
+    * (only touched files rewrite); the plain-parquet snapshot here is
+    * the same plan with a full-copy commit, exactly like
+    * [[idempotentBatchSink]]'s directory contract. */
+  def scd2ApplyBatch(dim: DataFrame, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = events.select(col("user_id")).distinct()
+    // accept both a bookkeeping-bearing snapshot and a bare q154 frame
+    // (first adoption of an existing batch-built dimension): without
+    // wm_ns the open version's start is the best known watermark
+    val dimW =
+      if (dim.columns.contains("wm_ns")) dim
+      else dim.withColumn("wm_ns", when(col("is_current") === 1,
+        col("valid_from_ns")).otherwise(lit(null).cast("long")))
+    val untouched = dimW.join(users, Seq("user_id"), "left_anti")
+    val affected = dimW.join(users, Seq("user_id"), "left_semi")
+    val closed = affected.filter(col("is_current") === 0)
+    val open = affected.filter(col("is_current") === 1)
+    // loud ordered-arrival check: one tiny per-affected-user aggregate
+    val violations = events.groupBy(col("user_id"))
+      .agg(min(col("ts_ns")).as("min_ts"))
+      .join(open.select(col("user_id"), col("wm_ns")), Seq("user_id"))
+      .filter(col("min_ts") < col("wm_ns")).count()
+    require(violations == 0,
+      s"$violations users carry batch events older than their applied " +
+        "watermark — the changelog must arrive per-user ordered")
+    val carry = open.select(col("user_id"),
+      lit(Long.MinValue).as("event_id"),
+      col("valid_from_ns").as("ts_ns"),
+      col("state").as("event_type"),
+      lit(0L).as("side"),
+      col("ver").as("base_ver"),
+      col("n_events").as("base_n"),
+      col("wm_ns"))
+    val ev = events.select(col("user_id"), col("event_id"), col("ts_ns"),
+      col("event_type"), lit(1L).as("side"),
+      lit(null).cast("long").as("base_ver"),
+      lit(null).cast("long").as("base_n"),
+      lit(null).cast("long").as("wm_ns"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("side"), col("event_id"))
+    val marked = carry.unionByName(ev)
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("ver_local", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val groups = marked
+      .groupBy(col("user_id"), col("ver_local"))
+      .agg(first(col("event_type")).as("state"),
+        min(col("ts_ns")).as("valid_from_ns"),
+        sum(col("side")).as("n_new"),
+        max(lit(1L) - col("side")).as("has_carry"),
+        max(col("ts_ns")).as("grp_max_ts"),
+        max(col("base_ver")).as("bv"),
+        max(col("base_n")).as("bn"),
+        max(col("wm_ns")).as("old_wm"))
+    // per-user constants ride a tiny second window (bv/bn/old_wm live on
+    // the carry group only; every group of the user needs bv)
+    val wu = Window.partitionBy(col("user_id"))
+    val rebuilt = groups
+      .withColumn("bv_u", max(col("bv")).over(wu))
+      .withColumn("new_wm", greatest(max(col("grp_max_ts")).over(wu),
+        max(col("old_wm")).over(wu)))
+      .select(col("user_id"),
+        when(col("bv_u").isNull, col("ver_local"))
+          .otherwise(col("bv_u") + col("ver_local") - 1).as("ver"),
+        col("state"), col("valid_from_ns"),
+        (col("n_new") + when(col("has_carry") === 1L, col("bn"))
+          .otherwise(lit(0L))).as("n_events"),
+        col("new_wm"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("ver"))
+    val openRebuilt = rebuilt
+      .withColumn("valid_to_ns",
+        coalesce(lead(col("valid_from_ns"), 1).over(wv), lit(-1L)))
+      .withColumn("is_current", (col("valid_to_ns") === -1L).cast("int"))
+      .withColumn("wm_ns", when(col("is_current") === 1, col("new_wm"))
+        .otherwise(lit(null).cast("long")))
+      .select(scd2Schema.fieldNames.map(col).toSeq: _*)
+    untouched.select(scd2Schema.fieldNames.map(col).toSeq: _*)
+      .unionByName(closed.select(scd2Schema.fieldNames.map(col).toSeq: _*))
+      .unionByName(openRebuilt)
+  }
+
+  /** Latest committed SCD2 snapshot strictly BEFORE `beforeId`:
+    * `snap_<k>` directories carrying the `_SUCCESS` marker, max k.
+    * Torn writes (no marker) are invisible — exactly the
+    * [[idempotentBatchSink]] recovery unit, applied to whole-dimension
+    * snapshots. */
+  private def latestScd2Snapshot(fs: org.apache.hadoop.fs.FileSystem,
+      dimDir: String, beforeId: Long): Option[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(dimDir)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap_"))
+      .flatMap { st =>
+        val id = st.getPath.getName.stripPrefix("snap_").toLongOption
+        id.filter(k => k < beforeId && fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          .map(k => k -> st.getPath)
+      }
+      .sortBy(_._1).lastOption.map(_._2)
+  }
+
+  /** Read the current stream-maintained dimension — the q154 schema
+    * (bookkeeping column dropped). */
+  def scd2Snapshot(spark: SparkSession, dimDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dimDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    latestScd2Snapshot(fs, dimDir, Long.MaxValue) match {
+      case Some(p) => spark.read.parquet(p.toString).drop("wm_ns")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(scd2Schema.dropRight(1)))
+    }
+  }
+
+  /** `foreachBatch` SCD2 maintenance sink: apply the micro-batch
+    * changelog to the latest committed snapshot and commit the next one
+    * under `snap_<batchId>`. Exactly-once by the snapshot recovery unit:
+    * a REPLAYED id whose snapshot already carries `_SUCCESS` is a no-op;
+    * a torn write has no marker, is invisible to [[latestScd2Snapshot]],
+    * and the replay overwrites it whole — and because the input is
+    * always the latest snapshot with id < batchId, a replay reads the
+    * SAME input the original attempt did. */
+  def scd2MaintainSink(dimDir: String)(batch: DataFrame, id: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dimDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(s"$dimDir/snap_$id")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) {
+      val dim = latestScd2Snapshot(fs, dimDir, id) match {
+        case Some(p) => spark.read.parquet(p.toString)
+        case None => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], scd2Schema)
+      }
+      val next = scd2ApplyBatch(dim,
+        batch.select(col("user_id"), col("event_id"), col("ts_ns"),
+          col("event_type")))
+      next.write.mode("overwrite").parquet(target.toString)
+    }
+  }
+
+  /** Wire a changelog stream into [[scd2MaintainSink]] — the streaming
+    * face of q154: drain the backlog (AvailableNow), one snapshot per
+    * micro-batch, exactly-once across restarts via the checkpoint +
+    * snapshot recovery units. */
+  def runScd2Maintain(stream: DataFrame, dimDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        scd2MaintainSink(dimDir)(batch, id)
+      }
+      .start()
+
   /** Stream-stream interval join: match each left event with right events
     * of the same key that happened inside the preceding `window`. Both
     * sides carry a watermark and the join condition bounds event-time

@@ -476,6 +476,38 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q157 SCD2 probe == independent as-of join over the raw changelog") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q157_scd2_probe").collect()
+    assert(rows.nonEmpty)
+    // every purchase event probes exactly once
+    val ev = graft.sources.Tables.events(spark, sf)
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    assert(rows.length.toLong == nPurch, s"${rows.length} probes != $nPurch purchases")
+    assert(rows.map(_.getAs[Long]("probe_event_id")).distinct.length == rows.length)
+    // the probe's state must be the last changelog event's type at-or-
+    // before the probe ts — SCD2 containment ≡ as-of on the raw stream
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("probe_event_id"), col("user_id"), col("ts_ns"))
+    val changelog = ev.select(col("user_id"), col("ts_ns"),
+      col("event_type").as("cl_type"), col("event_id").as("cl_event_id"))
+    val viaChangelog = graft.operators.AsOfJoin.backward(
+        probes, changelog, key = "user_id", ts = "ts_ns",
+        rightCols = Map("cl_type" -> "cl_type"),
+        rightTieBreak = "cl_event_id")
+      .collect().map(r => r.getAs[Long]("probe_event_id") ->
+        r.getAs[String]("cl_type")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("probe_event_id")
+      assert(r.getAs[String]("state") == viaChangelog(id),
+        s"probe $id: SCD2 state ${r.getAs[String]("state")} != " +
+          s"changelog as-of ${viaChangelog(id)}")
+      // the probe itself is a purchase and sits inside its version:
+      // state_since <= probe ts
+      assert(r.getAs[Long]("state_since_ns") <= r.getAs[Long]("probe_ts_ns"))
+    }
+  }
+
   test("q155 BPE: winning counts non-increasing, merges well-formed and distinct") {
     val rows = run("q155_bpe_merges").collect().sortBy(_.getAs[Int]("round"))
     assert(rows.map(_.getAs[Int]("round")).toSeq == Seq(1, 2, 3))

@@ -580,6 +580,31 @@ class MultimodalSpec extends SparkSpec {
     System.arraycopy(le32(tiff.length + 100), 0, overrun, arraysAt, 4)
     intercept[IllegalArgumentException] {
       decoder.decode(rec.copy(media = overrun)) }
+    // planar (PlanarConfiguration=2) layout would silently mis-interleave:
+    // must throw, not decode. Rebuild the grayscale file with a 10th
+    // entry tag 284 = 2 (all offsets shift by one 12-byte entry).
+    val nE2 = 10
+    val rasterAt2 = 8 + 2 + nE2 * 12 + 4
+    val arraysAt2 = rasterAt2 + gw * gh
+    val ifd2 = le16(nE2) ++
+      entry(256, 3, 1, le16(gw)) ++
+      entry(257, 3, 1, le16(gh)) ++
+      entry(258, 3, 1, le16(8)) ++
+      entry(259, 3, 1, le16(1)) ++
+      entry(262, 3, 1, le16(1)) ++
+      entry(273, 4, 2, le32(arraysAt2)) ++
+      entry(277, 3, 1, le16(1)) ++
+      entry(278, 3, 1, le16(3)) ++
+      entry(279, 4, 2, le32(arraysAt2 + 8)) ++
+      entry(284, 3, 1, le16(2)) ++ // planar: contract says throw
+      le32(0)
+    val planar = "II".getBytes("US-ASCII") ++ le16(42).take(2) ++ le32(8) ++
+      ifd2 ++ gray ++
+      le32(rasterAt2) ++ le32(rasterAt2 + strip1Len) ++
+      le32(strip1Len) ++ le32(gw * gh - strip1Len)
+    val ep = intercept[IllegalArgumentException] {
+      decoder.decode(rec.copy(media = planar)) }
+    assert(ep.getMessage.contains("planar"))
   }
 
   test("extractFeaturesAuto decodes a mixed-format partition by metadata tag") {
@@ -649,6 +674,11 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decoderFor("tif").isInstanceOf[TiffDecoder])
     assert(Multimodal.decoderFor("jpeg").isInstanceOf[FakeDecoder])
     assert(Multimodal.decoderFor("mp4").isInstanceOf[FakeDecoder])
+    // an unknown tag (typo or unlisted format) must surface, not
+    // silently fake-decode into pseudo-features
+    val eu = intercept[IllegalArgumentException] { Multimodal.decoderFor("tiif") }
+    assert(eu.getMessage.contains("unknown media format"))
+    intercept[IllegalArgumentException] { Multimodal.decoderFor("pgm") }
   }
 
   test("PngDecoder rejects malformed payloads with the contractual IAE") {

@@ -1056,6 +1056,82 @@ class StreamRunnerSpec extends SparkSpec {
     assert(run("rl_tie_unguarded", dropLate = false) == Set(1L, 2L))
   }
 
+  test("SCD2 maintenance: stream-maintained dim == q154 batch rebuild, replays heal") {
+    val src = Files.createTempDirectory("graft_scd2_src")
+    val ckp = Files.createTempDirectory("graft_scd2_ckp")
+    val dim = Files.createTempDirectory("graft_scd2_dim").resolve("dim").toString
+    // changelog slices in the exact (ts_ns, event_id) order q154's
+    // windows use — the per-user ordered-arrival contract of a CDC feed
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
+    val ordered = ev.orderBy(col("ts_ns"), col("event_id")).collect()
+    val nSlices = 4
+    val per = math.ceil(ordered.length / nSlices.toDouble).toInt
+    ordered.grouped(per).zipWithIndex.foreach { case (rows, i) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq), ev.schema)
+      val tmp = Files.createTempDirectory(s"graft_scd2_tmp_$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      // flat file: the file source lists the dir, it does not recurse
+      Files.copy(part, src.resolve(f"msg_$i%02d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val stream = StreamRunner.fileStream(spark, src.toString, ev.schema)
+    val q = StreamRunner.runScd2Maintain(stream, dim, ckp.toString)
+    q.awaitTermination(180000)
+    // one committed snapshot per micro-batch
+    val fs = new org.apache.hadoop.fs.Path(dim).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val snaps = fs.listStatus(new org.apache.hadoop.fs.Path(dim))
+      .filter(_.getPath.getName.startsWith("snap_"))
+    assert(snaps.length == nSlices, s"expected $nSlices snapshots, got ${snaps.length}")
+    // THE equivalence: the maintained dimension equals the batch rebuild
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("user_id"), r.getAs[Long]("ver"), r.getAs[String]("state"),
+      r.getAs[Long]("valid_from_ns"), r.getAs[Long]("valid_to_ns"),
+      r.getAs[Long]("n_events"), r.getAs[Int]("is_current"))
+    val streamed = StreamRunner.scd2Snapshot(spark, dim).collect().map(key).toSet
+    val batch = graft.queries.EventOps.q154Scd2Intervals(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"stream dim ${streamed.size} rows != batch ${batch.size}; " +
+        s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+    // replay safety: a replayed id with a committed snapshot is a no-op
+    val lastId = snaps.map(_.getPath.getName.stripPrefix("snap_").toLong).max
+    val lastPath = new org.apache.hadoop.fs.Path(s"$dim/snap_$lastId")
+    val mtime0 = fs.listStatus(lastPath).map(_.getModificationTime).max
+    val lastSlice = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ordered.grouped(per).toSeq.last.toSeq), ev.schema)
+    StreamRunner.scd2MaintainSink(dim)(lastSlice, lastId)
+    val mtime1 = fs.listStatus(lastPath).map(_.getModificationTime).max
+    assert(mtime1 == mtime0, "replay of a committed snapshot rewrote it")
+    // torn-write healing: drop the marker (crash mid-write) and replay —
+    // the snapshot rebuilds whole from snap_{lastId-1}, same answer
+    fs.delete(new org.apache.hadoop.fs.Path(lastPath, "_SUCCESS"), false)
+    StreamRunner.scd2MaintainSink(dim)(lastSlice, lastId)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(lastPath, "_SUCCESS")))
+    val healed = StreamRunner.scd2Snapshot(spark, dim).collect().map(key).toSet
+    assert(healed == batch, "healed snapshot diverged from the batch rebuild")
+    // out-of-order arrival throws instead of corrupting closed history:
+    // replay the FIRST event of a user who has later events too (their
+    // watermark after the full replay is strictly ahead of it)
+    val multiUser = ordered.groupBy(_.getAs[Long]("user_id"))
+      .collectFirst { case (_, rows)
+          if rows.map(_.getAs[Long]("ts_ns")).distinct.length >= 2 =>
+        rows.minBy(r => (r.getAs[Long]("ts_ns"), r.getAs[Long]("event_id")))
+      }.get
+    val early = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(multiUser)), ev.schema)
+    val e = intercept[IllegalArgumentException] {
+      StreamRunner.scd2ApplyBatch(
+        spark.read.parquet(s"$dim/snap_$lastId"), early).count()
+    }
+    assert(e.getMessage.contains("ordered"))
+  }
+
   test("graceful stop terminates a continuous query") {
     val (src, ckp) = stageMessages(1)
     val stream = StreamRunner.fileStream(spark, src, eventsSchema)
