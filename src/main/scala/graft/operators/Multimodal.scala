@@ -1102,8 +1102,8 @@ object Multimodal {
 
   /** Format-dispatched decoder selection — the call-site convenience a
     * mixed-format corpus needs: REAL decoders for every format this
-    * library decodes without a codec (ppm, bmp, wav, png, gif), the
-    * deterministic [[FakeDecoder]] for genuinely-unavailable lossy
+    * library decodes without a codec (ppm, bmp, wav, png, gif, tiff,
+    * jpeg), the deterministic [[FakeDecoder]] for genuinely-unavailable
     * codecs (explicit allowlist below). Case-insensitive on the
     * metadata format tag. An UNKNOWN tag throws rather than silently
     * fake-decoding: a typo ("tiif") or a new format must surface as a
@@ -1115,7 +1115,8 @@ object Multimodal {
     case "png" => new PngDecoder
     case "gif" => new GifDecoder
     case "tiff" | "tif" => new TiffDecoder
-    case "jpeg" | "jpg" | "mp3" | "mp4" | "webm" | "ogg" | "heic" |
+    case "jpeg" | "jpg" => new JpegDecoder
+    case "mp3" | "mp4" | "webm" | "ogg" | "heic" |
         "avif" | "webp" | "flac" | "aac" | "mov" | "avi" =>
       new FakeDecoder()
     case other => throw new IllegalArgumentException(

@@ -607,6 +607,177 @@ class MultimodalSpec extends SparkSpec {
     assert(ep.getMessage.contains("planar"))
   }
 
+  test("JpegDecoder agrees with ImageIO within lossy-codec tolerance") {
+    import java.awt.image.BufferedImage
+    val decoder = new JpegDecoder
+    def jpegBytes(bi: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "jpg", bos))
+      bos.toByteArray
+    }
+    // --- grayscale, non-multiple-of-8 dims (edge MCUs) ---
+    val (w, h) = (37, 23)
+    val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0,
+        (128 + 100 * math.sin(x * 0.3) * math.cos(y * 0.2)).toInt)
+    val gImg = jpegBytes(gray)
+    val (gw, gh, gc, gPix) = decoder.decodeRaster(gImg)
+    assert((gw, gh, gc) == (w, h, 1))
+    val gRef = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gImg))
+    var maxD = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs((gPix(y * w + x) & 0xff) - gRef.getRaster.getSample(x, y, 0))
+      maxD = math.max(maxD, d)
+    }
+    // no chroma, no upsampling: only IDCT rounding differs between
+    // conformant decoders
+    assert(maxD <= 2, s"grayscale max per-pixel diff $maxD vs ImageIO")
+    // --- color with CONSTANT chroma (R=G=B): 4:2:0 upsampling filters
+    // agree exactly on constant planes, so tight tolerance again ---
+    val flat = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 3) % 256
+      flat.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val fImg = jpegBytes(flat)
+    val (fw, fh, fc, fPix) = decoder.decodeRaster(fImg)
+    assert((fw, fh, fc) == (w, h, 3))
+    val fRef = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fImg))
+    var maxF = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = fRef.getRGB(x, y)
+      val o = (y * w + x) * 3
+      maxF = Seq(maxF,
+        math.abs((fPix(o) & 0xff) - ((px >> 16) & 0xff)),
+        math.abs((fPix(o + 1) & 0xff) - ((px >> 8) & 0xff)),
+        math.abs((fPix(o + 2) & 0xff) - (px & 0xff))).max
+    }
+    assert(maxF <= 3, s"flat-chroma color max per-pixel diff $maxF vs ImageIO")
+    // --- color with SLOW chroma gradients: nearest vs fancy chroma
+    // upsampling differ by about half the per-pixel chroma step ---
+    val grad = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (128 + 80 * math.sin(x * 0.05)).toInt
+      val g = (128 + 80 * math.sin(y * 0.05)).toInt
+      val bb = (128 + 80 * math.cos((x + y) * 0.04)).toInt
+      grad.setRGB(x, y, (r << 16) | (g << 8) | bb)
+    }
+    val cImg = jpegBytes(grad)
+    val (cw2, ch2, cc2, cPix) = decoder.decodeRaster(cImg)
+    assert((cw2, ch2, cc2) == (w, h, 3))
+    val cRef = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cImg))
+    var maxC = 0; var sumC = 0L; var nC = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = cRef.getRGB(x, y)
+      val o = (y * w + x) * 3
+      val ds = Seq(
+        math.abs((cPix(o) & 0xff) - ((px >> 16) & 0xff)),
+        math.abs((cPix(o + 1) & 0xff) - ((px >> 8) & 0xff)),
+        math.abs((cPix(o + 2) & 0xff) - (px & 0xff)))
+      maxC = math.max(maxC, ds.max); sumC += ds.sum; nC += 3
+    }
+    assert(maxC <= 12, s"gradient color max per-pixel diff $maxC vs ImageIO")
+    assert(sumC.toDouble / nC <= 3.0,
+      s"gradient color mean diff ${sumC.toDouble / nC} vs ImageIO")
+    // --- MediaFeatures surface + the distributed batched path ---
+    import spark.implicits._
+    val rec = MediaRecord(71L, gImg, MediaMeta("jpeg", w, h, gImg.length.toLong))
+    val feats = decoder.decode(rec)
+    assert(feats.format == "jpeg" && feats.nFrames == h)
+    assert(feats.thumbFirstByte == (gPix(0) & 0xff))
+    val out = Multimodal.extractFeaturesAuto(
+        Seq(rec, rec.copy(id = 72L,
+          meta = rec.meta.copy(format = "jpg"))).toDS(), batchSize = 1)
+      .collect().sortBy(_.id)
+    assert(out.map(_.id).toSeq == Seq(71L, 72L))
+    assert(out.forall(_.checksum == feats.checksum))
+  }
+
+  test("JpegDecoder rejects non-baseline and malformed payloads with the contractual IAE") {
+    import java.awt.image.BufferedImage
+    val decoder = new JpegDecoder
+    val bi = new BufferedImage(24, 16, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 24)
+      bi.getRaster.setSample(x, y, 0, (x * 11 + y * 5) % 256)
+    // progressive (SOF2) must throw, not mis-decode
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    writer.dispose(); ios.close()
+    val prog = bos.toByteArray
+    // sanity: the writer did emit SOF2
+    assert((0 until prog.length - 1).exists(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc2))
+    val e1 = intercept[IllegalArgumentException] { decoder.decodeRaster(prog) }
+    assert(e1.getMessage.contains("SOF2"))
+    // baseline bytes for the malformed cases
+    val ok = { val b2 = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", b2); b2.toByteArray }
+    assert(decoder.decodeRaster(ok)._1 == 24) // control: decodes fine
+    // wrong magic
+    intercept[IllegalArgumentException] {
+      decoder.decodeRaster("notajpeg".getBytes("US-ASCII")) }
+    // truncated entropy-coded data
+    intercept[IllegalArgumentException] { decoder.decodeRaster(ok.dropRight(12)) }
+    // 16-bit quantization table (flip Pq nibble in the DQT segment)
+    val dqtAt = (0 until ok.length - 1).find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xdb).get
+    val crafted = ok.clone()
+    crafted(dqtAt + 4) = (crafted(dqtAt + 4) | 0x10).toByte
+    val e2 = intercept[IllegalArgumentException] { decoder.decodeRaster(crafted) }
+    assert(e2.getMessage.contains("quantization"))
+  }
+
+  test("JpegDecoder honors restart intervals (DRI + RSTn)") {
+    import java.awt.image.BufferedImage
+    val decoder = new JpegDecoder
+    val (w, h) = (48, 32) // 6x4 = 24 MCUs at 8x8 grayscale
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0,
+        (128 + 90 * math.sin(x * 0.2 + y * 0.1)).toInt)
+    // ask the JDK writer for a restart interval via its native metadata
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    val meta = writer.getDefaultImageMetadata(
+      new javax.imageio.ImageTypeSpecifier(bi), param)
+    val fmt = "javax_imageio_jpeg_image_1.0"
+    val tree = meta.getAsTree(fmt)
+    val ms = tree.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      .getElementsByTagName("markerSequence").item(0)
+    val dri = new javax.imageio.metadata.IIOMetadataNode("dri")
+    dri.setAttribute("interval", "3")
+    ms.insertBefore(dri, ms.getFirstChild)
+    meta.setFromTree(fmt, tree)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, meta), param)
+    writer.dispose(); ios.close()
+    val img = bos.toByteArray
+    // sanity: DRI segment present and at least one RST marker in the scan
+    assert((0 until img.length - 1).exists(i =>
+      (img(i) & 0xff) == 0xff && (img(i + 1) & 0xff) == 0xdd),
+      "JDK writer emitted no DRI — restart coverage lost")
+    assert((0 until img.length - 1).exists(i =>
+      (img(i) & 0xff) == 0xff && {
+        val m = img(i + 1) & 0xff; m >= 0xd0 && m <= 0xd7 }),
+      "no RST markers in the scan")
+    val (dw, dh, dc, pix) = decoder.decodeRaster(img)
+    assert((dw, dh, dc) == (w, h, 1))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(img))
+    var maxD = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxD = math.max(maxD,
+        math.abs((pix(y * w + x) & 0xff) - ref.getRaster.getSample(x, y, 0)))
+    assert(maxD <= 2, s"restart-interval decode max diff $maxD vs ImageIO")
+  }
+
   test("extractFeaturesAuto decodes a mixed-format partition by metadata tag") {
     import spark.implicits._
     // one PPM, one WAV, one unknown-codec payload in ONE dataset: each
@@ -625,14 +796,14 @@ class MultimodalSpec extends SparkSpec {
     val recs = Seq(
       MediaRecord(61L, ppm, MediaMeta("ppm", 2, 1, ppm.length.toLong)),
       MediaRecord(62L, wav, MediaMeta("wav", 0, 0, wav.length.toLong)),
-      MediaRecord(63L, blob, MediaMeta("jpeg", 0, 0, blob.length.toLong)))
+      MediaRecord(63L, blob, MediaMeta("mp3", 0, 0, blob.length.toLong)))
     val out = Multimodal.extractFeaturesAuto(recs.toDS().coalesce(1), batchSize = 2)
       .collect().map(f => f.id -> f).toMap
     assert(out(61L) == (new PpmDecoder).decode(recs(0)))
     assert(out(62L) == (new WavDecoder()).decode(recs(1)))
     assert(out(63L) == (new FakeDecoder()).decode(recs(2)))
     assert(out(61L).format == "ppm" && out(62L).format == "wav" &&
-      out(63L).format == "jpeg")
+      out(63L).format == "mp3")
   }
 
   test("crafted huge-raster headers throw before allocating (PNG zlib / GIF LZW bounds)") {
@@ -672,7 +843,8 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decoderFor("gif").isInstanceOf[GifDecoder])
     assert(Multimodal.decoderFor("tiff").isInstanceOf[TiffDecoder])
     assert(Multimodal.decoderFor("tif").isInstanceOf[TiffDecoder])
-    assert(Multimodal.decoderFor("jpeg").isInstanceOf[FakeDecoder])
+    assert(Multimodal.decoderFor("jpeg").isInstanceOf[JpegDecoder])
+    assert(Multimodal.decoderFor("jpg").isInstanceOf[JpegDecoder])
     assert(Multimodal.decoderFor("mp4").isInstanceOf[FakeDecoder])
     // an unknown tag (typo or unlisted format) must surface, not
     // silently fake-decode into pseudo-features
