@@ -124,8 +124,19 @@ object ScaleProbe {
               r.get("sec").asDouble))
           val last = rows.map(_._1).foldLeft(0)(math.max)
           val byId = all.groupBy(_.takeWhile(_ != '_')).view.mapValues(_.head)
-          rows.collect { case (r, q, s) if r == last && s > 0 => (q, s) }
+          val top = rows.collect { case (r, q, s) if r == last && s > 0 => (q, s) }
             .sortBy(-_._2).map(_._1).flatMap(byId.get).distinct.take(topN).toSeq
+          // ALWAYS probe two families on top of the expensive ones:
+          // (a) the shared-postings consumers — their timed cost is
+          // warm-postings query cost, exactly where a hidden superlinear
+          // term (bucket-join blowup, candidate explosion) would hide
+          // behind a cheap-looking pack number; (b) queries absent from
+          // the last bench round (new this round) — they have no history
+          // to flag a regression against yet
+          val lastIds = rows.collect { case (r, q, _) if r == last => q }.toSet
+          val mandatory = all.filter(n => queries.SharedFrames.isConsumer(n) ||
+            !lastIds.contains(n.takeWhile(_ != '_')))
+          (top ++ mandatory).distinct
         }
     }
   }
