@@ -440,6 +440,17 @@ object TextAnalysis {
     * per-round pass is one map-side-combined pair aggregation. */
   def q155BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    bpeLearn(spark, dir, 3).toDF("round", "pattern", "merged", "n")
+      .orderBy(col("round"))
+  }
+
+  /** The BPE merge-training loop q155 reports and q158 applies: learn
+    * the first `rounds` merges over the frequency-weighted DISTINCT
+    * vocab (|V| rows, never corpus rows); each round's argmax is a
+    * 1-row driver decision, ConnectedComponents-style control plane.
+    * Returns (round, pattern, merged symbol, count). */
+  private def bpeLearn(spark: SparkSession, dir: String,
+      rounds: Int): Seq[(Int, String, String, Long)] = {
     // persisted: each round's 1-row driver decision is an action, and
     // without the cache every round would re-run the corpus tokenize +
     // groupBy plus all prior replaces from scratch — the vocab is |V|
@@ -448,14 +459,11 @@ object TextAnalysis {
     val v0 = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      .select(concat(lit("_"),
-        array_join(transform(sequence(lit(1), length(col("tok"))),
-          i => col("tok").substr(i, lit(1))), "_ _"),
-        lit("_")).as("w"), col("freq"))
+      .select(bpeWrap(col("tok")).as("w"), col("freq"))
       .persist()
     var v = v0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (rnd <- 1 to 3) {
+    for (rnd <- 1 to rounds) {
       val toksCol = split(col("w"), " ")
       val pairs = v.select(col("freq"),
         explode(when(size(toksCol) >= 2,
@@ -473,11 +481,62 @@ object TextAnalysis {
         col("freq"))
     }
     v0.unpersist()
-    merges.result().toDF("round", "pattern", "merged", "n")
-      .orderBy(col("round"))
+    merges.result()
   }
 
-  val q155Sql: String = {
+  /** Wrapped-symbol encoding shared by the BPE train/apply pair: each
+    * character becomes `_c_`, symbols separated by spaces — what makes a
+    * merge a plain non-overlapping `replace` with identical left-to-right
+    * semantics in both engines. */
+  private def bpeWrap(tok: Column): Column =
+    concat(lit("_"),
+      array_join(transform(sequence(lit(1), length(tok)),
+        i => tok.substr(i, lit(1))), "_ _"),
+      lit("_"))
+
+  /** Tokenize the CORPUS with the trained tokenizer — the stage that
+    * actually runs at 100 TB: q155 learns the merge table (3 rounds over
+    * the |V|-row vocab, driver decisions), this query APPLIES it to every
+    * token of every document and audits the result per language:
+    * fertility (pieces per token — the multilingual tokenizer-quality
+    * number) and compression (1 − pieces/chars — how much the learned
+    * merges shrink the symbol stream). The audit a tokenizer change has
+    * to pass before a training run re-tokenizes a corpus.
+    *
+    * Determinism: piece and char counts are exact integers; the two
+    * ratios are rounded once with the repo idiom. The merge patterns are
+    * q155's argmax decisions — lexicographic tie-breaks make them unique.
+    *
+    * Scale design: the learned merges are PLAN LITERALS (three replace
+    * calls — the broadcast-of-a-model pattern, like q61's LM and q140's
+    * registry weights); the corpus pass is one explode + a pure row
+    * kernel + ONE lang-grain aggregation with map-side partials. Nothing
+    * joins, nothing shuffles at corpus grain. */
+  def q158BpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeLearn(spark, dir, 3)
+    val applied = merges.foldLeft(bpeWrap(col("tok"))) {
+      case (c, (_, pat, merged, _)) =>
+        call_function("replace", c, lit(pat), lit(merged))
+    }
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("lang"), length(col("tok")).cast("long").as("nc"),
+        size(split(applied, " ")).cast("long").as("np"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("np")).as("n_pieces"),
+        round(lit(1e-9) +
+          sum(col("np")).cast("double") / count(lit(1)), 5).as("fertility"),
+        round(lit(1e-9) + lit(1.0) -
+          sum(col("np")).cast("double") / sum(col("nc")), 5).as("compression"))
+      .orderBy(col("lang"))
+  }
+
+  /** The DuckDB CTE chain learning the same 3 merges (w0 vocab → v0
+    * wrapped → pairs/argmax/apply per round) — shared by q155Sql (which
+    * reports the merges) and q158Sql (which applies them to the corpus). */
+  private val bpeCtes: String = {
     def pairsOf(src: String, out: String): String =
       s"""$out AS (
          |  SELECT toks[i] || ' ' || toks[i+1] AS pair, sum(freq)::BIGINT AS n
@@ -490,7 +549,7 @@ object TextAnalysis {
       s"""$out AS (
          |  SELECT replace($vsrc.w, $msrc.pair, replace($msrc.pair, '_ _', '')) AS w, freq
          |  FROM $vsrc CROSS JOIN $msrc)""".stripMargin
-    s"""WITH w0 AS (
+    s"""w0 AS (
       |  SELECT tok, count(*) AS freq FROM (
       |    SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
       |    FROM documents) GROUP BY 1),
@@ -506,14 +565,43 @@ object TextAnalysis {
       |${argmax("p2", "m2")},
       |${applied("v1", "m2", "v2")},
       |${pairsOf("v2", "p3")},
-      |${argmax("p3", "m3")}
+      |${argmax("p3", "m3")}""".stripMargin
+  }
+
+  val q155Sql: String =
+    s"""WITH $bpeCtes
       |SELECT 1 AS round, pair AS pattern, replace(pair, '_ _', '') AS merged, n FROM m1
       |UNION ALL
       |SELECT 2, pair, replace(pair, '_ _', ''), n FROM m2
       |UNION ALL
       |SELECT 3, pair, replace(pair, '_ _', ''), n FROM m3
       |ORDER BY round""".stripMargin
-  }
+
+  val q158Sql: String =
+    s"""WITH $bpeCtes,
+      |toks AS (
+      |  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+      |  FROM documents),
+      |enc AS (
+      |  SELECT lang, len(tok)::BIGINT AS nc,
+      |    '_' || array_to_string(
+      |      list_transform(range(1, len(tok) + 1), i -> tok[i]), '_ _') || '_' AS w
+      |  FROM toks),
+      |ap AS (
+      |  SELECT lang, nc,
+      |    len(string_split(replace(replace(replace(w,
+      |      m1.pair, replace(m1.pair, '_ _', '')),
+      |      m2.pair, replace(m2.pair, '_ _', '')),
+      |      m3.pair, replace(m3.pair, '_ _', '')), ' '))::BIGINT AS np
+      |  FROM enc CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3)
+      |SELECT lang, count(*)::BIGINT AS n_tokens,
+      |  sum(nc)::BIGINT AS n_chars,
+      |  sum(np)::BIGINT AS n_pieces,
+      |  round(1e-9 + sum(np)::DOUBLE / count(*), 5) AS fertility,
+      |  round(1e-9 + 1.0 - sum(np)::DOUBLE / sum(nc), 5) AS compression
+      |FROM ap
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
 
   /** Corpus-frequency boilerplate masking (the CCNet/C4 "remove lines
     * shared across many pages" pass, at token-bigram granularity since
@@ -1356,6 +1444,7 @@ object TextAnalysis {
     "q64_kmv_sketch" -> (q64KmvSketch _),
     "q66_bpe_first_merge" -> (q66BpeFirstMerge _),
     "q155_bpe_merges" -> (q155BpeMerges _),
+    "q158_bpe_apply" -> (q158BpeApply _),
     "q71_boilerplate" -> (q71Boilerplate _),
     "q72_tfidf" -> (q72Tfidf _),
     "q74_vocab_coverage" -> (q74VocabCoverage _),
@@ -1383,6 +1472,7 @@ object TextAnalysis {
     "q64_kmv_sketch" -> q64Sql,
     "q66_bpe_first_merge" -> q66Sql,
     "q155_bpe_merges" -> q155Sql,
+    "q158_bpe_apply" -> q158Sql,
     "q71_boilerplate" -> q71Sql,
     "q72_tfidf" -> q72Sql,
     "q74_vocab_coverage" -> q74Sql,

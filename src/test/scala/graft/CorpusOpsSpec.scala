@@ -508,6 +508,50 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q158 BPE apply: bounds, corpus closure, and a full plain-JVM replay agrees") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q158_bpe_apply").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nt = r.getAs[Long]("n_tokens")
+      val nc = r.getAs[Long]("n_chars")
+      val np = r.getAs[Long]("n_pieces")
+      // merges only shrink: one piece per token at best, one per char at worst
+      assert(np >= nt && np <= nc, s"${r.getAs[String]("lang")}: np=$np outside [$nt,$nc]")
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      val comp = r.getAs[Double]("compression")
+      assert(comp >= 0.0 && comp < 1.0)
+    }
+    // third-engine replay: apply q155's learned merges with plain JVM
+    // string ops over every token and reproduce the per-lang totals
+    val merges = run("q155_bpe_merges").collect()
+      .sortBy(_.getAs[Int]("round"))
+      .map(r => (r.getAs[String]("pattern"), r.getAs[String]("merged")))
+    assert(merges.length == 3)
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val manual = toks.groupBy(_._1).map { case (lang, ts) =>
+      var nTok = 0L; var nChar = 0L; var nPiece = 0L
+      ts.foreach { case (_, t) =>
+        nTok += 1; nChar += t.length
+        var w = "_" + t.map(_.toString).mkString("_ _") + "_"
+        merges.foreach { case (p, m) => w = w.replace(p, m) }
+        nPiece += w.split(" ").length
+      }
+      lang -> ((nTok, nChar, nPiece))
+    }
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (nt, nc, np) = manual(lang)
+      assert((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_pieces")) == ((nt, nc, np)),
+        s"$lang: Spark totals != plain-JVM replay ($nt,$nc,$np)")
+    }
+    assert(rows.map(_.getAs[String]("lang")).toSet == manual.keySet)
+  }
+
   test("q155 BPE: winning counts non-increasing, merges well-formed and distinct") {
     val rows = run("q155_bpe_merges").collect().sortBy(_.getAs[Int]("round"))
     assert(rows.map(_.getAs[Int]("round")).toSeq == Seq(1, 2, 3))

@@ -762,6 +762,21 @@ class PlanAuditSpec extends SparkSpec {
       "q151 must not shuffle the events table against config-sized windows")
   }
 
+  test("q157 SCD2 probe: as-of union-window shape, no range join, user-partitioned windows") {
+    val p = plan("q157_scd2_probe")
+    // the containment join is expressed as AsOfJoin's union + ordered
+    // window — an interval predicate would plan as a nested-loop join
+    // that explodes at probe x version scale
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "q157 must never plan the interval containment as a nested-loop join")
+    assert(p.contains("Union"), "q157 lost the as-of union shape")
+    // every window partitions by user_id — state bounded per user, never
+    // corpus-wide
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("user_id")),
+      s"q157 has a window not partitioned by user_id:\n${windows.mkString("\n")}")
+  }
+
   test("q143 sweep: rides the shared capped postings, no cartesian") {
     val p = plan("q143_jaccard_sweep")
     assert(p.contains("InMemoryTableScan"),
