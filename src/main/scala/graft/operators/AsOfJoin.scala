@@ -27,6 +27,34 @@ object AsOfJoin {
       ts: String,
       rightCols: Map[String, String],
       rightTieBreak: String
+  ): DataFrame = joined(left, right, key, ts, rightCols, rightTieBreak,
+    descending = false)
+
+  /** Forward as-of join: for each left row, attach the chosen columns of
+    * the EARLIEST right row with `right.ts >= left.ts` and equal key —
+    * the "time to next event" direction (label joins: next conversion
+    * after an observation, next error after a deploy). Same union +
+    * ordered-window plan as [[backward]], scanning in DESCENDING
+    * timestamp order; inclusive at equal timestamps, ties among right
+    * rows resolved to the SMALLEST `rightTieBreak`. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightCols: Map[String, String],
+      rightTieBreak: String
+  ): DataFrame = joined(left, right, key, ts, rightCols, rightTieBreak,
+    descending = true)
+
+  private def joined(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      rightCols: Map[String, String],
+      rightTieBreak: String,
+      descending: Boolean
   ): DataFrame = {
     val leftCols = left.columns.toSeq
     val side = "_graft_side"
@@ -45,8 +73,18 @@ object AsOfJoin {
     }
 
     val unioned = l2.unionByName(r2.select(l2.columns.map(col).toSeq: _*))
+    // backward scans ascending: the carried right row is the latest with
+    // ts <= left.ts, ties to the LARGEST tiebreak (last carried wins).
+    // forward scans descending: the carried right row is the earliest
+    // with ts >= left.ts, and the tiebreak sorts descending so the last
+    // carried (= the winner) is the SMALLEST — symmetric determinism.
+    // Right rows (side 0) precede left rows at equal ts in both
+    // directions, which is what makes both joins inclusive.
+    val ord =
+      if (descending) Seq(col(ts).desc, col(side), col(tie).desc)
+      else Seq(col(ts), col(side), col(tie))
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col(side), col(tie))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = rightCols.values.foldLeft(unioned) { case (df, out) =>

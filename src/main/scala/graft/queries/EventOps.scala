@@ -423,6 +423,74 @@ object EventOps {
       |  AND (d.valid_to_ns = -1 OR p.ts_ns < d.valid_to_ns)
       |ORDER BY probe_event_id""".stripMargin
 
+  /** Time-to-event label join — the supervised-label construction step of
+    * a training-data pipeline: for every signup (the observation), find
+    * the NEXT purchase of the same user at-or-after it (forward as-of
+    * join, [[operators.AsOfJoin.forward]]) and emit the label the model
+    * trains on: `converted` = purchase within the 7-day horizon,
+    * `latency_ns` = time to that purchase (−1 when unconverted). The
+    * mirror of q20's backward as-of: q20 asks "what signup preceded this
+    * purchase", this asks "what purchase followed this signup".
+    *
+    * Determinism: among same-timestamp purchases the smallest event_id
+    * wins (forward as-of contract), matching the oracle's
+    * `row_number() OVER (ORDER BY pts, p_event_id)` cut; all outputs are
+    * exact integers.
+    *
+    * Scale design: the forward as-of is the union + per-user descending
+    * window — ONE shuffle on user_id, state bounded per user, no range
+    * join. The oracle's range join is quadratic per user and exists only
+    * for the sf0.01 cross-check. */
+  def q159TimeToEvent(spark: SparkSession, dir: String): DataFrame = {
+    val horizonNs = 604800000000000L // 7 days
+    val ev = Tables.events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_event_id"), col("user_id"),
+        col("ts_ns"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts_ns"), col("ts_ns").as("p_ts_ns"))
+    val matched = AsOfJoin.forward(
+      signups, purchases,
+      key = "user_id", ts = "ts_ns",
+      rightCols = Map("p_event_id" -> "purchase_event_id",
+        "p_ts_ns" -> "purchase_ts_ns"),
+      rightTieBreak = "p_event_id")
+    val hit = col("purchase_ts_ns").isNotNull &&
+      col("purchase_ts_ns") - col("ts_ns") <= horizonNs
+    matched.select(
+        col("signup_event_id"), col("user_id"),
+        when(hit, 1).otherwise(0).cast("int").as("converted"),
+        when(hit, col("purchase_ts_ns") - col("ts_ns"))
+          .otherwise(lit(-1L)).cast("long").as("latency_ns"),
+        when(hit, col("purchase_event_id"))
+          .otherwise(lit(-1L)).cast("long").as("purchase_event_id"))
+      .orderBy(col("signup_event_id"))
+  }
+
+  val q159Sql: String =
+    """WITH s AS (
+      |  SELECT event_id AS signup_event_id, user_id, epoch_ns(ts) AS ts_ns
+      |  FROM events WHERE event_type = 'signup'),
+      |p AS (
+      |  SELECT event_id AS p_event_id, user_id, epoch_ns(ts) AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT s.signup_event_id, p.p_event_id, p.pts, s.ts_ns,
+      |    row_number() OVER (PARTITION BY s.signup_event_id
+      |      ORDER BY p.pts, p.p_event_id) AS rk
+      |  FROM s JOIN p ON s.user_id = p.user_id AND p.pts >= s.ts_ns),
+      |best AS (SELECT * FROM m WHERE rk = 1)
+      |SELECT s.signup_event_id, s.user_id,
+      |  CASE WHEN b.pts IS NOT NULL AND b.pts - s.ts_ns <= 604800000000000
+      |    THEN 1 ELSE 0 END AS converted,
+      |  (CASE WHEN b.pts IS NOT NULL AND b.pts - s.ts_ns <= 604800000000000
+      |    THEN b.pts - s.ts_ns ELSE -1 END)::BIGINT AS latency_ns,
+      |  (CASE WHEN b.pts IS NOT NULL AND b.pts - s.ts_ns <= 604800000000000
+      |    THEN b.p_event_id ELSE -1 END)::BIGINT AS purchase_event_id
+      |FROM s LEFT JOIN best b ON s.signup_event_id = b.signup_event_id
+      |ORDER BY s.signup_event_id""".stripMargin
+
   /** Time-grid gap-fill: regularize the per-user event stream onto a dense
     * hourly grid (72 hours from the corpus start) and forward-fill each
     * user's last observed value across silent hours — the resample+ffill
@@ -708,6 +776,7 @@ object EventOps {
     "q79_changelog_compact" -> (q79ChangelogCompact _),
     "q154_scd2_intervals" -> (q154Scd2Intervals _),
     "q157_scd2_probe" -> (q157Scd2Probe _),
+    "q159_time_to_event" -> (q159TimeToEvent _),
     "q82_gap_fill" -> (q82GapFill _),
     "q85_rolling_actives" -> (q85RollingActives _),
     "q90_retention_cohorts" -> (q90RetentionCohorts _),
@@ -727,6 +796,7 @@ object EventOps {
     "q79_changelog_compact" -> q79Sql,
     "q154_scd2_intervals" -> q154Sql,
     "q157_scd2_probe" -> q157Sql,
+    "q159_time_to_event" -> q159Sql,
     "q82_gap_fill" -> q82Sql,
     "q85_rolling_actives" -> q85Sql,
     "q90_retention_cohorts" -> q90Sql,
