@@ -777,6 +777,28 @@ class PlanAuditSpec extends SparkSpec {
       s"q157 has a window not partitioned by user_id:\n${windows.mkString("\n")}")
   }
 
+  test("q158 BPE apply: joinless corpus pass, one lang-grain shuffle") {
+    val p = plan("q158_bpe_apply")
+    // the trained merges are plan literals: the corpus pass must carry
+    // NO join anywhere — a join against a merge table would ship the
+    // model as data instead of code
+    assert(!p.contains("Join"), s"q158 must be joinless:\n${p.take(1500)}")
+    assert(hashExchanges(p) == 1,
+      s"q158 should shuffle exactly once (the lang aggregation), got ${hashExchanges(p)}")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "q158's lang aggregation must partial-aggregate map-side")
+  }
+
+  test("q159 time-to-event: as-of union-window shape, no range join") {
+    val p = plan("q159_time_to_event")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "q159 must never plan the next-event match as a nested-loop range join")
+    assert(p.contains("Union"), "q159 lost the as-of union shape")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("user_id")),
+      s"q159 has a window not partitioned by user_id:\n${windows.mkString("\n")}")
+  }
+
   test("q143 sweep: rides the shared capped postings, no cartesian") {
     val p = plan("q143_jaccard_sweep")
     assert(p.contains("InMemoryTableScan"),

@@ -1130,6 +1130,18 @@ class StreamRunnerSpec extends SparkSpec {
         spark.read.parquet(s"$dim/snap_$lastId"), early).count()
     }
     assert(e.getMessage.contains("ordered"))
+    // slicing independence: replaying the same ordered changelog in TWO
+    // batches (different boundary) instead of four yields the SAME dim —
+    // the merge is associative over ordered slices
+    val dim2 = Files.createTempDirectory("graft_scd2_dim2").resolve("dim").toString
+    val per2 = math.ceil(ordered.length / 2.0).toInt
+    ordered.grouped(per2).zipWithIndex.foreach { case (rows2, i) =>
+      val df2 = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows2.toSeq), ev.schema)
+      StreamRunner.scd2MaintainSink(dim2)(df2, i.toLong)
+    }
+    val streamed2 = StreamRunner.scd2Snapshot(spark, dim2).collect().map(key).toSet
+    assert(streamed2 == batch, "2-slice replay diverged from the batch rebuild")
   }
 
   test("graceful stop terminates a continuous query") {
