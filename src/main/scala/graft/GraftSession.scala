@@ -58,11 +58,15 @@ object GraftSession {
     graft.functions.RollingFp.register(spark)
     graft.functions.WsTokens.register(spark)
     graft.functions.NfcNormalize.register(spark)
+    graft.functions.RxCount.register(spark)
     // plan-rewrite rules (same set GraftExtensions injects at build time);
     // extraOptimizations is the runtime hook for an existing session
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteMd5H32))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteMd5H32
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteRegexpCount))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteRegexpCount
   }
 
   /** Make an externally-created session (e.g. the driver's) safe for graft

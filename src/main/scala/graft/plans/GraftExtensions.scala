@@ -30,7 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rollingFp)
     ext.injectFunction(GraftExtensions.wsTokens)
     ext.injectFunction(GraftExtensions.nfcNormalize)
+    ext.injectFunction(GraftExtensions.rxCount)
     ext.injectOptimizerRule(_ => RewriteMd5H32)
+    ext.injectOptimizerRule(_ => RewriteRegexpCount)
   }
 }
 
@@ -91,4 +93,10 @@ object GraftExtensions {
     (FunctionIdentifier("shingle_h32"),
       new ExpressionInfo(classOf[ShingleH32Expr].getName, "shingle_h32"),
       ShingleH32.builder _)
+
+  /** (name, info, builder) triple for `rx_count(s, pattern)`. */
+  val rxCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("rx_count"),
+      new ExpressionInfo(classOf[graft.functions.RxCountExpr].getName, "rx_count"),
+      graft.functions.RxCount.builder _)
 }

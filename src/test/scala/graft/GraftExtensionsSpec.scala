@@ -39,6 +39,47 @@ class GraftExtensionsSpec extends SparkSpec {
       native.exceptAll(df).count() == 0)
   }
 
+  test("size(regexp_extract_all) rewrites to rx_count and matches exactly") {
+    import org.apache.spark.sql.functions._
+    val pats = Seq(
+      "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", // q126's email
+      "ab", "a*", "", "x(y)?z", "\\bq[a-z]+")   // incl. zero-width/empty/groups
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), concat(col("text"),
+        lit(" u1@ex.org xyz xz ab abab aaa query")).as("t"))
+    pats.foreach { p =>
+      val declared = docs.select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(p), lit(0))).as("n"))
+      val plan = declared.queryExecution.executedPlan.toString
+      assert(plan.contains("rx_count"), s"rewrite did not fire for '$p':\n${plan.take(800)}")
+      assert(!plan.contains("regexp_extract_all"),
+        s"array materialization survived for '$p'")
+      // ground truth: evaluate the UNrewritten form via the expression
+      // tree directly (bypassing the optimizer is not possible on a
+      // session with the rule installed, so compare against the native
+      // kernel's independent java.util.regex walk AND a literal matcher)
+      val got = declared.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      docs.collect().foreach { r =>
+        val m = java.util.regex.Pattern.compile(p).matcher(r.getString(1))
+        var n = 0
+        while (m.find()) n += 1
+        assert(got(r.getLong(0)) == n,
+          s"'$p' on doc ${r.getLong(0)}: ${got(r.getLong(0))} != $n")
+      }
+    }
+    // null semantics match size's modern (non-legacy) behavior: null in,
+    // null out — on subject and on pattern
+    val row = spark.sql(
+      "SELECT size(regexp_extract_all(CAST(NULL AS STRING), 'a', 0)) AS a, " +
+        "rx_count('aaa', CAST(NULL AS STRING)) AS b").collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1))
+    // group index != 0 is left alone (keeps Spark's group validation)
+    val g1 = docs.select(
+      size(regexp_extract_all(col("t"), lit("x(y)?z"), lit(1))).as("n"))
+    assert(!g1.queryExecution.executedPlan.toString.contains("rx_count"),
+      "group-1 extract must not rewrite")
+  }
+
   test("applying the extensions class injects without error") {
     // builder-time injection can't be observed on the already-running
     // shared session (extensions apply to new sessions only) and the
