@@ -1124,6 +1124,37 @@ object Multimodal {
         "not on the lossy-codec allowlist")
   }
 
+  /** Nearest-neighbor raster resize over decoded pixel rows (the
+    * decode → RESIZE → feature pipeline stage: thumbnails, fixed-size
+    * model inputs). Rows are interleaved samples (`channels` bytes per
+    * pixel) exactly as every image decoder above emits them; the
+    * mapping is the standard floor(x·srcW/dstW) nearest pick — pure
+    * integer arithmetic, deterministic, identical up- and downscale
+    * path. Pure per-record function: safe inside the batched
+    * mapPartitions decode surface. */
+  def resizeNearest(rows: Seq[Array[Byte]], channels: Int,
+      dstW: Int, dstH: Int): Seq[Array[Byte]] = {
+    require(rows.nonEmpty, "empty raster")
+    require(channels > 0 && dstW > 0 && dstH > 0,
+      s"bad resize geometry ch=$channels ${dstW}x$dstH")
+    val srcH = rows.length
+    val srcW = rows.head.length / channels
+    require(srcW > 0 && rows.forall(_.length == srcW * channels),
+      "ragged raster rows")
+    (0 until dstH).map { y =>
+      val src = rows(y * srcH / dstH)
+      val out = new Array[Byte](dstW * channels)
+      var x = 0
+      while (x < dstW) {
+        val sx = (x * srcW / dstW) * channels
+        var c = 0
+        while (c < channels) { out(x * channels + c) = src(sx + c); c += 1 }
+        x += 1
+      }
+      out
+    }
+  }
+
   /** Fixed-stride frame sampling over an opaque payload — the byte-level
     * skeleton of video frame extraction. Pure, allocation-light. */
   def sampleFrames(bytes: Array[Byte], stride: Int, frameLen: Int): Seq[Array[Byte]] = {

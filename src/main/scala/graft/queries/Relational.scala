@@ -991,6 +991,52 @@ object Relational {
       |JOIN supplier USING (s_suppkey)
       |ORDER BY p_partkey""".stripMargin
 
+  /** Table-statistics collection (the `ANALYZE TABLE ... COMPUTE
+    * STATISTICS FOR COLUMNS` surface a cost-based optimizer feeds on):
+    * per numeric lineitem column, row count, null count, exact NDV and
+    * min/max — in ONE pass over the table via a column unpivot (each row
+    * fans out to 4 (col_name, value) pairs).
+    *
+    * Scale design: the unpivot is a narrow explode of a plan-time
+    * 4-element array; the aggregation is the standard two-phase distinct
+    * (partial distinct per partition on (col_name, v), then the 4-key
+    * final merge) — no join, no window, one shuffle whose volume is the
+    * per-partition distinct values, not the table. At 100 TB the exact
+    * NDV swaps for the mergeable HLL sketch (q78's path); the exact form
+    * here is what gives the oracle a bit-identical twin. */
+  def q160ColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    val statCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    Tables.lineitem(spark, dir)
+      .select(explode(array(statCols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("s.v").as("v"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("ndv"),
+        round(lit(1e-9) + min(col("v")), 4).as("min_v"),
+        round(lit(1e-9) + max(col("v")), 4).as("max_v"))
+      .orderBy(col("col_name"))
+  }
+
+  val q160Sql: String =
+    """WITH s AS (
+      |  SELECT 'l_quantity' AS col_name, l_quantity::DOUBLE AS v FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', l_extendedprice::DOUBLE FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_discount', l_discount::DOUBLE FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_tax', l_tax::DOUBLE FROM lineitem)
+      |SELECT col_name, count(*)::BIGINT AS n_rows,
+      |  sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+      |  count(DISTINCT v)::BIGINT AS ndv,
+      |  round(1e-9 + min(v), 4) AS min_v,
+      |  round(1e-9 + max(v), 4) AS max_v
+      |FROM s
+      |GROUP BY col_name
+      |ORDER BY col_name""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_selective_revenue" -> (q02SelectiveRevenue _),
@@ -1019,7 +1065,8 @@ object Relational {
     "q84_quantile_sketch" -> (q84QuantileSketch _),
     "q89_triangle_count" -> (q89TriangleCount _),
     "q95_bloom_prune" -> (q95BloomPrune _),
-    "q115_min_cost_supplier" -> (q115MinCostSupplier _)
+    "q115_min_cost_supplier" -> (q115MinCostSupplier _),
+    "q160_column_stats" -> (q160ColumnStats _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1050,6 +1097,7 @@ object Relational {
     "q84_quantile_sketch" -> q84Sql,
     "q89_triangle_count" -> q89Sql,
     "q95_bloom_prune" -> q95Sql,
-    "q115_min_cost_supplier" -> q115Sql
+    "q115_min_cost_supplier" -> q115Sql,
+    "q160_column_stats" -> q160Sql
   )
 }

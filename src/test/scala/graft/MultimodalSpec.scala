@@ -21,6 +21,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeNearest maps pixels by integer nearest pick, both directions") {
+    // 4x4 single-channel with distinct values
+    val src = (0 until 4).map(y => Array.tabulate[Byte](4)(x => (y * 4 + x).toByte))
+    // downscale 2x: picks (0,0),(0,2),(2,0),(2,2)
+    val down = Multimodal.resizeNearest(src, channels = 1, dstW = 2, dstH = 2)
+    assert(down.map(_.toSeq) == Seq(Seq[Byte](0, 2), Seq[Byte](8, 10)))
+    // upscale 2x: replication
+    val up = Multimodal.resizeNearest(down, channels = 1, dstW = 4, dstH = 4)
+    assert(up.map(_.toSeq) == Seq(
+      Seq[Byte](0, 0, 2, 2), Seq[Byte](0, 0, 2, 2),
+      Seq[Byte](8, 8, 10, 10), Seq[Byte](8, 8, 10, 10)))
+    // 1x1 thumbnail of an RGB raster is the top-left pixel
+    val rgb = Seq(Array[Byte](1, 2, 3, 4, 5, 6), Array[Byte](7, 8, 9, 10, 11, 12))
+    val thumb = Multimodal.resizeNearest(rgb, channels = 3, dstW = 1, dstH = 1)
+    assert(thumb.head.toSeq == Seq[Byte](1, 2, 3))
+    // non-integer ratio: 3 -> 2 picks floor(x*3/2) = cols 0,1 rows 0,1
+    val odd = (0 until 3).map(y => Array.tabulate[Byte](3)(x => (y * 3 + x).toByte))
+    val o2 = Multimodal.resizeNearest(odd, 1, 2, 2)
+    assert(o2.map(_.toSeq) == Seq(Seq[Byte](0, 1), Seq[Byte](3, 4)))
+    // geometry violations throw
+    intercept[IllegalArgumentException] { Multimodal.resizeNearest(Seq.empty, 1, 2, 2) }
+    intercept[IllegalArgumentException] { Multimodal.resizeNearest(rgb, 3, 0, 1) }
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeNearest(Seq(Array[Byte](1, 2), Array[Byte](1)), 1, 1, 1) }
+  }
+
   test("sampleFrames honors stride/frameLen and never overruns") {
     val bytes = Array.tabulate[Byte](100)(_.toByte)
     val frames = Multimodal.sampleFrames(bytes, stride = 16, frameLen = 8)
