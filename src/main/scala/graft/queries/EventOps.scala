@@ -284,7 +284,14 @@ object EventOps {
     * one user's events, never corpus-wide; the version compression is a
     * (user, ver)-grain agg with map-side partials. The output is the
     * dimension table itself (O(state changes), ≤ events). */
-  def q154Scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+  def q154Scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    scd2Dim(spark, dir).orderBy(col("user_id"), col("ver"))
+
+  /** The SCD2 dimension WITHOUT q154's presentation sort — what q157's
+    * probe consumes (the as-of union re-sorts per user anyway, so the
+    * global range exchange would be pure waste in the middle of the
+    * probe plan). */
+  private[queries] def scd2Dim(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ns"), col("event_id"))
     val versioned = Tables.events(spark, dir)
@@ -307,7 +314,6 @@ object EventOps {
       .select(col("user_id"), col("ver"), col("state"),
         col("valid_from_ns"), col("valid_to_ns"), col("n_events"),
         col("is_current"))
-      .orderBy(col("user_id"), col("ver"))
   }
 
   val q154Sql: String =
@@ -367,7 +373,7 @@ object EventOps {
     * events, and no pair explosion exists anywhere — the 100 TB shape
     * for point-in-time feature joins. */
   def q157Scd2Probe(spark: SparkSession, dir: String): DataFrame = {
-    val dim = q154Scd2Intervals(spark, dir)
+    val dim = scd2Dim(spark, dir)
       .select(col("user_id"), col("ver"), col("state"),
         col("valid_from_ns"), col("valid_from_ns").as("ts_ns"))
     val probes = Tables.events(spark, dir)
