@@ -124,4 +124,25 @@ class ContractSpec extends AnyFunSuite {
       "fixture schema drift — update graft.sources.Tables to match:\n  " +
         drifted.mkString("\n  "))
   }
+
+  test("registerViews opens the SQL front door over the star schema") {
+    val spark = SparkSpec.spark
+    val sf = "/root/testdata/sf0.001"
+    graft.sources.Tables.registerViews(spark, sf)
+    // a join across three views, written as raw Spark SQL
+    val n = spark.sql(
+      """SELECT count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n == spark.sql("SELECT count(*) FROM lineitem").collect()(0).getLong(0),
+      "every lineitem row must join through orders to a customer")
+    // events registers the normalized two-column time form
+    val ev = spark.sql("SELECT ts_ns, ts FROM events LIMIT 1").schema
+    assert(ev("ts_ns").dataType == org.apache.spark.sql.types.LongType)
+    assert(ev("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    // idempotent
+    graft.sources.Tables.registerViews(spark, sf)
+  }
 }
