@@ -836,6 +836,9 @@ object Multimodal {
               require(c >= 0, s"scan component $cs not in frame")
               compTd(c) = u8(pos + 4 + 2 * s) >> 4
               compTa(c) = u8(pos + 4 + 2 * s) & 15
+              require(compTd(c) < 4 && compTa(c) < 4,
+                s"scan component $cs selects Huffman table " +
+                  s"${compTd(c)}/${compTa(c)} (0-3 only)")
               s += 1
             }
             require(u8(pos + 3 + 2 * ns) == 0 && u8(pos + 5 + 2 * ns) == 0,

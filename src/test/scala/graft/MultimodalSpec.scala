@@ -804,6 +804,70 @@ class MultimodalSpec extends SparkSpec {
     assert(maxD <= 2, s"restart-interval decode max diff $maxD vs ImageIO")
   }
 
+  test("decoder fuzz: seeded byte mutations throw the contractual IAE, never escape") {
+    // the per-record error contract: a corrupted payload must either
+    // decode (mutation hit a don't-care byte) or throw
+    // IllegalArgumentException — an AIOOBE/NegativeArraySize escaping a
+    // decoder would kill the whole mapPartitions TASK instead of
+    // surfacing as one record's error (this fuzz found exactly that in
+    // the JPEG SOS table selectors: length-4 Huffman arrays indexed by
+    // unchecked 0-15 nibbles)
+    val rnd0 = new scala.util.Random(7)
+    def jpegBytes(): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 24; x <- 0 until 32) bi.setRGB(x, y, rnd0.nextInt(1 << 24))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", bos); bos.toByteArray
+    }
+    def imgBytes(fmt: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(17, 11,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 11; x <- 0 until 17) bi.setRGB(x, y, rnd0.nextInt(1 << 24))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, fmt, bos)); bos.toByteArray
+    }
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val pcm = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(4 + 24 + 8 + pcm.length) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+      "data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm
+    val ppm = "P6\n5 3\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate[Byte](45)(i => (i * 7).toByte)
+    val cases: Seq[(String, MediaDecoder, Array[Byte])] = Seq(
+      ("jpeg", new JpegDecoder, jpegBytes()),
+      ("png", new PngDecoder, imgBytes("png")),
+      ("gif", new GifDecoder, imgBytes("gif")),
+      ("tiff", new TiffDecoder, imgBytes("tiff")),
+      ("bmp", new BmpDecoder, imgBytes("bmp")),
+      ("wav", new WavDecoder(), wav),
+      ("ppm", new PpmDecoder, ppm))
+    cases.foreach { case (fmt, dec, base) =>
+      val rnd = new scala.util.Random(13 + fmt.hashCode)
+      var decoded = 0; var rejected = 0
+      for (_ <- 0 until 400) {
+        val m = base.clone()
+        for (_ <- 0 to rnd.nextInt(4))
+          m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        // truncations exercise every length check too
+        val payload = if (rnd.nextInt(8) == 0) m.take(rnd.nextInt(m.length)) else m
+        try {
+          dec.decode(MediaRecord(1L, payload,
+            MediaMeta(fmt, 0, 0, payload.length.toLong)))
+          decoded += 1
+        } catch {
+          case _: IllegalArgumentException => rejected += 1
+          case e: Throwable =>
+            fail(s"$fmt decoder let ${e.getClass.getSimpleName} escape: ${e.getMessage}")
+        }
+      }
+      // both paths must actually be exercised for the fuzz to mean much
+      assert(rejected > 0, s"$fmt fuzz never rejected — mutations too weak")
+    }
+  }
+
   test("extractFeaturesAuto decodes a mixed-format partition by metadata tag") {
     import spark.implicits._
     // one PPM, one WAV, one unknown-codec payload in ONE dataset: each
