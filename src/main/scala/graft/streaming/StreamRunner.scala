@@ -600,6 +600,23 @@ object StreamRunner {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dimDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // recovery-unit validation (the selfIndexingGate rule, applied to
+    // snapshots): a COMMITTED snapshot strictly AHEAD of this batch id
+    // means the stream's checkpoint was reset or points elsewhere —
+    // proceeding would write an early snapshot while readers keep
+    // seeing the stale later one as "latest". Fail loudly instead.
+    val root = new org.apache.hadoop.fs.Path(dimDir)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("snap_"))
+        n.stripPrefix("snap_").toLongOption.foreach { k =>
+          require(k <= id || !fs.exists(
+            new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")),
+            s"dimension at $dimDir already carries committed snap_$k " +
+              s"ahead of batch $id — checkpoint reset? refusing to " +
+              "fork history; clear the dimension or restore the checkpoint")
+        }
+    }
     val target = new org.apache.hadoop.fs.Path(s"$dimDir/snap_$id")
     if (!fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) {
       val dim = latestScd2Snapshot(fs, dimDir, id) match {

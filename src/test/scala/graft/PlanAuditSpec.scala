@@ -777,6 +777,14 @@ class PlanAuditSpec extends SparkSpec {
       s"q157 has a window not partitioned by user_id:\n${windows.mkString("\n")}")
   }
 
+  test("q126 PII scan: match counting runs the native rx_count kernel") {
+    val p = plan("q126_pii_scrub")
+    assert(p.contains("rx_count"),
+      "q126's counts must rewrite to the allocation-free rx_count kernel")
+    assert(!p.contains("regexp_extract_all"),
+      "q126 must not materialize match arrays just to count them")
+  }
+
   test("q158 BPE apply: joinless corpus pass, one lang-grain shuffle") {
     val p = plan("q158_bpe_apply")
     // the trained merges are plan literals: the corpus pass must carry

@@ -1142,6 +1142,55 @@ class StreamRunnerSpec extends SparkSpec {
     }
     val streamed2 = StreamRunner.scd2Snapshot(spark, dim2).collect().map(key).toSet
     assert(streamed2 == batch, "2-slice replay diverged from the batch rebuild")
+    // checkpoint-reset guard: a batch id BEHIND a committed snapshot
+    // (batch counter restarted at 0 against a dim that saw snap_1)
+    // must refuse rather than fork history behind the stale "latest"
+    val er = intercept[IllegalArgumentException] {
+      StreamRunner.scd2MaintainSink(dim2)(lastSlice, 0L)
+    }
+    assert(er.getMessage.contains("checkpoint reset"))
+  }
+
+  test("event ingest stack: streaming dedup -> SCD2 maintenance == batch on unique events") {
+    // the composed event-side pipeline: re-delivered changelog rows are
+    // dropped by the watermarked dedup BEFORE they can inflate version
+    // event-counts, and the maintained dimension still equals the batch
+    // rebuild over the unique events
+    val src = Files.createTempDirectory("graft_scd2s_src")
+    val ckp = Files.createTempDirectory("graft_scd2s_ckp")
+    val dim = Files.createTempDirectory("graft_scd2s_dim").resolve("dim").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
+    val ordered = ev.orderBy(col("ts_ns"), col("event_id")).collect()
+    val per = math.ceil(ordered.length / 2.0).toInt
+    ordered.grouped(per).zipWithIndex.foreach { case (rows, i) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq), ev.schema)
+      // each slice staged TWICE under different file names: the second
+      // delivery is a full duplicate the dedup gate must absorb
+      Seq("a", "b").foreach { tag =>
+        val tmp = Files.createTempDirectory(s"graft_scd2s_tmp_${i}_$tag")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.copy(part, src.resolve(f"msg_$i%02d$tag.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val stream = StreamRunner.fileStream(spark, src.toString, ev.schema)
+    val deduped = StreamRunner.dedupStream(stream, Seq("event_id"), "2 hours")
+    val q = StreamRunner.runScd2Maintain(deduped, dim, ckp.toString)
+    q.awaitTermination(240000)
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("user_id"), r.getAs[Long]("ver"), r.getAs[String]("state"),
+      r.getAs[Long]("valid_from_ns"), r.getAs[Long]("valid_to_ns"),
+      r.getAs[Long]("n_events"), r.getAs[Int]("is_current"))
+    val streamed = StreamRunner.scd2Snapshot(spark, dim).collect().map(key).toSet
+    val batch = graft.queries.EventOps.q154Scd2Intervals(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      s"dedup->SCD2 stack diverged: ${ (streamed -- batch).take(3) } / " +
+        s"${ (batch -- streamed).take(3) }")
   }
 
   test("graceful stop terminates a continuous query") {
