@@ -1193,6 +1193,71 @@ class StreamRunnerSpec extends SparkSpec {
         s"${ (batch -- streamed).take(3) }")
   }
 
+  test("scd2ApplyBatch property: random streams + random slicings == plain-Scala SCD2") {
+    import org.apache.spark.sql.types._
+    val dimSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ver", LongType),
+      StructField("state", StringType), StructField("valid_from_ns", LongType),
+      StructField("valid_to_ns", LongType), StructField("n_events", LongType),
+      StructField("is_current", IntegerType)))
+    val evSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts_ns", LongType), StructField("event_type", StringType)))
+    val types = Array("a", "b", "c")
+    for (inst <- 0 until 4) {
+      val rnd = new scala.util.Random(100 + inst)
+      // small ts range FORCES ties within and across slices — the edge
+      // the fixture may not exercise at every boundary
+      val events = (1 to 8).flatMap { u =>
+        (0 until rnd.nextInt(25)).map { i =>
+          (u.toLong, (u * 1000 + i).toLong,
+            rnd.nextInt(12).toLong * 1000000000L, types(rnd.nextInt(3)))
+        }
+      }
+      if (events.nonEmpty) {
+        val ordered = events.sortBy(e => (e._3, e._2))
+        // independent plain-Scala SCD2 over the full ordered stream
+        val expected = ordered.groupBy(_._1).flatMap { case (u, evs) =>
+          val sorted = evs.sortBy(e => (e._3, e._2))
+          val runs = sorted.foldLeft(List.empty[(String, Long, Long)]) {
+            case (acc, (_, _, ts, tp)) => acc match {
+              case (t0, from, n) :: rest if t0 == tp => (t0, from, n + 1) :: rest
+              case _ => (tp, ts, 1L) :: acc
+            }
+          }.reverse
+          runs.zipWithIndex.map { case ((tp, from, n), i) =>
+            val to = if (i == runs.length - 1) -1L else runs(i + 1)._2
+            (u, (i + 1).toLong, tp, from, to, n, if (to == -1L) 1 else 0)
+          }
+        }.toSet
+        // random slicing: 1..4 cuts of the ordered stream
+        val nCuts = 1 + rnd.nextInt(4)
+        val cuts = (Seq(0, ordered.length) ++
+          Seq.fill(nCuts)(rnd.nextInt(ordered.length + 1))).distinct.sorted
+        var dim = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dimSchema)
+        cuts.sliding(2).foreach { case Seq(a, b) =>
+          if (b > a) {
+            val slice = spark.createDataFrame(
+              spark.sparkContext.parallelize(ordered.slice(a, b).map(e =>
+                org.apache.spark.sql.Row(e._1, e._2, e._3, e._4))), evSchema)
+            dim = StreamRunner.scd2ApplyBatch(dim, slice)
+              // materialize: the next merge must not recompute this one
+              .persist()
+          }
+          case _ => ()
+        }
+        val got = dim.drop("wm_ns").collect().map(r =>
+          (r.getAs[Long]("user_id"), r.getAs[Long]("ver"), r.getAs[String]("state"),
+            r.getAs[Long]("valid_from_ns"), r.getAs[Long]("valid_to_ns"),
+            r.getAs[Long]("n_events"), r.getAs[Int]("is_current"))).toSet
+        assert(got == expected,
+          s"instance $inst (cuts $cuts): merged dim diverged; " +
+            s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+      }
+    }
+  }
+
   test("graceful stop terminates a continuous query") {
     val (src, ckp) = stageMessages(1)
     val stream = StreamRunner.fileStream(spark, src, eventsSchema)
