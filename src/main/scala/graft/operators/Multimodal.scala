@@ -928,7 +928,10 @@ object Multimodal {
           require(sp + 1 < b.length, "truncated at restart marker")
           require((b(sp) & 0xff) == 0xff, "expected RST marker")
           var mp = sp + 1
-          while ((b(mp) & 0xff) == 0xff) mp += 1
+          // bounded fill-byte skip: a payload TAIL of 0xFFs must throw
+          // the contractual IAE, not walk off the array
+          while (mp < b.length && (b(mp) & 0xff) == 0xff) mp += 1
+          require(mp < b.length, "truncated inside restart fill bytes")
           require((b(mp) & 0xff) == 0xd0 + rstIdx,
             f"expected RST$rstIdx, got ff${b(mp) & 0xff}%02x")
           sp = mp + 1

@@ -802,6 +802,15 @@ class MultimodalSpec extends SparkSpec {
       maxD = math.max(maxD,
         math.abs((pix(y * w + x) & 0xff) - ref.getRaster.getSample(x, y, 0)))
     assert(maxD <= 2, s"restart-interval decode max diff $maxD vs ImageIO")
+    // a payload truncated at a restart boundary and padded with 0xFF
+    // fill bytes must throw the contractual IAE, not walk off the array
+    val rstAt = (2 until img.length - 1).find(i =>
+      (img(i) & 0xff) == 0xff && {
+        val m = img(i + 1) & 0xff; m >= 0xd0 && m <= 0xd7 }).get
+    val cut = img.take(rstAt + 1) ++ Array.fill[Byte](6)(0xff.toByte)
+    val et = intercept[IllegalArgumentException] { decoder.decodeRaster(cut) }
+    assert(et.getMessage.contains("truncated") ||
+      et.getMessage.contains("marker"), et.getMessage)
   }
 
   test("decoder fuzz: seeded byte mutations throw the contractual IAE, never escape") {
