@@ -714,6 +714,43 @@ class StreamRunnerSpec extends SparkSpec {
       s"streamed ${total.get()} joined rows, batch says $expected")
   }
 
+  test("streaming label join: interval-joined signups == q159's converted set") {
+    // the ONLINE face of q159's supervised-label construction: a
+    // purchase stream interval-joined against the signup stream over the
+    // 7-day horizon yields exactly the signups q159 labels converted=1
+    val (src, ckp) = stageMessages(1)
+    val stream = StreamRunner.fileStream(spark, src, eventsSchema)
+      .withColumnRenamed("ts", "ts_ns")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts_ns").as("l_ts_ns"))
+    val signups = stream.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("s_id"),
+        col("ts_ns").as("r_ts_ns"))
+    val converted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = StreamRunner.intervalJoinStreams(purchases, signups, "user_id",
+        window = "7 days", watermark = "14 days")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("s_id").collect().foreach(r => converted.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val got = { val it = converted.iterator(); val b = Set.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result() }
+    val expected = graft.queries.EventOps.q159TimeToEvent(spark, sf)
+      .filter(col("converted") === 1)
+      .select("signup_event_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"stream-labeled ${got.size} signups != batch ${expected.size}; " +
+        s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+    assert(got.nonEmpty, "degenerate fixture: no conversions at all")
+  }
+
   test("session windows close at the watermark and match batch sessionization") {
     val src = Files.createTempDirectory("graft_sess_src")
     val ckp = Files.createTempDirectory("graft_sess_ckp")
