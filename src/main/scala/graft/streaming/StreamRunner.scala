@@ -520,6 +520,9 @@ object StreamRunner {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val groups = marked
       .groupBy(col("user_id"), col("ver_local"))
+      // first() without ordering is safe here: every row of a
+      // (user, ver_local) group carries the SAME event_type — a type
+      // change is exactly what increments ver_local
       .agg(first(col("event_type")).as("state"),
         min(col("ts_ns")).as("valid_from_ns"),
         sum(col("side")).as("n_new"),
