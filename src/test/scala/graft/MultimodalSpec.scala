@@ -845,8 +845,35 @@ class MultimodalSpec extends SparkSpec {
       "data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm
     val ppm = "P6\n5 3\n255\n".getBytes("US-ASCII") ++
       Array.tabulate[Byte](45)(i => (i * 7).toByte)
+    def driJpegBytes(): Array[Byte] = {
+      // restart-interval variant: the RSTn resync path is the one that
+      // carried the latent fill-byte AIOOBE, so it fuzzes separately
+      val bi = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 24; x <- 0 until 32)
+        bi.getRaster.setSample(x, y, 0, rnd0.nextInt(256))
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(bi), param)
+      val fmt = "javax_imageio_jpeg_image_1.0"
+      val tree = meta.getAsTree(fmt)
+      val ms = tree.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        .getElementsByTagName("markerSequence").item(0)
+      val dri = new javax.imageio.metadata.IIOMetadataNode("dri")
+      dri.setAttribute("interval", "2")
+      ms.insertBefore(dri, ms.getFirstChild)
+      meta.setFromTree(fmt, tree)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, meta), param)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
     val cases: Seq[(String, MediaDecoder, Array[Byte])] = Seq(
       ("jpeg", new JpegDecoder, jpegBytes()),
+      ("jpeg", new JpegDecoder, driJpegBytes()),
       ("png", new PngDecoder, imgBytes("png")),
       ("gif", new GifDecoder, imgBytes("gif")),
       ("tiff", new TiffDecoder, imgBytes("tiff")),
