@@ -25,31 +25,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracle-friendly spelling still executes natively.
   */
 object RxCount {
-  /** Compiled-pattern cache: regex compilation is ~µs and the pattern
-    * set of a workload is tiny (plan literals), so a global concurrent
-    * map keyed by pattern string is the right shape. Bounded as a
-    * defense against adversarial per-row dynamic patterns — on
-    * overflow the map is cleared, never grown without limit
-    * ([[Pattern]] itself is immutable and thread-safe; matchers are
-    * created per call). */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Pattern]()
-  private val MaxPatterns = 1024
+  /** Hot path for plan-literal patterns: the [[Pattern]] is compiled
+    * ONCE at planning time and embedded in the expression / generated
+    * class, so there is no cache, no lock, and no lookup per row
+    * ([[Pattern]] is immutable and thread-safe; matchers are created
+    * per call). */
+  def countWith(p: Pattern, s: UTF8String): Int = {
+    val m = p.matcher(s.toString)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
 
-  private def pattern(p: String): Pattern = {
-    val hit = cache.get(p)
-    if (hit != null) hit
-    else {
-      if (cache.size >= MaxPatterns) cache.clear()
-      cache.computeIfAbsent(p, Pattern.compile(_))
-    }
+  /** Non-foldable (per-row) patterns get a per-thread last-pattern
+    * memo instead of a shared map: dynamic workloads usually carry
+    * runs of identical patterns (a pattern column joined in, a
+    * partition-constant), so one slot captures the common case with
+    * zero contention and strictly bounded memory — and an adversarial
+    * all-distinct pattern stream degrades to compile-per-row without
+    * evicting anything another query depends on. */
+  private val lastPattern = new ThreadLocal[Pattern] {
+    override def initialValue(): Pattern = Pattern.compile("")
   }
 
   /** Row-level kernel shared by interpreted eval and generated code. */
   def count(s: UTF8String, regex: UTF8String): Int = {
-    val m = pattern(regex.toString).matcher(s.toString)
-    var n = 0
-    while (m.find()) n += 1
-    n
+    val r = regex.toString
+    var p = lastPattern.get()
+    if (p.pattern() != r) {
+      p = Pattern.compile(r)
+      lastPattern.set(p)
+    }
+    countWith(p, s)
   }
 
   def builder(exprs: Seq[Expression]): Expression = {
@@ -80,12 +87,32 @@ case class RxCountExpr(left: Expression, right: Expression)
     }
   }
 
+  /** For a foldable pattern child (the plan-literal case every rewrite
+    * of `regexp_count` produces), compile once here and reuse for every
+    * row; `None` when the pattern is per-row or a null literal. */
+  @transient private lazy val staticPattern: Option[Pattern] =
+    if (right.foldable) {
+      Option(right.eval()).map(v => Pattern.compile(v.toString))
+    } else None
+
   override protected def nullSafeEval(s: Any, r: Any): Any =
-    RxCount.count(s.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+    staticPattern match {
+      case Some(p) => RxCount.countWith(p, s.asInstanceOf[UTF8String])
+      case None =>
+        RxCount.count(s.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+    }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (s, r) => s"graft.functions.RxCount.count($s, $r)")
+    staticPattern match {
+      case Some(p) =>
+        val ref = ctx.addReferenceObj("rxCountPattern", p,
+          classOf[Pattern].getName)
+        defineCodeGen(ctx, ev,
+          (s, _) => s"graft.functions.RxCount.countWith($ref, $s)")
+      case None =>
+        defineCodeGen(ctx, ev,
+          (s, r) => s"graft.functions.RxCount.count($s, $r)")
+    }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RxCountExpr =

@@ -270,7 +270,11 @@ final class Sgp4(tle: Tle) {
     var iter = 0
     var sinepw = 0.0; var cosepw = 0.0
     var temp4 = 0.0; var temp5 = 0.0; var temp6 = 0.0
-    while (!converged && iter < 10) {
+    // 25-iteration cap (matching common SGP4 ports, e.g. Vallado's
+    // C++ release): the ±0.95 step clamp can legitimately spend many
+    // early iterations in clamped steps when |M−E| starts near pi at
+    // high eccentricity; 10 was tight enough to throw on valid TLEs.
+    while (!converged && iter < 25) {
       sinepw = sin(epw)
       cosepw = cos(epw)
       val temp3 = axn * sinepw

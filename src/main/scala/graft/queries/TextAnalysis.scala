@@ -443,16 +443,42 @@ object TextAnalysis {
     // q155 IS the training loop: always recompute (its timing measures
     // training), and refresh the memo q158 applies from
     val m = bpeLearn(spark, dir, 3)
-    bpeMemo((spark, dir)) = m
+    bpeMemo(bpeKey(spark, dir)) = m
+    bpeMemoTrim()
     m.toDF("round", "pattern", "merged", "n").orderBy(col("round"))
   }
 
   /** Session-memoized merge table: the tokenizer is trained ONCE and
     * applied everywhere — the same train-once/apply-many economics as
     * [[SharedFrames]]' postings. Driver-side values, so cache clears
-    * don't (and shouldn't) invalidate it; deterministic per fixture. */
+    * don't (and shouldn't) invalidate it; deterministic per fixture.
+    * Keyed by the session's UUID (not the session object) so a stopped
+    * session is never retained by this map, and bounded so a long-lived
+    * multi-session server's dead-session merge tables (a few tuples
+    * each) can't accumulate without limit. */
   private val bpeMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[(Int, String, String, Long)]]
+    .empty[(String, String), Seq[(Int, String, String, Long)]]
+  private val BpeMemoMax = 64
+  /** Weak-keyed session→token map: the token (not the session) keys
+    * [[bpeMemo]], so a stopped session is collectable and its memo
+    * entries merely age out of the bounded map. */
+  private val sessionToken = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def bpeKey(spark: SparkSession, dir: String): (String, String) = {
+    val tok = sessionToken.synchronized {
+      val t = sessionToken.get(spark)
+      if (t != null) t
+      else {
+        val fresh = java.util.UUID.randomUUID().toString
+        sessionToken.put(spark, fresh)
+        fresh
+      }
+    }
+    (tok, dir)
+  }
+  private def bpeMemoTrim(): Unit =
+    while (bpeMemo.size > BpeMemoMax)
+      bpeMemo.remove(bpeMemo.head._1)
 
   /** The BPE merge-training loop q155 reports and q158 applies: learn
     * the first `rounds` merges over the frequency-weighted DISTINCT
@@ -525,7 +551,9 @@ object TextAnalysis {
     * memoized (train once, apply everywhere — [[SharedFrames]]'
     * economics), so this query's cost IS the apply cost. */
   def q158BpeApply(spark: SparkSession, dir: String): DataFrame = {
-    val merges = bpeMemo.getOrElseUpdate((spark, dir), bpeLearn(spark, dir, 3))
+    val merges =
+      bpeMemo.getOrElseUpdate(bpeKey(spark, dir), bpeLearn(spark, dir, 3))
+    bpeMemoTrim()
     val applied = merges.foldLeft(bpeWrap(col("tok"))) {
       case (c, (_, pat, merged, _)) =>
         call_function("replace", c, lit(pat), lit(merged))
