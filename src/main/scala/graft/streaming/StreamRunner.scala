@@ -422,10 +422,14 @@ object StreamRunner {
   // ---------------------------------------------------------------------
 
   /** The SCD2 dimension schema [[graft.queries.EventOps.q154Scd2Intervals]]
-    * emits, plus one internal bookkeeping column: `wm_ns` — the max
-    * applied event timestamp, carried on the open (current) version row
-    * only — which lets the next merge REJECT out-of-order arrivals
-    * loudly instead of silently corrupting history. */
+    * emits, plus two internal bookkeeping columns carried on the open
+    * (current) version row only: `wm_ns`/`wm_eid` — the max applied
+    * (ts_ns, event_id) PAIR, the same ordering key q154's windows use.
+    * The pair (not the bare timestamp) is what lets the next merge
+    * REJECT out-of-order arrivals loudly even on equal-timestamp
+    * boundaries: an event whose ts equals the watermark but whose
+    * event_id orders before an already-applied equal-ts event is a
+    * contract violation the bare-ts guard would silently admit. */
   private val scd2Schema = StructType(Seq(
     org.apache.spark.sql.types.StructField("user_id",
       org.apache.spark.sql.types.LongType),
@@ -442,7 +446,13 @@ object StreamRunner {
     org.apache.spark.sql.types.StructField("is_current",
       org.apache.spark.sql.types.IntegerType),
     org.apache.spark.sql.types.StructField("wm_ns",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("wm_eid",
       org.apache.spark.sql.types.LongType)))
+
+  /** The bookkeeping columns [[scd2Snapshot]] strips before handing the
+    * dimension back in q154 shape. */
+  private val scd2Bookkeeping = Seq("wm_ns", "wm_eid")
 
   /** Pure micro-batch SCD2 MERGE: apply a changelog slice to an existing
     * type-2 dimension — close open intervals whose user changed state,
@@ -475,27 +485,71 @@ object StreamRunner {
     * the same plan with a full-copy commit, exactly like
     * [[idempotentBatchSink]]'s directory contract. */
   def scd2ApplyBatch(dim: DataFrame, events: DataFrame): DataFrame = {
+    val (untouched, closed, rebuilt) = scd2MergeParts(dim, events)
+    untouched.unionByName(closed).unionByName(rebuilt)
+  }
+
+  /** The DELTA a micro-batch produces against an SCD2 dimension: ONLY
+    * the rebuilt versions of affected users (the previously-open version
+    * re-emitted closed-or-extended, plus any new versions). Untouched
+    * users and already-closed versions are absent — this is the
+    * O(batch), not O(dimension), write the merge-on-read sink commits
+    * per batch. Shadowing a base row at (user_id, ver) grain is the
+    * reader's job ([[scd2MergedState]]). */
+  def scd2Delta(dim: DataFrame, events: DataFrame): DataFrame =
+    scd2MergeParts(dim, events)._3
+
+  /** Shared core of [[scd2ApplyBatch]]/[[scd2Delta]]: split the
+    * dimension into (untouched users, affected users' closed versions,
+    * affected users' rebuilt versions), all in [[scd2Schema]] column
+    * order.
+    *
+    * Mechanics, all set-based: affected users' open versions become
+    * carry-in pseudo-rows (side 0 — they sort before same-timestamp
+    * events) unioned with the batch; one per-user ordered window
+    * recomputes state-change markers and local version numbers exactly
+    * like q154; a (user, local-version)-grain aggregation rebuilds the
+    * open-and-newer versions. */
+  private def scd2MergeParts(dim: DataFrame,
+      events: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val users = events.select(col("user_id")).distinct()
     // accept both a bookkeeping-bearing snapshot and a bare q154 frame
     // (first adoption of an existing batch-built dimension): without
-    // wm_ns the open version's start is the best known watermark
-    val dimW =
+    // bookkeeping the open version's start is the best known watermark
+    // LOWER BOUND, and the event_id half of the pair is unknowable from
+    // a q154 frame — Long.MinValue keeps equal-ts adoption permissive
+    // (documented contract: the ordered-arrival guard only hardens to
+    // the full (ts_ns, event_id) pair once this merge has applied a
+    // batch and recorded the true watermark pair)
+    val dimW0 =
       if (dim.columns.contains("wm_ns")) dim
       else dim.withColumn("wm_ns", when(col("is_current") === 1,
         col("valid_from_ns")).otherwise(lit(null).cast("long")))
+    val dimW =
+      if (dimW0.columns.contains("wm_eid")) dimW0
+      else dimW0.withColumn("wm_eid", when(col("is_current") === 1,
+        lit(Long.MinValue)).otherwise(lit(null).cast("long")))
     val untouched = dimW.join(users, Seq("user_id"), "left_anti")
     val affected = dimW.join(users, Seq("user_id"), "left_semi")
     val closed = affected.filter(col("is_current") === 0)
     val open = affected.filter(col("is_current") === 1)
-    // loud ordered-arrival check: one tiny per-affected-user aggregate
+    // loud ordered-arrival check on the (ts_ns, event_id) PAIR: one tiny
+    // per-affected-user aggregate; struct comparison is lexicographic,
+    // so an equal-ts event whose id orders at-or-before the applied
+    // watermark pair is rejected too (<=: replaying the exact watermark
+    // event is a duplicate, not a new arrival)
     val violations = events.groupBy(col("user_id"))
-      .agg(min(col("ts_ns")).as("min_ts"))
-      .join(open.select(col("user_id"), col("wm_ns")), Seq("user_id"))
-      .filter(col("min_ts") < col("wm_ns")).count()
+      .agg(min(struct(col("ts_ns").as("t"), col("event_id").as("e")))
+        .as("min_p"))
+      .join(open.select(col("user_id"),
+        struct(col("wm_ns").as("t"), col("wm_eid").as("e")).as("wm_p")),
+        Seq("user_id"))
+      .filter(col("min_p") <= col("wm_p")).count()
     require(violations == 0,
-      s"$violations users carry batch events older than their applied " +
-        "watermark — the changelog must arrive per-user ordered")
+      s"$violations users carry batch events at or before their applied " +
+        "(ts_ns, event_id) watermark — the changelog must arrive " +
+        "per-user ordered")
     val carry = open.select(col("user_id"),
       lit(Long.MinValue).as("event_id"),
       col("valid_from_ns").as("ts_ns"),
@@ -503,12 +557,15 @@ object StreamRunner {
       lit(0L).as("side"),
       col("ver").as("base_ver"),
       col("n_events").as("base_n"),
-      col("wm_ns"))
+      // the carry row's watermark-pair candidate is the STORED pair —
+      // valid_from_ns would understate it when later same-state events
+      // extended the version
+      struct(col("wm_ns").as("t"), col("wm_eid").as("e")).as("wmp"))
     val ev = events.select(col("user_id"), col("event_id"), col("ts_ns"),
       col("event_type"), lit(1L).as("side"),
       lit(null).cast("long").as("base_ver"),
       lit(null).cast("long").as("base_n"),
-      lit(null).cast("long").as("wm_ns"))
+      struct(col("ts_ns").as("t"), col("event_id").as("e")).as("wmp"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ns"), col("side"), col("event_id"))
     val marked = carry.unionByName(ev)
@@ -527,125 +584,192 @@ object StreamRunner {
         min(col("ts_ns")).as("valid_from_ns"),
         sum(col("side")).as("n_new"),
         max(lit(1L) - col("side")).as("has_carry"),
-        max(col("ts_ns")).as("grp_max_ts"),
+        max(col("wmp")).as("grp_wmp"),
         max(col("base_ver")).as("bv"),
-        max(col("base_n")).as("bn"),
-        max(col("wm_ns")).as("old_wm"))
-    // per-user constants ride a tiny second window (bv/bn/old_wm live on
-    // the carry group only; every group of the user needs bv)
+        max(col("base_n")).as("bn"))
+    // per-user constants ride a tiny second window (bv/bn live on the
+    // carry group only; every group of the user needs bv; the new
+    // watermark pair is the max over carry-stored and batch pairs)
     val wu = Window.partitionBy(col("user_id"))
-    val rebuilt = groups
+    val rebuilt0 = groups
       .withColumn("bv_u", max(col("bv")).over(wu))
-      .withColumn("new_wm", greatest(max(col("grp_max_ts")).over(wu),
-        max(col("old_wm")).over(wu)))
+      .withColumn("new_wmp", max(col("grp_wmp")).over(wu))
       .select(col("user_id"),
         when(col("bv_u").isNull, col("ver_local"))
           .otherwise(col("bv_u") + col("ver_local") - 1).as("ver"),
         col("state"), col("valid_from_ns"),
         (col("n_new") + when(col("has_carry") === 1L, col("bn"))
           .otherwise(lit(0L))).as("n_events"),
-        col("new_wm"))
+        col("new_wmp"))
     val wv = Window.partitionBy(col("user_id")).orderBy(col("ver"))
-    val openRebuilt = rebuilt
+    val rebuilt = rebuilt0
       .withColumn("valid_to_ns",
         coalesce(lead(col("valid_from_ns"), 1).over(wv), lit(-1L)))
       .withColumn("is_current", (col("valid_to_ns") === -1L).cast("int"))
-      .withColumn("wm_ns", when(col("is_current") === 1, col("new_wm"))
-        .otherwise(lit(null).cast("long")))
+      .withColumn("wm_ns", when(col("is_current") === 1,
+        col("new_wmp.t")).otherwise(lit(null).cast("long")))
+      .withColumn("wm_eid", when(col("is_current") === 1,
+        col("new_wmp.e")).otherwise(lit(null).cast("long")))
       .select(scd2Schema.fieldNames.map(col).toSeq: _*)
-    untouched.select(scd2Schema.fieldNames.map(col).toSeq: _*)
-      .unionByName(closed.select(scd2Schema.fieldNames.map(col).toSeq: _*))
-      .unionByName(openRebuilt)
+    (untouched.select(scd2Schema.fieldNames.map(col).toSeq: _*),
+      closed.select(scd2Schema.fieldNames.map(col).toSeq: _*),
+      rebuilt)
   }
 
-  /** Latest committed SCD2 snapshot strictly BEFORE `beforeId`:
-    * `snap_<k>` directories carrying the `_SUCCESS` marker, max k.
-    * Torn writes (no marker) are invisible — exactly the
-    * [[idempotentBatchSink]] recovery unit, applied to whole-dimension
-    * snapshots. */
-  private def latestScd2Snapshot(fs: org.apache.hadoop.fs.FileSystem,
-      dimDir: String, beforeId: Long): Option[org.apache.hadoop.fs.Path] = {
+  /** Committed commits of one kind (`base_<k>` or `delta_<k>`) with id
+    * strictly BEFORE `beforeId`, ascending. A commit is a directory
+    * carrying the `_SUCCESS` marker; torn writes (no marker) are
+    * invisible — exactly the [[idempotentBatchSink]] recovery unit,
+    * applied per commit. */
+  private def scd2Commits(fs: org.apache.hadoop.fs.FileSystem,
+      dimDir: String, prefix: String,
+      beforeId: Long): Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val root = new org.apache.hadoop.fs.Path(dimDir)
-    if (!fs.exists(root)) None
+    if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap_"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .flatMap { st =>
-        val id = st.getPath.getName.stripPrefix("snap_").toLongOption
-        id.filter(k => k < beforeId && fs.exists(
-          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        st.getPath.getName.stripPrefix(prefix).toLongOption
+          .filter(k => k < beforeId && fs.exists(
+            new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
           .map(k => k -> st.getPath)
       }
-      .sortBy(_._1).lastOption.map(_._2)
+      .sortBy(_._1)
   }
 
-  /** Read the current stream-maintained dimension — the q154 schema
-    * (bookkeeping column dropped). */
-  def scd2Snapshot(spark: SparkSession, dimDir: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(dimDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    latestScd2Snapshot(fs, dimDir, Long.MaxValue) match {
-      case Some(p) => spark.read.parquet(p.toString).drop("wm_ns")
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(scd2Schema.dropRight(1)))
+  /** Merge-on-read SCD2 state strictly BEFORE `beforeId` (bookkeeping
+    * columns included): latest committed base ∪ the committed deltas
+    * after it, latest-writer-wins at (user_id, ver) grain — q79's
+    * merge-on-read compaction shape, applied to the dimension log.
+    * SCD2 is append/extend-only, so shadowing IS the whole merge:
+    * no tombstones exist (versions are never deleted, only closed —
+    * and a closed version is a later WRITE of the same (user, ver)
+    * key, not a delete).
+    *
+    * Scale design: a batch's delta is O(affected users' open-and-newer
+    * versions); compaction bounds the delta count at
+    * `compactEvery`, so the reader unions ONE base + ≤compactEvery
+    * small deltas and resolves winners with one (user_id, ver) hash
+    * aggregation — the classic MoR read amplification bound. */
+  private def scd2MergedState(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dimDir: String,
+      beforeId: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = scd2Commits(fs, dimDir, "base_", beforeId).lastOption
+    val baseId = base.map(_._1).getOrElse(Long.MinValue)
+    val deltas = scd2Commits(fs, dimDir, "delta_", beforeId)
+      .filter(_._1 > baseId)
+    val frames =
+      base.map { case (k, p) =>
+        spark.read.parquet(p.toString).withColumn("commit_id", lit(k))
+      }.toSeq ++
+      deltas.map { case (k, p) =>
+        spark.read.parquet(p.toString).withColumn("commit_id", lit(k))
+      }
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], scd2Schema)
+    else {
+      val w = Window.partitionBy(col("user_id"), col("ver"))
+        .orderBy(col("commit_id").desc)
+      frames.reduce(_.unionByName(_))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn", "commit_id")
     }
   }
 
-  /** `foreachBatch` SCD2 maintenance sink: apply the micro-batch
-    * changelog to the latest committed snapshot and commit the next one
-    * under `snap_<batchId>`. Exactly-once by the snapshot recovery unit:
-    * a REPLAYED id whose snapshot already carries `_SUCCESS` is a no-op;
-    * a torn write has no marker, is invisible to [[latestScd2Snapshot]],
-    * and the replay overwrites it whole — and because the input is
-    * always the latest snapshot with id < batchId, a replay reads the
-    * SAME input the original attempt did. */
-  def scd2MaintainSink(dimDir: String)(batch: DataFrame, id: Long): Unit = {
+  /** Read the current stream-maintained dimension — the q154 schema
+    * (bookkeeping columns dropped). */
+  def scd2Snapshot(spark: SparkSession, dimDir: String): DataFrame =
+    scd2CurrentState(spark, dimDir).drop(scd2Bookkeeping: _*)
+
+  /** Read the current stream-maintained dimension WITH its bookkeeping
+    * columns — the frame a further [[scd2ApplyBatch]] can consume
+    * directly (the ordered-arrival guard needs the watermark pair). */
+  def scd2CurrentState(spark: SparkSession, dimDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dimDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    scd2MergedState(spark, fs, dimDir, Long.MaxValue)
+  }
+
+  /** `foreachBatch` SCD2 maintenance sink, merge-on-read: apply the
+    * micro-batch changelog to the merged state before this id and
+    * commit ONLY the rebuilt rows ([[scd2Delta]]) under
+    * `delta_<batchId>` — O(batch), not O(dimension), I/O per batch.
+    * Every `compactEvery` committed deltas, the merged state is
+    * rewritten as `base_<batchId>` and older commits are removed,
+    * bounding read amplification.
+    *
+    * Exactly-once by the commit recovery unit: a REPLAYED id whose
+    * delta already carries `_SUCCESS` is a no-op; a torn write has no
+    * marker, is invisible to [[scd2MergedState]], and the replay
+    * overwrites it whole — and because the input is always the merged
+    * state with id < batchId, a replay reads the SAME input the
+    * original attempt did. Compaction is likewise torn-write safe: a
+    * base without its marker is invisible, and the cleanup of
+    * shadowed commits only runs after the base's marker exists (a
+    * crash between the two just re-runs cleanup on the next batch). */
+  def scd2MaintainSink(dimDir: String, compactEvery: Int = 8)(
+      batch: DataFrame, id: Long): Unit = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dimDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // recovery-unit validation (the selfIndexingGate rule, applied to
-    // snapshots): a COMMITTED snapshot strictly AHEAD of this batch id
-    // means the stream's checkpoint was reset or points elsewhere —
-    // proceeding would write an early snapshot while readers keep
-    // seeing the stale later one as "latest". Fail loudly instead.
-    val root = new org.apache.hadoop.fs.Path(dimDir)
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("snap_"))
-        n.stripPrefix("snap_").toLongOption.foreach { k =>
-          require(k <= id || !fs.exists(
-            new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")),
-            s"dimension at $dimDir already carries committed snap_$k " +
-              s"ahead of batch $id — checkpoint reset? refusing to " +
-              "fork history; clear the dimension or restore the checkpoint")
-        }
-    }
-    val target = new org.apache.hadoop.fs.Path(s"$dimDir/snap_$id")
-    if (!fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) {
-      val dim = latestScd2Snapshot(fs, dimDir, id) match {
-        case Some(p) => spark.read.parquet(p.toString)
-        case None => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], scd2Schema)
+    // commits): a COMMITTED base or delta strictly AHEAD of this batch
+    // id means the stream's checkpoint was reset or points elsewhere —
+    // proceeding would write an early commit while readers keep seeing
+    // the stale later ones. Fail loudly instead.
+    Seq("base_", "delta_").foreach { prefix =>
+      scd2Commits(fs, dimDir, prefix, Long.MaxValue).foreach { case (k, _) =>
+        require(k <= id,
+          s"dimension at $dimDir already carries committed $prefix$k " +
+            s"ahead of batch $id — checkpoint reset? refusing to " +
+            "fork history; clear the dimension or restore the checkpoint")
       }
-      val next = scd2ApplyBatch(dim,
+    }
+    val target = new org.apache.hadoop.fs.Path(s"$dimDir/delta_$id")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) {
+      val dim = scd2MergedState(spark, fs, dimDir, id)
+      val delta = scd2Delta(dim,
         batch.select(col("user_id"), col("event_id"), col("ts_ns"),
           col("event_type")))
-      next.write.mode("overwrite").parquet(target.toString)
+      delta.write.mode("overwrite").parquet(target.toString)
+    }
+    // compaction check runs on every call — including replay no-ops —
+    // so a crash mid-compaction heals on the next visit
+    val baseId = scd2Commits(fs, dimDir, "base_", Long.MaxValue)
+      .lastOption.map(_._1).getOrElse(Long.MinValue)
+    val deltasSinceBase =
+      scd2Commits(fs, dimDir, "delta_", Long.MaxValue).filter(_._1 > baseId)
+    if (deltasSinceBase.size >= compactEvery) {
+      val baseTarget = new org.apache.hadoop.fs.Path(s"$dimDir/base_$id")
+      if (!fs.exists(new org.apache.hadoop.fs.Path(baseTarget, "_SUCCESS")))
+        scd2MergedState(spark, fs, dimDir, Long.MaxValue)
+          .write.mode("overwrite").parquet(baseTarget.toString)
+      // cleanup: commits shadowed by the new base (strictly older ids —
+      // keep delta_<id> itself; it shares the base's id and the replay
+      // no-op check needs its marker)
+      Seq("base_", "delta_").foreach { prefix =>
+        scd2Commits(fs, dimDir, prefix, id).foreach { case (_, p) =>
+          fs.delete(p, true)
+        }
+      }
     }
   }
 
   /** Wire a changelog stream into [[scd2MaintainSink]] — the streaming
-    * face of q154: drain the backlog (AvailableNow), one snapshot per
-    * micro-batch, exactly-once across restarts via the checkpoint +
-    * snapshot recovery units. */
+    * face of q154: drain the backlog (AvailableNow), one delta commit
+    * per micro-batch, exactly-once across restarts via the checkpoint +
+    * commit recovery units. */
   def runScd2Maintain(stream: DataFrame, dimDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 8): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        scd2MaintainSink(dimDir)(batch, id)
+        scd2MaintainSink(dimDir, compactEvery)(batch, id)
       }
       .start()
 

@@ -1118,12 +1118,13 @@ class StreamRunnerSpec extends SparkSpec {
     val stream = StreamRunner.fileStream(spark, src.toString, ev.schema)
     val q = StreamRunner.runScd2Maintain(stream, dim, ckp.toString)
     q.awaitTermination(180000)
-    // one committed snapshot per micro-batch
+    // one committed delta per micro-batch (compactEvery=8 > 4 slices:
+    // no base yet — the whole dimension lives in the delta log)
     val fs = new org.apache.hadoop.fs.Path(dim).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val snaps = fs.listStatus(new org.apache.hadoop.fs.Path(dim))
-      .filter(_.getPath.getName.startsWith("snap_"))
-    assert(snaps.length == nSlices, s"expected $nSlices snapshots, got ${snaps.length}")
+      .filter(_.getPath.getName.startsWith("delta_"))
+    assert(snaps.length == nSlices, s"expected $nSlices deltas, got ${snaps.length}")
     // THE equivalence: the maintained dimension equals the batch rebuild
     def key(r: org.apache.spark.sql.Row) = (
       r.getAs[Long]("user_id"), r.getAs[Long]("ver"), r.getAs[String]("state"),
@@ -1135,23 +1136,24 @@ class StreamRunnerSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream dim ${streamed.size} rows != batch ${batch.size}; " +
         s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
-    // replay safety: a replayed id with a committed snapshot is a no-op
-    val lastId = snaps.map(_.getPath.getName.stripPrefix("snap_").toLong).max
-    val lastPath = new org.apache.hadoop.fs.Path(s"$dim/snap_$lastId")
+    // replay safety: a replayed id with a committed delta is a no-op
+    val lastId = snaps.map(_.getPath.getName.stripPrefix("delta_").toLong).max
+    val lastPath = new org.apache.hadoop.fs.Path(s"$dim/delta_$lastId")
     val mtime0 = fs.listStatus(lastPath).map(_.getModificationTime).max
     val lastSlice = spark.createDataFrame(
       spark.sparkContext.parallelize(
         ordered.grouped(per).toSeq.last.toSeq), ev.schema)
     StreamRunner.scd2MaintainSink(dim)(lastSlice, lastId)
     val mtime1 = fs.listStatus(lastPath).map(_.getModificationTime).max
-    assert(mtime1 == mtime0, "replay of a committed snapshot rewrote it")
+    assert(mtime1 == mtime0, "replay of a committed delta rewrote it")
     // torn-write healing: drop the marker (crash mid-write) and replay —
-    // the snapshot rebuilds whole from snap_{lastId-1}, same answer
+    // the delta rebuilds whole from the merged state before lastId,
+    // same answer
     fs.delete(new org.apache.hadoop.fs.Path(lastPath, "_SUCCESS"), false)
     StreamRunner.scd2MaintainSink(dim)(lastSlice, lastId)
     assert(fs.exists(new org.apache.hadoop.fs.Path(lastPath, "_SUCCESS")))
     val healed = StreamRunner.scd2Snapshot(spark, dim).collect().map(key).toSet
-    assert(healed == batch, "healed snapshot diverged from the batch rebuild")
+    assert(healed == batch, "healed delta log diverged from the batch rebuild")
     // out-of-order arrival throws instead of corrupting closed history:
     // replay the FIRST event of a user who has later events too (their
     // watermark after the full replay is strictly ahead of it)
@@ -1164,7 +1166,7 @@ class StreamRunnerSpec extends SparkSpec {
       spark.sparkContext.parallelize(Seq(multiUser)), ev.schema)
     val e = intercept[IllegalArgumentException] {
       StreamRunner.scd2ApplyBatch(
-        spark.read.parquet(s"$dim/snap_$lastId"), early).count()
+        StreamRunner.scd2CurrentState(spark, dim), early).count()
     }
     assert(e.getMessage.contains("ordered"))
     // slicing independence: replaying the same ordered changelog in TWO
@@ -1179,13 +1181,78 @@ class StreamRunnerSpec extends SparkSpec {
     }
     val streamed2 = StreamRunner.scd2Snapshot(spark, dim2).collect().map(key).toSet
     assert(streamed2 == batch, "2-slice replay diverged from the batch rebuild")
-    // checkpoint-reset guard: a batch id BEHIND a committed snapshot
-    // (batch counter restarted at 0 against a dim that saw snap_1)
+    // checkpoint-reset guard: a batch id BEHIND a committed commit
+    // (batch counter restarted at 0 against a dim that saw delta_1)
     // must refuse rather than fork history behind the stale "latest"
     val er = intercept[IllegalArgumentException] {
       StreamRunner.scd2MaintainSink(dim2)(lastSlice, 0L)
     }
     assert(er.getMessage.contains("checkpoint reset"))
+  }
+
+  test("SCD2 merge-on-read: a 1-user batch writes O(1-user) rows; compaction bounds the log") {
+    // THE scale property of the base+delta layout: maintaining a
+    // dimension of U users after one user's change must cost O(that
+    // user's rebuilt versions) of sink I/O, not O(U) — the full-snapshot
+    // rewrite this layout replaced was O(U) per batch by construction
+    val dim = Files.createTempDirectory("graft_scd2mor_dim").resolve("dim").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
+    val ordered = ev.orderBy(col("ts_ns"), col("event_id")).collect()
+    val fs = new org.apache.hadoop.fs.Path(dim).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // seed the dimension with the full changelog as batch 0
+    StreamRunner.scd2MaintainSink(dim)(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ordered.toSeq), ev.schema), 0L)
+    val dimUsers = StreamRunner.scd2Snapshot(spark, dim)
+      .select("user_id").distinct().count()
+    assert(dimUsers > 10, s"fixture too small for the proof ($dimUsers users)")
+    // batch 1: ONE user, one brand-new event after their watermark
+    val u = ordered.last.getAs[Long]("user_id")
+    val maxTs = ordered.map(_.getAs[Long]("ts_ns")).max
+    val one = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(u, 999999L, maxTs + 1000L, "zz"))), ev.schema)
+    StreamRunner.scd2MaintainSink(dim)(one, 1L)
+    val deltaRows = spark.read.parquet(s"$dim/delta_1").count()
+    // the delta carries exactly the user's rebuilt versions: the closed
+    // previously-open version + the new "zz" version = 2 rows — and
+    // NEVER scales with the dimension's user count
+    assert(deltaRows == 2, s"1-user delta wrote $deltaRows rows")
+    assert(deltaRows < dimUsers, "delta I/O scaled with the dimension")
+    // the merged view agrees with a direct batch apply on the same input
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("user_id"), r.getAs[Long]("ver"), r.getAs[String]("state"),
+      r.getAs[Long]("valid_from_ns"), r.getAs[Long]("valid_to_ns"),
+      r.getAs[Long]("n_events"), r.getAs[Int]("is_current"))
+    val viaDeltas = StreamRunner.scd2Snapshot(spark, dim).collect().map(key).toSet
+    val direct = StreamRunner.scd2ApplyBatch(
+      graft.queries.EventOps.q154Scd2Intervals(spark, sf), one)
+      .drop("wm_ns", "wm_eid").collect().map(key).toSet
+    assert(viaDeltas == direct, "MoR view diverged from direct batch apply")
+    // compaction: drive a dim with compactEvery=2 — after enough
+    // batches the log holds ONE base + at most 1 delta after it, old
+    // commits are gone, and the merged answer is unchanged
+    val dimC = Files.createTempDirectory("graft_scd2mor_c").resolve("dim").toString
+    val per = math.ceil(ordered.length / 4.0).toInt
+    ordered.grouped(per).zipWithIndex.foreach { case (rows, i) =>
+      StreamRunner.scd2MaintainSink(dimC, compactEvery = 2)(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq), ev.schema), i.toLong)
+    }
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dimC))
+      .map(_.getPath.getName).filter(n =>
+        n.startsWith("base_") || n.startsWith("delta_")).toSet
+    val bases = names.filter(_.startsWith("base_"))
+    assert(bases.nonEmpty, s"no base written under compactEvery=2: $names")
+    val topBase = bases.map(_.stripPrefix("base_").toLong).max
+    val straggling = names.filter(n =>
+      n.stripPrefix("base_").stripPrefix("delta_").toLong < topBase)
+    assert(straggling.isEmpty, s"shadowed commits not cleaned: $straggling")
+    val compacted = StreamRunner.scd2Snapshot(spark, dimC).collect().map(key).toSet
+    val batchRebuild = graft.queries.EventOps.q154Scd2Intervals(spark, sf)
+      .collect().map(key).toSet
+    assert(compacted == batchRebuild, "compacted log diverged from batch rebuild")
   }
 
   test("event ingest stack: streaming dedup -> SCD2 maintenance == batch on unique events") {
