@@ -26,13 +26,15 @@ object Curation {
     * per-doc grouping; the InMemoryRelation keeps that partitioning).
     * Split buckets are a pure function of doc_id, so consumers that need
     * them derive the column on top of the cache — narrow, shuffle-free. */
+  private[queries] def sh8PostingsPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(shingleH32(col("text"), 8)).as("h"))
+      .distinct()
+
   private[queries] def sh8Postings(spark: SparkSession, dir: String): DataFrame =
-    SharedFrames.cached(spark, dir, "sh8") {
-      Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), explode(shingleH32(col("text"), 8)).as("h"))
-        .distinct()
-    }
+    PostingsStore.lookup(spark, dir, "sh8").getOrElse(
+      SharedFrames.cached(spark, dir, "sh8") { sh8PostingsPlan(spark, dir) })
 
   /** Materialize the 8-gram postings if not currently cached — see
     * [[SharedFrames.warmFor]]. */

@@ -59,7 +59,8 @@ object Dedup {
     ()
   }
 
-  /** Spark side of the same postings: distinct (doc_id, shingle-h32).
+  /** Spark side of the same postings, as a PURE plan (no memoization):
+    * distinct (doc_id, shingle-h32).
     *
     * The repartition BEFORE the explode is load-bearing twice over: it
     * spreads the CPU-heavy shingle+md5 expansion across all cores even
@@ -67,27 +68,36 @@ object Dedup {
     * partitioning key (doc_id) is a prefix of every downstream per-doc
     * grouping — distinct(doc_id, h), signature mins, postings counts —
     * Catalyst satisfies all of them with ZERO further shuffles. */
+  private[queries] def shPostingsPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      // explicit count: a bare repartition(col) is AQE-coalescable and the
+      // tiny pre-explode byte size would collapse it to ~1 partition,
+      // serializing the expansion it exists to parallelize
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(shingleH32(col("text"), 3)).as("h"))
+      .distinct()
+
+  /** The postings every consumer reads — [[PostingsStore]] bucketed
+    * table when the session runs in bucketed mode (the 100 TB layout:
+    * the scan itself carries `HashPartitioning(doc_id, n)`, so per-doc
+    * groupings stay exchange-free straight off disk), else the
+    * session-memoized in-memory frame.
+    *
+    * The memory path materializes via shared(): every dedup query
+    * self-joins these postings (and the shuffle-free per-doc pipeline
+    * above leaves no exchange for Spark's ReusedExchange to latch
+    * onto), so without the persist each join side re-runs the
+    * explode+md5 expansion — profiled at 4× the query cost. At cluster
+    * scale this is "write the postings/signature table once, then join
+    * it" — which is literally what the bucketed mode does. persist(),
+    * not localCheckpoint(): the checkpoint RDD scan forgets
+    * outputPartitioning in Spark 4, re-shuffling every per-doc
+    * aggregation downstream; the InMemoryRelation keeps the doc_id
+    * partitioning, so those stay exchange-free. */
   private[queries] def shPostings(spark: SparkSession, dir: String): DataFrame =
-    shared(spark, dir, "sh") {
-      Tables.documents(spark, dir)
-        // explicit count: a bare repartition(col) is AQE-coalescable and the
-        // tiny pre-explode byte size would collapse it to ~1 partition,
-        // serializing the expansion it exists to parallelize
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"),
-          explode(shingleH32(col("text"), 3)).as("h"))
-        .distinct()
-      // materialized via shared(): every dedup query self-joins these
-      // postings (and the shuffle-free per-doc pipeline above leaves no
-      // exchange for Spark's ReusedExchange to latch onto), so without the
-      // persist each join side re-runs the explode+md5 expansion —
-      // profiled at 4× the query cost. At cluster scale this is "write the
-      // postings/signature table once, then join it". persist(), not
-      // localCheckpoint(): the checkpoint RDD scan forgets
-      // outputPartitioning in Spark 4, re-shuffling every per-doc
-      // aggregation downstream; the InMemoryRelation keeps the doc_id
-      // partitioning, so those stay exchange-free.
-    }
+    PostingsStore.lookup(spark, dir, "sh").getOrElse(
+      shared(spark, dir, "sh") { shPostingsPlan(spark, dir) })
 
   /** Per-shingle document frequencies (h, df) of the raw postings,
     * persisted: the df-cap's hot-set (q29/q108), and the q120 cap audit
@@ -103,7 +113,7 @@ object Dedup {
 
   /** Stop-shingles over the df cap — tiny by construction (≤ 1/cap of
     * shingle mass can exceed the cap), hence always broadcastable. */
-  private def hotShingles(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def hotShingles(spark: SparkSession, dir: String): DataFrame = {
     val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
     shDfCounts(spark, dir)
       .crossJoin(broadcast(nd))
@@ -118,10 +128,11 @@ object Dedup {
     * preserves the doc_id partitioning of the raw postings, so per-doc
     * aggregations over the capped table stay exchange-free. */
   private def cappedShPostings(spark: SparkSession, dir: String): DataFrame =
-    shared(spark, dir, "capped") {
-      shPostings(spark, dir)
-        .join(broadcast(hotShingles(spark, dir)), Seq("h"), "left_anti")
-    }
+    PostingsStore.lookup(spark, dir, "capped").getOrElse(
+      shared(spark, dir, "capped") {
+        shPostings(spark, dir)
+          .join(broadcast(hotShingles(spark, dir)), Seq("h"), "left_anti")
+      })
 
   /** Exact dedup via content-key groupBy: key = rolling fingerprint of the
     * sorted distinct token set (bag-of-words identity). One shuffle on the

@@ -34,6 +34,16 @@ private[graft] object SharedFrames {
     df
   }
 
+  /** Drop every memo entry for (session, dir) — required when the
+    * underlying layout changes (e.g. [[PostingsStore.materialize]]/
+    * [[PostingsStore.drop]] rewrites or removes the bucketed tables a
+    * derived frame may have been built over). */
+  def invalidate(spark: SparkSession, dir: String): Unit =
+    memo.keys.filter(k => k._1 == spark && k._2 == dir).foreach { k =>
+      memo.remove(k).foreach(df =>
+        scala.util.Try(df.unpersist(blocking = false)))
+    }
+
   /** Short qNN ids of every query that reads the 3-gram postings family
     * ([[Dedup.shPostings]] and derivatives, incl. [[Curation]]'s q98). */
   val consumers3: Set[String] =
