@@ -67,6 +67,9 @@ object GraftSession {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteRegexpCount))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteRegexpCount
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.StatsBroadcastJoins))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.StatsBroadcastJoins
   }
 
   /** Make an externally-created session (e.g. the driver's) safe for graft

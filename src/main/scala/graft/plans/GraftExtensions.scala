@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rxCount)
     ext.injectOptimizerRule(_ => RewriteMd5H32)
     ext.injectOptimizerRule(_ => RewriteRegexpCount)
+    ext.injectOptimizerRule(_ => StatsBroadcastJoins)
   }
 }
 

@@ -1,0 +1,174 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The ANALYZE surface q160 demonstrates, persisted and FED BACK into
+  * planning — measured statistics instead of static thresholds.
+  *
+  * q160's one-pass column-stats aggregation (rowcount, null count, NDV,
+  * extrema) is the right scan shape, but collected numbers that go
+  * nowhere optimize nothing. This store closes the loop:
+  *
+  *  1. [[analyze]] runs the one-pass profile per table — rowcount,
+  *     per-column approx NDV (the q78 HLL path: mergeable, one scan)
+  *     and measured average byte widths — and persists the result as a
+  *     tiny warehouse table (`graft_table_stats`), the plain-parquet
+  *     stand-in for a transactional catalog's stats section.
+  *  2. [[StatsBroadcastJoins]] (an `injectOptimizerRule` citizen)
+  *     consults the loaded stats at plan time and hints BROADCAST onto
+  *     any join side whose MEASURED bytes (rows × measured row width)
+  *     fit the broadcast budget — replacing the static
+  *     `autoBroadcastJoinThreshold` file-size heuristic, which at
+  *     100 TB routinely lies in both directions (compressed parquet
+  *     under-reports in-memory size ~2–5×; a selective filter over a
+  *     huge file over-reports it unboundedly).
+  *
+  * Scale design: stats rows are O(tables × columns) — control-plane
+  * sized, loaded once per JVM into [[statsByPath]] and consulted as a
+  * map lookup inside the rule (zero I/O at plan time). The analyze
+  * scan itself is one pass per table with mergeable partial aggregates,
+  * exactly q160's plan shape.
+  */
+object StatsStore {
+
+  /** Set "true" to let [[StatsBroadcastJoins]] act. Off by default:
+    * stats-driven hints with STALE stats can broadcast a table that has
+    * since grown — opt in after an [[analyze]] pass, exactly like
+    * ANALYZE TABLE + CBO in a warehouse. */
+  val EnabledConf = "spark.graft.statsBroadcast"
+
+  /** Broadcast budget in MEASURED bytes (default 10 MiB, matching the
+    * spirit of `autoBroadcastJoinThreshold` — but compared against
+    * rows × measured width, not file size). */
+  val ThresholdConf = "spark.graft.statsBroadcastThreshold"
+
+  val TableName = "graft_table_stats"
+
+  /** Per-relation stats, keyed by the qualified root path of the scan —
+    * the join key between a `LogicalRelation` in a plan and its
+    * measured profile. */
+  case class TableStats(table: String, nRows: Long, rowBytes: Double,
+      ndv: Map[String, Long]) {
+    def estBytes: Long = math.ceil(nRows * rowBytes).toLong
+  }
+
+  /** JVM-wide loaded stats (plan-time lookups must be pure map reads). */
+  private[plans] val statsByPath = TrieMap.empty[String, TableStats]
+
+  private val statsSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("table", StringType),
+    StructField("n_rows", LongType),
+    StructField("row_bytes", DoubleType),
+    StructField("ndv", MapType(StringType, LongType))))
+
+  /** Measured average byte width of one column: variable-width types are
+    * measured (strings/binary by octet length, arrays by element count ×
+    * element width, anything else via its JSON rendering), fixed-width
+    * types priced at their storage size plus field overhead. */
+  private def widthExpr(f: StructField): org.apache.spark.sql.Column = f.dataType match {
+    case StringType => coalesce(avg(octet_length(col(f.name))), lit(0.0))
+    case BinaryType => coalesce(avg(octet_length(col(f.name))), lit(0.0))
+    case ArrayType(et, _) =>
+      coalesce(avg(size(col(f.name))), lit(0.0)) * lit(et.defaultSize.toDouble)
+    case _: MapType | _: StructType =>
+      coalesce(avg(octet_length(to_json(col(f.name)))), lit(0.0))
+    case dt => lit(dt.defaultSize.toDouble)
+  }
+
+  private def qualified(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
+
+  /** One-pass profile of `dir/<table>.parquet` for each named table;
+    * merges the rows into the persisted stats table and the in-JVM map.
+    * Returns the freshly analyzed rows as a DataFrame (q160-style
+    * reporting surface). */
+  def analyze(spark: SparkSession, dir: String,
+      tables: Seq[String]): DataFrame = {
+    val fresh = tables.map { t =>
+      val path = qualified(spark, s"$dir/$t.parquet")
+      val df = spark.read.parquet(path)
+      val fields = df.schema.fields.toSeq
+      val aggs =
+        count(lit(1)).as("n_rows") +:
+        fields.flatMap(f => Seq(
+          approx_count_distinct(col(f.name)).as(s"__ndv_${f.name}"),
+          widthExpr(f).as(s"__w_${f.name}")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val nRows = r.getAs[Long]("n_rows")
+      val ndv = fields.map(f => f.name ->
+        r.getAs[Long](s"__ndv_${f.name}")).toMap
+      // measured payload width + per-field object overhead (Tungsten rows
+      // carry an 8-byte slot per field) — the broadcast build side is
+      // an in-memory hashed relation, so in-memory width is what matters
+      val rowBytes = fields.map(f =>
+        r.getAs[Number](s"__w_${f.name}").doubleValue).sum + 8.0 * fields.size
+      path -> TableStats(t, nRows, rowBytes, ndv)
+    }.toMap
+    fresh.foreach { case (p, s) => statsByPath.put(p, s) }
+    persist(spark, fresh)
+    toDf(spark, fresh)
+  }
+
+  /** Hydrate [[statsByPath]] from the persisted stats table (a fresh
+    * JVM's path to plan-time stats without re-scanning anything).
+    * Returns the number of loaded rows. */
+  def load(spark: SparkSession): Int =
+    if (!spark.catalog.tableExists(TableName)) 0
+    else {
+      val rows = spark.table(TableName).collect()
+      rows.foreach { r =>
+        statsByPath.put(r.getAs[String]("path"), TableStats(
+          r.getAs[String]("table"), r.getAs[Long]("n_rows"),
+          r.getAs[Double]("row_bytes"),
+          r.getAs[Map[String, Long]]("ndv")))
+      }
+      rows.length
+    }
+
+  def statsFor(spark: SparkSession, dir: String,
+      table: String): Option[TableStats] =
+    statsByPath.get(qualified(spark, s"$dir/$table.parquet"))
+
+  /** Drop only the in-JVM map (tests: prove [[load]] rehydrates). */
+  private[graft] def statsByPathClearForTest(): Unit = statsByPath.clear()
+
+  /** Forget everything — persisted table, loaded map. */
+  def clear(spark: SparkSession): Unit = {
+    statsByPath.clear()
+    spark.sql(s"DROP TABLE IF EXISTS $TableName")
+    ()
+  }
+
+  private def toDf(spark: SparkSession,
+      m: Map[String, TableStats]): DataFrame = {
+    val rows = m.toSeq.sortBy(_._1).map { case (p, s) =>
+      Row(p, s.table, s.nRows, s.rowBytes, s.ndv)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), statsSchema)
+  }
+
+  /** Merge-write: keep rows for paths not re-analyzed (tiny table —
+    * collected through the driver by construction). */
+  private def persist(spark: SparkSession,
+      fresh: Map[String, TableStats]): Unit = {
+    val existing: Map[String, TableStats] =
+      if (!spark.catalog.tableExists(TableName)) Map.empty
+      else spark.table(TableName).collect().map { r =>
+        r.getAs[String]("path") -> TableStats(
+          r.getAs[String]("table"), r.getAs[Long]("n_rows"),
+          r.getAs[Double]("row_bytes"), r.getAs[Map[String, Long]]("ndv"))
+      }.toMap
+    toDf(spark, existing ++ fresh)
+      .write.mode("overwrite").format("parquet").saveAsTable(TableName)
+  }
+}
