@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   * (uncompressed 24-bit BMP), [[WavDecoder]] (RIFF WAVE integer PCM),
   * [[PngDecoder]] (zlib-compressed PNG — the JDK's `Inflater` plus the
   * five scanline filters), [[GifDecoder]] (LZW-compressed GIF 87a/89a
-  * incl. interlace), and [[TiffDecoder]] (tagged-IFD baseline TIFF in
-  * either byte order) are REAL decoders — every LOSSLESS format here
-  * decodes without a codec library. Only genuinely-unavailable
-  * LOSSY codecs (JPEG/MP3/video) fall back to [[FakeDecoder]], which
-  * stands in with deterministic pseudo-features from the bytes;
+  * incl. interlace), [[TiffDecoder]] (tagged-IFD baseline TIFF in
+  * either byte order), [[JpegDecoder]] (baseline-sequential T.81 SOF0),
+  * and [[Mp3Decoder]] (MPEG Layer III frame-header walk — container
+  * metadata without audio synthesis) are REAL decoders — no codec
+  * library anywhere. Only genuinely-unavailable lossy codecs (video
+  * containers, modern image/audio codecs) fall back to [[FakeDecoder]],
+  * which stands in with deterministic pseudo-features from the bytes;
   * [[decoderFor]] dispatches on the metadata format tag.
   * All run behind the same [[MediaDecoder]] contract, so swapping in a
   * real codec is a one-line change at the call site; nothing else moves.
@@ -830,10 +832,18 @@ object Multimodal {
               s"scan has $ns components, frame $nComp (interleaved single scan only)")
             compTd = new Array[Int](nComp); compTa = new Array[Int](nComp)
             var s = 0
+            var prevIdx = -1
             while (s < ns) {
               val cs = u8(pos + 3 + 2 * s)
               val c = compId.indexOf(cs)
               require(c >= 0, s"scan component $cs not in frame")
+              // T.81 B.2.3: scan components must appear in frame-header
+              // order — the MCU decode loop below walks data units in
+              // frame order, so a reordered scan would silently pair the
+              // wrong Huffman/quant tables with each component
+              require(c > prevIdx,
+                s"scan component $cs out of frame order (T.81 B.2.3)")
+              prevIdx = c
               compTd(c) = u8(pos + 4 + 2 * s) >> 4
               compTa(c) = u8(pos + 4 + 2 * s) & 15
               require(compTd(c) < 4 && compTa(c) < 4,
@@ -841,7 +851,8 @@ object Multimodal {
                   s"${compTd(c)}/${compTa(c)} (0-3 only)")
               s += 1
             }
-            require(u8(pos + 3 + 2 * ns) == 0 && u8(pos + 5 + 2 * ns) == 0,
+            require(u8(pos + 3 + 2 * ns) == 0 && u8(pos + 4 + 2 * ns) == 63 &&
+              u8(pos + 5 + 2 * ns) == 0,
               "spectral selection / successive approximation must be 0/63/0 (baseline)")
             scanStart = pos + len
           case _ => // APPn, COM, anything else with a length field
@@ -1106,14 +1117,131 @@ object Multimodal {
     }
   }
 
+  /** MPEG-1/2/2.5 Layer III frame-header walk: REAL audio metadata —
+    * frame count, total samples, duration, average bitrate — without
+    * synthesizing a single audio sample. The MP3 frame header is public
+    * byte arithmetic (ISO/IEC 11172-3 §2.4.1.3 layout; bitrate /
+    * sampling-rate index tables; `frame_len = spf/8 · bitrate / rate +
+    * padding`), so walking a stream frame-to-frame needs no codec — the
+    * same "parse the container, stub only the lossy synthesis" line the
+    * JPEG/video decoders draw. This shrinks [[FakeDecoder]]'s domain to
+    * codecs whose CONTAINERS are genuinely out of reach here.
+    *
+    * Accepted stream shape: optional ID3v2 prefix (syncsafe-sized,
+    * skipped), back-to-back Layer III frames (VBR welcome — bitrate is
+    * per frame; version/sampling-rate must stay constant, as every real
+    * encoder keeps them), optional trailing ID3v1 tag. Anything else —
+    * lost sync, reserved version/emphasis, free-format or bad bitrate
+    * index, a frame overrunning the payload — throws the contractual
+    * `IllegalArgumentException` naming the offset.
+    *
+    * Features: `nFrames` = MPEG frame count; checksum folds every
+    * frame header word plus the stream's total-samples count (so two
+    * streams with identical headers but different durations can't
+    * collide trivially); thumb byte = first payload byte of the first
+    * frame. [[Mp3Decoder.walk]] exposes the full
+    * duration/bitrate/sample-rate record for tests and richer
+    * pipelines. */
+  final class Mp3Decoder extends MediaDecoder {
+    override def decode(rec: MediaRecord): MediaFeatures = {
+      val info = Mp3Decoder.walk(rec.media)
+      MediaFeatures(rec.id, "mp3", info.nFrames, info.checksum, info.thumb)
+    }
+  }
+
+  object Mp3Decoder {
+    /** What a header walk knows about a stream without decoding audio. */
+    case class Mp3Info(nFrames: Int, sampleRateHz: Int, totalSamples: Long,
+        durationMs: Long, avgBitrateBps: Long, checksum: Long, thumb: Int)
+
+    // Layer III bitrate tables, kbps, indexed by the 4-bit field
+    // (0 = free-format, unsupported; 15 = forbidden)
+    private val KbpsV1 =
+      Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+    private val KbpsV2 =
+      Array(-1, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1)
+    // MPEG-1 sampling rates by the 2-bit index; V2 halves, V2.5 quarters
+    private val RateV1 = Array(44100, 48000, 32000, -1)
+
+    def walk(b: Array[Byte]): Mp3Info = {
+      var pos = 0
+      // ID3v2: "ID3" vv flags + 4 SYNCSAFE size bytes (7 bits each)
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        var sz = 0
+        var i = 0
+        while (i < 4) {
+          val s = b(6 + i) & 0xff
+          require(s < 0x80, s"ID3v2 size byte $i not syncsafe")
+          sz = (sz << 7) | s
+          i += 1
+        }
+        pos = 10 + sz
+        require(pos <= b.length, s"ID3v2 tag ($sz bytes) overruns payload")
+      }
+      var end = b.length
+      if (end - pos >= 128 && b(end - 128) == 'T' && b(end - 127) == 'A' &&
+          b(end - 126) == 'G')
+        end -= 128
+      var nFrames = 0
+      var rate = -1
+      var samples = 0L
+      var bits = 0L
+      var checksum = 0L
+      var thumb = -1
+      while (pos < end) {
+        require(end - pos >= 4, s"truncated frame header at $pos")
+        val h = ((b(pos) & 0xffL) << 24) | ((b(pos + 1) & 0xff) << 16) |
+          ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+        require((h >>> 21) == 0x7ff, f"lost sync at $pos (0x$h%08x)")
+        val ver = ((h >>> 19) & 3).toInt // 0=V2.5 1=reserved 2=V2 3=V1
+        require(ver != 1, s"reserved MPEG version at $pos")
+        require(((h >>> 17) & 3) == 1, s"not Layer III at $pos")
+        val bi = ((h >>> 12) & 15).toInt
+        require(bi != 0, s"free-format bitrate unsupported at $pos")
+        require(bi != 15, s"forbidden bitrate index at $pos")
+        val ri = ((h >>> 10) & 3).toInt
+        require(ri != 3, s"reserved sampling-rate index at $pos")
+        require((h & 3) != 2, s"reserved emphasis at $pos")
+        val padding = ((h >>> 9) & 1).toInt
+        val v1 = ver == 3
+        val kbps = (if (v1) KbpsV1 else KbpsV2)(bi)
+        val sr = ver match {
+          case 3 => RateV1(ri)
+          case 2 => RateV1(ri) / 2
+          case _ => RateV1(ri) / 4
+        }
+        require(rate < 0 || (sr == rate),
+          s"sampling rate changed mid-stream at $pos ($rate -> $sr)")
+        rate = sr
+        val spf = if (v1) 1152 else 576
+        val flen = spf / 8 * (kbps * 1000) / sr + padding
+        require(flen > 4, s"degenerate frame length $flen at $pos")
+        require(pos + flen <= end, s"frame at $pos (len $flen) overruns payload")
+        if (thumb < 0 && flen > 4) thumb = b(pos + 4) & 0xff
+        checksum = (checksum * 131 + (h & 0xffffffffL)) % 1000000007L
+        samples += spf
+        bits += flen.toLong * 8
+        nFrames += 1
+        pos += flen
+      }
+      require(nFrames > 0, "no MPEG frames in payload")
+      checksum = (checksum * 131 + samples) % 1000000007L
+      val durationMs = samples * 1000 / rate
+      val avgBps = if (durationMs == 0) 0L else bits * 1000 / durationMs
+      Mp3Info(nFrames, rate, samples, durationMs, avgBps, checksum,
+        math.max(thumb, 0))
+    }
+  }
+
   /** Format-dispatched decoder selection — the call-site convenience a
     * mixed-format corpus needs: REAL decoders for every format this
     * library decodes without a codec (ppm, bmp, wav, png, gif, tiff,
-    * jpeg), the deterministic [[FakeDecoder]] for genuinely-unavailable
-    * codecs (explicit allowlist below). Case-insensitive on the
-    * metadata format tag. An UNKNOWN tag throws rather than silently
-    * fake-decoding: a typo ("tiif") or a new format must surface as a
-    * per-record error, not corrupt features downstream. */
+    * jpeg, and mp3's frame-header walk), the deterministic
+    * [[FakeDecoder]] for genuinely-unavailable codecs (explicit
+    * allowlist below). Case-insensitive on the metadata format tag. An
+    * UNKNOWN tag throws rather than silently fake-decoding: a typo
+    * ("tiif") or a new format must surface as a per-record error, not
+    * corrupt features downstream. */
   def decoderFor(format: String): MediaDecoder = format.toLowerCase match {
     case "ppm" => new PpmDecoder
     case "bmp" => new BmpDecoder
@@ -1122,7 +1250,8 @@ object Multimodal {
     case "gif" => new GifDecoder
     case "tiff" | "tif" => new TiffDecoder
     case "jpeg" | "jpg" => new JpegDecoder
-    case "mp3" | "mp4" | "webm" | "ogg" | "heic" |
+    case "mp3" => new Mp3Decoder
+    case "mp4" | "webm" | "ogg" | "heic" |
         "avif" | "webp" | "flac" | "aac" | "mov" | "avi" =>
       new FakeDecoder()
     case other => throw new IllegalArgumentException(

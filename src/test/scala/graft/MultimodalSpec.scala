@@ -813,6 +813,63 @@ class MultimodalSpec extends SparkSpec {
       et.getMessage.contains("marker"), et.getMessage)
   }
 
+  test("Mp3Decoder walks MPEG frame headers: count, duration, bitrate — no synthesis") {
+    val rnd = new scala.util.Random(83)
+    val kbpsV1 = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+    val kbpsV2 = Array(-1, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1)
+    val rateV1 = Array(44100, 48000, 32000)
+    def frame(v1: Boolean, bi: Int, ri: Int, pad: Int): Array[Byte] = {
+      val sr = if (v1) rateV1(ri) else rateV1(ri) / 2
+      val spf = if (v1) 1152 else 576
+      val flen = spf / 8 * ((if (v1) kbpsV1 else kbpsV2)(bi) * 1000) / sr + pad
+      val h = (0x7ff << 21) | ((if (v1) 3 else 2) << 19) | (1 << 17) |
+        (1 << 16) /* no CRC */ | (bi << 12) | (ri << 10) | (pad << 9)
+      val out = new Array[Byte](flen)
+      out(0) = (h >>> 24).toByte; out(1) = (h >>> 16).toByte
+      out(2) = (h >>> 8).toByte; out(3) = h.toByte
+      for (i <- 4 until flen) out(i) = rnd.nextInt(256).toByte
+      out
+    }
+    // VBR MPEG-1 stream at 44100: ID3v2 prefix + 4 frames + ID3v1 tail
+    val id3v2Body = Array.tabulate[Byte](17)(i => (i * 5).toByte)
+    val id3v2 = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0) ++
+      Array[Byte](0, 0, 0, id3v2Body.length.toByte) ++ id3v2Body
+    val id3v1 = "TAG".getBytes("US-ASCII") ++ new Array[Byte](125)
+    val frames = Seq(frame(true, 9, 0, 0), frame(true, 11, 0, 1),
+      frame(true, 9, 0, 0), frame(true, 14, 0, 0))
+    val stream = id3v2 ++ frames.flatten ++ id3v1
+    val info = Multimodal.Mp3Decoder.walk(stream)
+    assert(info.nFrames == 4 && info.sampleRateHz == 44100)
+    assert(info.totalSamples == 4L * 1152)
+    assert(info.durationMs == 4L * 1152 * 1000 / 44100)
+    val bits = frames.map(_.length.toLong * 8).sum
+    assert(info.avgBitrateBps == bits * 1000 / info.durationMs)
+    // the MediaDecoder face: frame count rides nFrames, deterministic
+    val feats = new Multimodal.Mp3Decoder().decode(MediaRecord(7L, stream,
+      MediaMeta("mp3", 0, 0, stream.length.toLong)))
+    assert(feats.nFrames == 4 && feats.format == "mp3")
+    assert(feats.checksum == info.checksum && info.checksum > 0)
+    assert(feats.thumbFirstByte == (stream(id3v2.length + 4) & 0xff))
+    // MPEG-2 stream: 576 samples per frame at the halved rate
+    val s2 = Seq(frame(false, 8, 1, 0), frame(false, 8, 1, 1)).flatten.toArray
+    val i2 = Multimodal.Mp3Decoder.walk(s2)
+    assert(i2.nFrames == 2 && i2.sampleRateHz == 24000 &&
+      i2.totalSamples == 2L * 576)
+    // contract violations throw the IAE, never escape or mis-decode
+    def bad(b: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Multimodal.Mp3Decoder.walk(b) }
+      assert(e.getMessage.contains(needle), s"'${e.getMessage}' !~ $needle")
+    }
+    bad(frames.head.dropRight(1), "overruns")          // truncated frame
+    bad(frames.head ++ Array[Byte](1, 2, 3), "truncated frame header")
+    bad(frame(true, 9, 0, 0) ++ frame(true, 9, 1, 0), "changed mid-stream")
+    val free = frame(true, 9, 0, 0); free(2) = (free(2) & 0x0f).toByte
+    bad(free, "free-format")
+    bad(Array[Byte](0x12, 0x34, 0x56, 0x78), "lost sync")
+    bad("ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0,
+      0, 0, 0, 0x7f.toByte), "overruns")               // ID3v2 size past end
+  }
+
   test("decoder fuzz: seeded byte mutations throw the contractual IAE, never escape") {
     // the per-record error contract: a corrupted payload must either
     // decode (mutation hit a don't-care byte) or throw
@@ -871,9 +928,23 @@ class MultimodalSpec extends SparkSpec {
       writer.dispose(); ios.close()
       bos.toByteArray
     }
+    def mp3Bytes(): Array[Byte] = {
+      // three MPEG-1 Layer III 128 kbps 44100 Hz frames (417/418 bytes)
+      val out = new java.io.ByteArrayOutputStream()
+      Seq(0, 1, 0).foreach { pad =>
+        val flen = 144 * 128000 / 44100 + pad
+        val h = (0x7ff << 21) | (3 << 19) | (1 << 17) | (1 << 16) |
+          (9 << 12) | (0 << 10) | (pad << 9)
+        out.write(Array[Byte]((h >>> 24).toByte, (h >>> 16).toByte,
+          (h >>> 8).toByte, h.toByte))
+        val body = new Array[Byte](flen - 4); rnd0.nextBytes(body); out.write(body)
+      }
+      out.toByteArray
+    }
     val cases: Seq[(String, MediaDecoder, Array[Byte])] = Seq(
       ("jpeg", new JpegDecoder, jpegBytes()),
       ("jpeg", new JpegDecoder, driJpegBytes()),
+      ("mp3", new Multimodal.Mp3Decoder, mp3Bytes()),
       ("png", new PngDecoder, imgBytes("png")),
       ("gif", new GifDecoder, imgBytes("gif")),
       ("tiff", new TiffDecoder, imgBytes("tiff")),
@@ -919,17 +990,25 @@ class MultimodalSpec extends SparkSpec {
       le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
       "data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm
     val blob = Array.tabulate[Byte](48)(i => (i * 7).toByte)
+    // one real MPEG-1 Layer III frame (128 kbps, 44100 Hz, no padding)
+    val mp3h = (0x7ff << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (9 << 12)
+    val mp3 = Array[Byte]((mp3h >>> 24).toByte, (mp3h >>> 16).toByte,
+      (mp3h >>> 8).toByte, mp3h.toByte) ++
+      Array.tabulate[Byte](144 * 128000 / 44100 - 4)(i => (i * 11).toByte)
     val recs = Seq(
       MediaRecord(61L, ppm, MediaMeta("ppm", 2, 1, ppm.length.toLong)),
       MediaRecord(62L, wav, MediaMeta("wav", 0, 0, wav.length.toLong)),
-      MediaRecord(63L, blob, MediaMeta("mp3", 0, 0, blob.length.toLong)))
+      MediaRecord(63L, blob, MediaMeta("mp4", 0, 0, blob.length.toLong)),
+      MediaRecord(64L, mp3, MediaMeta("mp3", 0, 0, mp3.length.toLong)))
     val out = Multimodal.extractFeaturesAuto(recs.toDS().coalesce(1), batchSize = 2)
       .collect().map(f => f.id -> f).toMap
     assert(out(61L) == (new PpmDecoder).decode(recs(0)))
     assert(out(62L) == (new WavDecoder()).decode(recs(1)))
     assert(out(63L) == (new FakeDecoder()).decode(recs(2)))
+    assert(out(64L) == (new Multimodal.Mp3Decoder).decode(recs(3)))
     assert(out(61L).format == "ppm" && out(62L).format == "wav" &&
-      out(63L).format == "mp3")
+      out(63L).format == "mp4" && out(64L).format == "mp3" &&
+      out(64L).nFrames == 1)
   }
 
   test("crafted huge-raster headers throw before allocating (PNG zlib / GIF LZW bounds)") {
@@ -971,6 +1050,7 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decoderFor("tif").isInstanceOf[TiffDecoder])
     assert(Multimodal.decoderFor("jpeg").isInstanceOf[JpegDecoder])
     assert(Multimodal.decoderFor("jpg").isInstanceOf[JpegDecoder])
+    assert(Multimodal.decoderFor("mp3").isInstanceOf[Multimodal.Mp3Decoder])
     assert(Multimodal.decoderFor("mp4").isInstanceOf[FakeDecoder])
     // an unknown tag (typo or unlisted format) must surface, not
     // silently fake-decode into pseudo-features
