@@ -71,7 +71,7 @@ object StatsStore {
     * measured (strings/binary by octet length, arrays by element count ×
     * element width, anything else via its JSON rendering), fixed-width
     * types priced at their storage size plus field overhead. */
-  private def widthExpr(f: StructField): org.apache.spark.sql.Column = f.dataType match {
+  private[graft] def widthExpr(f: StructField): org.apache.spark.sql.Column = f.dataType match {
     case StringType => coalesce(avg(octet_length(col(f.name))), lit(0.0))
     case BinaryType => coalesce(avg(octet_length(col(f.name))), lit(0.0))
     case ArrayType(et, _) =>

@@ -1037,6 +1037,50 @@ object Relational {
       |GROUP BY col_name
       |ORDER BY col_name""".stripMargin
 
+  /** q161 — the measured per-table profile [[graft.plans.StatsStore]]
+    * feeds the stats-driven broadcast rule
+    * ([[graft.plans.StatsBroadcastJoins]]), surfaced as an
+    * oracle-checked query: per table, the exact rowcount and the
+    * measured average in-memory row width — fixed-width columns priced
+    * at their storage size, strings at their measured average octet
+    * length, plus the 8-byte-per-field Tungsten slot overhead. This IS
+    * the arithmetic the rule prices join sides with (rows × width vs
+    * the broadcast budget), so the oracle cross-checks the planner's
+    * own inputs.
+    *
+    * Scale design: one single-pass aggregation per table with map-side
+    * partials (count + per-string-column avg), three 1-row results
+    * unioned — control-plane cost at any corpus size; the scan reads
+    * only the string columns it measures plus nothing else twice. */
+  def q161TableProfile(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "lineitem", "orders").map { t =>
+      val df = spark.read.parquet(s"$dir/$t.parquet")
+      val width = df.schema.fields.map(graft.plans.StatsStore.widthExpr)
+        .reduce(_ + _) + lit(8.0 * df.schema.fields.length)
+      df.agg(count(lit(1)).as("n_rows"),
+          round(lit(1e-9) + width, 2).as("row_bytes"))
+        .select(lit(t).as("table_name"), col("n_rows"), col("row_bytes"))
+    }.reduce(_.unionByName(_)).orderBy(col("table_name"))
+  }
+
+  val q161Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer' AS table_name, count(*)::BIGINT AS n_rows,
+      |    round(1e-9 + 60 + avg(strlen(c_name))
+      |      + avg(strlen(c_mktsegment)), 2) AS row_bytes
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'lineitem', count(*)::BIGINT,
+      |    round(1e-9 + 156 + avg(strlen(l_returnflag))
+      |      + avg(strlen(l_linestatus)), 2)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders', count(*)::BIGINT,
+      |    round(1e-9 + 80 + avg(strlen(o_orderstatus))
+      |      + avg(strlen(o_orderpriority)), 2)
+      |  FROM orders)
+      |ORDER BY table_name""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_selective_revenue" -> (q02SelectiveRevenue _),
@@ -1066,7 +1110,8 @@ object Relational {
     "q89_triangle_count" -> (q89TriangleCount _),
     "q95_bloom_prune" -> (q95BloomPrune _),
     "q115_min_cost_supplier" -> (q115MinCostSupplier _),
-    "q160_column_stats" -> (q160ColumnStats _)
+    "q160_column_stats" -> (q160ColumnStats _),
+    "q161_table_profile" -> (q161TableProfile _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1098,6 +1143,7 @@ object Relational {
     "q89_triangle_count" -> q89Sql,
     "q95_bloom_prune" -> q95Sql,
     "q115_min_cost_supplier" -> q115Sql,
-    "q160_column_stats" -> q160Sql
+    "q160_column_stats" -> q160Sql,
+    "q161_table_profile" -> q161Sql
   )
 }
