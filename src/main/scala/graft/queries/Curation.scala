@@ -27,7 +27,13 @@ object Curation {
     * Split buckets are a pure function of doc_id, so consumers that need
     * them derive the column on top of the cache — narrow, shuffle-free. */
   private[queries] def sh8PostingsPlan(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    sh8PostingsPlanFor(spark, Tables.documents(spark, dir))
+
+  /** Same plan over an arbitrary (doc_id, text) frame — see
+    * [[graft.queries.Dedup.shPostingsPlanFor]]. */
+  private[queries] def sh8PostingsPlanFor(spark: SparkSession,
+      docs: DataFrame): DataFrame =
+    docs
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(shingleH32(col("text"), 8)).as("h"))
       .distinct()

@@ -69,7 +69,14 @@ object Dedup {
     * grouping — distinct(doc_id, h), signature mins, postings counts —
     * Catalyst satisfies all of them with ZERO further shuffles. */
   private[queries] def shPostingsPlan(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    shPostingsPlanFor(spark, Tables.documents(spark, dir))
+
+  /** The same postings plan over an ARBITRARY (doc_id, text) frame —
+    * the unit [[PostingsStore.append]] runs over just-arrived documents
+    * for incremental index maintenance. */
+  private[queries] def shPostingsPlanFor(spark: SparkSession,
+      docs: DataFrame): DataFrame =
+    docs
       // explicit count: a bare repartition(col) is AQE-coalescable and the
       // tiny pre-explode byte size would collapse it to ~1 partition,
       // serializing the expansion it exists to parallelize

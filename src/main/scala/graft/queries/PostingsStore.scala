@@ -78,22 +78,76 @@ object PostingsStore {
     * explode+md5 expansion runs exactly once per family. Existing
     * tables are dropped first and the session memo invalidated, so a
     * re-materialize never reads a table it is about to overwrite. */
-  def materialize(spark: SparkSession, dir: String): Unit = {
+  def materialize(spark: SparkSession, dir: String): Unit =
+    materializeFrom(spark, dir, graft.sources.Tables.documents(spark, dir))
+
+  /** [[materialize]] over an explicit document subset — the first step
+    * of an INCREMENTAL build: index the corpus as of today, then
+    * [[append]] each new arrival batch instead of re-exploding the
+    * whole corpus. `docs` must be (a subset of) `dir`'s documents. */
+  def materializeFrom(spark: SparkSession, dir: String,
+      docs: DataFrame): Unit = {
     drop(spark, dir)
     spark.conf.set(ModeConf, "bucketed")
     val buckets = spark.sparkContext.defaultParallelism
     Bucketing.writeBucketed(
-      Dedup.shPostingsPlan(spark, dir), tableName(dir, "sh"),
+      Dedup.shPostingsPlanFor(spark, docs), tableName(dir, "sh"),
       "doc_id", buckets)
+    Bucketing.writeBucketed(
+      Curation.sh8PostingsPlanFor(spark, docs), tableName(dir, "sh8"),
+      "doc_id", buckets)
+    rebuildCapped(spark, dir, buckets)
+  }
+
+  /** Incremental maintenance: explode and APPEND only the new
+    * documents' postings into the bucketed `sh`/`sh8` tables (Spark
+    * appends bucketed files with a matching spec, so the table's
+    * `HashPartitioning(doc_id, n)` contract — and every zero-Exchange
+    * consumer — survives; buckets just gain a file per append, which
+    * bucketed scans handle natively), then rebuild the df-capped table:
+    * document frequencies are corpus-global, so an append can push a
+    * shingle over the cap — the capped table is the COMPACTION unit of
+    * this layout, O(postings) to rewrite, amortized over arbitrarily
+    * many O(batch) appends (compare the SCD2 sink's base/delta split).
+    *
+    * Contract: `docs` carries doc_ids not yet indexed (same as any
+    * append-only index); session memos over the family are invalidated
+    * here so derived frames rebuild over the appended state. */
+  def append(spark: SparkSession, dir: String, docs: DataFrame): Unit = {
+    require(bucketedMode(spark) &&
+      Keys.forall(k => spark.catalog.tableExists(tableName(dir, k))),
+      s"append requires a materialized bucketed store for $dir")
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        tableName(dir, "sh")))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    def appendTo(plan: DataFrame, key: String): Unit =
+      plan.repartition(buckets, org.apache.spark.sql.functions.col("doc_id"))
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(tableName(dir, key))
+    appendTo(Dedup.shPostingsPlanFor(spark, docs), "sh")
+    appendTo(Curation.sh8PostingsPlanFor(spark, docs), "sh8")
+    SharedFrames.invalidate(spark, dir)
+    rebuildCapped(spark, dir, buckets)
+  }
+
+  /** Rewrite the df-capped table from the CURRENT bucketed `sh` state —
+    * shared by full materialization and post-append compaction. Staged
+    * through a temp table: the anti-join reads `sh` (a different
+    * table), but a direct overwrite of `capped` while a previous
+    * version exists would race its own drop on some catalogs. */
+  private def rebuildCapped(spark: SparkSession, dir: String,
+      buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, "capped")}")
+    SharedFrames.invalidate(spark, dir)
     // reads sh via lookup (bucketed) — the anti-join's broadcast side
     // (hot shingles over the df-counts) aggregates off the bucketed scan
     Bucketing.writeBucketed(
       Dedup.shPostings(spark, dir)
         .join(broadcast(Dedup.hotShingles(spark, dir)), Seq("h"), "left_anti"),
       tableName(dir, "capped"), "doc_id", buckets)
-    Bucketing.writeBucketed(
-      Curation.sh8PostingsPlan(spark, dir), tableName(dir, "sh8"),
-      "doc_id", buckets)
   }
 
   /** Drop the family's tables and any session memo built over them;

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{PostingsStore, SharedFrames}
+
+/** Incremental maintenance of the on-disk postings family: index half
+  * the corpus, APPEND the other half, and every consumer must answer
+  * exactly as if the full corpus had been indexed in one shot — the
+  * grow-the-corpus path a production index lives on (appends are
+  * O(batch); only the df-capped compaction is O(postings)). */
+class PostingsStoreSpec extends SparkSpec {
+
+  test("materialize half + append half == materialize full, for every consumer") {
+    val consumers = Seq("q29_ngram_jaccard", "q30_minhash_lsh",
+      "q56_contamination", "q124_bloom_decontam")
+    def rows(name: String): Set[Seq[Any]] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq.map {
+        case d: Double => math.rint(d * 1e6) / 1e6
+        case x => x
+      }.toSeq).toSet
+    try {
+      SharedFrames.invalidate(spark, sf)
+      // ground truth: the session-memoized memory path over the full corpus
+      val expected = consumers.map(n => n -> rows(n)).toMap
+      val docs = graft.sources.Tables.documents(spark, sf)
+      val firstHalf = docs.filter(col("doc_id") % 2 === 0)
+      val secondHalf = docs.filter(col("doc_id") % 2 === 1)
+      PostingsStore.materializeFrom(spark, sf, firstHalf)
+      // sanity: the half-index really is half-sized before the append
+      val half = spark.table(PostingsStore.tableName(sf, "sh"))
+        .select(countDistinct(col("doc_id"))).head().getLong(0)
+      PostingsStore.append(spark, sf, secondHalf)
+      val full = spark.table(PostingsStore.tableName(sf, "sh"))
+        .select(countDistinct(col("doc_id"))).head().getLong(0)
+      assert(half < full && full == docs.count(),
+        s"append did not grow the index: $half -> $full")
+      // appended buckets keep the zero-Exchange per-doc contract
+      import org.apache.spark.sql.execution.exchange.Exchange
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val perDoc = spark.table(PostingsStore.tableName(sf, "sh"))
+        .groupBy(col("doc_id")).agg(count(lit(1)))
+      assert(perDoc.queryExecution.executedPlan
+        .collect { case e: Exchange => e }.isEmpty,
+        "per-doc aggregation shuffled after append")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      // THE equivalence: consumers over the incrementally-built store
+      consumers.foreach { n =>
+        assert(rows(n) == expected(n),
+          s"$n diverged on the incrementally-built index")
+      }
+    } finally {
+      PostingsStore.drop(spark, sf)
+      SharedFrames.invalidate(spark, sf)
+    }
+  }
+}
