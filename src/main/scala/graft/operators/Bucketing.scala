@@ -32,11 +32,22 @@ object Bucketing {
     * would still need a Sort under every downstream sort-merge join;
     * one-file buckets let Spark elide it. */
   def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, sorted: Boolean = true): Unit =
+    writeBucketedMulti(df, table, Seq(key), buckets, sorted)
+
+  /** Multi-column bucket key variant: co-partitioned joins require the
+    * bucketing to cover ALL join keys (Spark's co-partition check —
+    * `spark.sql.requireAllClusterKeysForCoPartition` — rejects a
+    * partial cover and falls back to a shuffle), so a table joined on a
+    * composite key must bucket on the whole composite. */
+  def writeBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
       buckets: Int, sorted: Boolean = true): Unit = {
     import org.apache.spark.sql.functions.col
-    val w = df.repartition(buckets, col(key))
-      .write.mode("overwrite").format("parquet").bucketBy(buckets, key)
-    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+    require(keys.nonEmpty, "at least one bucket key")
+    val w = df.repartition(buckets, keys.map(col): _*)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    (if (sorted) w.sortBy(keys.head, keys.tail: _*) else w).saveAsTable(table)
   }
 
   /** Join two co-bucketed tables on their bucket keys. With matching

@@ -330,7 +330,15 @@ object Dedup {
     * cost of those queries is then the band equi-join + verify — the
     * work a production run actually repeats against a stored index. */
   private def shBands(spark: SparkSession, dir: String): DataFrame =
-    shared(spark, dir, "bands") { bandTable(shPostings(spark, dir)) }
+    PostingsStore.lookup(spark, dir, "bands").getOrElse(
+      shared(spark, dir, "bands") { bandTable(shPostings(spark, dir)) })
+
+  /** Band-table plan over an arbitrary (doc_id, text) frame — the unit
+    * [[PostingsStore.append]] indexes per new-arrival batch (band
+    * signatures are per-document, so incremental build ≡ full build). */
+  private[queries] def bandsPlanFor(spark: SparkSession,
+      docs: DataFrame): DataFrame =
+    bandTable(shPostingsPlanFor(spark, docs))
 
   /** q30's candidate stage, shared with the q119 recall audit:
     * candidates = band-fingerprint equi-join over [[shBands]]. */

@@ -42,11 +42,18 @@ object PostingsStore {
 
   val ModeConf = "spark.graft.postingsStore"
 
-  /** The family keys with an on-disk representation. `df`/`bands`/
-    * `srcsh` stay session-derived: they are narrow single-pass
-    * derivatives of these three and their own hot keys (`h`,
-    * `(band, bh)`, `source`) are not the doc_id bucketing. */
-  val Keys: Seq[String] = Seq("sh", "capped", "sh8")
+  /** The family keys with an on-disk representation. `sh`/`capped`/
+    * `sh8` bucket by `doc_id` (per-doc groupings and doc_id joins);
+    * `bands` — the stored LSH index — buckets by the FULL candidate
+    * join key (band, bfp) (Spark's co-partition check requires the
+    * bucketing to cover every join key), so the q30/q119 candidate
+    * self-join runs with ZERO Exchange of the index. `df`/`srcsh` stay
+    * session-derived: narrow single-pass derivatives with their own hot
+    * keys. */
+  val Keys: Seq[String] = Seq("sh", "capped", "sh8", "bands")
+
+  private def bucketKeysOf(key: String): Seq[String] =
+    if (key == "bands") Seq("band", "bfp") else Seq("doc_id")
 
   def bucketedMode(spark: SparkSession): Boolean =
     spark.conf.getOption(ModeConf).contains("bucketed")
@@ -96,6 +103,9 @@ object PostingsStore {
     Bucketing.writeBucketed(
       Curation.sh8PostingsPlanFor(spark, docs), tableName(dir, "sh8"),
       "doc_id", buckets)
+    Bucketing.writeBucketedMulti(
+      Dedup.bandsPlanFor(spark, docs), tableName(dir, "bands"),
+      Seq("band", "bfp"), buckets)
     rebuildCapped(spark, dir, buckets)
   }
 
@@ -122,13 +132,17 @@ object PostingsStore {
         tableName(dir, "sh")))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(spark.sparkContext.defaultParallelism)
-    def appendTo(plan: DataFrame, key: String): Unit =
-      plan.repartition(buckets, org.apache.spark.sql.functions.col("doc_id"))
+    def appendTo(plan: DataFrame, key: String): Unit = {
+      val bk = bucketKeysOf(key)
+      plan.repartition(buckets,
+          bk.map(org.apache.spark.sql.functions.col): _*)
         .write.mode("append").format("parquet")
-        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .bucketBy(buckets, bk.head, bk.tail: _*).sortBy(bk.head, bk.tail: _*)
         .saveAsTable(tableName(dir, key))
+    }
     appendTo(Dedup.shPostingsPlanFor(spark, docs), "sh")
     appendTo(Curation.sh8PostingsPlanFor(spark, docs), "sh8")
+    appendTo(Dedup.bandsPlanFor(spark, docs), "bands")
     SharedFrames.invalidate(spark, dir)
     rebuildCapped(spark, dir, buckets)
   }

@@ -914,6 +914,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(coJoin.queryExecution.executedPlan
         .collect { case e: Exchange => e }.isEmpty,
         "doc_id co-bucketed postings join must not shuffle")
+      // the stored LSH index: bfp-bucketed, so the candidate self-join
+      // on (band, bfp) is clustered straight off the scan — the q30
+      // shuffle that dominates at corpus scale, gone from the disk path
+      val bands = spark.table(PostingsStore.tableName(sf, "bands"))
+      val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bfp") === col("y.bfp") &&
+          col("x.doc_id") < col("y.doc_id"))
+      assert(cand.queryExecution.executedPlan
+        .collect { case e: Exchange => e }.isEmpty,
+        "bfp-bucketed band self-join must not shuffle the index")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       // (b) + (c) per consumer
       // bucketed scans may sit inside a derived frame's InMemoryRelation
