@@ -175,11 +175,18 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_FIDELITY").contains("0")) return (merged, Map.empty)
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val iso: Map[String, Double] = merged.collect {
+    val consumerNames = merged.collect {
       case (n, Right(_)) if queries.SharedFrames.isConsumer(n) => n
-    }.flatMap { n =>
+    }
+    val iso: Map[String, Double] = consumerNames.flatMap { n =>
       runChild(sfDir, Seq(n)).head._2.toOption.map(n -> _)
     }.toMap
+    // a consumer whose isolated re-run FAILED must not vanish quietly:
+    // its pack number ships unverified, so it reports -1 in the map and
+    // counts as a violation ("a failure is a result")
+    val isoFailed = consumerNames.filterNot(iso.contains)
+    isoFailed.foreach(n => System.err.println(
+      s"bench fidelity: isolated re-run of $n FAILED — ratio unknown"))
     val rawRatios = merged.collect { case (n, Right(sec)) if iso.contains(n) =>
       n -> sec / iso(n)
     }.toMap
@@ -192,10 +199,10 @@ object Bench {
     }
     val finalRatios = repaired.collect { case (n, Right(sec)) if iso.contains(n) =>
       n.takeWhile(_ != '_') -> sec / iso(n)
-    }
-    val violations = finalRatios.count(_._2 > 2.0)
+    } ++ isoFailed.map(n => n.takeWhile(_ != '_') -> -1.0)
+    val violations = finalRatios.count(r => r._2 > 2.0 || r._2 < 0)
     if (violations > 0)
-      System.err.println(s"bench fidelity: $violations consumers STILL >2x isolated")
+      System.err.println(s"bench fidelity: $violations consumers over the 2x bar or unmeasured")
     val fidelityJson = finalRatios.sortBy(_._1)
       .map { case (id, r) => s"\"$id\":${f(r)}" }.mkString("{", ",", "}")
     val rawJson = rawRatios.collect { case (n, r) if r > 2.0 =>
@@ -224,8 +231,14 @@ object Bench {
     if (consumers.isEmpty) return Map.empty
     val timed = runChild(sfDir, consumers,
       Map("SPARK_GRAFT_BUCKETED" -> "1"))
-    val entries = timed.collect { case (n, Right(sec)) =>
-      s"\"${n.takeWhile(_ != '_')}\":${f(sec)}"
+    // failures surface as -1 entries (never silently missing): a dead
+    // bucketed child or a consumer that breaks on the disk layout is a
+    // result the artifact must carry, same as the pack's own errors map
+    val entries = timed.map {
+      case (n, Right(sec)) => s"\"${n.takeWhile(_ != '_')}\":${f(sec)}"
+      case (n, Left(msg)) =>
+        System.err.println(s"bench bucketed: $n FAILED on the disk layout: $msg")
+        s"\"${n.takeWhile(_ != '_')}\":-1"
     }
     if (entries.isEmpty) Map.empty
     else Map("bucketed" -> entries.mkString("{", ",", "}"))
@@ -248,6 +261,13 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
     pb.environment().put("SPARK_GRAFT_ONLY", chunk.mkString(","))
     pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    // never inherit the bucketed-mode switch from the PARENT's
+    // environment: an operator exporting SPARK_GRAFT_BUCKETED=1 would
+    // otherwise silently turn every chunk child's "in-memory pack"
+    // numbers into bucketed-layout numbers and corrupt the
+    // round-over-round trend; only an explicit extraEnv entry (the
+    // bucketedSection child) opts a child in
+    pb.environment().remove("SPARK_GRAFT_BUCKETED")
     extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
     // Spark logs stay on stderr like a direct run; only the JSON line
     // travels through the captured stdout

@@ -1165,8 +1165,14 @@ object Multimodal {
 
     def walk(b: Array[Byte]): Mp3Info = {
       var pos = 0
-      // ID3v2: "ID3" vv flags + 4 SYNCSAFE size bytes (7 bits each)
+      // ID3v2: "ID3" vv flags + 4 SYNCSAFE size bytes (7 bits each).
+      // The size does NOT include the 10-byte header, nor — ID3v2.4
+      // §3.1 — the optional 10-byte footer the flags byte (bit 4)
+      // announces; skipping only the sized body would land the frame
+      // walk on the '3DI' footer and mis-report a valid stream as lost
+      // sync.
       if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val flags = b(5) & 0xff
         var sz = 0
         var i = 0
         while (i < 4) {
@@ -1175,7 +1181,7 @@ object Multimodal {
           sz = (sz << 7) | s
           i += 1
         }
-        pos = 10 + sz
+        pos = 10 + sz + (if ((flags & 0x10) != 0) 10 else 0)
         require(pos <= b.length, s"ID3v2 tag ($sz bytes) overruns payload")
       }
       var end = b.length

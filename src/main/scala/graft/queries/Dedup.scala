@@ -120,13 +120,22 @@ object Dedup {
 
   /** Stop-shingles over the df cap — tiny by construction (≤ 1/cap of
     * shingle mass can exceed the cap), hence always broadcastable. */
-  private[queries] def hotShingles(spark: SparkSession, dir: String): DataFrame = {
-    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
-    shDfCounts(spark, dir)
-      .crossJoin(broadcast(nd))
+  private[queries] def hotShingles(spark: SparkSession, dir: String): DataFrame =
+    hotShinglesOver(shDfCounts(spark, dir),
+      Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs")))
+
+  /** The cap rule itself, parameterized over the df-count and
+    * corpus-size frames — ONE definition shared by the session path
+    * above and [[PostingsStore]]'s rebuild (whose corpus is the INDEXED
+    * document count, which under incremental builds can differ from
+    * `dir`'s on-disk corpus). `ndocs` must be a 1-row frame with an
+    * `ndocs` column. */
+  private[queries] def hotShinglesOver(dfCounts: DataFrame,
+      ndocs: DataFrame): DataFrame =
+    dfCounts
+      .crossJoin(broadcast(ndocs))
       .filter(col("df") * 100 > greatest(lit(2500L), col("ndocs")))
       .select(col("h"))
-  }
 
   /** Df-capped postings, persisted AFTER the anti-join: every consumer
     * (q29's self-join sides and per-doc counts, q108's containment join,
@@ -333,12 +342,12 @@ object Dedup {
     PostingsStore.lookup(spark, dir, "bands").getOrElse(
       shared(spark, dir, "bands") { bandTable(shPostings(spark, dir)) })
 
-  /** Band-table plan over an arbitrary (doc_id, text) frame — the unit
-    * [[PostingsStore.append]] indexes per new-arrival batch (band
-    * signatures are per-document, so incremental build ≡ full build). */
-  private[queries] def bandsPlanFor(spark: SparkSession,
-      docs: DataFrame): DataFrame =
-    bandTable(shPostingsPlanFor(spark, docs))
+  /** Band table over an already-built postings frame — the unit
+    * [[PostingsStore]] derives from its ONE materialization of the
+    * 3-gram expansion (band signatures are per-document, so incremental
+    * build ≡ full build). */
+  private[queries] def bandsPlanOver(postings: DataFrame): DataFrame =
+    bandTable(postings)
 
   /** q30's candidate stage, shared with the q119 recall audit:
     * candidates = band-fingerprint equi-join over [[shBands]]. */

@@ -97,15 +97,21 @@ object PostingsStore {
     drop(spark, dir)
     spark.conf.set(ModeConf, "bucketed")
     val buckets = spark.sparkContext.defaultParallelism
-    Bucketing.writeBucketed(
-      Dedup.shPostingsPlanFor(spark, docs), tableName(dir, "sh"),
-      "doc_id", buckets)
+    // the 3-gram explode+md5 expansion is the dominant build cost —
+    // persist it so the postings write AND the derived band table read
+    // ONE materialization (the docstring's "expansion runs exactly once
+    // per family", made literal)
+    val sh3 = Dedup.shPostingsPlanFor(spark, docs).persist()
+    try {
+      Bucketing.writeBucketed(sh3, tableName(dir, "sh"), "doc_id", buckets)
+      Bucketing.writeBucketedMulti(
+        Dedup.bandsPlanOver(sh3), tableName(dir, "bands"),
+        Seq("band", "bfp"), buckets)
+    } finally { sh3.unpersist(blocking = false); () }
     Bucketing.writeBucketed(
       Curation.sh8PostingsPlanFor(spark, docs), tableName(dir, "sh8"),
       "doc_id", buckets)
-    Bucketing.writeBucketedMulti(
-      Dedup.bandsPlanFor(spark, docs), tableName(dir, "bands"),
-      Seq("band", "bfp"), buckets)
+    setNdocs(spark, dir, docs.count())
     rebuildCapped(spark, dir, buckets)
   }
 
@@ -140,27 +146,63 @@ object PostingsStore {
         .bucketBy(buckets, bk.head, bk.tail: _*).sortBy(bk.head, bk.tail: _*)
         .saveAsTable(tableName(dir, key))
     }
-    appendTo(Dedup.shPostingsPlanFor(spark, docs), "sh")
+    // same single-materialization discipline as materializeFrom: the
+    // batch's 3-gram expansion feeds both the postings append and the
+    // derived band append from one persisted frame
+    val sh3 = Dedup.shPostingsPlanFor(spark, docs).persist()
+    try {
+      appendTo(sh3, "sh")
+      appendTo(Dedup.bandsPlanOver(sh3), "bands")
+    } finally { sh3.unpersist(blocking = false); () }
     appendTo(Curation.sh8PostingsPlanFor(spark, docs), "sh8")
-    appendTo(Dedup.bandsPlanFor(spark, docs), "bands")
+    setNdocs(spark, dir, ndocsOf(spark, dir) + docs.count())
     SharedFrames.invalidate(spark, dir)
     rebuildCapped(spark, dir, buckets)
   }
 
+  /** The INDEXED document count, carried as a table property on `sh`:
+    * under incremental builds ([[materializeFrom]] over a subset +
+    * [[append]]s) it can differ from `dir`'s on-disk corpus, and the
+    * df-cap threshold must follow the index, not the directory — while
+    * matching the oracle's `count(*) FROM documents` semantics exactly
+    * (documents with no shingles still count) once the index covers the
+    * full corpus. */
+  private val NdocsProp = "graft.ndocs"
+
+  private def setNdocs(spark: SparkSession, dir: String, n: Long): Unit = {
+    spark.sql(s"ALTER TABLE ${tableName(dir, "sh")} " +
+      s"SET TBLPROPERTIES ('$NdocsProp'='$n')")
+    ()
+  }
+
+  private[queries] def ndocsOf(spark: SparkSession, dir: String): Long =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        tableName(dir, "sh")))
+      .properties.get(NdocsProp).map(_.toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"bucketed store for $dir carries no $NdocsProp property"))
+
   /** Rewrite the df-capped table from the CURRENT bucketed `sh` state —
-    * shared by full materialization and post-append compaction. Staged
-    * through a temp table: the anti-join reads `sh` (a different
-    * table), but a direct overwrite of `capped` while a previous
-    * version exists would race its own drop on some catalogs. */
+    * shared by full materialization and post-append compaction. The cap
+    * threshold uses the INDEXED corpus size from the table property,
+    * not `dir`'s document count — under a subset materialization those
+    * differ and the directory count would under-cap hot shingles
+    * (admitting up to full/indexed × the intended 1%-of-corpus rule,
+    * re-opening the pair-explosion the cap bounds). */
   private def rebuildCapped(spark: SparkSession, dir: String,
       buckets: Int): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, "capped")}")
     SharedFrames.invalidate(spark, dir)
+    import org.apache.spark.sql.functions.{col, count, lit}
     // reads sh via lookup (bucketed) — the anti-join's broadcast side
     // (hot shingles over the df-counts) aggregates off the bucketed scan
+    val sh = Dedup.shPostings(spark, dir)
+    val dfCounts = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val nd = spark.range(1).select(lit(ndocsOf(spark, dir)).as("ndocs"))
     Bucketing.writeBucketed(
-      Dedup.shPostings(spark, dir)
-        .join(broadcast(Dedup.hotShingles(spark, dir)), Seq("h"), "left_anti"),
+      sh.join(broadcast(Dedup.hotShinglesOver(dfCounts, nd)),
+        Seq("h"), "left_anti"),
       tableName(dir, "capped"), "doc_id", buckets)
   }
 

@@ -443,7 +443,7 @@ object TextAnalysis {
     // q155 IS the training loop: always recompute (its timing measures
     // training), and refresh the memo q158 applies from
     val m = bpeLearn(spark, dir, 3)
-    bpeMemo(bpeKey(spark, dir)) = m
+    bpeMemo(bpeKey(spark, dir)) = (bpeMemoClock.incrementAndGet(), m)
     bpeMemoTrim()
     m.toDF("round", "pattern", "merged", "n").orderBy(col("round"))
   }
@@ -457,8 +457,9 @@ object TextAnalysis {
     * multi-session server's dead-session merge tables (a few tuples
     * each) can't accumulate without limit. */
   private val bpeMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, String), Seq[(Int, String, String, Long)]]
+    .empty[(String, String), (Long, Seq[(Int, String, String, Long)])]
   private val BpeMemoMax = 64
+  private val bpeMemoClock = new java.util.concurrent.atomic.AtomicLong(0L)
   /** Weak-keyed session→token map: the token (not the session) keys
     * [[bpeMemo]], so a stopped session is collectable and its memo
     * entries merely age out of the bounded map. */
@@ -476,9 +477,13 @@ object TextAnalysis {
     }
     (tok, dir)
   }
+  /** FIFO eviction (oldest insertion first): a hash-ordered arbitrary
+    * eviction could drop the LIVE session's just-inserted merge table
+    * while 64 dead-session entries linger, silently defeating the
+    * train-once memo. */
   private def bpeMemoTrim(): Unit =
     while (bpeMemo.size > BpeMemoMax)
-      bpeMemo.remove(bpeMemo.head._1)
+      bpeMemo.toSeq.minByOption(_._2._1).foreach(e => bpeMemo.remove(e._1))
 
   /** The BPE merge-training loop q155 reports and q158 applies: learn
     * the first `rounds` merges over the frequency-weighted DISTINCT
@@ -551,8 +556,8 @@ object TextAnalysis {
     * memoized (train once, apply everywhere — [[SharedFrames]]'
     * economics), so this query's cost IS the apply cost. */
   def q158BpeApply(spark: SparkSession, dir: String): DataFrame = {
-    val merges =
-      bpeMemo.getOrElseUpdate(bpeKey(spark, dir), bpeLearn(spark, dir, 3))
+    val merges = bpeMemo.getOrElseUpdate(bpeKey(spark, dir),
+      (bpeMemoClock.incrementAndGet(), bpeLearn(spark, dir, 3)))._2
     bpeMemoTrim()
     val applied = merges.foldLeft(bpeWrap(col("tok"))) {
       case (c, (_, pat, merged, _)) =>

@@ -715,6 +715,15 @@ object StreamRunner {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(dimDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // layout migration: a dimension written by the pre-MoR sink holds
+    // whole snapshots under snap_<k>. Silently ignoring them would make
+    // the dimension read as EMPTY and fork all prior history — the
+    // exact failure the recovery guards exist to prevent — so the
+    // latest committed snapshot is adopted as base_<k> (bookkeeping
+    // upgraded: the old schema lacks wm_eid; open rows get the
+    // permissive Long.MinValue lower bound, same as bare-q154 adoption)
+    // and the snap_ directories removed, ONCE, before normal operation.
+    scd2MigrateLegacySnapshots(spark, fs, dimDir, id)
     // recovery-unit validation (the selfIndexingGate rule, applied to
     // commits): a COMMITTED base or delta strictly AHEAD of this batch
     // id means the stream's checkpoint was reset or points elsewhere —
@@ -738,8 +747,8 @@ object StreamRunner {
     }
     // compaction check runs on every call — including replay no-ops —
     // so a crash mid-compaction heals on the next visit
-    val baseId = scd2Commits(fs, dimDir, "base_", Long.MaxValue)
-      .lastOption.map(_._1).getOrElse(Long.MinValue)
+    val bases = scd2Commits(fs, dimDir, "base_", Long.MaxValue)
+    val baseId = bases.lastOption.map(_._1).getOrElse(Long.MinValue)
     val deltasSinceBase =
       scd2Commits(fs, dimDir, "delta_", Long.MaxValue).filter(_._1 > baseId)
     if (deltasSinceBase.size >= compactEvery) {
@@ -747,14 +756,47 @@ object StreamRunner {
       if (!fs.exists(new org.apache.hadoop.fs.Path(baseTarget, "_SUCCESS")))
         scd2MergedState(spark, fs, dimDir, Long.MaxValue)
           .write.mode("overwrite").parquet(baseTarget.toString)
-      // cleanup: commits shadowed by the new base (strictly older ids —
-      // keep delta_<id> itself; it shares the base's id and the replay
-      // no-op check needs its marker)
-      Seq("base_", "delta_").foreach { prefix =>
-        scd2Commits(fs, dimDir, prefix, id).foreach { case (_, p) =>
-          fs.delete(p, true)
+      // cleanup with ONE generation of vacuum grace: delete only
+      // commits older than the PREVIOUS base. A concurrent
+      // scd2Snapshot reader that listed the store just before this
+      // compaction resolved at most {base_prev, deltas after it} —
+      // those files survive this pass, so the reader never hits
+      // FileNotFound mid-scan (the classic MoR vacuum race); the
+      // previous generation is reclaimed by the NEXT compaction,
+      // bounding storage at two generations.
+      val graceBefore = baseId // the base shadowed by the one just written
+      if (graceBefore != Long.MinValue)
+        Seq("base_", "delta_").foreach { prefix =>
+          scd2Commits(fs, dimDir, prefix, graceBefore).foreach { case (_, p) =>
+            fs.delete(p, true)
+          }
         }
-      }
+    }
+  }
+
+  /** One-time adoption of a pre-MoR dimension directory: promote the
+    * latest committed `snap_<k>` to `base_<k>` (adding the `wm_eid`
+    * bookkeeping column the old schema lacked) and remove the legacy
+    * snapshots. Refuses a legacy snapshot AHEAD of the current batch id
+    * for the same reason the commit guard does. No-op when no `snap_`
+    * directories exist. */
+  private def scd2MigrateLegacySnapshots(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dimDir: String,
+      id: Long): Unit = {
+    val snaps = scd2Commits(fs, dimDir, "snap_", Long.MaxValue)
+    if (snaps.nonEmpty) {
+      val (k, p) = snaps.last
+      require(k <= id,
+        s"legacy snapshot snap_$k at $dimDir is ahead of batch $id — " +
+          "checkpoint reset? refusing to fork history")
+      val legacy = spark.read.parquet(p.toString)
+      val upgraded =
+        if (legacy.columns.contains("wm_eid")) legacy
+        else legacy.withColumn("wm_eid", when(col("is_current") === 1,
+          lit(Long.MinValue)).otherwise(lit(null).cast("long")))
+      upgraded.write.mode("overwrite").parquet(s"$dimDir/base_$k")
+      // only after the base commit is durable do the legacy dirs go
+      snaps.foreach { case (_, sp) => fs.delete(sp, true) }
     }
   }
 

@@ -855,6 +855,14 @@ class MultimodalSpec extends SparkSpec {
     val i2 = Multimodal.Mp3Decoder.walk(s2)
     assert(i2.nFrames == 2 && i2.sampleRateHz == 24000 &&
       i2.totalSamples == 2L * 576)
+    // ID3v2.4 footer flag (0x10): the 10-byte '3DI' footer is NOT
+    // counted in the syncsafe size — the walk must skip it too
+    val footered = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0x10.toByte) ++
+      Array[Byte](0, 0, 0, id3v2Body.length.toByte) ++ id3v2Body ++
+      ("3DI".getBytes("US-ASCII") ++ new Array[Byte](7)) ++ frames.flatten
+    assert(Multimodal.Mp3Decoder.walk(footered).nFrames == 4,
+      "ID3v2.4 footer not skipped")
     // contract violations throw the IAE, never escape or mis-decode
     def bad(b: Array[Byte], needle: String): Unit = {
       val e = intercept[IllegalArgumentException] { Multimodal.Mp3Decoder.walk(b) }

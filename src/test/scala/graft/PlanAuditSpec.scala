@@ -893,6 +893,7 @@ class PlanAuditSpec extends SparkSpec {
         case x => x
       }.toSeq).toSet
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     // AQE off for the audit: the pins are static plan properties, and
     // the un-executed adaptive wrapper hides final stage shapes
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -908,7 +909,6 @@ class PlanAuditSpec extends SparkSpec {
       assert(perDoc.queryExecution.executedPlan
         .collect { case e: Exchange => e }.isEmpty,
         "per-doc aggregation over the bucketed postings must not shuffle")
-      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val coJoin = sh.join(capped, Seq("doc_id"))
       assert(coJoin.queryExecution.executedPlan
@@ -924,7 +924,9 @@ class PlanAuditSpec extends SparkSpec {
       assert(cand.queryExecution.executedPlan
         .collect { case e: Exchange => e }.isEmpty,
         "bfp-bucketed band self-join must not shuffle the index")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      // restored via the finally below, so a failed assertion above
+      // cannot leak threshold=-1 into the rest of the shared session
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc0)
       // (b) + (c) per consumer
       // bucketed scans may sit inside a derived frame's InMemoryRelation
       // (e.g. q98's source-grain postings are memoized OVER the bucketed
@@ -950,6 +952,7 @@ class PlanAuditSpec extends SparkSpec {
     } finally {
       PostingsStore.drop(spark, sf)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc0)
       graft.queries.SharedFrames.invalidate(spark, sf)
     }
   }

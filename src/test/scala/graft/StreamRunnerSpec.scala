@@ -1230,11 +1230,14 @@ class StreamRunnerSpec extends SparkSpec {
       graft.queries.EventOps.q154Scd2Intervals(spark, sf), one)
       .drop("wm_ns", "wm_eid").collect().map(key).toSet
     assert(viaDeltas == direct, "MoR view diverged from direct batch apply")
-    // compaction: drive a dim with compactEvery=2 — after enough
-    // batches the log holds ONE base + at most 1 delta after it, old
-    // commits are gone, and the merged answer is unchanged
+    // compaction: drive a dim with compactEvery=2 — bases appear, the
+    // merged answer is unchanged, and cleanup keeps ONE generation of
+    // vacuum grace: commits older than the PREVIOUS base are reclaimed
+    // (so storage is bounded at two generations) while the previous
+    // generation itself survives, protecting concurrent readers that
+    // listed the store just before the compaction (the MoR vacuum race)
     val dimC = Files.createTempDirectory("graft_scd2mor_c").resolve("dim").toString
-    val per = math.ceil(ordered.length / 4.0).toInt
+    val per = math.ceil(ordered.length / 6.0).toInt
     ordered.grouped(per).zipWithIndex.foreach { case (rows, i) =>
       StreamRunner.scd2MaintainSink(dimC, compactEvery = 2)(
         spark.createDataFrame(
@@ -1244,15 +1247,60 @@ class StreamRunnerSpec extends SparkSpec {
       .map(_.getPath.getName).filter(n =>
         n.startsWith("base_") || n.startsWith("delta_")).toSet
     val bases = names.filter(_.startsWith("base_"))
-    assert(bases.nonEmpty, s"no base written under compactEvery=2: $names")
-    val topBase = bases.map(_.stripPrefix("base_").toLong).max
-    val straggling = names.filter(n =>
-      n.stripPrefix("base_").stripPrefix("delta_").toLong < topBase)
-    assert(straggling.isEmpty, s"shadowed commits not cleaned: $straggling")
+      .map(_.stripPrefix("base_").toLong).toSeq.sorted
+    assert(bases.size == 2,
+      s"vacuum grace should retain exactly two base generations: $names")
+    val prevBase = bases.head
+    val tooOld = names.filter(n =>
+      n.stripPrefix("base_").stripPrefix("delta_").toLong < prevBase)
+    assert(tooOld.isEmpty,
+      s"commits older than the previous base not reclaimed: $tooOld")
     val compacted = StreamRunner.scd2Snapshot(spark, dimC).collect().map(key).toSet
     val batchRebuild = graft.queries.EventOps.q154Scd2Intervals(spark, sf)
       .collect().map(key).toSet
     assert(compacted == batchRebuild, "compacted log diverged from batch rebuild")
+  }
+
+  test("SCD2 legacy snap_ layout is migrated, not silently ignored") {
+    // a dimension written by the pre-MoR sink (whole snapshots under
+    // snap_<k>, no wm_eid column) must be ADOPTED as the base — reading
+    // it as empty would silently fork all prior history
+    val dim = Files.createTempDirectory("graft_scd2mig").resolve("dim").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
+    // legacy snapshot = full batch apply, old schema (wm_ns only)
+    val legacyDim = StreamRunner.scd2ApplyBatch(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ver", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("state", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("valid_from_ns", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("valid_to_ns", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("is_current", org.apache.spark.sql.types.IntegerType)))),
+      ev)
+    legacyDim.drop("wm_eid").write.mode("overwrite").parquet(s"$dim/snap_0")
+    // one new event for one user, after everyone's watermark
+    val maxRow = ev.orderBy(col("ts_ns").desc, col("event_id").desc).head()
+    val one = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(maxRow.getAs[Long]("user_id"), 888888L,
+        maxRow.getAs[Long]("ts_ns") + 500L, "mig"))), ev.schema)
+    StreamRunner.scd2MaintainSink(dim)(one, 1L)
+    val fs = new org.apache.hadoop.fs.Path(dim).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val names2 = fs.listStatus(new org.apache.hadoop.fs.Path(dim))
+      .map(_.getPath.getName).toSet
+    assert(!names2.exists(_.startsWith("snap_")), s"legacy snaps remain: $names2")
+    assert(names2.contains("base_0") && names2.contains("delta_1"))
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[Long]("user_id"), r.getAs[Long]("ver"), r.getAs[String]("state"),
+      r.getAs[Long]("valid_from_ns"), r.getAs[Long]("valid_to_ns"),
+      r.getAs[Long]("n_events"), r.getAs[Int]("is_current"))
+    val migrated = StreamRunner.scd2Snapshot(spark, dim).collect().map(key).toSet
+    val direct = StreamRunner.scd2ApplyBatch(legacyDim, one)
+      .drop("wm_ns", "wm_eid").collect().map(key).toSet
+    assert(migrated == direct, "migrated dimension diverged from direct apply")
   }
 
   test("event ingest stack: streaming dedup -> SCD2 maintenance == batch on unique events") {
