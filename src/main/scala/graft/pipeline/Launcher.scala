@@ -91,9 +91,26 @@ object Launcher {
       pb.redirectErrorStream(true)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
-      val in = proc.getOutputStream
-      in.write(msg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      in.close()
+      // the stdin WRITE needs its own bound too: an MTA that wedges
+      // before reading stdin leaves write() blocked forever once the
+      // message exceeds the OS pipe buffer (~64 KB — a crash message
+      // embedding a Spark plan dump gets there easily), and that block
+      // would stall the crash drain before waitFor's bound is reached
+      val writer = new Thread(() => {
+        try {
+          val in = proc.getOutputStream
+          in.write(msg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          in.close()
+        } catch { case _: Exception => () } // broken pipe = MTA died; fine
+      })
+      writer.setDaemon(true)
+      writer.start()
+      writer.join(30000)
+      if (writer.isAlive) {
+        proc.destroyForcibly() // unblocks the writer via broken pipe
+        Console.err.println(
+          s"sendmail transport '$binary' never read stdin — killed")
+      }
       // bounded wait: a wedged MTA must not stall crash handling forever
       val done = proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) {

@@ -119,7 +119,14 @@ object Messages {
     * the returned seq (the caller prepends a [[Plugins.CreateScene]]) and
     * in the context's `inputs` slot (the `input_filenames` slot of the
     * reference's job dict, launcher.py:287), which upstream plugins like
-    * [[Plugins.CacheInputs]] may rewrite before the scene opens. */
+    * [[Plugins.CacheInputs]] may rewrite before the scene opens.
+    *
+    * The context's metadata stays the STRING view (matching the job
+    * dict); the typed `datetimes` map remains available on the
+    * [[ParsedMessage]] from [[parse]] for callers that want instants,
+    * and the timestamp-reading plugins parse their own keys through
+    * [[parseIso]] (naive datetimes = UTC) rather than this map, so they
+    * also work on contexts built without the message layer. */
   def toContext(spark: SparkSession, spec: ProductList,
       json: String): (PipelineContext, Seq[String]) = {
     val m = parse(json)

@@ -54,6 +54,17 @@ trait Plugin extends Serializable {
 
 object Plugins {
 
+  /** Metadata timestamps arrive in any form Python's
+    * `datetime.fromisoformat` accepts — including NAIVE datetimes
+    * ("2019-01-01T12:00:00", no zone), the commonest posttroll shape.
+    * `Instant.parse` rejects those, so every plugin reading a timestamp
+    * goes through [[Messages.parseIso]] (naive = UTC, matching the
+    * reference) and throws a NAMED error on genuinely unparseable
+    * input instead of a bare DateTimeParseException. */
+  private def isoInstant(key: String, s: String): Instant =
+    Messages.parseIso(s).getOrElse(throw new IllegalArgumentException(
+      s"metadata $key='$s' is not an ISO datetime"))
+
   /** `create_scene` (plugins/__init__.py:86-99): open inputs with a named
     * reader into the native-projection frame; `options` carries the
     * reference's `reader_kwargs` (launcher.py passes them through to the
@@ -112,9 +123,18 @@ object Plugins {
           val key = java.security.MessageDigest.getInstance("MD5")
             .digest(uri.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
           val target = new org.apache.hadoop.fs.Path(dst, s"${key}_${src.getName}")
-          if (!dstFs.exists(target))
-            org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, target,
+          if (!dstFs.exists(target)) {
+            // stage + rename: a crash mid-copy must never leave a
+            // truncated file under the final cache key — every later job
+            // would silently reuse it as input (the exists() fast path
+            // above is exactly what makes a direct copy dangerous)
+            val tmp = new org.apache.hadoop.fs.Path(dst,
+              s".${key}_${src.getName}.tmp")
+            org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, tmp,
               /*deleteSource=*/ false, /*overwrite=*/ true, conf)
+            if (!dstFs.rename(tmp, target) && !dstFs.exists(target))
+              throw new java.io.IOException(s"rename $tmp -> $target failed")
+          }
           target.toString
         }
         ctx.copy(inputs = cached)
@@ -180,7 +200,7 @@ object Plugins {
         }
         val tooOld = maxAgeMinutes.flatMap { age =>
           ctx.metadata.get(startTimeKey).flatMap { ts =>
-            val start = Instant.parse(ts)
+            val start = isoInstant(startTimeKey, ts)
             val ageMin = java.time.Duration.between(start, now()).toMinutes
             if (age < 0 && ageMin > -age) Some(s"$startTimeKey older than ${-age} min")
             else if (age > 0 && ageMin < age) Some(s"$startTimeKey younger than $age min")
@@ -253,9 +273,16 @@ object Plugins {
     *     cells inside its footprint, one bounded explode then one hash
     *     aggregate (see the mode body for the weight model and the
     *     circular-footprint divergence).
-    * `reduceData=true` crops the source to the target bounding box first —
-    * the predicate pushes into the parquet scan. The native (None) frame
-    * passes through, as the reference's `null` area does. */
+    * The source is ALWAYS restricted to the target's source window —
+    * resampling semantics never include out-of-window cells (in the
+    * reference the kd-tree/EWA footprint does this implicitly), and a
+    * truncating `div` would otherwise fold cells just OUTSIDE the
+    * window onto edge target cells and emit phantom out-of-range rows.
+    * `reduceData` is retained as the reference's config knob
+    * (`reduce_data`, a pre-crop performance toggle there): results
+    * never depend on it here because Catalyst pushes the window
+    * predicate into the parquet scan either way. The native (None)
+    * frame passes through, as the reference's `null` area does. */
   final case class Resample(
       targets: Seq[ResampleTarget],
       yCol: String = "y", xCol: String = "x", valueCol: String = "value",
@@ -345,11 +372,11 @@ object Plugins {
 
     private def resampleTargets(ctx: PipelineContext, src: DataFrame): PipelineContext = {
           val resampled = targets.map { t =>
+            // unconditional: see the class docstring — the window filter
+            // is resampling SEMANTICS, not the reduceData optimization
             val cropped =
-              if (reduceData)
-                src.filter(col(yCol) >= t.srcYMin && col(yCol) < t.srcYMax &&
-                           col(xCol) >= t.srcXMin && col(xCol) < t.srcXMax)
-              else src
+              src.filter(col(yCol) >= t.srcYMin && col(yCol) < t.srcYMax &&
+                         col(xCol) >= t.srcXMin && col(xCol) < t.srcXMax)
             val keys = src.columns.filterNot(c => c == yCol || c == xCol || c == valueCol)
             val ty = expr(s"(($yCol - ${t.srcYMin}) * ${t.height}) div ${t.srcYMax - t.srcYMin}")
             val tx = expr(s"(($xCol - ${t.srcXMin}) * ${t.width}) div ${t.srcXMax - t.srcXMin}")
@@ -360,17 +387,28 @@ object Plugins {
                   .agg(avg(col(valueCol)).as(valueCol))
               case "nearest" =>
                 // source center vs target center in a 2·height(width)-scaled
-                // integer space: dy = (2(y-y0)+1)·H - (2ty+1)·(y1-y0)
+                // integer space: dy = (2(y-y0)+1)·H - (2ty+1)·(y1-y0).
+                // __dy carries a hidden 2H factor and __dx a 2W factor, so
+                // the Euclidean comparison must cross-weight by the OTHER
+                // axis' factor (dy²·W² + dx²·H²) — a bare dy²+dx² would
+                // bias the pick toward the finer-scaled axis whenever the
+                // y and x scale factors differ (exact long arithmetic, so
+                // equal-scale grids order identically either way)
                 val mapped = cropped.withColumn("__ty", ty).withColumn("__tx", tx)
                   .withColumn("__dy",
-                    (col(yCol) - t.srcYMin) * 2 * t.height + t.height
-                      - (col("__ty") * 2 + 1) * (t.srcYMax - t.srcYMin))
+                    (col(yCol).cast("long") - t.srcYMin) * 2 * t.height
+                      + t.height
+                      - (col("__ty").cast("long") * 2 + 1)
+                        * (t.srcYMax - t.srcYMin))
                   .withColumn("__dx",
-                    (col(xCol) - t.srcXMin) * 2 * t.width + t.width
-                      - (col("__tx") * 2 + 1) * (t.srcXMax - t.srcXMin))
+                    (col(xCol).cast("long") - t.srcXMin) * 2 * t.width
+                      + t.width
+                      - (col("__tx").cast("long") * 2 + 1)
+                        * (t.srcXMax - t.srcXMin))
                 val w = org.apache.spark.sql.expressions.Window
                   .partitionBy((keys.map(col) :+ col("__ty") :+ col("__tx")): _*)
-                  .orderBy((col("__dy") * col("__dy") + col("__dx") * col("__dx")).asc,
+                  .orderBy((col("__dy") * col("__dy") * lit(t.width.toLong * t.width)
+                      + col("__dx") * col("__dx") * lit(t.height.toLong * t.height)).asc,
                     col(yCol), col(xCol))
                 mapped.withColumn("__rn", row_number().over(w))
                   .filter(col("__rn") === 1)
@@ -1085,7 +1123,8 @@ object Plugins {
     val name = "sza_check"
     def apply(ctx: PipelineContext): PipelineContext =
       if (ctx.aborted.isDefined) ctx
-      else ctx.metadata.get(startTimeKey).map(Instant.parse) match {
+      else ctx.metadata.get(startTimeKey)
+          .map(isoInstant(startTimeKey, _)) match {
         case None => ctx
         case Some(t) =>
           val pruned = ctx.worklist.filter { item =>
@@ -1142,10 +1181,12 @@ object Plugins {
     val name = "check_sunlight_coverage"
     def apply(ctx: PipelineContext): PipelineContext =
       if (ctx.aborted.isDefined) ctx
-      else ctx.metadata.get(startTimeKey).map(Instant.parse) match {
+      else ctx.metadata.get(startTimeKey)
+          .map(isoInstant(startTimeKey, _)) match {
         case None => ctx
         case Some(t) =>
-          val windowMin = ctx.metadata.get(endTimeKey).map(Instant.parse)
+          val windowMin = ctx.metadata.get(endTimeKey)
+            .map(isoInstant(endTimeKey, _))
             .map(e => math.max(0.0, java.time.Duration.between(t, e).toSeconds / 60.0))
             .getOrElse(passWindowMin)
           // align the scene window to the orbit: a model with an

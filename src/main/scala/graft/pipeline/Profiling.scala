@@ -94,7 +94,7 @@ object Profiling {
         rowsOut.map(r => s" rows_out=$r").getOrElse("")
     }
     def jsonLine: String = {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val m = ActionAudit.mapper // shared: one audit line per action is a hot path
       val node = m.createObjectNode()
       node.put("action", action)
       node.put("wall_ms", wallMs)
@@ -103,6 +103,13 @@ object Profiling {
       error.foreach(node.put("error", _))
       m.writeValueAsString(node)
     }
+  }
+
+  object ActionAudit {
+    /** ObjectMapper construction is heavyweight; writes are thread-safe,
+      * so one shared instance serves every audit line. */
+    private[Profiling] val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
   }
 
   /** Structured per-action listener: one [[ActionAudit]] per completed

@@ -189,8 +189,7 @@ object PluginRegistry {
         // be a remote URI a local rename can't reach. Build save_datasets
         // publishing INTO the staging zone; [[RemoteUpload]] finishes.
         val uploaderDownstream = cfg.workers.exists(isUploader)
-        if (uploaderDownstream && worker.fun == "save_datasets" &&
-            str("staging_zone").isEmpty)
+        if (uploaderDownstream && str("staging_zone").isEmpty)
           throw ConfigException(
             "save_datasets: an uploader worker requires 'staging_zone' " +
               "(plugins/s3.py:35 — files stage locally, upload publishes)")

@@ -57,7 +57,17 @@ object Runner {
             try {
               if (timeout.isFinite) {
                 implicit val ec: ExecutionContext = ExecutionContext.global
-                try Await.result(Future(plugin(ctx)), timeout)
+                // the job group is a THREAD-local (inheritable only at
+                // thread creation): setting it on the caller thread
+                // does nothing for jobs submitted from the pool thread
+                // this Future runs on, so cancelJobGroup would miss the
+                // runaway jobs entirely (or hit a stale group from a
+                // prior priority slice). Set it on the executing thread.
+                try Await.result(Future {
+                  ctx.spark.sparkContext.setJobGroup(jobGroup,
+                    s"pipeline priority $prio", interruptOnCancel = true)
+                  plugin(ctx)
+                }, timeout)
                 catch {
                   case _: TimeoutException =>
                     ctx.spark.sparkContext.cancelJobGroup(jobGroup)

@@ -66,6 +66,24 @@ class PipelineSpec extends SparkSpec {
     val aliased = MetadataAlias(Map("platform_name" ->
       Map("noaa15" -> "NOAA-15")))(ctx)
     assert(aliased.metadata("platform_name") == "NOAA-15")
+    // NAIVE ISO datetimes — the commonest posttroll form, which the
+    // message layer pins as supported (MessagesSpec) — must run the
+    // check (naive = UTC, like Python's fromisoformat), not crash
+    val naiveCtx = ctx.copy(
+      metadata = ctx.metadata + ("start_time" -> "2026-08-12T00:00:00"))
+    val naiveOld = CheckMetadata(maxAgeMinutes = Some(-60),
+      now = () => Instant.parse("2026-08-12T02:00:00Z"))(naiveCtx)
+    assert(naiveOld.aborted.exists(_.contains("older")),
+      "naive start_time must age-check as UTC")
+    assert(SzaCheck()(naiveCtx).aborted.isEmpty,
+      "naive start_time must not crash sza_check")
+    // genuinely unparseable input still fails LOUDLY with the key named
+    val junkCtx = ctx.copy(
+      metadata = ctx.metadata + ("start_time" -> "not-a-time"))
+    val je = intercept[IllegalArgumentException] {
+      CheckMetadata(maxAgeMinutes = Some(-60))(junkCtx)
+    }
+    assert(je.getMessage.contains("start_time"))
   }
 
   test("end-to-end: scene -> composites -> resample -> save -> audit -> publish") {
