@@ -36,9 +36,38 @@ object Compose {
       Regex.quoteReplacement(out)
     })
 
-  private def strftimeToJava(fmt: String): String =
-    fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
-      .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss").replace("%j", "DDD")
+  /** strftime → DateTimeFormatter pattern: recognized %-codes map to
+    * pattern letters and EVERYTHING else is single-quoted as a literal —
+    * a bare replace would leave literal letters (e.g. the 'h' in
+    * `%Hh`) to be re-interpreted as pattern letters, rendering garbage.
+    * Unrecognized codes throw a named error instead of producing a
+    * silently-wrong filename. */
+  private def strftimeToJava(fmt: String): String = {
+    val codes = Map('Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'M' -> "mm", 'S' -> "ss", 'j' -> "DDD", 'b' -> "MMM",
+      'B' -> "MMMM", 'a' -> "EEE", 'A' -> "EEEE", 'f' -> "SSSSSS")
+    val sb = new StringBuilder
+    val litRun = new StringBuilder
+    def flush(): Unit = if (litRun.nonEmpty) {
+      sb.append('\'').append(litRun.toString.replace("'", "''")).append('\'')
+      litRun.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val code = fmt.charAt(i + 1)
+        if (code == '%') { litRun.append('%'); i += 2 }
+        else codes.get(code) match {
+          case Some(p) => flush(); sb.append(p); i += 2
+          case None => throw new IllegalArgumentException(
+            s"compose: unsupported strftime code %$code in '$fmt'")
+        }
+      } else { litRun.append(c); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
 
   /** Row-level entry point invoked from both interpreted eval and the
     * generated code — a single static call, so the expression stays inside

@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
@@ -28,25 +27,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * makes the per-row lambda interpretation the dominant constant factor
   * of the cheapest dedup pass. */
 object RollingFp {
-  private val md = ThreadLocal.withInitial[MessageDigest](() =>
-    MessageDigest.getInstance("MD5"))
-
   val P: Long = 1000000007L
 
   /** Row-level kernel shared by interpreted eval and generated code.
-    * Returns null (boxed) if any element is null. */
+    * Returns null (boxed) if any element is null. Per-element hashing
+    * delegates to [[HashExprs.h32]] — the engine's ONE cross-engine
+    * hash definition; a second copy here could drift from the kernel
+    * every oracle identity is checked against. */
   def fp(toks: ArrayData, b: Long): Any = {
     val n = toks.numElements()
-    val d = md.get()
     var acc = 0L
     var i = 0
     while (i < n) {
       if (toks.isNullAt(i)) return null
-      d.reset()
-      val dig = d.digest(toks.getUTF8String(i).getBytes)
-      val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
-        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
-      acc = (acc * b + h) % P
+      acc = (acc * b + HashExprs.h32(toks.getUTF8String(i))) % P
       i += 1
     }
     acc

@@ -9,8 +9,9 @@ import org.apache.spark.sql.expressions.Window
   *
   * Implemented with the union + ordered-window technique rather than a
   * range cross-join: both sides are tagged, unioned, and a single
-  * `last(_, ignoreNulls)` window per key carries the most recent right-side
-  * values forward onto left rows. Cost is one shuffle on the key plus a
+  * `last(_, ignoreNulls)` window per key carries the most recent right ROW
+  * (as one struct — see the body) forward onto left rows. Cost is one
+  * shuffle on the key plus a
   * per-key sort — linear in input, no pair explosion, and skew is handled
   * by AQE. This is the plan shape a 100 TB as-of join needs (point-in-time
   * feature joins etc.).
@@ -59,14 +60,24 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val side = "_graft_side"
     val tie = "_graft_tie"
+    val pack = "_graft_pack"
 
-    val l2 = rightCols.values.foldLeft(
-      left.withColumn(side, lit(1)).withColumn(tie, lit(null).cast("long"))
-    ) { case (df, out) => df.withColumn(out, lit(null)) }
-
+    // the matched right row travels as ONE struct: carrying each output
+    // column through its own last(_, ignoreNulls) window would mix
+    // values from DIFFERENT right rows whenever a right column is null
+    // (the per-column carry skips back to an older row for just that
+    // column); a struct is non-null for every right row regardless of
+    // its fields, so the whole-row contract holds. The tie-break keeps
+    // its NATIVE type — a cast("long") would null out non-numeric
+    // tie-breaks and silently surrender determinism.
     val rBase = right.select(
-      Seq(col(key), col(ts), lit(0).as(side), col(rightTieBreak).cast("long").as(tie)) ++
-        rightCols.map { case (in, out) => col(in).as(out) }: _*)
+      col(key), col(ts), lit(0).as(side), col(rightTieBreak).as(tie),
+      struct(rightCols.toSeq.map { case (in, out) => col(in).as(out) }: _*)
+        .as(pack))
+    val l2 = left.withColumn(side, lit(1))
+      .withColumn(tie, lit(null).cast(rBase.schema(tie).dataType))
+      .withColumn(pack, lit(null).cast(rBase.schema(pack).dataType))
+
     // null-pad the left-only columns so the union schemas line up
     val r2 = leftCols.filterNot(c => c == key || c == ts).foldLeft(rBase) {
       case (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
@@ -87,9 +98,10 @@ object AsOfJoin {
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightCols.values.foldLeft(unioned) { case (df, out) =>
-      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(side) === 1).drop(side, tie)
+    val filled = unioned
+      .withColumn(pack, last(col(pack), ignoreNulls = true).over(w))
+    rightCols.values.foldLeft(filled) { case (df, out) =>
+      df.withColumn(out, col(pack).getField(out))
+    }.filter(col(side) === 1).drop(side, tie, pack)
   }
 }

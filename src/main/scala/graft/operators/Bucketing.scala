@@ -58,8 +58,11 @@ object Bucketing {
     * sort order by default). Verified by BucketingSpec. */
   def colocatedJoin(spark: SparkSession, leftTable: String, leftKey: String,
       rightTable: String, rightKey: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    spark.table(leftTable).join(spark.table(rightTable),
-      col(leftKey) === col(rightKey))
+    // dataset-qualified key refs: bare col(key) === col(key) throws
+    // AMBIGUOUS_REFERENCE whenever both tables carry the key NAME — the
+    // normal co-bucketed case (same key bucketed on both sides)
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
   }
 }

@@ -62,6 +62,9 @@ object ConnectedComponents {
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .transform(cut)
+    // no edges -> no nodes -> done: the checksum of an empty frame is a
+    // NULL sum, which would NPE the convergence compare below
+    if (labels.isEmpty) return labels
     // labels are monotone non-increasing, so Σcomp strictly decreases
     // until the fixpoint: comparing consecutive sums detects convergence
     // with one cheap aggregate per round instead of a diff join. Decimal
@@ -125,8 +128,13 @@ object ConnectedComponents {
         least(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .transform(cut)
-    val allNodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().transform(cut)
+    // node universe from the RAW edges: the self-loop filter above is a
+    // star-contraction optimization, but a node whose only edge is a
+    // self-loop is still a node — dropping it here would diverge from
+    // run()'s output and break the "(id, comp) for every node appearing
+    // in an edge" contract
+    val allNodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().transform(cut)
     var round = 0
     while (round < maxIters) {
       // large-star: symmetrize; every neighbor LARGER than u attaches to

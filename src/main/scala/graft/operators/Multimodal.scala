@@ -58,9 +58,7 @@ object Multimodal {
       extends MediaDecoder {
     override def decode(rec: MediaRecord): MediaFeatures = {
       val frames = sampleFrames(rec.media, frameStride, frameLen)
-      val checksum = frames.foldLeft(0L) { (acc, f) =>
-        (acc * 131 + f.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)) % 1000000007L
-      }
+      val checksum = rollingChecksum(frames)
       MediaFeatures(rec.id, rec.meta.format, frames.length, checksum,
         if (frames.nonEmpty && frames.head.nonEmpty) frames.head.head & 0xff else -1)
     }
@@ -101,14 +99,18 @@ object Multimodal {
       val w = readInt(); val h = readInt(); val maxval = readInt()
       require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
       require(maxval > 0 && maxval < 256, s"maxval $maxval unsupported (1-byte samples only)")
-      pos += 1 // exactly one whitespace byte separates header from raster
+      // exactly one whitespace byte separates header from raster (P6
+      // spec) — VERIFY it: consuming an arbitrary byte here would let a
+      // malformed header silently shift the raster by one byte instead
+      // of throwing the contractual IAE
+      require(pos < b.length && Character.isWhitespace(b(pos)),
+        s"expected single whitespace after maxval at offset $pos")
+      pos += 1
       require(b.length - pos >= w.toLong * h * 3,
         s"truncated raster: need ${w.toLong * h * 3} bytes, have ${b.length - pos}")
       val rowLen = w * 3
       val rows = (0 until h).map(r => b.slice(pos + r * rowLen, pos + (r + 1) * rowLen))
-      val checksum = rows.foldLeft(0L) { (acc, f) =>
-        (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
-      }
+      val checksum = rollingChecksum(rows)
       MediaFeatures(rec.id, "ppm", h, checksum, b(pos) & 0xff)
     }
   }
@@ -170,9 +172,7 @@ object Multimodal {
         val start = dataOff + srcRow * stride
         b.slice(start, start + rowLen)
       }
-      val checksum = rows.foldLeft(0L) { (acc, f) =>
-        (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
-      }
+      val checksum = rollingChecksum(rows)
       MediaFeatures(rec.id, "bmp", h, checksum, rows.head(2) & 0xff)
     }
   }
@@ -242,9 +242,7 @@ object Multimodal {
         val end = math.min(start + blockBytes, dataOff + dataLen)
         b.slice(start.toInt, end.toInt)
       }
-      val checksum = blocks.foldLeft(0L) { (acc, f) =>
-        (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
-      }
+      val checksum = rollingChecksum(blocks)
       MediaFeatures(rec.id, "wav", nBlocks, checksum,
         if (dataLen > 0) b(dataOff) & 0xff else -1)
     }
@@ -395,9 +393,7 @@ object Multimodal {
         rows(r) = cur
         r += 1
       }
-      val checksum = rows.foldLeft(0L) { (acc, f) =>
-        (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
-      }
+      val checksum = rollingChecksum(rows)
       MediaFeatures(rec.id, "png", h, checksum, rows.head(0) & 0xff)
     }
   }
@@ -506,9 +502,7 @@ object Multimodal {
         }
         out
       }
-      val checksum = rows.foldLeft(0L) { (acc, f) =>
-        (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
-      }
+      val checksum = rollingChecksum(rows)
       MediaFeatures(rec.id, "gif", h, checksum, rows.head(0) & 0xff)
     }
 
@@ -682,9 +676,7 @@ object Multimodal {
       }
       val rows = (0 until h).map(r =>
         java.util.Arrays.copyOfRange(raster, r * rowLen, (r + 1) * rowLen))
-      val checksum = rows.foldLeft(0L) { (acc, f) =>
-        (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
-      }
+      val checksum = rollingChecksum(rows)
       MediaFeatures(rec.id, "tiff", h, checksum, rows.head(0) & 0xff)
     }
   }
@@ -724,9 +716,7 @@ object Multimodal {
       val rowLen = w * ch
       val rows = (0 until h).map(r =>
         java.util.Arrays.copyOfRange(pix, r * rowLen, (r + 1) * rowLen))
-      val checksum = rows.foldLeft(0L) { (acc, f) =>
-        (acc * 131 + f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) % 1000000007L
-      }
+      val checksum = rollingChecksum(rows)
       MediaFeatures(rec.id, "jpeg", h, checksum, rows.head(0) & 0xff)
     }
 
@@ -1296,6 +1286,17 @@ object Multimodal {
     }
   }
 
+  /** THE feature-checksum definition, shared by every decoder: a rolling
+    * hash over the decoded row/frame/block set. One definition — a
+    * per-decoder copy would let the feature semantics silently fork
+    * across formats on the next edit. */
+  private[operators] def rollingChecksum(frames: Seq[Array[Byte]]): Long =
+    frames.foldLeft(0L) { (acc, f) =>
+      (acc * 131 +
+        f.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) % 1000000007L)) %
+        1000000007L
+    }
+
   /** Fixed-stride frame sampling over an opaque payload — the byte-level
     * skeleton of video frame extraction. Pure, allocation-light. */
   def sampleFrames(bytes: Array[Byte], stride: Int, frameLen: Int): Seq[Array[Byte]] = {
@@ -1307,7 +1308,14 @@ object Multimodal {
 
   /** Wrap an (id, payload) DataFrame into the typed media schema, deriving
     * metadata from the payload (format bucketed by content hash — a stand-in
-    * for magic-byte sniffing; dimensions faked deterministically). */
+    * for magic-byte sniffing; dimensions faked deterministically).
+    *
+    * The stand-in tags are all [[FakeDecoder]]-handled codecs on
+    * purpose: the payloads are arbitrary bytes, and tagging them with a
+    * REAL decoder's format ("png"/"wav"/…) would make the documented
+    * ingest → [[extractFeaturesAuto]] path throw that decoder's
+    * contractual not-a-valid-payload IAE on ~every record. Real
+    * corpora carry real magic-byte sniffing here. */
   def ingest(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaRecord] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -1316,7 +1324,7 @@ object Multimodal {
         col(idCol).cast("long").as("id"),
         col(payloadCol).cast("binary").as("media"),
         struct(
-          element_at(array(lit("png"), lit("jpeg"), lit("wav"), lit("mp4")),
+          element_at(array(lit("mp4"), lit("webm"), lit("ogg"), lit("avi")),
             (h % 4 + 1).cast("int")).as("format"),
           (lit(320) + h % 320).cast("int").as("widthPx"),
           (lit(240) + floor(h / 320).cast("long") % 240).cast("int").as("heightPx"),

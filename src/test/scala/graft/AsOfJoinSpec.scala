@@ -28,6 +28,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(3L).isEmpty)        // no right row for user 20
   }
 
+  test("backward carries the WHOLE matched right row, never mixes rows on nulls") {
+    import spark.implicits._
+    // the matched (latest) right row has b=null: a per-column
+    // last(_, ignoreNulls) carry would fabricate (a=2, b="x") — a row
+    // that never existed — by reaching back to the older row for b only
+    val left = Seq((1L, 10L, 300L)).toDF("event_id", "user_id", "ts_ns")
+    val right = Seq(
+      (10L, 100L, Some(1L), Some("x")),
+      (10L, 200L, Some(2L), None)
+    ).toDF("user_id", "ts_ns", "a", "b")
+    val row = AsOfJoin.backward(left, right, "user_id", "ts_ns",
+        Map("a" -> "m_a", "b" -> "m_b"), rightTieBreak = "a")
+      .select($"m_a", $"m_b").head()
+    assert(row.getAs[Long]("m_a") == 2L)
+    assert(row.isNullAt(1), s"b must be the matched row's null, got ${row.get(1)}")
+    // a STRING tie-break stays deterministic (no silent cast-to-long null)
+    val rightTie = Seq(
+      (10L, 100L, "za", 1L), (10L, 100L, "ab", 2L)
+    ).toDF("user_id", "ts_ns", "name", "v")
+    val picked = AsOfJoin.backward(left, rightTie, "user_id", "ts_ns",
+        Map("v" -> "m_v"), rightTieBreak = "name")
+      .select($"m_v").head().getAs[Long]("m_v")
+    // backward resolves equal-ts ties to the LARGEST tie-break
+    assert(picked == 1L, s"string tie-break must order natively, got $picked")
+  }
+
   test("forward as-of picks earliest right row at-or-after left ts") {
     import spark.implicits._
     val left = Seq(

@@ -15,7 +15,10 @@ class MultimodalSpec extends SparkSpec {
     recs.foreach { r =>
       assert(r.media.nonEmpty)
       assert(r.meta.nBytes == r.media.length.toLong)
-      assert(Set("png", "jpeg", "wav", "mp4").contains(r.meta.format))
+      // ingest's stand-in tags are all FakeDecoder codecs: arbitrary
+      // payloads tagged with a real decoder's format would crash the
+      // ingest -> extractFeaturesAuto path on decode
+      assert(Set("mp4", "webm", "ogg", "avi").contains(r.meta.format))
       assert(r.meta.widthPx >= 320 && r.meta.widthPx < 640)
       assert(r.meta.heightPx >= 240 && r.meta.heightPx < 480)
     }
