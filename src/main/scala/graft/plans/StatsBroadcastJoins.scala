@@ -18,13 +18,17 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * from, not how the join executes.
   *
   * Why this beats the static threshold at 100 TB: the built-in
-  * heuristic prices a scan at its FILE size. Compressed parquet
+  * heuristic prices a scan at its FILE size, and compressed parquet
   * under-reports the hashed-relation memory a broadcast build actually
-  * allocates (2–5× is routine — an executor-OOM class of mistake),
-  * and a selective filter over a large file over-reports it without
-  * bound, forcing shuffle joins whose build side is actually tiny.
+  * allocates (2–5× is routine — an executor-OOM class of mistake).
   * Measured rowcount × measured width — refreshed by ANALYZE, the
-  * discipline every warehouse CBO imposes — prices both correctly.
+  * discipline every warehouse CBO imposes — prices the build side's
+  * memory correctly. Deliberately NOT addressed: a selective filter
+  * still prices at the unfiltered relation (the rule has no
+  * selectivity model and a wrong broadcast is an OOM, so it stays
+  * conservative in that direction — the per-column NDV the store
+  * collects is the raw material for an equality-predicate selectivity
+  * estimate if that trade ever flips).
   *
   * Safety: opt-in per session (`spark.graft.statsBroadcast=true`),
   * conservative by construction — a side with ANY un-profiled leaf, a

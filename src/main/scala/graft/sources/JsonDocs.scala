@@ -47,14 +47,27 @@ object JsonDocs {
   private val corruptCol = "_corrupt_record"
 
   /** Parse the JSONL at `path` into (contract columns + corrupt line),
-    * persisted — see the staging contract above. */
-  def parse(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .schema(schema.add(StructField(corruptCol, StringType)))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", corruptCol)
-      .json(path)
+    * persisted — see the staging contract above.
+    *
+    * Parsed as a TEXT scan + `from_json` rather than the JSON file
+    * source: the file source expands a top-level-ARRAY line into one
+    * row per element (a common batched-dump variant), which breaks the
+    * one-line-one-row invariant the closure audit depends on — clean
+    * would count N rows for 1 physical line and the funnel would never
+    * close. With `from_json`, an array line fails the struct schema and
+    * lands in quarantine as unparseable: JSONL means one document per
+    * line, and a line that is not one document is a contract violation
+    * to surface, not data to silently multiply. */
+  def parse(spark: SparkSession, path: String): DataFrame = {
+    val full = schema.add(StructField(corruptCol, StringType))
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0) // blanks: counted by audit
+      .select(from_json(col("value"), full,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corruptCol)).as("r"))
+      .select(col("r.*"))
       .persist()
+  }
 
   private def invalidCond =
     col("doc_id").isNull || col("doc_id") < 0 || col("text").isNull

@@ -48,7 +48,16 @@ object Tables {
     * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ) — so
     * we branch on the type the scan actually reports instead of assuming
     * either. ContractSpec pins the supported encodings.
-    */
+    *
+    * SESSION-WIDE side effect, on purpose: `nanosAsLong` must be set
+    * BEFORE the scan plans, and it is part of the engine's documented
+    * session contract (GraftSession sets it at build/prime). Reading
+    * events from a session built elsewhere adopts that contract — any
+    * OTHER parquet data with TIMESTAMP(NANOS) columns read in the same
+    * session will surface them as raw int64 from then on. That is the
+    * engine's stated trade (vanilla Spark refuses NANOS outright);
+    * callers who need vanilla NANOS behavior elsewhere should use a
+    * separate session. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")

@@ -62,11 +62,15 @@ object RateLimiter {
               Bucket(capacity, sorted.head._2))
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
             sorted.foreach { case (_, ts, eid) =>
-              // straggler = ordered before the last folded event in the
-              // same (ts, event_id) order the in-batch sort uses; can only
-              // occur across micro-batch boundaries
+              // straggler = ordered AT-OR-before the last folded event in
+              // the same (ts, event_id) order the in-batch sort uses; can
+              // only occur across micro-batch boundaries. <= on the id:
+              // an EXACT redelivery (same ts, same event_id — the classic
+              // at-least-once replay) must drop too, not fold a second
+              // token spend (same reasoning as scd2ApplyBatch's
+              // watermark-pair guard)
               val late = dropLate &&
-                (ts < b.lastNs || (ts == b.lastNs && eid < b.lastEid))
+                (ts < b.lastNs || (ts == b.lastNs && eid <= b.lastEid))
               if (!late) {
                 val refill = (ts - b.lastNs).max(0L) / 1e9 * perSecond
                 val tokens = (b.tokens + refill).min(capacity)

@@ -23,8 +23,13 @@ object StatefulSessionize {
     var st = state.getOption.getOrElse(SessState(0L, 0L, Long.MinValue))
     events.toSeq.sortBy(_.ts_ns).foreach { e =>
       val newSession = st.lastTs == Long.MinValue || e.ts_ns - st.lastTs > gapNs
+      // lastTs stays MONOTONE: a cross-batch straggler (ts < lastTs)
+      // folds into the current session but must not rewind the
+      // watermark — a rewound lastTs would let the NEXT on-time event
+      // open a spurious session against the straggler's old timestamp
+      // (the same cross-batch guard RateLimiter carries)
       st = SessState(st.nSessions + (if (newSession) 1L else 0L),
-        st.nEvents + 1L, e.ts_ns)
+        st.nEvents + 1L, math.max(st.lastTs, e.ts_ns))
     }
     state.update(st)
     Iterator(SessionUpdate(userId, st.nSessions, st.nEvents))

@@ -121,15 +121,22 @@ object StreamRunner {
         }
     }
 
-  /** Run a streaming aggregation into an in-memory table (tests/dev) or
-    * any sink via `format`. Complete mode — the aggregation result is the
-    * full current state, like the reference recomputing per job. */
+  /** Run a streaming aggregation. Defaults — complete mode into the
+    * in-memory table — are the TEST/DEV shape (the full current result
+    * per trigger, like the reference recomputing per job); note that in
+    * complete mode the watermark does NOT evict window state and the
+    * memory sink re-materializes on the driver, so a long-running
+    * production query must pass `outputMode = "update"` (or "append")
+    * and a real `format` — that pairing is where the watermarked
+    * aggregations' bounded-state contract actually holds. */
   def runAggregate(agg: DataFrame, queryName: String, checkpointDir: String,
-                   availableNow: Boolean = true): StreamingQuery =
+                   availableNow: Boolean = true,
+                   outputMode: String = "complete",
+                   format: String = "memory"): StreamingQuery =
     agg.writeStream
       .queryName(queryName)
-      .outputMode("complete")
-      .format("memory")
+      .outputMode(outputMode)
+      .format(format)
       .option("checkpointLocation", checkpointDir)
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0L))
       .start()
@@ -154,7 +161,12 @@ object StreamRunner {
     normalizeNs(events, "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("ts", watermark)
-      .dropDuplicates(keys :+ "ts")
+      // KEYS-ONLY dedup with watermark-bounded state: the old
+      // dropDuplicates(keys :+ "ts") let a re-delivery with a re-stamped
+      // timestamp pass the gate (same key, different ts = distinct to
+      // it); dropDuplicatesWithinWatermark dedups on the keys alone and
+      // still evicts state at the watermark horizon
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Streaming admission gate — the streaming face of q100's
     * incremental-ingest dedup: a new document enters the corpus only if
@@ -297,7 +309,8 @@ object StreamRunner {
             val entries = fs.listStatus(idxPath)
             entries.foreach { st =>
               val n = st.getPath.getName
-              if (st.isDirectory && n.startsWith("batch_id=")) {
+              if (st.isDirectory && n.startsWith("batch_id=") &&
+                  n.stripPrefix("batch_id=").toLongOption.isDefined) {
                 val k = n.stripPrefix("batch_id=").toLong
                 require(k <= id,
                   s"index at $indexDir carries batch_id=$k beyond the " +
@@ -379,9 +392,14 @@ object StreamRunner {
   def decontamGate(stream: DataFrame, evalBloomBits: Array[Long],
       textCol: String = "text"): DataFrame = {
     val bits = typedLit(evalBloomBits.toSeq)
-    stream.filter(!exists(
+    // coalesce(…, true): a NULL text column yields a NULL shingle array
+    // and a NULL predicate, which filter would silently DROP — but
+    // no-contamination-evidence means PASS (the same rule that admits
+    // shingle-less short docs), and admission must not depend on
+    // whether decontamination happens to be enabled
+    stream.filter(coalesce(!exists(
       graft.functions.TextFns.shingleH32(col(textCol), 8),
-      h => graft.queries.Curation.bloomMember(h, bits)))
+      h => graft.queries.Curation.bloomMember(h, bits)), lit(true)))
   }
 
   /** Streaming quality-admission gate — the second standard stream
@@ -915,10 +933,26 @@ object StreamRunner {
       .select(col("w.start").as("win_start"), col("approx_users"),
         col("n_events"))
 
-  /** Graceful drain: finish the in-flight batch, then stop — the SIGTERM
-    * contract (launcher.py:151-157). `awaitTermination` after `stop()` is
-    * what "finish in-flight" means for a micro-batch engine. */
+  /** Graceful drain: finish the in-flight work, then stop — the SIGTERM
+    * contract (launcher.py:151-157). `stop()` alone would INTERRUPT the
+    * stream-execution thread and cancel the active micro-batch's jobs —
+    * an abort, not a drain, replaying the batch (and re-firing its
+    * side-effecting callbacks) on restart. So: first block until the
+    * source reports no pending data (`processAllAvailable` returns only
+    * at a quiescent point between batches — bounded by a watchdog, since
+    * a continuous source may never quiesce), THEN stop the idle query.
+    * Returns true when the query terminated within `timeoutMs`. */
   def stopGracefully(q: StreamingQuery, timeoutMs: Long = 60000): Boolean = {
+    val drained = new java.util.concurrent.CountDownLatch(1)
+    val drainer = new Thread(() => {
+      try q.processAllAvailable() catch { case _: Exception => () }
+      drained.countDown()
+    })
+    drainer.setDaemon(true)
+    drainer.start()
+    // watchdog: a source that keeps producing (or a dead query) must not
+    // hang the shutdown path — after the budget, stop() interrupts
+    drained.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     q.stop()
     q.awaitTermination(timeoutMs)
   }

@@ -59,6 +59,27 @@ class JsonDocsSpec extends SparkSpec {
     } finally { parsed.unpersist(); () }
   }
 
+  test("a top-level-array line quarantines whole — the closure never multiplies rows") {
+    // the JSON file source would explode this batched-dump line into 2
+    // clean rows for 1 physical line, silently breaking the funnel's
+    // one-line-one-row closure; the from_json path rejects it as a
+    // contract violation (JSONL = one document per line)
+    val lines = Seq(
+      """{"doc_id": 1, "text": "solo"}""",
+      """[{"doc_id": 2, "text": "a"}, {"doc_id": 3, "text": "b"}]""")
+    val path = stage(lines)
+    val parsed = JsonDocs.parse(spark, path)
+    try {
+      assert(JsonDocs.clean(parsed).count() == 1L)
+      val quar = JsonDocs.quarantine(parsed).collect()
+      assert(quar.length == 1 &&
+        quar.head.getAs[String]("reason") == "unparseable")
+      val audit = JsonDocs.audit(spark, path, parsed).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(audit.values.sum == lines.length, s"funnel did not close: $audit")
+    } finally { parsed.unpersist(); () }
+  }
+
   test("clean output drops into the documents-table query surface") {
     val lines = (0 until 30).map(i =>
       s"""{"doc_id": $i, "text": "the quick data value item $i of corpus", "lang": "en", "source": "s${i % 3}"}""")

@@ -47,4 +47,47 @@ class StatefulSessionizeSpec extends SparkSpec {
       assert(finalCounts.get(user) == exp, s"user $user")
     }
   }
+
+  test("a cross-batch straggler cannot rewind lastTs and mint a spurious session") {
+    // state folds batches directly (the batch face of the same updater):
+    // gap = 30 min; on-time at 10:00, straggler at 9:00 (folds, no new
+    // session), then on-time at 10:10 — a REWOUND lastTs (9:00) would
+    // read 10:10 as > gap away and open session 2
+    import spark.implicits._
+    val min = 60L * 1000 * 1000 * 1000
+    def fold(batches: Seq[Seq[Long]]): (Long, Long) = {
+      // run each batch through the streaming updater via the batch path
+      var counts: (Long, Long) = (0L, 0L)
+      val src = Files.createTempDirectory("graft_sess_late_src")
+      val ckp = Files.createTempDirectory("graft_sess_late_ckp")
+      batches.zipWithIndex.foreach { case (ts, i) =>
+        ts.map(t => UserEvent(1L, t)).toDS().coalesce(1)
+          .write.parquet(f"$src/b=$i%02d")
+      }
+      val schema = spark.read.parquet(s"$src/b=00").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$src/b=*")
+      val q = stream.as[UserEvent]
+        .transform(StatefulSessionize.sessionCounts(_, gapNs = 30 * min))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[SessionUpdate], _: Long) =>
+          b.collect().foreach(u => counts = (u.n_sessions, u.n_events))
+        }
+        .start()
+      q.awaitTermination(120000)
+      counts
+    }
+    val t10 = 600L * min
+    val (sessions, events) = fold(Seq(
+      Seq(t10), Seq(t10 - 60 * min), Seq(t10 + 10 * min)))
+    assert(events == 3L)
+    // the straggler's delta vs lastTs is negative (never > gap), so it
+    // folds into the open session; with a MONOTONE lastTs the 10:10
+    // event is 10 min from 10:00 — same session. The rewind bug read
+    // 10:10 as 70 min from the straggler's 9:00 and minted session 2.
+    assert(sessions == 1L,
+      s"10:10 minted a session against a rewound lastTs (got $sessions)")
+  }
 }
