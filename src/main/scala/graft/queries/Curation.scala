@@ -252,12 +252,12 @@ object Curation {
     // postings; split bucket and Bloom geometry are the shared
     // [[bucketedSh8]]/[[bloomPositions]] definitions
     val sh = bucketedSh8(spark, dir)
-    def positions(df: DataFrame): DataFrame = bloomPositions(df)
-    val occupied = positions(sh.filter(col("bucket") < 90).select(col("h")).distinct())
+    val occupied = bloomPositions(
+        sh.filter(col("bucket") < 90).select(col("h")).distinct())
       .select(col("pos")).distinct()
     val test = sh.filter(col("bucket") >= 95).select(col("doc_id"), col("h"))
     // bloom hit = every one of the k positions is occupied
-    val bloomHits = positions(test)
+    val bloomHits = bloomPositions(test)
       .join(broadcast(occupied), Seq("pos"))
       .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("k_hits"))
@@ -1305,7 +1305,9 @@ object Curation {
   def q114Concentration(spark: SparkSession, dir: String): DataFrame = {
     val perUser = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
-    val total = Tables.events(spark, dir).agg(count(lit(1)).as("n_events"))
+    // the total folds out of the per-user aggregate — one events scan,
+    // not a second full pass for a single scalar
+    val total = perUser.agg(sum(col("c")).as("n_events"))
     perUser
       .agg(graft.operators.TopK.topk(10)(col("c").cast("double"), col("user_id"))
         .as("top"))

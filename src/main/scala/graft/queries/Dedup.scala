@@ -150,6 +150,48 @@ object Dedup {
           .join(broadcast(hotShingles(spark, dir)), Seq("h"), "left_anti")
       })
 
+  /** Inverted-index candidate pairs over a postings frame: the h-equi
+    * self-join with the `da < db` orientation that confines the quadratic
+    * term to within-shingle collisions. Shared by every exact-verify
+    * consumer (q29/q108/q143 via [[pairStats]]; q129 semi-reduces these
+    * pairs by its LSH candidate list before aggregating). */
+  private def collisionPairs(sh: DataFrame): DataFrame =
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+
+  /** Per-doc retained-shingle counts — one row PER DOCUMENT, linear in
+    * corpus size: never force-broadcast (a driver OOM at 10⁹ docs). A
+    * plain join is cheap (the aggregate inherits the postings' doc_id
+    * partitioning) and AQE still picks broadcast at runtime when the
+    * measured size allows. */
+  private def docShingleCounts(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+
+  /** The shared exact-verify scaffold: collision pairs aggregated to
+    * `inter`, with both sides' retained-shingle counts joined back as
+    * `na`/`nb` — the (da, db, inter, na, nb) frame every set-similarity
+    * query derives its measure from. Counts are a separate per-doc
+    * aggregate joined AFTER the pair aggregation (the oracle's cnt-join
+    * shape): the earlier form rode the count through the self-join as a
+    * window column, running the window exec once per join side and
+    * shipping the extra column through every candidate row;
+    * counts-after-agg touches |pairs| rows instead of |candidate rows|. */
+  private def pairStats(sh: DataFrame): DataFrame = {
+    val cnt = docShingleCounts(sh)
+    collisionPairs(sh)
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
+      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
+  }
+
+  /** The cross-engine rounded Jaccard over a [[pairStats]] frame —
+    * 1e-9 nudge then 5-digit rounding, the repo-wide float-parity idiom. */
+  private def jacOf(inter: Column, na: Column, nb: Column): Column =
+    round(lit(1e-9) + inter.cast("double") / (na + nb - inter), 5)
+
   /** Exact dedup via content-key groupBy: key = rolling fingerprint of the
     * sorted distinct token set (bag-of-words identity). One shuffle on the
     * 8-byte key; the 100 TB version is identical. */
@@ -196,34 +238,14 @@ object Dedup {
     * removal: a near-global shingle carries no signal at the 0.6
     * threshold). At the test SFs the measured max df IS 25, so the cap
     * drops nothing and the result is identical to the uncapped form. */
-  def q29NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // the self-join carries ONLY (doc_id, h): per-doc retained-shingle
-    // counts are a separate 1-row-per-doc aggregate joined onto the
-    // aggregated pairs afterwards (the oracle's cnt-join shape). The
-    // earlier form rode the count through the join as a window column —
-    // that ran the window exec once per join side and shipped the extra
-    // column through every candidate row; counts-after-agg touches
-    // |pairs| rows instead of |candidate rows|. NO broadcast hint on the
-    // cnt joins: cnt is one row PER DOCUMENT — linear in corpus size, a
-    // driver OOM if force-broadcast at 10⁹ docs. A plain join is cheap
-    // here (cnt inherits the postings' doc_id partitioning, pairs are
-    // post-aggregation small) and AQE still picks broadcast at runtime
-    // when the measured size allows.
-    val sh = cappedShPostings(spark, dir)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    sh.as("a")
-      .join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
-      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
-      .withColumn("jac",
-        round(lit(1e-9) + col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 5))
+  def q29NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    // plan shape and broadcast policy documented on [[pairStats]] /
+    // [[docShingleCounts]]
+    pairStats(cappedShPostings(spark, dir))
+      .withColumn("jac", jacOf(col("inter"), col("na"), col("nb")))
       .filter(col("jac") >= 0.6)
       .select(col("da"), col("db"), col("inter"), col("na"), col("nb"), col("jac"))
       .orderBy(col("da"), col("db"))
-  }
 
   val q29Sql: String =
     s"""WITH $shPostingsSql,
@@ -1310,17 +1332,8 @@ object Dedup {
     * on the aggregated pairs); candidate generation stays bounded by the
     * stop-shingle cap, and orientation (small ⊆ big) is decided per
     * aggregated pair, never by re-joining. */
-  def q108Containment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShPostings(spark, dir)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    sh.as("a")
-      .join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-      // cnt is N_docs rows — never force-broadcast it (see q29's note)
-      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
-      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
+  def q108Containment(spark: SparkSession, dir: String): DataFrame =
+    pairStats(cappedShPostings(spark, dir))
       .select(
         when(col("na") <= col("nb"), col("da")).otherwise(col("db")).as("small_doc"),
         when(col("na") <= col("nb"), col("db")).otherwise(col("da")).as("big_doc"),
@@ -1331,11 +1344,8 @@ object Dedup {
       .filter(col("inter") * 10 >= col("n_small") * 9)
       .withColumn("containment",
         round(lit(1e-9) + col("inter").cast("double") / col("n_small"), 5))
-      .withColumn("jac",
-        round(lit(1e-9) + col("inter").cast("double") /
-          (col("n_small") + col("n_big") - col("inter")), 5))
+      .withColumn("jac", jacOf(col("inter"), col("n_small"), col("n_big")))
       .orderBy(col("small_doc"), col("big_doc"))
-  }
 
   val q108Sql: String =
     s"""WITH $shPostingsSql,
@@ -1548,27 +1558,25 @@ object Dedup {
   def q129LshPrecision(spark: SparkSession, dir: String): DataFrame = {
     val cand = mhCands(spark, dir)
     val shc = cappedShPostings(spark, dir)
-    val cnt = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = shc.as("a")
-      .join(shc.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val cnt = docShingleCounts(shc)
+    val inter = collisionPairs(shc)
       // semi-reduce by the candidate list BEFORE aggregating; no forced
       // broadcast — candidates are O(near-dups), AQE sizes the join
       .join(cand, Seq("da", "db"), "left_semi")
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"))
-    val jacExpr = round(lit(1e-9) +
-      coalesce(col("inter"), lit(0L)).cast("double") /
-        (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 5)
+    // LEFT joins, unlike pairStats: an LSH candidate pair may have zero
+    // retained-shingle collisions (all df-capped away) — precision audits
+    // must report it as jac 0, not drop it
     cand
       .join(inter, Seq("da", "db"), "left")
-      // cnt is N_docs rows — never force-broadcast it (see q29's note)
       .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")),
         Seq("da"), "left")
       .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")),
         Seq("db"), "left")
-      .withColumn("jac", coalesce(jacExpr, lit(0.0)))
+      .withColumn("jac", coalesce(
+        jacOf(coalesce(col("inter"), lit(0L)), col("na"), col("nb")),
+        lit(0.0)))
       .withColumn("true_dup", when(col("jac") >= 0.6, 1L).otherwise(0L))
       .select(col("da"), col("db"), col("jac"), col("true_dup"))
       .orderBy(col("da"), col("db"))
@@ -1951,17 +1959,8 @@ object Dedup {
     * is THE reason the query exists: the postings join runs once,
     * not once per threshold candidate. */
   def q143JaccardSweep(spark: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShPostings(spark, dir)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val jac = round(lit(1e-9) + col("inter").cast("double") /
-      (col("na") + col("nb") - col("inter")), 5)
-    val binned = sh.as("a")
-      .join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-      .join(cnt.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
-      .join(cnt.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
+    val jac = jacOf(col("inter"), col("na"), col("nb"))
+    val binned = pairStats(cappedShPostings(spark, dir))
       .select(least(lit(9),
         floor(round(jac * 1000000, 0).cast("long") / 100000.0)).cast("int")
         .as("decile"))

@@ -22,7 +22,11 @@ object EventOps {
       .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n_events"),
            round(lit(1e-9) + sum(col("value")), 2).as("sum_value"))
-      .orderBy(col("k_mod"))
+      // k_mod is NULLABLE (props without a numeric $.k) — the one nullable
+      // sort key in the pack. Spark defaults ASC to NULLS FIRST, DuckDB to
+      // NULLS LAST; pin both explicitly so the NULL group lands in the
+      // same row position in each engine
+      .orderBy(col("k_mod").asc_nulls_last)
 
   val q17Sql: String =
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
@@ -30,7 +34,7 @@ object EventOps {
       |  round(1e-9 + sum(value), 2) AS sum_value
       |FROM events
       |GROUP BY 1
-      |ORDER BY k_mod""".stripMargin
+      |ORDER BY k_mod NULLS LAST""".stripMargin
 
   /** Tumbling-window aggregation by event time (hourly) — batch-equivalent
     * of the Structured Streaming windowed agg. */

@@ -279,7 +279,11 @@ object TextAnalysis {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
-        posexplode(slice(col("toks"), lit(1), size(col("toks")) - 1))
+        posexplode(slice(col("toks"), lit(1),
+          // greatest(.,0): an empty token array makes size-1 = -1, which
+          // Slice REJECTS at runtime; DuckDB's range(1, len) is just
+          // empty — clamp to the oracle's behavior
+          greatest(size(col("toks")) - 1, lit(0))))
           .as(Seq("i", "w1")),
         col("toks"))
       .select(col("doc_id"), col("w1"),
@@ -880,11 +884,15 @@ object TextAnalysis {
         greatest(lit(0L),
           lit(win) - (col("n_toks") - lit(stride.toLong) * (col("n_chunks") - 1)))
           .as("pad"),
-        aggregate(
+        // n_chunks = 0 guard (zero-token doc): Spark's sequence(0, -1)
+        // counts DOWN to [0, -1] while the oracle's range(0, 0) is empty
+        // — the same start>stop trap TextFns.shingles documents; the fold
+        // seed 0 is what an empty chunk list hashes to in both engines
+        when(col("n_chunks") <= 0, lit(0L)).otherwise(aggregate(
           transform(sequence(lit(0L), col("n_chunks") - 1),
             i => h32(array_join(
               slice(col("toks"), (i * stride + 1).cast("int"), lit(win)), " "))),
-          lit(0L), (acc, h) => (acc * 131 + h) % P).as("chunks_fp"))
+          lit(0L), (acc, h) => (acc * 131 + h) % P)).as("chunks_fp"))
       .orderBy(col("doc_id"))
   }
 
@@ -1112,7 +1120,11 @@ object TextAnalysis {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), toks.as("toks"))
     val bi = d
-      .select(posexplode(slice(col("toks"), lit(1), size(col("toks")) - 1))
+      .select(posexplode(slice(col("toks"), lit(1),
+          // greatest(.,0): an empty token array makes size-1 = -1, which
+          // Slice REJECTS at runtime; DuckDB's range(1, len) is just
+          // empty — clamp to the oracle's behavior
+          greatest(size(col("toks")) - 1, lit(0))))
         .as(Seq("i", "w1")), col("toks"))
       .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
@@ -1122,7 +1134,7 @@ object TextAnalysis {
       .persist() // vocab-sized; joined twice (w1 and w2 sides)
     val totals = uni.agg(sum(col("cu")).as("nu"))
       .crossJoin(d.select(posexplode(slice(col("toks"), lit(1),
-        size(col("toks")) - 1)).as(Seq("i", "w")))
+        greatest(size(col("toks")) - 1, lit(0)))).as(Seq("i", "w")))
         .agg(count(lit(1)).as("nb")))
     bi.join(uni.select(col("tok").as("w1"), col("cu").as("c1")), Seq("w1"))
       .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), Seq("w2"))
