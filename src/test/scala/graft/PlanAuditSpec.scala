@@ -241,6 +241,21 @@ class PlanAuditSpec extends SparkSpec {
       "candidates must come from the k8 equi-join, not an all-pairs join")
   }
 
+  test("q114 concentration: the per-user aggregate's exchange is reused for the total") {
+    // the total is derived FROM the per-user aggregate (not a second
+    // events pass), so at runtime AQE reuses the user_id shuffle: the
+    // final adaptive plan must carry a ReusedExchange and the events
+    // scan must be column-pruned to user_id alone
+    val df = SparkEntry.queries("q114_concentration")(spark, sf)
+    df.collect() // materialize so the ADAPTIVE final plan is inspectable
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      "q114's total re-scans events instead of reusing the per-user shuffle")
+    assert("ReadSchema: struct<[^>]*>".r.findAllIn(p)
+      .forall(_ == "ReadSchema: struct<user_id:bigint>"),
+      "q114 reads more than user_id from events")
+  }
+
   test("q94 entropy: one repartition serves both aggregations") {
     assert(hashExchanges(plan("q94_token_entropy")) == 1,
       "doc_id partitioning must satisfy both the token and the doc rollup")
