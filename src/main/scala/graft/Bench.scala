@@ -41,7 +41,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(p => n == p || n.startsWith(p + "_"))))
-    if (sys.env.contains("SPARK_GRAFT_CHILD") || names.size <= chunkSize)
+    // route on the RUN KIND, never on pack-vs-chunk size: children and
+    // ONLY-restricted dev runs time in this JVM; everything else — i.e.
+    // any run whose emit would be treated as official — orchestrates, so
+    // a SPARK_GRAFT_CHUNK override >= the pack size can no longer push a
+    // full official pack through a single JVM (re-inheriting the
+    // allocator-debt inflation chunking exists to prevent, and silently
+    // dropping the fidelity/bucketed/outlier-guard sections)
+    if (sys.env.contains("SPARK_GRAFT_CHILD") || only.isDefined)
       runPack(sfDir, names, printLine = true)
     else
       orchestrate(sfDir, names)

@@ -72,12 +72,40 @@ object GraftSession {
         spark.experimental.extraOptimizations :+ graft.plans.StatsBroadcastJoins
   }
 
+  // prime once per session: SparkEntry wraps every query invocation in
+  // prime(), so without the marker each TIMED bench/probe run would re-do
+  // 9 function registrations + 3 optimizer-list scans + the conf sets.
+  // Weak keys: stopped sessions must not be retained for the process
+  // lifetime (the bpeMemo lesson).
+  private val primed = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Make an externally-created session (e.g. the driver's) safe for graft
-    * queries: settable runtime confs + function registration only. */
-  def prime(spark: SparkSession): SparkSession = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    registerFunctions(spark)
+    * queries: every conf from [[configure]] that is still runtime-settable
+    * (all of them are dynamic SQLConfs) + function registration. Keeping
+    * this list in lockstep with configure matters: a conf set only at
+    * build time (round 10 missed int96RebaseModeInRead and the
+    * EliminateWindowPartitions exclusion here) makes the same query pass
+    * under Bench/Verify but fail or plan differently on the driver's
+    * externally-built session. */
+  def prime(spark: SparkSession): SparkSession = primed.synchronized {
+    if (!primed.contains(spark)) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      spark.conf.set("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // merge (not overwrite) the host session's own exclusions
+      val ewp = "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions"
+      val cur = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+        .filter(_.nonEmpty)
+      if (!cur.exists(_.split(",").contains(ewp)))
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+          (cur.toSeq :+ ewp).mkString(","))
+      registerFunctions(spark)
+      primed.add(spark)
+    }
     spark
   }
 }

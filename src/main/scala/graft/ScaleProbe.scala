@@ -18,11 +18,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Protocol matches Bench: GraftSession, per-dir shared-frame warmup, a
   * sacrificial untimed head query per dir, best-of-2 with cache-clear
-  * between reps. Queries default to the top SPARK_GRAFT_SCALE_N
-  * (default 20) most expensive rows of the latest BENCH_HISTORY round;
-  * SPARK_GRAFT_SCALE_ONLY=q83,q72 overrides. Writes SCALE_r{N}.json
-  * (N = latest BENCH round + 1 — the round in progress, matching
-  * Bench's appendHistory convention) and prints the same JSON line.
+  * between reps, consumer GC breather, failures recorded as -1 (never an
+  * abort). Queries default to the top SPARK_GRAFT_SCALE_N (default 20)
+  * most expensive rows of the latest BENCH_HISTORY round;
+  * SPARK_GRAFT_SCALE_ONLY=q83,q72 overrides (and suppresses the artifact
+  * write — a partial dev run must not clobber the round's record).
+  * Writes SCALE_r{N}.json, N = SPARK_GRAFT_ROUND or max BENCH_rNN.json
+  * artifact + 1 (the round in progress — Bench.appendHistory's
+  * convention, stable whether the probe runs before or after the
+  * round's bench), and prints the same JSON line.
   */
 object ScaleProbe {
   private def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -39,26 +43,41 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val timesSmall = timeAll(spark, sfSmall, names)
     val timesBig = timeAll(spark, sfBig, names)
-    // like Bench's appendHistory: this run produces the NEXT round's
-    // artifact (history holds completed rounds)
-    val round = latestRound() + 1
+    // round numbering follows Bench.appendHistory's ARTIFACT convention
+    // (max BENCH_rNN.json + 1 = the round in progress), not the history
+    // file: history already carries the in-progress round's rows once the
+    // round's first bench has run, so latestRound(history)+1 would label
+    // this probe one round ahead whenever it runs after Bench
+    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+      .getOrElse(latestBenchArtifact() + 1)
     val entries = names.map { n =>
       val id = n.takeWhile(_ != '_')
       val (ts, tb) = (timesSmall(n), timesBig(n))
-      val slope = if (ts > 0) tb / ts else -1.0
+      // a failed rep is a RESULT (-1), not an abort — slope -1 flags it
+      val slope = if (ts > 0 && tb >= 0) tb / ts else -1.0
       String.format(java.util.Locale.ROOT,
         """"%s":{"t_small":%.3f,"t_big":%.3f,"slope":%.2f}""",
         id, Double.box(ts), Double.box(tb), Double.box(slope))
     }
-    val maxSlope = names.map(n => timesBig(n) / math.max(1e-9, timesSmall(n))).max
+    val slopes = names.map(n =>
+      if (timesSmall(n) > 0 && timesBig(n) >= 0)
+        timesBig(n) / math.max(1e-9, timesSmall(n))
+      else -1.0)
+    val maxSlope = slopes.max
+    val failed = slopes.count(_ < 0)
+    val failedField = if (failed > 0) s""","failed":$failed""" else ""
     val line = String.format(java.util.Locale.ROOT,
-      """{"metric":"scale_slope","sf_small":"%s","sf_big":"%s","data_ratio":10.0,"bar":%.1f,"max_slope":%.2f,"queries":{%s}}""",
-      sfSmall, sfBig, Double.box(bar), Double.box(maxSlope),
+      """{"metric":"scale_slope","sf_small":"%s","sf_big":"%s","data_ratio":10.0,"bar":%.1f,"max_slope":%.2f%s,"queries":{%s}}""",
+      sfSmall, sfBig, Double.box(bar), Double.box(maxSlope), failedField,
       entries.mkString(","))
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(f"SCALE_r$round%02d.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: java.io.IOException => () }
+    // a SCALE_ONLY-restricted dev run must never clobber the round's
+    // official artifact with a partial line (the same guard Bench.emit
+    // applies for SPARK_GRAFT_ONLY) — it prints, nothing more
+    if (!sys.env.contains("SPARK_GRAFT_SCALE_ONLY"))
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"SCALE_r$round%02d.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: java.io.IOException => () }
     println(line)
     spark.stop()
   }
@@ -79,29 +98,46 @@ object ScaleProbe {
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         queries.SharedFrames.warmFor(name, spark, sfDir)
+        // consumer GC breather before t0, exactly as Bench.runPack: the
+        // postings rebuild's allocation debt must not land as a pause
+        // inside the timed run (it would deflate a t_small slope or fake
+        // a >bar t_big one)
+        if (queries.SharedFrames.isConsumer(name)) System.gc()
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // a throwing query is a RESULT, not an abort: Bench records it as
+        // -1 + errors; aborting here would ship the round with NO scale
+        // artifact at all — and the mandatory new-this-round queries are
+        // exactly the ones most likely to throw
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[scale] $name failed at $sfDir: " +
+              Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n'))
+            false
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
-        sec
+        if (ok) sec else -1.0
       }
-      val best = math.min(once(), once())
+      val (t1, t2) = (once(), once())
+      // min of the SUCCESSFUL reps; -1 only when both reps failed
+      val best = (t1, t2) match {
+        case (a, b) if a >= 0 && b >= 0 => math.min(a, b)
+        case (a, b) => math.max(a, b) // the non-negative one, or -1/-1
+      }
       System.gc()
       name -> best
     }.toMap
   }
 
-  /** Latest round number present in BENCH_HISTORY.jsonl (0 if absent). */
-  private def latestRound(): Int = try {
+  /** Latest completed BENCH_rNN.json artifact number (0 if none) — the
+    * same source Bench.appendHistory derives its round from. */
+  private def latestBenchArtifact(): Int = try {
     import scala.jdk.CollectionConverters._
-    val path = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
-    if (!java.nio.file.Files.exists(path)) 0
-    else {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      java.nio.file.Files.readAllLines(path).asScala
-        .filter(_.nonEmpty).map(om.readTree(_).get("round").asInt)
-        .foldLeft(0)(math.max)
-    }
+    val pat = java.util.regex.Pattern.compile("BENCH_r(\\d+)\\.json")
+    java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
+      .map(p => pat.matcher(p.getFileName.toString))
+      .filter(_.matches()).map(_.group(1).toInt)
+      .foldLeft(0)(math.max)
   } catch { case scala.util.control.NonFatal(_) => 0 }
 
   /** Top-N most expensive queries of the latest BENCH_HISTORY round,

@@ -27,13 +27,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q01PricingSummary(GraftSession.prime(spark), "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. Lazy val, not
+    * def: Bench/QTime/ScaleProbe look a query up per timed rep — a def
+    * would rebuild the ~160-entry map from all 9 packs on every lookup.
+    * The per-call prime() in the wrapper stays (the driver may hand any
+    * session) but is a marker-guarded no-op after the first call. */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.flatMap(_._1).toMap.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => fn(GraftSession.prime(s), dir))
     }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = packs.flatMap(_._2).toMap
+  lazy val oracleSql: Map[String, String] = packs.flatMap(_._2).toMap
 }

@@ -7,9 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional extra args: run (and dump oracle SQL for) only these
-    // queries — dev iteration aid; the driver always passes exactly two
-    val only = args.drop(2).toSet
-    def keep(name: String): Boolean = only.isEmpty || only(name)
+    // queries — dev iteration aid; the driver always passes exactly two.
+    // Same matching as Bench's SPARK_GRAFT_ONLY: a full name or its qNN
+    // id up to the underscore ("q11" selects q11_big_spenders, never
+    // q110-q119) — and an arg matching NOTHING fails loudly instead of
+    // dumping an empty run that exits 0
+    val only = args.drop(2).toSeq
+    def keep(name: String): Boolean =
+      only.isEmpty || only.exists(p => name == p || name.startsWith(p + "_"))
+    only.foreach { p =>
+      require(SparkEntry.queries.keys.exists(n => n == p || n.startsWith(p + "_")),
+        s"verify filter '$p' matches no query")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
