@@ -398,20 +398,12 @@ object Bench {
   /** Append per-query rows `{"round":N,"query":"qNN","sec":S}` to
     * BENCH_HISTORY.jsonl so round-over-round diffs don't require scraping
     * the tails of differently-shaped BENCH_r*.json files. The round
-    * number is SPARK_GRAFT_ROUND if the driver sets it, else
-    * max(existing BENCH_rNN.json) + 1 — this run produces the NEXT
-    * round's artifact. Failed queries record sec -1, matching the line
-    * contract. Best-effort: history must never fail a bench run. */
+    * number is [[Rounds.inProgress]] — the convention ScaleProbe shares.
+    * Failed queries record sec -1, matching the line contract.
+    * Best-effort: history must never fail a bench run. */
   private def appendHistory(line: String): Unit = try {
     val cwd = java.nio.file.Paths.get(".")
-    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
-      import scala.jdk.CollectionConverters._
-      val pat = java.util.regex.Pattern.compile("BENCH_r(\\d+)\\.json")
-      java.nio.file.Files.list(cwd).iterator().asScala
-        .map(p => pat.matcher(p.getFileName.toString))
-        .filter(_.matches()).map(_.group(1).toInt)
-        .foldLeft(0)(math.max) + 1
-    }
+    val round = Rounds.inProgress()
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
     import scala.jdk.CollectionConverters._
     val rows = root.get("queries").properties().asScala.toSeq

@@ -81,21 +81,23 @@ object GraftSession {
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Make an externally-created session (e.g. the driver's) safe for graft
-    * queries: every conf from [[configure]] that is still runtime-settable
-    * (all of them are dynamic SQLConfs) + function registration. Keeping
-    * this list in lockstep with configure matters: a conf set only at
+    * queries: the SEMANTIC confs from [[configure]] (all runtime-settable
+    * dynamic SQLConfs — nanos decoding, UTC, int96 rebase, the window
+    * annotation exclusion) + function registration. Keeping this list in
+    * lockstep with configure's semantic set matters: a conf set only at
     * build time (round 10 missed int96RebaseModeInRead and the
     * EliminateWindowPartitions exclusion here) makes the same query pass
-    * under Bench/Verify but fail or plan differently on the driver's
-    * externally-built session. */
+    * under Bench/Verify but fail on the driver's externally-built session.
+    * Deliberately NOT touched: sizing/strategy confs — AQE flags (default
+    * ON since Spark 3.2, and a caller who disabled them did so on purpose;
+    * force-re-enabling here would flip a test's or operator's explicit
+    * choice mid-session) and shuffle.partitions (a sizing choice for the
+    * session owner; AQE coalescing makes the initial value soft). */
   def prime(spark: SparkSession): SparkSession = primed.synchronized {
     if (!primed.contains(spark)) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
       spark.conf.set("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       // merge (not overwrite) the host session's own exclusions
       val ewp = "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions"
       val cur = spark.conf.getOption("spark.sql.optimizer.excludedRules")

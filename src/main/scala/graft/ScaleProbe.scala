@@ -43,28 +43,21 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val timesSmall = timeAll(spark, sfSmall, names)
     val timesBig = timeAll(spark, sfBig, names)
-    // round numbering follows Bench.appendHistory's ARTIFACT convention
-    // (max BENCH_rNN.json + 1 = the round in progress), not the history
-    // file: history already carries the in-progress round's rows once the
-    // round's first bench has run, so latestRound(history)+1 would label
-    // this probe one round ahead whenever it runs after Bench
-    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
-      .getOrElse(latestBenchArtifact() + 1)
-    val entries = names.map { n =>
-      val id = n.takeWhile(_ != '_')
+    val round = Rounds.inProgress()
+    // ONE slope formula for both the per-query entries and the headline:
+    // a query with any failed side reports -1 ("a failure is a result")
+    val slopes: Map[String, Double] = names.map { n =>
       val (ts, tb) = (timesSmall(n), timesBig(n))
-      // a failed rep is a RESULT (-1), not an abort — slope -1 flags it
-      val slope = if (ts > 0 && tb >= 0) tb / ts else -1.0
+      n -> (if (ts > 0 && tb >= 0) tb / ts else -1.0)
+    }.toMap
+    val entries = names.map { n =>
       String.format(java.util.Locale.ROOT,
         """"%s":{"t_small":%.3f,"t_big":%.3f,"slope":%.2f}""",
-        id, Double.box(ts), Double.box(tb), Double.box(slope))
+        n.takeWhile(_ != '_'), Double.box(timesSmall(n)),
+        Double.box(timesBig(n)), Double.box(slopes(n)))
     }
-    val slopes = names.map(n =>
-      if (timesSmall(n) > 0 && timesBig(n) >= 0)
-        timesBig(n) / math.max(1e-9, timesSmall(n))
-      else -1.0)
-    val maxSlope = slopes.max
-    val failed = slopes.count(_ < 0)
+    val maxSlope = slopes.values.max
+    val failed = slopes.values.count(_ < 0)
     val failedField = if (failed > 0) s""","failed":$failed""" else ""
     val line = String.format(java.util.Locale.ROOT,
       """{"metric":"scale_slope","sf_small":"%s","sf_big":"%s","data_ratio":10.0,"bar":%.1f,"max_slope":%.2f%s,"queries":{%s}}""",
@@ -129,16 +122,6 @@ object ScaleProbe {
     }.toMap
   }
 
-  /** Latest completed BENCH_rNN.json artifact number (0 if none) — the
-    * same source Bench.appendHistory derives its round from. */
-  private def latestBenchArtifact(): Int = try {
-    import scala.jdk.CollectionConverters._
-    val pat = java.util.regex.Pattern.compile("BENCH_r(\\d+)\\.json")
-    java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
-      .map(p => pat.matcher(p.getFileName.toString))
-      .filter(_.matches()).map(_.group(1).toInt)
-      .foldLeft(0)(math.max)
-  } catch { case scala.util.control.NonFatal(_) => 0 }
 
   /** Top-N most expensive queries of the latest BENCH_HISTORY round,
     * mapped back to full names; SPARK_GRAFT_SCALE_ONLY overrides. */

@@ -8,6 +8,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Batch-equivalent of the q19 lag+cumsum sessionizer: a new session opens
   * after a silence longer than `gapNs`; state per user is three longs, so
   * memory is O(active users) regardless of event volume.
+  *
+  * Late-data contract (the bounded-state trade, stated plainly): with
+  * three longs of state the updater cannot retroactively SPLIT a session,
+  * so a cross-batch straggler — an event older than the user's lastTs —
+  * folds into the open session and never opens one of its own, and lastTs
+  * stays monotone so the straggler cannot make the NEXT on-time event mint
+  * a spurious session either. Batch q19, which sorts the complete history,
+  * WOULD count a separate session when the straggler sits a full gap
+  * before everything else; streaming parity with q19 therefore holds
+  * exactly for in-order delivery (the headline spec), while out-of-order
+  * delivery degrades to fold-into-current — the same
+  * no-rewind-under-late-data rule RateLimiter applies. Retroactive splits
+  * need per-event state (the batch rebuild is the tool for that).
   */
 object StatefulSessionize {
   final case class UserEvent(user_id: Long, ts_ns: Long)

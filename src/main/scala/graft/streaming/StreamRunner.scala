@@ -157,7 +157,8 @@ object StreamRunner {
     * repair for replayed message streams). Takes a `ts_ns` event-time
     * column in either fixture encoding. */
   def dedupStream(events: DataFrame, keys: Seq[String],
-                  watermark: String = "2 hours"): DataFrame =
+                  watermark: String = "2 hours"): DataFrame = {
+    require(keys.nonEmpty, "dedupStream needs at least one dedup key")
     normalizeNs(events, "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("ts", watermark)
@@ -167,6 +168,7 @@ object StreamRunner {
       // it); dropDuplicatesWithinWatermark dedups on the keys alone and
       // still evicts state at the watermark horizon
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   /** Streaming admission gate — the streaming face of q100's
     * incremental-ingest dedup: a new document enters the corpus only if
@@ -943,6 +945,11 @@ object StreamRunner {
     * a continuous source may never quiesce), THEN stop the idle query.
     * Returns true when the query terminated within `timeoutMs`. */
   def stopGracefully(q: StreamingQuery, timeoutMs: Long = 60000): Boolean = {
+    // ONE deadline across both waits: a supervisor sizes its SIGKILL
+    // fuse to this budget, so drain + stop together must fit in it (two
+    // full budgets back-to-back would double the promised wall time and
+    // get the process killed mid-stop — a non-graceful abort)
+    val deadlineNs = System.nanoTime() + timeoutMs * 1000000L
     val drained = new java.util.concurrent.CountDownLatch(1)
     val drainer = new Thread(() => {
       try q.processAllAvailable() catch { case _: Exception => () }
@@ -954,6 +961,7 @@ object StreamRunner {
     // hang the shutdown path — after the budget, stop() interrupts
     drained.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     q.stop()
-    q.awaitTermination(timeoutMs)
+    val leftMs = math.max(1L, (deadlineNs - System.nanoTime()) / 1000000L)
+    q.awaitTermination(leftMs)
   }
 }

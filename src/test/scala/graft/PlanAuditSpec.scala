@@ -251,9 +251,10 @@ class PlanAuditSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ReusedExchange"),
       "q114's total re-scans events instead of reusing the per-user shuffle")
-    assert("ReadSchema: struct<[^>]*>".r.findAllIn(p)
-      .forall(_ == "ReadSchema: struct<user_id:bigint>"),
-      "q114 reads more than user_id from events")
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+    assert(schemas.nonEmpty, "q114 shows no ReadSchema (vacuous pin)")
+    assert(schemas.forall(_ == "ReadSchema: struct<user_id:bigint>"),
+      s"q114 reads more than user_id from events: $schemas")
   }
 
   test("q94 entropy: one repartition serves both aggregations") {
