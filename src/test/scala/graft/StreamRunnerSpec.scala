@@ -1093,6 +1093,133 @@ class StreamRunnerSpec extends SparkSpec {
     assert(run("rl_tie_unguarded", dropLate = false) == Set(1L, 2L))
   }
 
+  test("dropLate discards an EXACT redelivery (same ts AND same event id)") {
+    import spark.implicits._
+    import graft.streaming.RateLimiter
+    val src = Files.createTempDirectory("graft_rl_rd_src")
+    def stage(name: String, evs: Seq[(Long, Long, Long)]): Unit = {
+      val scratch = Files.createTempDirectory("graft_rl_rd_scratch")
+      evs.toDF("user_id", "ts", "event_id").coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, Paths.get(s"$src/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val G = 1000000000L
+    // the classic at-least-once replay: the IDENTICAL event in two batches
+    stage("msg_1.parquet", Seq((1L, 100L * G, 7L)))
+    Thread.sleep(50)
+    stage("msg_2.parquet", Seq((1L, 100L * G, 7L)))
+    val schema = spark.read.parquet(s"$src/msg_1.parquet").schema
+    // collect a LIST, not a set — the bug is a duplicate admission of the
+    // same id, which a set comparison would silently collapse
+    def run(name: String, dropLate: Boolean): Seq[Long] = {
+      val ckp = Files.createTempDirectory(s"graft_rl_rd_ckp_$name")
+      val stream = StreamRunner.fileStream(spark, src.toString, schema)
+        .withColumnRenamed("ts", "ts_ns")
+      val q = RateLimiter.rateLimitFrame(stream,
+          capacity = 2.0, perSecond = 1e-9, dropLate = dropLate)
+        .writeStream.queryName(name).outputMode("append").format("memory")
+        .option("checkpointLocation", ckp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.table(name).select("event_id").as[Long].collect().toSeq
+    }
+    // a strict eid < lastEid guard folds the replica again (refill 0, one
+    // token left -> a SECOND admission of the same event); <= drops it
+    assert(run("rl_rd_guarded", dropLate = true) == Seq(7L),
+      "exact redelivery was folded (and admitted) a second time")
+    assert(run("rl_rd_unguarded", dropLate = false) == Seq(7L, 7L),
+      "control: without the guard the replica double-spends")
+  }
+
+  test("streaming dedup drops a re-delivery whose timestamp was re-stamped") {
+    import org.apache.spark.sql.functions._
+    // re-delivery with a REWRITTEN timestamp (a re-ingest that stamps
+    // arrival time): the old dropDuplicates(keys :+ ts) saw a distinct
+    // (key, ts) pair and admitted the copy; keys-only
+    // dropDuplicatesWithinWatermark bounces it inside the horizon
+    val src = Files.createTempDirectory("graft_dd_restamp_src")
+    val ckp = Files.createTempDirectory("graft_dd_restamp_ckp")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val scratch = Files.createTempDirectory("graft_dd_restamp_scratch")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, Paths.get(s"$src/$name"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage("msg_1.parquet", ev)
+    Thread.sleep(50) // the copy must list as the LATER file
+    stage("msg_2.parquet", ev.withColumn("ts",
+      col("ts") + expr("INTERVAL 1 MINUTE"))) // well inside the 2h horizon
+    val total = new java.util.concurrent.atomic.AtomicLong()
+    val stream = StreamRunner.fileStream(spark, src.toString, ev.schema)
+      .withColumnRenamed("ts", "ts_ns")
+    val q = StreamRunner.dedupStream(stream, Seq("event_id"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        total.addAndGet(batch.count()); ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(total.get() == ev.count(),
+      "a re-stamped re-delivery slipped past the keys-only dedup gate")
+  }
+
+  test("decontam gate: a null-text doc passes (no contamination evidence) instead of vanishing") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("graft_dc_null_src")
+    val ckp = Files.createTempDirectory("graft_dc_null_ckp")
+    val protectedText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val train = spark.range(1).select(lit(0L).as("doc_id"),
+      lit(protectedText).as("text"))
+    val bits = graft.queries.Curation.bloomBitsOf(train)
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, protectedText),            // contaminated
+        org.apache.spark.sql.Row(2L, "one two three four five six seven eight nine ten"),
+        org.apache.spark.sql.Row(3L, null))),                   // null text
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val staging = Files.createTempDirectory("graft_dc_null_stage")
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(staging.resolve("out").toString)
+    val part = Files.list(staging.resolve("out")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, src.resolve("msg_1.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val admitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val stream = StreamRunner.fileStream(spark, src.toString, docs.schema)
+    val q = StreamRunner.decontamGate(stream, bits)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("doc_id").collect().foreach(r => admitted.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val got = { val it = admitted.iterator(); val b = Set.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result() }
+    // contaminated doc bounces; the clean doc AND the null-text doc pass —
+    // a NULL predicate filtered as false would make doc 3 vanish, neither
+    // admitted nor bounced, with admission depending on whether
+    // decontamination happened to be enabled
+    assert(got == Set(2L, 3L), s"gate admitted $got, expected Set(2, 3)")
+  }
+
   test("SCD2 maintenance: stream-maintained dim == q154 batch rebuild, replays heal") {
     val src = Files.createTempDirectory("graft_scd2_src")
     val ckp = Files.createTempDirectory("graft_scd2_ckp")
