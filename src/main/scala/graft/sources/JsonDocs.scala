@@ -61,7 +61,10 @@ object JsonDocs {
   def parse(spark: SparkSession, path: String): DataFrame = {
     val full = schema.add(StructField(corruptCol, StringType))
     spark.read.text(path)
-      .filter(length(trim(col("value"))) > 0) // blanks: counted by audit
+      // blank = ANY-whitespace-only (the JSON file source's skip rule —
+      // tabs included, which Spark's space-only trim() would miss and
+      // misroute into quarantine); counted by audit from the same regex
+      .filter(!col("value").rlike("^\\s*$"))
       .select(from_json(col("value"), full,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> corruptCol)).as("r"))
@@ -109,7 +112,7 @@ object JsonDocs {
     val q = quarantine(parsed).groupBy(col("reason").as("bucket"))
       .agg(count(lit(1)).as("n"))
     val blank = spark.read.text(path)
-      .filter(length(trim(col("value"))) === 0)
+      .filter(col("value").rlike("^\\s*$")) // parse()'s blank rule, inverted
       .agg(count(lit(1)).as("n"))
       .select(lit("blank").as("bucket"), col("n"))
     c.unionByName(q).unionByName(blank).orderBy(col("bucket"))

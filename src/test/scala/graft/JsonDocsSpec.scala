@@ -80,6 +80,55 @@ class JsonDocsSpec extends SparkSpec {
     } finally { parsed.unpersist(); () }
   }
 
+  test("closure property: 300 seeded random lines of mixed garbage all land exactly once") {
+    // the funnel's whole contract is "every physical line accounted
+    // exactly once, whatever the line is" — so feed it a seeded mix of
+    // every malformation class at once and assert the accounting, not
+    // just the per-class behavior the targeted tests above pin
+    val rnd = new scala.util.Random(42)
+    val expectClean = scala.collection.mutable.Set.empty[Long]
+    val lines = (0 until 300).map { i =>
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => // valid doc (some with optional fields)
+          expectClean += i.toLong
+          val extra = if (rnd.nextBoolean()) s""", "lang": "l${rnd.nextInt(3)}"""" else ""
+          s"""{"doc_id": $i, "text": "w${rnd.nextInt(100)} w${rnd.nextInt(100)}"$extra}"""
+        case 4 => // broken JSON: truncated prefix of a valid line
+          val full = s"""{"doc_id": $i, "text": "t"}"""
+          full.take(3 + rnd.nextInt(full.length - 3))
+        case 5 => // top-level array (batched dump)
+          s"""[{"doc_id": $i, "text": "a"}, {"doc_id": ${i + 1000}, "text": "b"}]"""
+        case 6 => // scalar / junk line
+          Seq(s"$i", "\"bare string\"", "true", "nøt jsøn", "}{")(rnd.nextInt(5))
+        case 7 => // contract violations inside valid JSON
+          Seq(s"""{"doc_id": null, "text": "x"}""",
+            s"""{"doc_id": ${-i - 1}, "text": "x"}""",
+            s"""{"doc_id": $i}""")(rnd.nextInt(3))
+        case 8 => // blank / whitespace
+          Seq("", "   ", "\t")(rnd.nextInt(3))
+        case 9 => // valid doc with pre-set n_chars
+          expectClean += i.toLong
+          s"""{"doc_id": $i, "text": "abc", "n_chars": 3}"""
+      }
+    }
+    val path = stage(lines)
+    val parsed = JsonDocs.parse(spark, path)
+    try {
+      val clean = JsonDocs.clean(parsed)
+      val quar = JsonDocs.quarantine(parsed)
+      val nBlank = lines.count(_.trim.isEmpty)
+      assert(clean.count() + quar.count() == (lines.length - nBlank).toLong,
+        "clean + quarantine != non-blank physical lines")
+      assert(clean.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        expectClean.toSeq.sorted, "clean ids differ from the generated valid set")
+      val audit = JsonDocs.audit(spark, path, parsed).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(audit.values.sum == lines.length,
+        s"funnel did not close over the physical line count: $audit")
+      assert(audit("blank") == nBlank.toLong)
+    } finally { parsed.unpersist(); () }
+  }
+
   test("clean output drops into the documents-table query surface") {
     val lines = (0 until 30).map(i =>
       s"""{"doc_id": $i, "text": "the quick data value item $i of corpus", "lang": "en", "source": "s${i % 3}"}""")
