@@ -252,9 +252,14 @@ object Curation {
     // postings; split bucket and Bloom geometry are the shared
     // [[bucketedSh8]]/[[bloomPositions]] definitions
     val sh = bucketedSh8(spark, dir)
-    val occupied = bloomPositions(
-        sh.filter(col("bucket") < 90).select(col("h")).distinct())
-      .select(col("pos")).distinct()
+    // the train-side distinct over the full 8-gram postings is the
+    // dominant uncached stage — ONE val feeds both the Bloom occupied
+    // set and the exact control join, so the two branches carry
+    // bit-identical subtrees and runtime exchange reuse materializes the
+    // distinct's shuffle once (no persist: a per-invocation cache entry
+    // would leak, and the shared-postings audit counts exactly one)
+    val trainH = sh.filter(col("bucket") < 90).select(col("h")).distinct()
+    val occupied = bloomPositions(trainH).select(col("pos")).distinct()
     val test = sh.filter(col("bucket") >= 95).select(col("doc_id"), col("h"))
     // bloom hit = every one of the k positions is occupied
     val bloomHits = bloomPositions(test)
@@ -263,8 +268,7 @@ object Curation {
       .agg(count(lit(1)).as("k_hits"))
       .filter(col("k_hits") === 3)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom"))
-    val exactHits = test.join(
-        sh.filter(col("bucket") < 90).select(col("h")).distinct(), Seq("h"))
+    val exactHits = test.join(trainH, Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
     val tot = test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     tot
@@ -1680,9 +1684,13 @@ object Curation {
     * that makes that safe: within every source stratum the 16 order
     * shards are statistically uniform (no source is front- or
     * back-loaded in the epoch). Per source: χ² against uniform —
-    * computed in INTEGER arithmetic as Σ(16·obs − n)²/(16n), so no
-    * float-sum ordering can flip a digit — and the worst per-shard
-    * absolute deviation in document units.
+    * computed in INTEGER arithmetic as Σ(16·obs − n)²/(16n) over ALL 16
+    * shards, so no float-sum ordering can flip a digit — and the worst
+    * per-shard absolute deviation in document units. The Σ explicitly
+    * includes the (16 − observed)·n² numerator mass of EMPTY shards: a
+    * source whose docs land in only half the shards is exactly the
+    * front-loading pathology this audit exists to catch, and a sum over
+    * observed cells alone would report it at half its true χ².
     *
     * Scale design: one shuffle to (source, shard) grain with map-side
     * partials; after that the data is |sources|×16 rows regardless of
@@ -1701,9 +1709,14 @@ object Curation {
       .groupBy(col("source"))
       .agg(first(col("n_docs")).as("n_docs"),
         first(col("n_shards")).as("n_shards"),
-        round(lit(1e-9) + sum(col("dev16") * col("dev16")).cast("double") /
+        // + the empty shards' terms: each contributes (0·16 − n)² = n²
+        round(lit(1e-9) + (sum(col("dev16") * col("dev16")) +
+            (lit(16L) - first(col("n_shards"))) *
+              first(col("n_docs")) * first(col("n_docs"))).cast("double") /
           (lit(16.0) * first(col("n_docs"))), 4).as("chi2"),
-        round(lit(1e-9) + max(abs(col("dev16"))).cast("double") / 16.0, 4)
+        round(lit(1e-9) + greatest(max(abs(col("dev16"))),
+            when(first(col("n_shards")) < 16, first(col("n_docs")))
+              .otherwise(lit(0L))).cast("double") / 16.0, 4)
           .as("max_dev"))
       .orderBy(col("source"))
   }
@@ -1720,9 +1733,12 @@ object Curation {
       |  FROM cells GROUP BY 1)
       |SELECT c.source, any_value(n_docs) AS n_docs,
       |  any_value(n_shards) AS n_shards,
-      |  round(1e-9 + sum((obs * 16 - n_docs) * (obs * 16 - n_docs))::DOUBLE
+      |  round(1e-9 + (sum((obs * 16 - n_docs) * (obs * 16 - n_docs))
+      |      + (16 - any_value(n_shards)) * any_value(n_docs) * any_value(n_docs))::DOUBLE
       |    / (16.0 * any_value(n_docs)), 4) AS chi2,
-      |  round(1e-9 + max(abs(obs * 16 - n_docs))::DOUBLE / 16.0, 4) AS max_dev
+      |  round(1e-9 + greatest(max(abs(obs * 16 - n_docs)),
+      |      CASE WHEN any_value(n_shards) < 16 THEN any_value(n_docs) ELSE 0 END)::DOUBLE
+      |    / 16.0, 4) AS max_dev
       |FROM cells c JOIN tot t ON c.source = t.source
       |GROUP BY c.source
       |ORDER BY c.source""".stripMargin

@@ -386,12 +386,11 @@ object Dedup {
   def q30MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shPostings(spark, dir)
     val cand = mhCands(spark, dir)
-    // verify join carries only (doc_id, h); per-doc set sizes are a
-    // per-document aggregate joined onto the aggregated candidate pairs
-    // (the oracle's cnt-join shape — no window exec on either join side).
-    // No broadcast hint: cnt is N_docs rows (see q29's note); AQE may
-    // still broadcast it at runtime when measured-small.
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // verify join carries only (doc_id, h); per-doc set sizes are the
+    // shared docShingleCounts aggregate joined onto the aggregated
+    // candidate pairs (the oracle's cnt-join shape — no window exec on
+    // either join side, broadcast policy documented on the helper)
+    val cnt = docShingleCounts(sh)
     sh.as("a")
       .join(cand, col("da") === col("a.doc_id"))
       .join(sh.as("b"), col("db") === col("b.doc_id") && col("a.h") === col("b.h"))
@@ -462,22 +461,33 @@ object Dedup {
       .withColumn("hi", expr("simhash div 65536"))
       .withColumn("lo", col("simhash") % 65536)
       .persist() // tiny (one row per doc); joined twice below
-    // ONE self-join on a tagged band key instead of two (hi, lo) joins:
-    // band = (half-value, which-half), so pairs sharing either half meet
-    // in the same bucket and the pair set is identical.
-    val bands = sim.select(col("doc_id"), col("simhash"),
+    halfBandPairs(sim, "simhash", maxHamming = 8)
+  }
+
+  /** Half-band Hamming blocking shared by the SimHash (q31) and
+    * perceptual dHash (q117, Media) near-dup passes. Input: one row per
+    * doc with (doc_id, `sigCol`, hi, lo) where hi/lo are the signature's
+    * two halves. ONE self-join on a tagged band key instead of two
+    * (hi, lo) joins: band = (half-value, which-half), so pairs sharing
+    * either half meet in the same bucket and the pair set is identical.
+    * Output: distinct (da, db, hamming) pairs cut at `maxHamming` —
+    * recall is exact by pigeonhole whenever maxHamming < the bits per
+    * half (a pair closer than that must agree on one whole half). */
+  private[queries] def halfBandPairs(d: DataFrame, sigCol: String,
+      maxHamming: Int): DataFrame = {
+    val bands = d.select(col("doc_id"), col(sigCol),
       explode(array(
         struct(col("hi").as("v"), lit(0).as("half")),
         struct(col("lo").as("v"), lit(1).as("half")))).as("b"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col(sigCol),
         col("b.v").as("bv"), col("b.half").as("half"))
     bands.as("x").join(bands.as("y"),
         col("x.bv") === col("y.bv") && col("x.half") === col("y.half") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-        expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
+        expr(s"bit_count(x.$sigCol ^ y.$sigCol)").cast("int").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= maxHamming)
       .orderBy(col("da"), col("db"))
   }
 
@@ -612,8 +622,17 @@ object Dedup {
       }
       m
     }
-    perDir.synchronized {
-      perDir.getOrElseUpdate(dir, dupLabelsCompute(spark, dir))
+    // never run the component loop (minutes of driver-side rounds at
+    // scale) while HOLDING the memo lock — that would serialize every
+    // concurrent consumer on this session, including ones after a
+    // different corpus dir. Check under the lock, compute outside it,
+    // then first-writer-wins: a racing duplicate computation is wasted
+    // work once, a held lock is wasted wall-time for everyone.
+    perDir.synchronized(perDir.get(dir)) match {
+      case Some(df) => df
+      case None =>
+        val computed = dupLabelsCompute(spark, dir)
+        perDir.synchronized(perDir.getOrElseUpdate(dir, computed))
     }
   }
 

@@ -104,12 +104,28 @@ object EventOps {
       .orderBy(col("purchase_event_id"))
   }
 
+  // row_number with an EXPLICIT (ts DESC, event_id DESC) tie-break, not a
+  // bare ASOF JOIN: the Spark side contracts ties on equal signup
+  // timestamps to the largest event_id, while DuckDB's ASOF picks an
+  // unspecified row among equal-ts matches — deterministic on fixtures
+  // with no (user_id, ts) collisions, but latent flap on any regeneration
+  // (q157/q159's oracles already use this shape; q20 was the outlier)
   val q20Sql: String =
-    """SELECT p.event_id AS purchase_event_id, p.user_id,
-      |  s.event_id AS signup_event_id
-      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
-      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+      |  FROM events WHERE event_type = 'purchase'),
+      |s AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+      |  FROM events WHERE event_type = 'signup'),
+      |m AS (
+      |  SELECT p.event_id AS purchase_event_id, p.user_id,
+      |    s.event_id AS signup_event_id,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY s.ts_ns DESC, s.event_id DESC) AS rk
+      |  FROM p LEFT JOIN s
+      |    ON p.user_id = s.user_id AND s.ts_ns <= p.ts_ns)
+      |SELECT purchase_event_id, user_id, signup_event_id
+      |FROM m WHERE rk = 1
       |ORDER BY purchase_event_id""".stripMargin
 
   /** Admission filter (reference: `check_metadata` with `start_time: -120`

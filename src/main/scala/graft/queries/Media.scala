@@ -107,20 +107,8 @@ object Media {
       .withColumn("hi", shiftrightunsigned(col("sig"), 32))
       .withColumn("lo", col("sig").bitwiseAND(lit(4294967295L)))
       .persist() // both sides of the band self-join
-    val bands = d.select(col("doc_id"), col("sig"),
-      explode(array(
-        struct(col("hi").as("v"), lit(0).as("half")),
-        struct(col("lo").as("v"), lit(1).as("half")))).as("b"))
-      .select(col("doc_id"), col("sig"),
-        col("b.v").as("bv"), col("b.half").as("half"))
-    bands.as("x").join(bands.as("y"),
-        col("x.bv") === col("y.bv") && col("x.half") === col("y.half") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-        expr("bit_count(x.sig ^ y.sig)").cast("int").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= 10)
-      .orderBy(col("da"), col("db"))
+    // candidate generation = the exact q31 scaffold, single-sourced
+    Dedup.halfBandPairs(d, "sig", maxHamming = 10)
   }
 
   private val dhashSqlTerms: String = dhashBits.map { case (r, c) =>

@@ -93,8 +93,11 @@ object PostingsStore {
     * [[append]] each new arrival batch instead of re-exploding the
     * whole corpus. `docs` must be (a subset of) `dir`'s documents. */
   def materializeFrom(spark: SparkSession, dir: String,
-      docs: DataFrame): Unit = {
-    drop(spark, dir)
+      docs: DataFrame): Unit = buildOrDrop(spark, dir) {
+    // bucketed mode must be ON during the build (rebuildCapped reads the
+    // just-written sh through lookup); buildOrDrop guarantees a failure
+    // anywhere below resets to the memory path instead of leaving the
+    // session serving a partial store
     spark.conf.set(ModeConf, "bucketed")
     val buckets = spark.sparkContext.defaultParallelism
     // the 3-gram explode+md5 expansion is the dominant build cost —
@@ -115,6 +118,26 @@ object PostingsStore {
     rebuildCapped(spark, dir, buckets)
   }
 
+  /** All-or-nothing store builds: run `build` after dropping any existing
+    * store; if ANY step throws, drop whatever partial state was written
+    * and reset the session to the memory path before rethrowing. Without
+    * this, a mid-build failure (disk full, task death) left the mode at
+    * `bucketed` with a subset of the family's tables on disk — every
+    * later consumer would silently serve results computed over a partial
+    * (or subset-built) index. A failed [[append]] pays the same price:
+    * appended `sh` rows without their `bands` twin would make the LSH
+    * index disagree with the postings, so the store drops and the next
+    * materialize rebuilds — correctness over convenience (a transactional
+    * table format is the 100 TB answer; plain parquet tables get
+    * atomic-or-absent). */
+  private def buildOrDrop(spark: SparkSession, dir: String)(build: => Unit): Unit = {
+    drop(spark, dir)
+    try build catch { case e: Throwable =>
+      try drop(spark, dir) catch { case _: Throwable => () }
+      throw e
+    }
+  }
+
   /** Incremental maintenance: explode and APPEND only the new
     * documents' postings into the bucketed `sh`/`sh8` tables (Spark
     * appends bucketed files with a matching spec, so the table's
@@ -129,7 +152,7 @@ object PostingsStore {
     * Contract: `docs` carries doc_ids not yet indexed (same as any
     * append-only index); session memos over the family are invalidated
     * here so derived frames rebuild over the appended state. */
-  def append(spark: SparkSession, dir: String, docs: DataFrame): Unit = {
+  def append(spark: SparkSession, dir: String, docs: DataFrame): Unit = try {
     require(bucketedMode(spark) &&
       Keys.forall(k => spark.catalog.tableExists(tableName(dir, k))),
       s"append requires a materialized bucketed store for $dir")
@@ -158,6 +181,11 @@ object PostingsStore {
     setNdocs(spark, dir, ndocsOf(spark, dir) + docs.count())
     SharedFrames.invalidate(spark, dir)
     rebuildCapped(spark, dir, buckets)
+  } catch { case e: Throwable =>
+    // a half-applied append (sh rows without their bands twin) is a
+    // corrupt index — see buildOrDrop's contract: drop and rethrow
+    try drop(spark, dir) catch { case _: Throwable => () }
+    throw e
   }
 
   /** The INDEXED document count, carried as a table property on `sh`:

@@ -36,6 +36,17 @@ object Similarity {
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", dotCol(col("v"), col("v")))
 
+  /** Per-group centroid-ARRAY assembly from (group, `posCol`, c)
+    * component rows: sort-by-position struct list, then project the
+    * value — the fold-order invariant that keeps every downstream dot
+    * product bit-identical with the oracle's list_transform over an
+    * ORDER BY pos list. Single-sourced (q35/q36/q69/q70/q144/q156 all
+    * aggregate with this expression) so a future determinism change
+    * cannot desynchronize one copy from the rest. */
+  private def centroidArray(posCol: String): Column =
+    transform(array_sort(collect_list(struct(col(posCol), col("c")))),
+      s => s.getField("c"))
+
   /** Corpus vector count, memoized per (session, corpus): [[sigBits]]
     * needs it at plan time in four queries — one metadata-cheap count
     * per session, not one per query. Weakly keyed by the session
@@ -53,8 +64,14 @@ object Similarity {
       }
       m
     }
-    perDir.synchronized {
-      perDir.getOrElseUpdate(dir, Tables.embeddings(spark, dir).count())
+    // count() outside the lock (same rule as Dedup.dupLabels' memo): a
+    // Spark action under a session-wide lock serializes every concurrent
+    // consumer; a racing duplicate count is one wasted metadata job
+    perDir.synchronized(perDir.get(dir)) match {
+      case Some(n) => n
+      case None =>
+        val n = Tables.embeddings(spark, dir).count()
+        perDir.synchronized(perDir.getOrElseUpdate(dir, n))
     }
   }
 
@@ -239,8 +256,7 @@ object Similarity {
     // against k×64 centroid rows, no re-aggregation (the q69/q36/q70
     // shape; the oracle computes the identical folds)
     val centA = cent.groupBy(col("c_label"))
-      .agg(transform(array_sort(collect_list(struct(col("c_pos"), col("c")))),
-        s => s.getField("c")).as("cv"))
+      .agg(centroidArray("c_pos").as("cv"))
       .withColumn("cnrm", dotCol(col("cv"), col("cv")))
     e.join(broadcast(centA), col("label") === col("c_label"))
       .select(col("label"),
@@ -294,8 +310,7 @@ object Similarity {
     // products, one hash agg) instead of the N×64×k exploded join + a
     // window rank it replaced
     val centA = cent.groupBy(col("c_label"))
-      .agg(transform(array_sort(collect_list(struct(col("c_pos"), col("c")))),
-        s => s.getField("c")).as("cv"))
+      .agg(centroidArray("c_pos").as("cv"))
       .withColumn("cnrm", dotCol(col("cv"), col("cv")))
     val assigned = e.crossJoin(broadcast(centA))
       .select(col("vec_id"),
@@ -489,8 +504,7 @@ object Similarity {
     // the oracle's identical fold
     def centArrays(cent: DataFrame): DataFrame =
       cent.groupBy(col("c_label"))
-        .agg(transform(array_sort(collect_list(struct(col("c_pos"), col("c")))),
-          s => s.getField("c")).as("cv"))
+        .agg(centroidArray("c_pos").as("cv"))
         .withColumn("cnrm", dotCol(col("cv"), col("cv")))
     // argmin via min(struct(d2, c_label)): lexicographic struct-min IS
     // "smallest d2, ties by cluster id", computed as ONE hash aggregation
@@ -606,8 +620,7 @@ object Similarity {
     // explode against k×64 codebook rows — an N×64×k intermediate — and
     // the explode here fans out a plan-time constant 8, after the join)
     val cbA = cb.groupBy(col("code"))
-      .agg(transform(array_sort(collect_list(struct(col("c_pos"), col("c")))),
-        s => s.getField("c")).as("cv"))
+      .agg(centroidArray("c_pos").as("cv"))
     val subParts = (0 until 8).map { sp =>
       val vs = slice(col("v"), sp * 8 + 1, 8)
       val cs = slice(col("cv"), sp * 8 + 1, 8)
@@ -1076,8 +1089,7 @@ object Similarity {
       .groupBy(col("label").as("c_label"), col("pos"))
       .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
     val mu = cent.groupBy(col("c_label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("cv"),
+      .agg(centroidArray("pos").as("cv"),
         round(lit(1e-9) + max(abs(col("c"))), 6).as("max_abs_mean"))
       .select(col("c_label"),
         round(lit(1e-9) + dotCol(col("cv"), col("cv")), 6).as("mu_nrm"),
@@ -1213,8 +1225,7 @@ object Similarity {
       .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"),
         count(lit(1)).as("nv"))
     val centA = cent.groupBy(col("source"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => s.getField("c")).as("cv"),
+      .agg(centroidArray("pos").as("cv"),
         (max(col("nv"))).as("n_vecs"))
       .withColumn("cnrm", dotCol(col("cv"), col("cv")))
     centA.as("a").join(broadcast(centA.as("b")),
