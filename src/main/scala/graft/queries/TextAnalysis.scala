@@ -269,10 +269,17 @@ object TextAnalysis {
     * swaps the counts table for a pre-trained LM — the join/score shape
     * is identical.
     *
-    * Scale: the pair expansion is computed once (persist) and feeds the
-    * two count aggregations and the scoring join; counts join back by
-    * shuffle equi-join on the bigram / word key (AQE broadcasts them
-    * when small). Everything is linear in corpus size. */
+    * Scale: TWO passes over the pair expansion — one to count bigrams,
+    * one to score — and nothing else touches pair grain. The unigram
+    * table is DERIVED from the bigram counts (every pair's w1 is its
+    * bigram's first token, so cu(w) = Σ cb over bigrams starting with w):
+    * a re-aggregation of the vocab²-grain count table, never a second
+    * aggregation pass over the corpus-sized pairs. No persist — at corpus
+    * scale the pair expansion cannot be cached, and the two subtrees are
+    * bit-identical so runtime exchange reuse shares the scan shuffle
+    * within the one job. The merged (cb, cu) table joins the probe by
+    * ONE equi-join on the bigram key (shuffle at scale; AQE broadcasts
+    * when measured-small). Everything is linear in corpus size. */
   def q61LmScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val pairs = Tables.documents(spark, dir)
@@ -286,17 +293,20 @@ object TextAnalysis {
           greatest(size(col("toks")) - 1, lit(0))))
           .as(Seq("i", "w1")),
         col("toks"))
-      .select(col("doc_id"), col("w1"),
+      .select(col("doc_id"),
         concat(col("w1"), lit(" "), element_at(col("toks"), col("i") + 2)).as("bg"))
-      .persist() // feeds uni, bi, and the scoring join
-    val uni = pairs.groupBy(col("w1").as("u_w")).agg(count(lit(1)).as("cu"))
     val bi = pairs.groupBy(col("bg").as("b_bg")).agg(count(lit(1)).as("cb"))
+    // cu(w) = Σ cb(bg) over bigrams whose first token is w — tokens are
+    // whitespace-split so the first space in bg is the token boundary
+    val uni = bi.groupBy(substring_index(col("b_bg"), " ", 1).as("u_w"))
+      .agg(sum(col("cb")).as("cu"))
+    val counts = bi.join(uni, substring_index(col("b_bg"), " ", 1) === col("u_w"))
+      .select(col("b_bg"), col("cb"), col("cu"))
     val vocab = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
     pairs
-      .join(bi, col("bg") === col("b_bg"))
-      .join(uni, col("w1") === col("u_w"))
+      .join(counts, col("bg") === col("b_bg"))
       .crossJoin(broadcast(vocab))
       .withColumn("lp", log((col("cb") + lit(1.0)) / (col("cu") + col("v"))))
       .groupBy(col("doc_id"))

@@ -591,4 +591,34 @@ class CorpusOpsSpec extends SparkSpec {
       assert(counts(r.getAs[String]("src_b")) == r.getAs[Long]("n_b"))
     }
   }
+  test("q61 LM scoring: derived unigram counts equal a direct pair count") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    // q61 derives cu(w) from the bigram count table (Σ cb over bigrams
+    // whose first token is w) instead of a second aggregation pass over
+    // the corpus-sized pair expansion. The identity only holds because
+    // every pair contributes exactly one bigram whose first token IS the
+    // pair's w1 — rebuild both sides here from the raw fixture and pin it.
+    val pairs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(posexplode(slice(col("toks"), lit(1),
+        greatest(size(col("toks")) - 1, lit(0)))).as(Seq("i", "w1")),
+        col("toks"))
+      .select(col("w1"),
+        concat(col("w1"), lit(" "), element_at(col("toks"), col("i") + 2)).as("bg"))
+    val direct = pairs.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val derived = pairs.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("cu"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct.nonEmpty && direct == derived)
+    // and the query's per-doc pair counts reconcile with the token counts
+    val nPairs = run("q61_lm_score").agg(sum(col("n_pairs"))).collect()(0).getLong(0)
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .select(greatest(size(TextFns.tokens(col("text"))) - 1, lit(0)).as("np"))
+      .agg(sum(col("np"))).collect()(0).getLong(0)
+    assert(nPairs == expected,
+      s"per-doc pair mass $nPairs != token-derived $expected")
+  }
 }
