@@ -716,23 +716,31 @@ object Curation {
     *
     * Determinism: each bucket's log-ratio is rounded to 6 decimals BEFORE
     * the per-doc sum, so libm ulp differences between engines cannot
-    * accumulate; the final weight is rounded after. Scale design: the
-    * bucket tables are 256 rows (broadcast); per-doc scoring is one
-    * map-side join + hash aggregation; the global top-10 uses the bounded
-    * TopK aggregator, never a corpus sort. */
+    * accumulate; the final weight is rounded after. Scale design: TWO
+    * passes over the bigram expansion and nothing else at corpus grain —
+    * one map-side-combined count to (bucket, is-target) grain (≤512
+    * rows), from which the raw/target/total tables all DERIVE (they were
+    * three separate corpus passes over a persisted explode before), and
+    * one scoring probe joining the broadcast 256-row log-ratio table into
+    * a per-doc hash aggregation; the global top-10 uses the bounded TopK
+    * aggregator, never a corpus sort. */
   def q88ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
-    val bi = Tables.documents(spark, dir)
+    def bi = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode(shingleH32(col("text"), 2)).as("hb"))
       .select(col("doc_id"), col("lang"), (col("hb") % 256).as("b"))
-      .persist()
-    val raw = bi.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgt = bi.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val totals = bi.agg(count(lit(1)).as("tr"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"))
-    val lr = raw.join(tgt, Seq("b"), "left")
+    // ONE corpus pass: bucket × is-target counts (≤ 512 rows); raw/tgt/
+    // totals are arithmetic over it, never further passes over bigrams
+    val cnt = bi.groupBy(col("b"), (col("lang") === "en").as("is_t"))
+      .agg(count(lit(1)).as("c"))
+      .persist() // ≤512 rows; feeds the per-bucket table and the totals
+    val raw = cnt.groupBy(col("b"))
+      .agg(sum(col("c")).as("cr"),
+        sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"))
+    val totals = cnt.agg(sum(col("c")).as("tr"),
+      sum(when(col("is_t"), col("c")).otherwise(0L)).as("tt"))
+    val lr = raw
       .crossJoin(broadcast(totals))
       .select(col("b"), round(lit(1e-9) +
         log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("tt") + 256)) -

@@ -1120,16 +1120,18 @@ object TextAnalysis {
     * (boilerplate has pathological PMI structure). Pairs below 20
     * occurrences are dropped — PMI's known low-count instability.
     *
-    * Scale design: two map-side-combined aggregations (bigram counts,
-    * unigram counts) + two counts-table joins and broadcast total rows —
-    * nothing after the first aggregation is corpus-sized; the top-20 is
-    * a bounded TakeOrdered, not a sort of the bigram table. */
+    * Scale design: exactly two corpus passes — the map-side-combined
+    * bigram and unigram count aggregations; the pair total Σcb derives
+    * from the (persisted, vocab²-grain) unfiltered bigram table rather
+    * than a third corpus explode. After the counts everything is
+    * vocab-grain: two counts-table joins, broadcast total rows, and a
+    * bounded TakeOrdered top-20 — never a sort of the bigram table. */
   def q109PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val d = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), toks.as("toks"))
-    val bi = d
+    val biAll = d
       .select(posexplode(slice(col("toks"), lit(1),
           // greatest(.,0): an empty token array makes size-1 = -1, which
           // Slice REJECTS at runtime; DuckDB's range(1, len) is just
@@ -1138,14 +1140,16 @@ object TextAnalysis {
         .as(Seq("i", "w1")), col("toks"))
       .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-      .filter(col("cb") >= 20)
+      .persist() // vocab²-grain; feeds the floor filter AND the pair total
+    val bi = biAll.filter(col("cb") >= 20)
     val uni = d.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
       .persist() // vocab-sized; joined twice (w1 and w2 sides)
+    // nb DERIVES from the unfiltered bigram counts (Σ cb IS the pair
+    // total) — the earlier form re-ran the corpus pair explode a second
+    // time just to count it
     val totals = uni.agg(sum(col("cu")).as("nu"))
-      .crossJoin(d.select(posexplode(slice(col("toks"), lit(1),
-        greatest(size(col("toks")) - 1, lit(0)))).as(Seq("i", "w")))
-        .agg(count(lit(1)).as("nb")))
+      .crossJoin(biAll.agg(sum(col("cb")).as("nb")))
     bi.join(uni.select(col("tok").as("w1"), col("cu").as("c1")), Seq("w1"))
       .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), Seq("w2"))
       .crossJoin(broadcast(totals))
