@@ -135,6 +135,57 @@ class CurationOpsSpec extends SparkSpec {
     assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q88 derived bucket tables equal direct corpus aggregations") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    // q88 counts the bigram-bucket explode ONCE at (bucket, is-target)
+    // grain and derives the raw/target/total tables from it; rebuild the
+    // three direct corpus-pass forms here and pin the equivalence.
+    val bi = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), explode(TextFns.shingleH32(col("text"), 2)).as("hb"))
+      .select(col("lang"), (col("hb") % 256).as("b"))
+    val cnt = bi.groupBy(col("b"), (col("lang") === "en").as("is_t"))
+      .agg(count(lit(1)).as("c"))
+    val rawDerived = cnt.groupBy(col("b"))
+      .agg(sum(col("c")).as("cr"),
+        sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rawDirect = bi.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tgtDirect = bi.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rawDerived.nonEmpty)
+    assert(rawDerived.view.mapValues(_._1).toMap == rawDirect)
+    // buckets with zero target hits carry ct = 0 in the derived table and
+    // are absent from the direct filtered aggregation
+    rawDerived.foreach { case (b, (_, ct)) =>
+      assert(ct == tgtDirect.getOrElse(b, 0L), s"bucket $b target count") }
+    val (tr, tt) = (rawDerived.values.map(_._1).sum, rawDerived.values.map(_._2).sum)
+    assert(tr == rawDirect.values.sum && tt == tgtDirect.values.sum)
+  }
+
+  test("q109 pair total derived from bigram counts equals token arithmetic") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    // nb = Σ cb over the unfiltered bigram count table must equal the
+    // per-doc pair mass Σ max(len(toks) - 1, 0) — the closure that lets
+    // q109 skip a second corpus explode just to count pairs.
+    val d = graft.sources.Tables.documents(spark, sf)
+      .select(TextFns.tokens(col("text")).as("toks"))
+    val nbDerived = d
+      .select(posexplode(slice(col("toks"), lit(1),
+        greatest(size(col("toks")) - 1, lit(0)))).as(Seq("i", "w1")), col("toks"))
+      .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .agg(sum(col("cb"))).collect()(0).getLong(0)
+    val nbDirect = d
+      .select(greatest(size(col("toks")) - 1, lit(0)).cast("long").as("np"))
+      .agg(sum(col("np"))).collect()(0).getLong(0)
+    assert(nbDerived > 0 && nbDerived == nbDirect,
+      s"derived pair total $nbDerived != token-derived $nbDirect")
+  }
+
   test("q110 logistic step: weights moved, accuracy arithmetic consistent") {
     val r = run("q110_logistic_step").collect().head
     val n = r.getAs[Long]("n_docs")
