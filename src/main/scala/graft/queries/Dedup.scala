@@ -344,6 +344,13 @@ object Dedup {
     ()
   }
 
+  /** Untimed warm-up of [[paraInstances]] — called by
+    * [[SharedFrames.warmFor]] for the paragraph-family consumers. */
+  private[graft] def warmParaShared(spark: SparkSession, dir: String): Unit = {
+    paraInstances(spark, dir).count()
+    ()
+  }
+
   /** Band table of an arbitrary (doc_id, text) frame — the entry point a
     * batch indexing job uses to build or refresh the persisted LSH index
     * that [[graft.streaming.StreamRunner.nearDupGate]] anti-joins
@@ -1782,9 +1789,27 @@ object Dedup {
     * Scale: boundary cuts and paragraph slicing are pure array
     * expressions inside one projection — no shuffle until the consumer
     * aggregates; the pre-explode repartition spreads the md5-heavy
-    * expansion across all cores (same idiom as [[shPostings]]). */
+    * expansion across all cores (same idiom as [[shPostings]]).
+    *
+    * Storage: a member of the shared-frames family (both q137 and q152
+    * rebuild the identical table otherwise — "the paragraph table is
+    * written once, then joined", same contract as the postings). Memory
+    * path memoizes per session; [[PostingsStore]] bucketed mode serves
+    * the on-disk table bucketed by `ph` — the key every consumer
+    * aggregates and joins on, so the canonical-instance aggregation and
+    * the instance join run with ZERO Exchange on this side. */
   private[graft] def paraInstances(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    PostingsStore.lookup(spark, dir, "para").getOrElse(
+      shared(spark, dir, "para") {
+        paraInstancesPlanFor(spark, Tables.documents(spark, dir))
+      })
+
+  /** [[paraInstances]] as a PURE plan over an arbitrary documents frame —
+    * the unit [[PostingsStore]] writes (and appends) the bucketed table
+    * from. */
+  private[graft] def paraInstancesPlanFor(spark: SparkSession,
+      docs: DataFrame): DataFrame =
+    docs
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"),
         shingleH32(col("text"), 3).as("sh"))

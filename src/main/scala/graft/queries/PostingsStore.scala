@@ -47,13 +47,20 @@ object PostingsStore {
     * `bands` — the stored LSH index — buckets by the FULL candidate
     * join key (band, bfp) (Spark's co-partition check requires the
     * bucketing to cover every join key), so the q30/q119 candidate
-    * self-join runs with ZERO Exchange of the index. `df`/`srcsh` stay
-    * session-derived: narrow single-pass derivatives with their own hot
-    * keys. */
-  val Keys: Seq[String] = Seq("sh", "capped", "sh8", "bands")
+    * self-join runs with ZERO Exchange of the index; `para` — the
+    * paragraph-instance table — buckets by the paragraph hash `ph`,
+    * the key BOTH its consumers (q137 paragraph dedup, q152
+    * boilerplate removal) aggregate and join on, so the
+    * canonical-instance / document-frequency aggregations and the
+    * instance joins read pre-partitioned data with ZERO Exchange on
+    * this side. `df`/`srcsh` stay session-derived: narrow single-pass
+    * derivatives with their own hot keys. */
+  val Keys: Seq[String] = Seq("sh", "capped", "sh8", "bands", "para")
 
   private def bucketKeysOf(key: String): Seq[String] =
-    if (key == "bands") Seq("band", "bfp") else Seq("doc_id")
+    if (key == "bands") Seq("band", "bfp")
+    else if (key == "para") Seq("ph")
+    else Seq("doc_id")
 
   def bucketedMode(spark: SparkSession): Boolean =
     spark.conf.getOption(ModeConf).contains("bucketed")
@@ -114,6 +121,9 @@ object PostingsStore {
     Bucketing.writeBucketed(
       Curation.sh8PostingsPlanFor(spark, docs), tableName(dir, "sh8"),
       "doc_id", buckets)
+    Bucketing.writeBucketed(
+      Dedup.paraInstancesPlanFor(spark, docs), tableName(dir, "para"),
+      "ph", buckets)
     setNdocs(spark, dir, docs.count())
     rebuildCapped(spark, dir, buckets)
   }
@@ -178,6 +188,7 @@ object PostingsStore {
       appendTo(Dedup.bandsPlanOver(sh3), "bands")
     } finally { sh3.unpersist(blocking = false); () }
     appendTo(Curation.sh8PostingsPlanFor(spark, docs), "sh8")
+    appendTo(Dedup.paraInstancesPlanFor(spark, docs), "para")
     setNdocs(spark, dir, ndocsOf(spark, dir) + docs.count())
     SharedFrames.invalidate(spark, dir)
     rebuildCapped(spark, dir, buckets)

@@ -60,12 +60,18 @@ private[graft] object SharedFrames {
     * family ([[Dedup]]'s `srcsh`). */
   val consumersSrc: Set[String] = Set("q111")
 
+  /** Queries reading the paragraph-instance table
+    * ([[Dedup.paraInstances]] — paragraph dedup and boilerplate
+    * removal share one CDC segmentation + hash pass). */
+  val consumersPara: Set[String] = Set("q137", "q152")
+
   /** Does `queryName` read any shared postings family? (The bench/QTime
     * harnesses insert an untimed GC breather after warming exactly these
     * — the warm's allocation debt must not land inside the timed run.) */
   def isConsumer(queryName: String): Boolean = {
     val id = queryName.takeWhile(_ != '_')
-    consumers3(id) || consumers8(id) || consumersSrc(id)
+    consumers3(id) || consumers8(id) || consumersSrc(id) ||
+    consumersPara(id)
   }
 
   /** Materialize (untimed) whatever shared frames `queryName` reads — a
@@ -76,5 +82,6 @@ private[graft] object SharedFrames {
     if (consumers3(id)) Dedup.warmShared(spark, dir)
     if (consumers8(id)) Curation.warmShared(spark, dir)
     if (consumersSrc(id)) Dedup.warmSrcShared(spark, dir)
+    if (consumersPara(id)) Dedup.warmParaShared(spark, dir)
   }
 }

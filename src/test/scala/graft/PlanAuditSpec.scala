@@ -902,7 +902,8 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, count, lit}
     import graft.queries.PostingsStore
     val consumers = Seq("q29_ngram_jaccard", "q30_minhash_lsh",
-      "q98_source_overlap", "q56_contamination", "q124_bloom_decontam")
+      "q98_source_overlap", "q56_contamination", "q124_bloom_decontam",
+      "q137_paragraph_dedup", "q152_boilerplate_removal")
     def rows(name: String): Set[Seq[Any]] =
       SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq.map {
         case d: Double => math.rint(d * 1e6) / 1e6 // ULP-stable across scan orders
@@ -940,6 +941,19 @@ class PlanAuditSpec extends SparkSpec {
       assert(cand.queryExecution.executedPlan
         .collect { case e: Exchange => e }.isEmpty,
         "bfp-bucketed band self-join must not shuffle the index")
+      // the paragraph table: ph-bucketed, so q137's canonical-instance
+      // aggregation and q152's document-frequency aggregation + the
+      // instance join all read pre-partitioned data
+      val para = spark.table(PostingsStore.tableName(sf, "para"))
+      val perPh = para.groupBy(col("ph")).agg(count(lit(1)).as("n"))
+      assert(perPh.queryExecution.executedPlan
+        .collect { case e: Exchange => e }.isEmpty,
+        "per-ph aggregation over the bucketed paragraph table must not shuffle")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val phJoin = para.join(perPh, Seq("ph"))
+      assert(phJoin.queryExecution.executedPlan
+        .collect { case e: Exchange => e }.isEmpty,
+        "ph co-bucketed instance join must not shuffle")
       // restored via the finally below, so a failed assertion above
       // cannot leak threshold=-1 into the rest of the shared session
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc0)

@@ -13,7 +13,8 @@ class PostingsStoreSpec extends SparkSpec {
 
   test("materialize half + append half == materialize full, for every consumer") {
     val consumers = Seq("q29_ngram_jaccard", "q30_minhash_lsh",
-      "q56_contamination", "q124_bloom_decontam")
+      "q56_contamination", "q124_bloom_decontam",
+      "q137_paragraph_dedup", "q152_boilerplate_removal")
     def rows(name: String): Set[Seq[Any]] =
       SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq.map {
         case d: Double => math.rint(d * 1e6) / 1e6
@@ -44,6 +45,13 @@ class PostingsStoreSpec extends SparkSpec {
       assert(perDoc.queryExecution.executedPlan
         .collect { case e: Exchange => e }.isEmpty,
         "per-doc aggregation shuffled after append")
+      // same contract on the ph-bucketed paragraph table (q137/q152's
+      // canonical-instance and document-frequency aggregations)
+      val perPh = spark.table(PostingsStore.tableName(sf, "para"))
+        .groupBy(col("ph")).agg(count(lit(1)))
+      assert(perPh.queryExecution.executedPlan
+        .collect { case e: Exchange => e }.isEmpty,
+        "per-paragraph aggregation shuffled after append")
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       // THE equivalence: consumers over the incrementally-built store
       consumers.foreach { n =>
