@@ -65,13 +65,18 @@ private[graft] object SharedFrames {
     * removal share one CDC segmentation + hash pass). */
   val consumersPara: Set[String] = Set("q137", "q152")
 
+  /** Queries scoring with the corpus-trained bigram LM
+    * ([[TextAnalysis.lmModel]] — the pre-trained-artifact analogue:
+    * trained once per corpus, loaded by every scorer). */
+  val consumersLm: Set[String] = Set("q61", "q101")
+
   /** Does `queryName` read any shared postings family? (The bench/QTime
     * harnesses insert an untimed GC breather after warming exactly these
     * — the warm's allocation debt must not land inside the timed run.) */
   def isConsumer(queryName: String): Boolean = {
     val id = queryName.takeWhile(_ != '_')
     consumers3(id) || consumers8(id) || consumersSrc(id) ||
-    consumersPara(id)
+    consumersPara(id) || consumersLm(id)
   }
 
   /** Materialize (untimed) whatever shared frames `queryName` reads — a
@@ -83,5 +88,6 @@ private[graft] object SharedFrames {
     if (consumers8(id)) Curation.warmShared(spark, dir)
     if (consumersSrc(id)) Dedup.warmSrcShared(spark, dir)
     if (consumersPara(id)) Dedup.warmParaShared(spark, dir)
+    if (consumersLm(id)) TextAnalysis.warmLmShared(spark, dir)
   }
 }
