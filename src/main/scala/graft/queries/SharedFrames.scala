@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** One Dataset object per (session, dir, key) for session-shared
-  * intermediates (the 3-gram and 8-gram postings families). Without the
+  * intermediates — five families as of round 11: the 3-gram and 8-gram
+  * postings, the source-grain postings, the paragraph-instance table,
+  * and the corpus-trained bigram LM. Without the
   * memo every call built a NEW Dataset over an identical plan and
   * re-`persist()`ed it; Spark's CacheManager plan-matches those into one
   * cache entry, but each re-registration raced recomputation of the same
