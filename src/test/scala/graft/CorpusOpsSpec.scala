@@ -621,4 +621,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(nPairs == expected,
       s"per-doc pair mass $nPairs != token-derived $expected")
   }
+  test("paraInstances: plain-JVM replay reproduces every (doc, pidx, ph)") {
+    import org.apache.spark.sql.functions.col
+    // third-engine check of the CDC paragraph table both q137 and q152
+    // (and the bucketed para store) consume: re-derive the segmentation
+    // with none of Spark's array expressions — plain string/digest code —
+    // and require the exact (doc_id, pidx, ph) set. Guards the boundary
+    // rule (3-token window h32 % 16 == 0 ends a paragraph at i+3), the
+    // cut dedup when the final token is itself a boundary, and the
+    // hash-of-joined-tokens identity, none of which the DuckDB oracle
+    // can distinguish from a consistently-wrong pair of engines.
+    def h32(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val bounds = toks.sliding(3).filter(_.length == 3).zipWithIndex
+        .collect { case (w, i) if h32(w.mkString(" ")) % 16 == 0 => i + 3 }
+        .toSeq
+      val cuts = (Seq(0) ++ bounds ++ Seq(toks.length)).distinct.sorted
+      cuts.zip(cuts.tail).zipWithIndex.map { case ((a, b), pidx) =>
+        (id, pidx.toLong, h32(toks.slice(a, b).mkString(" ")))
+      }
+    }.toSet
+    val got = graft.queries.Dedup.paraInstances(spark, sf)
+      .select(col("doc_id"), col("pidx"), col("ph")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty && got == expected,
+      s"paragraph table diverged from the replay: " +
+        s"${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
+  }
 }
