@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** One Dataset object per (session, dir, key) for session-shared
-  * intermediates — five families as of round 11: the 3-gram and 8-gram
+  * intermediates — six families as of round 11: the 3-gram and 8-gram
   * postings, the source-grain postings, the paragraph-instance table,
-  * and the corpus-trained bigram LM. Without the
+  * the corpus-trained bigram LM, and the BM25 inverted index. Without the
   * memo every call built a NEW Dataset over an identical plan and
   * re-`persist()`ed it; Spark's CacheManager plan-matches those into one
   * cache entry, but each re-registration raced recomputation of the same
@@ -72,13 +72,17 @@ private[graft] object SharedFrames {
     * trained once per corpus, loaded by every scorer). */
   val consumersLm: Set[String] = Set("q61", "q101")
 
+  /** Queries scoring against the BM25 inverted index
+    * ([[Search.bm25Index]] — the materialize-once search artifact). */
+  val consumersBm25: Set[String] = Set("q46", "q132")
+
   /** Does `queryName` read any shared postings family? (The bench/QTime
     * harnesses insert an untimed GC breather after warming exactly these
     * — the warm's allocation debt must not land inside the timed run.) */
   def isConsumer(queryName: String): Boolean = {
     val id = queryName.takeWhile(_ != '_')
     consumers3(id) || consumers8(id) || consumersSrc(id) ||
-    consumersPara(id) || consumersLm(id)
+    consumersPara(id) || consumersLm(id) || consumersBm25(id)
   }
 
   /** Materialize (untimed) whatever shared frames `queryName` reads — a
@@ -91,5 +95,6 @@ private[graft] object SharedFrames {
     if (consumersSrc(id)) Dedup.warmSrcShared(spark, dir)
     if (consumersPara(id)) Dedup.warmParaShared(spark, dir)
     if (consumersLm(id)) TextAnalysis.warmLmShared(spark, dir)
+    if (consumersBm25(id)) Search.warmBm25Shared(spark, dir)
   }
 }
