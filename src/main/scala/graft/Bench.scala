@@ -234,7 +234,9 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_FIDELITY").contains("0")) return Map.empty
     def f(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val consumers = names.filter(queries.SharedFrames.isConsumer)
+    // only families with a PostingsStore on-disk home: timing the LM/BM25
+    // consumers here would label in-memory numbers as bucketed-layout ones
+    val consumers = names.filter(queries.SharedFrames.isBucketedConsumer)
     if (consumers.isEmpty) return Map.empty
     val timed = runChild(sfDir, consumers,
       Map("SPARK_GRAFT_BUCKETED" -> "1"))

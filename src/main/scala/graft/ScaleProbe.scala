@@ -84,7 +84,10 @@ object ScaleProbe {
     * measure 2.96× and 3.78× across two best-of-2 probe runs with zero
     * plan change); a third rep keeps the min stable run-over-run. */
   private def reps: Int =
-    sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    // tolerate a malformed env value (same never-abort-on-env-typo
+    // convention as Rounds.inProgress) — a typo'd REPS must not kill the
+    // whole probe artifact-less
+    sys.env.get("SPARK_GRAFT_SCALE_REPS").flatMap(_.toIntOption).getOrElse(3)
   private def timeAll(spark: SparkSession, sfDir: String,
       names: Seq[String]): Map[String, Double] = {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()

@@ -66,7 +66,14 @@ object Runner {
                 try Await.result(Future {
                   ctx.spark.sparkContext.setJobGroup(jobGroup,
                     s"pipeline priority $prio", interruptOnCancel = true)
-                  plugin(ctx)
+                  // the pool thread is SHARED: clear the thread-local on
+                  // the way out or unrelated work later scheduled on this
+                  // pooled thread inherits the group and gets killed by a
+                  // subsequent cancelJobGroup on a plugin timeout.
+                  // cancelJobGroup targets already-submitted jobs, so
+                  // clearing after the plugin returns loses nothing.
+                  try plugin(ctx)
+                  finally ctx.spark.sparkContext.clearJobGroup()
                 }, timeout)
                 catch {
                   case _: TimeoutException =>

@@ -97,15 +97,25 @@ object StatsStore {
       val path = qualified(spark, s"$dir/$t.parquet")
       val df = spark.read.parquet(path)
       val fields = df.schema.fields.toSeq
+      // Spark rejects hashing MapType columns (legacy.allowHashOnMapType
+      // is off by default), so approx_count_distinct over a map column
+      // throws at analysis — skip the NDV aggregate for maps (their width
+      // is still measured via to_json) and record a -1 sentinel NDV
+      def ndvMeasurable(f: StructField): Boolean = f.dataType match {
+        case _: MapType => false
+        case _ => true
+      }
       val aggs =
         count(lit(1)).as("n_rows") +:
-        fields.flatMap(f => Seq(
-          approx_count_distinct(col(f.name)).as(s"__ndv_${f.name}"),
-          widthExpr(f).as(s"__w_${f.name}")))
+        fields.flatMap(f =>
+          (if (ndvMeasurable(f))
+             Seq(approx_count_distinct(col(f.name)).as(s"__ndv_${f.name}"))
+           else Seq.empty) :+
+          widthExpr(f).as(s"__w_${f.name}"))
       val r = df.agg(aggs.head, aggs.tail: _*).head()
       val nRows = r.getAs[Long]("n_rows")
       val ndv = fields.map(f => f.name ->
-        r.getAs[Long](s"__ndv_${f.name}")).toMap
+        (if (ndvMeasurable(f)) r.getAs[Long](s"__ndv_${f.name}") else -1L)).toMap
       // measured payload width + per-field object overhead (Tungsten rows
       // carry an 8-byte slot per field) — the broadcast build side is
       // an in-memory hashed relation, so in-memory width is what matters

@@ -468,8 +468,15 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"),
-        aggregate(sort_array(collect_list(col("doc_id"))), lit(0L),
-          (acc, k) => (acc * 131 + k % 1000000007L) % 1000000007L).as("docs_fp"))
+        // q75's order-independent membership fingerprint: a commutative
+        // sum of per-id hashes, map-side combinable with O(1) agg state.
+        // The previous sort_array(collect_list(doc_id)) built a per-group
+        // array of EVERY surviving doc_id before folding — the "train"
+        // group is ~90% of the corpus, so at 100 TB that is one
+        // aggregation buffer holding billions of ids (executor OOM, no
+        // partial aggregation). Same exact-membership guarantee: equal
+        // multisets ⇔ equal sums mod P (w.h.p. over the hash).
+        (sum(h32(concat(lit("m_"), col("doc_id")))) % P).as("docs_fp"))
       .orderBy(col("split"))
   }
 
@@ -531,8 +538,7 @@ object Curation {
       |  count(*) AS n_docs,
       |  min(doc_id) AS first_doc,
       |  max(doc_id) AS last_doc,
-      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(doc_id ORDER BY doc_id)),
-      |    (a, k) -> (a * 131 + k % 1000000007) % 1000000007) AS docs_fp
+      |  sum(('0x' || substr(md5('m_' || doc_id), 1, 8))::BIGINT)::BIGINT % 1000000007 AS docs_fp
       |FROM kept
       |GROUP BY 1
       |ORDER BY split""".stripMargin
@@ -921,10 +927,14 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("sel")).as("n_sel"),
         round(lit(1e-9) + sum(col("blend") * col("sel")), 2).as("sel_blend_sum"),
-        aggregate(
-          sort_array(collect_list(when(col("sel") === 1, col("doc_id")))),
-          lit(0L),
-          (acc, k) => (acc * 131 + k % 1000000007L) % 1000000007L).as("sel_fp"))
+        // order-independent selected-set fingerprint (q75's idiom): sum of
+        // per-id hashes over the selected rows only — O(1) agg state with
+        // map-side partials, vs the previous collect_list of every
+        // selected doc_id per source (unbounded buffer at corpus scale).
+        // sum() skips the non-selected rows' nulls; coalesce covers a
+        // source with zero selected docs.
+        (coalesce(sum(when(col("sel") === 1,
+          h32(concat(lit("m_"), col("doc_id"))))), lit(0L)) % P).as("sel_fp"))
       .orderBy(col("source"))
   }
 
@@ -980,9 +990,9 @@ object Curation {
       |SELECT source, count(*) AS n_docs,
       |  CAST(sum(sel) AS BIGINT) AS n_sel,
       |  round(1e-9 + sum(blend * sel), 2) AS sel_blend_sum,
-      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    coalesce(list(doc_id ORDER BY doc_id) FILTER (sel = 1), [])),
-      |    (a, k) -> (a * 131 + k % 1000000007) % 1000000007) AS sel_fp
+      |  coalesce(sum(CASE WHEN sel = 1
+      |      THEN ('0x' || substr(md5('m_' || doc_id), 1, 8))::BIGINT END)::BIGINT,
+      |    0) % 1000000007 AS sel_fp
       |FROM flagged
       |GROUP BY source
       |ORDER BY source""".stripMargin

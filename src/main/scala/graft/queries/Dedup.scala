@@ -668,8 +668,13 @@ object Dedup {
       .groupBy(col("comp").as("cluster_rep"))
       .agg(count(lit(1)).as("n_docs"),
         max(col("id")).as("max_doc"),
-        aggregate(sort_array(collect_list(col("id"))), lit(0L),
-          (acc, k) => (acc * 131 + k % 1000000007L) % 1000000007L).as("members_fp"))
+        // order-independent membership fingerprint (q75's sum-of-hashes
+        // idiom): O(1) agg state with map-side partials. The previous
+        // sort_array(collect_list(id)) buffered every member id per
+        // cluster — a degenerate giant cluster (boilerplate corpus where
+        // one component swallows most documents) would concentrate the
+        // whole corpus into one aggregation buffer.
+        (sum(h32(concat(lit("m_"), col("id")))) % P).as("members_fp"))
       .orderBy(col("cluster_rep"))
 
   /** The q59 evidence-graph + recursive-CC CTE chain (d … walk), shared
@@ -705,8 +710,7 @@ object Dedup {
   val q59Sql: String =
     s"""WITH $dupWalkSql
       |SELECT comp AS cluster_rep, count(*) AS n_docs, max(id) AS max_doc,
-      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(id ORDER BY id)),
-      |    (a, k) -> (a * 131 + k % 1000000007) % 1000000007) AS members_fp
+      |  sum(('0x' || substr(md5('m_' || id), 1, 8))::BIGINT)::BIGINT % 1000000007 AS members_fp
       |FROM walk
       |GROUP BY comp
       |ORDER BY cluster_rep""".stripMargin

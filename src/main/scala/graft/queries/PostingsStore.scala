@@ -162,7 +162,12 @@ object PostingsStore {
     * Contract: `docs` carries doc_ids not yet indexed (same as any
     * append-only index); session memos over the family are invalidated
     * here so derived frames rebuild over the appended state. */
-  def append(spark: SparkSession, dir: String, docs: DataFrame): Unit = try {
+  def append(spark: SparkSession, dir: String, docs: DataFrame): Unit = {
+    // precondition + metadata lookup live OUTSIDE the drop-on-failure
+    // region: a caller invoking append without a materialized store (or
+    // from a memory-mode session) must get the IllegalArgumentException
+    // WITHOUT the catch-all destroying a perfectly healthy store — only
+    // failures of the actual write steps below justify the drop
     require(bucketedMode(spark) &&
       Keys.forall(k => spark.catalog.tableExists(tableName(dir, k))),
       s"append requires a materialized bucketed store for $dir")
@@ -171,6 +176,11 @@ object PostingsStore {
         tableName(dir, "sh")))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(spark.sparkContext.defaultParallelism)
+    appendChecked(spark, dir, docs, buckets)
+  }
+
+  private def appendChecked(spark: SparkSession, dir: String,
+      docs: DataFrame, buckets: Int): Unit = try {
     def appendTo(plan: DataFrame, key: String): Unit = {
       val bk = bucketKeysOf(key)
       plan.repartition(buckets,

@@ -85,6 +85,17 @@ private[graft] object SharedFrames {
     consumersPara(id) || consumersLm(id) || consumersBm25(id)
   }
 
+  /** Does `queryName` read a family that [[PostingsStore]] materializes
+    * on disk? Bench's "bucketed" section times exactly these — the LM and
+    * BM25 consumers (q61/q101, q46/q132) have no bucketed-table home, so
+    * timing them under that key would mislabel in-memory numbers as
+    * on-disk-layout results. `consumersSrc` qualifies: the source-grain
+    * postings derive FROM the bucketed `sh` scan in bucketed mode. */
+  def isBucketedConsumer(queryName: String): Boolean = {
+    val id = queryName.takeWhile(_ != '_')
+    consumers3(id) || consumers8(id) || consumersSrc(id) || consumersPara(id)
+  }
+
   /** Materialize (untimed) whatever shared frames `queryName` reads — a
     * fast no-op when they are already warm, or when the query reads
     * none. */

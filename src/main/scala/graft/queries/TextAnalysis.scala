@@ -1147,18 +1147,22 @@ object TextAnalysis {
     * (boilerplate has pathological PMI structure). Pairs below 20
     * occurrences are dropped — PMI's known low-count instability.
     *
-    * Scale design: exactly two corpus passes — the map-side-combined
-    * bigram and unigram count aggregations; the pair total Σcb derives
-    * from the (persisted, vocab²-grain) unfiltered bigram table rather
-    * than a third corpus explode. After the counts everything is
-    * vocab-grain: two counts-table joins, broadcast total rows, and a
-    * bounded TakeOrdered top-20 — never a sort of the bigram table. */
+    * Scale design: two corpus explodes — the map-side-combined bigram
+    * and unigram count aggregations — plus one NARROW corpus scan for
+    * the pair total: Σcb ≡ Σ_doc max(len(toks)−1, 0) (the identity
+    * CurationOpsSpec pins), so nb is a per-doc size arithmetic with a
+    * map-side sum, never a persisted vocab²-grain table (round 11
+    * persisted the unfiltered bigram counts just to sum them — the
+    * persist cost was charged to every run) and never a third explode.
+    * After the counts everything is vocab-grain: two counts-table
+    * joins, broadcast total rows, and a bounded TakeOrdered top-20 —
+    * never a sort of the bigram table. */
   def q109PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val d = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), toks.as("toks"))
-    val biAll = d
+    val bi = d
       .select(posexplode(slice(col("toks"), lit(1),
           // greatest(.,0): an empty token array makes size-1 = -1, which
           // Slice REJECTS at runtime; DuckDB's range(1, len) is just
@@ -1167,16 +1171,17 @@ object TextAnalysis {
         .as(Seq("i", "w1")), col("toks"))
       .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-      .persist() // vocab²-grain; feeds the floor filter AND the pair total
-    val bi = biAll.filter(col("cb") >= 20)
+      .filter(col("cb") >= 20)
     val uni = d.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
       .persist() // vocab-sized; joined twice (w1 and w2 sides)
-    // nb DERIVES from the unfiltered bigram counts (Σ cb IS the pair
-    // total) — the earlier form re-ran the corpus pair explode a second
-    // time just to count it
-    val totals = uni.agg(sum(col("cu")).as("nu"))
-      .crossJoin(biAll.agg(sum(col("cb")).as("nb")))
+    // nb ≡ Σ_doc max(len(toks)−1, 0) (pinned in CurationOpsSpec): the
+    // pair total is per-doc size arithmetic over a NARROW un-shuffled
+    // corpus scan — no persisted vocab²-grain table, no second explode
+    val nb = Tables.documents(spark, dir)
+      .select(greatest(size(toks) - 1, lit(0)).cast("long").as("np"))
+      .agg(sum(col("np")).as("nb"))
+    val totals = uni.agg(sum(col("cu")).as("nu")).crossJoin(nb)
     bi.join(uni.select(col("tok").as("w1"), col("cu").as("c1")), Seq("w1"))
       .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), Seq("w2"))
       .crossJoin(broadcast(totals))

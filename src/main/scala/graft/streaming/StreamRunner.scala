@@ -28,6 +28,13 @@ import graft.pipeline.{Messages, Plugin, ProductList, Runner}
   */
 object StreamRunner {
 
+  /** Hard ceiling on message rows collected to the driver per
+    * micro-batch by [[runMessages]] — messages are control-plane JSON
+    * (one file ≈ one message under [[fileStream]]'s
+    * maxFilesPerTrigger=1), so any batch near this bound means a data
+    * table was wired into the message slot. */
+  val MaxMessagesPerBatch: Int = 10000
+
   /** Normalize an event-time column to int64 epoch-nanos. The fixture's
     * physical encoding has drifted across generations (int64
     * TIMESTAMP(NANOS) vs TIMESTAMP(MICROS) read as TIMESTAMP_NTZ), and a
@@ -111,8 +118,19 @@ object StreamRunner {
                  (onReport: (String, Seq[Runner.JobReport]) => Unit): StreamingQuery =
     runPerMessage(messages, checkpointDir, availableNow) { (batch, _) =>
       val spark = batch.sparkSession
-      batch.select(col(batch.columns.head).cast("string"))
-        .collect().iterator.map(_.getString(0)).filter(_ != null)
+      // guard the control-plane contract: the collect below is bounded
+      // ONLY because the message source delivers a handful of JSON
+      // messages per trigger (maxFilesPerTrigger=1 in messageStream). A
+      // misconfigured fat source (someone pointing a data table at the
+      // message slot) must fail loudly here, not OOM the driver.
+      val rows = batch.limit(MaxMessagesPerBatch + 1)
+        .select(col(batch.columns.head).cast("string"))
+        .collect()
+      require(rows.length <= MaxMessagesPerBatch,
+        s"runMessages micro-batch exceeds $MaxMessagesPerBatch rows — " +
+          "messages are control-plane JSON, not data; check the source " +
+          "wiring (maxFilesPerTrigger) before raising the bound")
+      rows.iterator.map(_.getString(0)).filter(_ != null)
         .foreach { json =>
           val (ctx, paths) = Messages.toContext(spark, spec, json)
           val reports = Runner.processJobs(ctx, mkChain(paths),

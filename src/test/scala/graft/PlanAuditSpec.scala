@@ -836,6 +836,23 @@ class PlanAuditSpec extends SparkSpec {
       s"q143 lost the shingle-hash equi-join:\n${p.take(2000)}")
   }
 
+  test("membership fingerprints are commutative sums, never collected arrays") {
+    // q60's "train" split is ~90% of the corpus and a degenerate q59
+    // cluster can swallow most documents: a sort_array(collect_list(id))
+    // fingerprint buffers every member id in ONE aggregation buffer (the
+    // round-11 scale probe's worst slope). The sum-of-hashes idiom keeps
+    // O(1) agg state — pinned here as partial_sum in the physical plan
+    // (map-side combine) with no collect_list anywhere in the tree.
+    for (name <- Seq("q59_dup_clusters", "q60_curated_corpus",
+        "q101_quality_blend")) {
+      val p = plan(name)
+      assert(!p.contains("collect_list"),
+        s"$name regressed to an unbounded collect_list fingerprint")
+      assert(p.contains("partial_sum"),
+        s"$name's fingerprint aggregation lost its map-side partial:\n${p.take(1500)}")
+    }
+  }
+
   test("stats-driven broadcast: q05's un-hinted join flips to BHJ from measured stats") {
     // q160's ANALYZE surface feeding the engine: with the static
     // autoBroadcastJoinThreshold DISABLED (the 100 TB posture — file

@@ -663,6 +663,34 @@ class StreamRunnerSpec extends SparkSpec {
       "noaa19" -> spark.read.parquet(s"$sf/nation.parquet").count()))
   }
 
+  test("runMessages rejects a fat micro-batch instead of collecting it") {
+    import graft.pipeline._
+    // a "message" source that is actually a data table: one file carrying
+    // MaxMessagesPerBatch+1 rows (line-per-row text, NOT wholetext, so the
+    // single trigger sees them all). The guard must fail the query loudly
+    // — the alternative is a driver-side collect of the whole table.
+    val src = Files.createTempDirectory("graft_fat_src")
+    val ckp = Files.createTempDirectory("graft_fat_ckp")
+    val lines = (0 to StreamRunner.MaxMessagesPerBatch)
+      .map(i => s"""{"type": "file", "data": {"uri": "x$i"}}""")
+    Files.write(src.resolve("fat.txt"), lines.mkString("\n").getBytes("UTF-8"))
+    val fat = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(src.toString) // one row per LINE — 10001 rows in one batch
+    val spec = ProductList(areas = Seq(
+      AreaSpec(Some("euro"), products = Seq(ProductSpec("scene")))))
+    val q = StreamRunner.runMessages(fat, spec, ckp.toString,
+      _ => Seq.empty) { (_, _) => fail("fat batch reached the job runner") }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("micro-batch exceeds")),
+      s"expected the fat-batch guard, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("stream-static enrichment joins each batch against a dimension") {
     val (src, ckp) = stageMessages(1)
     val stream = StreamRunner.fileStream(spark, src, eventsSchema)
