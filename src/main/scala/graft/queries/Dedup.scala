@@ -150,6 +150,53 @@ object Dedup {
           .join(broadcast(hotShingles(spark, dir)), Seq("h"), "left_anti")
       })
 
+  /** Positional 8-gram postings plan (doc_id, pos, h) — q83's span
+    * index, as a PURE plan over an arbitrary (doc_id, text) frame (the
+    * unit [[PostingsStore.append]] runs over new arrivals). Positions
+    * matter here (anti-diagonal run-length), so no distinct. */
+  private[queries] def pos8PostingsPlanFor(spark: SparkSession,
+      docs: DataFrame): DataFrame =
+    docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(shingleH32(col("text"), 8)).as(Seq("pos", "h")))
+
+  /** The positional postings q83 consumes — [[PostingsStore]] bucketed
+    * table (bucketed by `h`: the candidate self-join key, so both join
+    * sides read pre-clustered data with zero Exchange) in bucketed
+    * mode, else the session-memoized in-memory frame. */
+  private[queries] def pos8Postings(spark: SparkSession, dir: String): DataFrame =
+    PostingsStore.lookup(spark, dir, "pos8").getOrElse(
+      shared(spark, dir, "pos8") {
+        pos8PostingsPlanFor(spark, Tables.documents(spark, dir)) })
+
+  /** q83's stop-8-gram rule over a positional postings frame: shingles
+    * seen in more than 32 distinct documents are dropped before the
+    * self-join (the k² guard). Tiny by construction — broadcastable.
+    * ONE definition shared by the session path and [[PostingsStore]]'s
+    * capped rebuild. */
+  private[queries] def hotPos8Over(post: DataFrame): DataFrame =
+    post.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > 32).select(col("h"))
+
+  /** Df-capped positional postings, persisted after the anti-join —
+    * what both q83 self-join sides read. Bucketed-mode consumers get
+    * the on-disk `pos8c` table straight off the h-bucketed scan. */
+  private def cappedPos8Postings(spark: SparkSession, dir: String): DataFrame =
+    PostingsStore.lookup(spark, dir, "pos8c").getOrElse(
+      shared(spark, dir, "pos8c") {
+        val post = pos8Postings(spark, dir)
+        post.join(broadcast(hotPos8Over(post)), Seq("h"), "left_anti")
+      })
+
+  /** Materialize the positional family if not warm (see
+    * [[SharedFrames.warmFor]]). */
+  private[graft] def warmPos8Shared(spark: SparkSession, dir: String): Unit = {
+    cappedPos8Postings(spark, dir).count()
+    ()
+  }
+
   /** Inverted-index candidate pairs over a postings frame: the h-equi
     * self-join with the `da < db` orientation that confines the quadratic
     * term to within-shingle collisions. Shared by every exact-verify
@@ -1049,21 +1096,15 @@ object Dedup {
     *
     * Scale design: candidate generation is the positional inverted index
     * with a df-cap (shingles in >32 docs are dropped before the self-join
-    * — the stop-shingle k² guard q29 uses); the postings explode is
-    * repartitioned by doc up front and persisted so both join sides reuse
-    * one md5 expansion. The run-length windows partition by
-    * (pair, diagonal) — fine-grained keys, no skew pile-up. */
+    * — the stop-shingle k² guard q29 uses); the capped positional
+    * postings are a [[SharedFrames]]/[[PostingsStore]] family
+    * ([[cappedPos8Postings]]): session-persisted in memory, or an
+    * h-bucketed on-disk table whose self-join runs with zero Exchange of
+    * the index. The run-length windows partition by (pair, diagonal) —
+    * fine-grained keys, no skew pile-up. */
   def q83DupSpans(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val post = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"),
-        posexplode(shingleH32(col("text"), 8)).as(Seq("pos", "h")))
-      .persist()
-    val hot = post.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > 32).select(col("h"))
-    val p = post.join(broadcast(hot), Seq("h"), "left_anti")
+    val p = cappedPos8Postings(spark, dir)
     val m = p.as("a").join(p.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),

@@ -53,13 +53,19 @@ object PostingsStore {
     * boilerplate removal) aggregate and join on, so the
     * canonical-instance / document-frequency aggregations and the
     * instance joins read pre-partitioned data with ZERO Exchange on
-    * this side. `df`/`srcsh` stay session-derived: narrow single-pass
+    * this side. `pos8`/`pos8c` — q83's positional 8-gram span index
+    * (raw and df-capped) — bucket by the shingle hash `h`: the capped
+    * table's candidate self-join AND the raw table's df aggregation
+    * both key on `h`, so span detection reads a pre-clustered index.
+    * `df`/`srcsh` stay session-derived: narrow single-pass
     * derivatives with their own hot keys. */
-  val Keys: Seq[String] = Seq("sh", "capped", "sh8", "bands", "para")
+  val Keys: Seq[String] = Seq("sh", "capped", "sh8", "bands", "para",
+    "pos8", "pos8c")
 
   private def bucketKeysOf(key: String): Seq[String] =
     if (key == "bands") Seq("band", "bfp")
     else if (key == "para") Seq("ph")
+    else if (key == "pos8" || key == "pos8c") Seq("h")
     else Seq("doc_id")
 
   def bucketedMode(spark: SparkSession): Boolean =
@@ -124,8 +130,12 @@ object PostingsStore {
     Bucketing.writeBucketed(
       Dedup.paraInstancesPlanFor(spark, docs), tableName(dir, "para"),
       "ph", buckets)
+    Bucketing.writeBucketed(
+      Dedup.pos8PostingsPlanFor(spark, docs), tableName(dir, "pos8"),
+      "h", buckets)
     setNdocs(spark, dir, docs.count())
     rebuildCapped(spark, dir, buckets)
+    rebuildPos8Capped(spark, dir, buckets)
   }
 
   /** All-or-nothing store builds: run `build` after dropping any existing
@@ -199,9 +209,11 @@ object PostingsStore {
     } finally { sh3.unpersist(blocking = false); () }
     appendTo(Curation.sh8PostingsPlanFor(spark, docs), "sh8")
     appendTo(Dedup.paraInstancesPlanFor(spark, docs), "para")
+    appendTo(Dedup.pos8PostingsPlanFor(spark, docs), "pos8")
     setNdocs(spark, dir, ndocsOf(spark, dir) + docs.count())
     SharedFrames.invalidate(spark, dir)
     rebuildCapped(spark, dir, buckets)
+    rebuildPos8Capped(spark, dir, buckets)
   } catch { case e: Throwable =>
     // a half-applied append (sh rows without their bands twin) is a
     // corrupt index — see buildOrDrop's contract: drop and rethrow
@@ -253,6 +265,24 @@ object PostingsStore {
       sh.join(broadcast(Dedup.hotShinglesOver(dfCounts, nd)),
         Seq("h"), "left_anti"),
       tableName(dir, "capped"), "doc_id", buckets)
+  }
+
+  /** Rewrite the df-capped positional table from the CURRENT bucketed
+    * `pos8` state — the positional analogue of [[rebuildCapped]] (q83's
+    * cap is an absolute 32-distinct-docs rule, so no ndocs property is
+    * involved). Like `capped`, this is the layout's compaction unit:
+    * document frequencies are corpus-global, so every append rebuilds
+    * it — O(postings), amortized over O(batch) appends. */
+  private def rebuildPos8Capped(spark: SparkSession, dir: String,
+      buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, "pos8c")}")
+    SharedFrames.invalidate(spark, dir)
+    // reads pos8 via lookup (bucketed): the df aggregation groups on the
+    // bucket key h, so the hot-set derivation is exchange-free
+    val post = Dedup.pos8Postings(spark, dir)
+    Bucketing.writeBucketed(
+      post.join(broadcast(Dedup.hotPos8Over(post)), Seq("h"), "left_anti"),
+      tableName(dir, "pos8c"), "h", buckets)
   }
 
   /** Drop the family's tables and any session memo built over them;

@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** One Dataset object per (session, dir, key) for session-shared
-  * intermediates — six families as of round 11: the 3-gram and 8-gram
+  * intermediates — seven families as of round 12: the 3-gram and 8-gram
   * postings, the source-grain postings, the paragraph-instance table,
-  * the corpus-trained bigram LM, and the BM25 inverted index. Without the
+  * the positional 8-gram span index, the corpus-trained bigram LM, and
+  * the BM25 inverted index. Without the
   * memo every call built a NEW Dataset over an identical plan and
   * re-`persist()`ed it; Spark's CacheManager plan-matches those into one
   * cache entry, but each re-registration raced recomputation of the same
@@ -67,6 +68,10 @@ private[graft] object SharedFrames {
     * removal share one CDC segmentation + hash pass). */
   val consumersPara: Set[String] = Set("q137", "q152")
 
+  /** Queries reading the positional 8-gram span index
+    * ([[Dedup]]'s `pos8`/`pos8c` — exact duplicated-span detection). */
+  val consumersPos8: Set[String] = Set("q83")
+
   /** Queries scoring with the corpus-trained bigram LM
     * ([[TextAnalysis.lmModel]] — the pre-trained-artifact analogue:
     * trained once per corpus, loaded by every scorer). */
@@ -82,7 +87,8 @@ private[graft] object SharedFrames {
   def isConsumer(queryName: String): Boolean = {
     val id = queryName.takeWhile(_ != '_')
     consumers3(id) || consumers8(id) || consumersSrc(id) ||
-    consumersPara(id) || consumersLm(id) || consumersBm25(id)
+    consumersPara(id) || consumersPos8(id) || consumersLm(id) ||
+    consumersBm25(id)
   }
 
   /** Does `queryName` read a family that [[PostingsStore]] materializes
@@ -93,7 +99,8 @@ private[graft] object SharedFrames {
     * postings derive FROM the bucketed `sh` scan in bucketed mode. */
   def isBucketedConsumer(queryName: String): Boolean = {
     val id = queryName.takeWhile(_ != '_')
-    consumers3(id) || consumers8(id) || consumersSrc(id) || consumersPara(id)
+    consumers3(id) || consumers8(id) || consumersSrc(id) ||
+    consumersPara(id) || consumersPos8(id)
   }
 
   /** Materialize (untimed) whatever shared frames `queryName` reads — a
@@ -105,6 +112,7 @@ private[graft] object SharedFrames {
     if (consumers8(id)) Curation.warmShared(spark, dir)
     if (consumersSrc(id)) Dedup.warmSrcShared(spark, dir)
     if (consumersPara(id)) Dedup.warmParaShared(spark, dir)
+    if (consumersPos8(id)) Dedup.warmPos8Shared(spark, dir)
     if (consumersLm(id)) TextAnalysis.warmLmShared(spark, dir)
     if (consumersBm25(id)) Search.warmBm25Shared(spark, dir)
   }

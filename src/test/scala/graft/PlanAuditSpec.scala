@@ -920,7 +920,7 @@ class PlanAuditSpec extends SparkSpec {
     import graft.queries.PostingsStore
     val consumers = Seq("q29_ngram_jaccard", "q30_minhash_lsh",
       "q98_source_overlap", "q56_contamination", "q124_bloom_decontam",
-      "q137_paragraph_dedup", "q152_boilerplate_removal")
+      "q137_paragraph_dedup", "q152_boilerplate_removal", "q83_dup_spans")
     def rows(name: String): Set[Seq[Any]] =
       SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq.map {
         case d: Double => math.rint(d * 1e6) / 1e6 // ULP-stable across scan orders
@@ -971,6 +971,19 @@ class PlanAuditSpec extends SparkSpec {
       assert(phJoin.queryExecution.executedPlan
         .collect { case e: Exchange => e }.isEmpty,
         "ph co-bucketed instance join must not shuffle")
+      // the positional span index: h-bucketed, so q83's candidate
+      // self-join reads both sides pre-clustered on the shingle hash —
+      // the Bucketed: true pin on BOTH scan sides, plus zero Exchange
+      val pos8c = spark.table(PostingsStore.tableName(sf, "pos8c"))
+      val spanCand = pos8c.as("x").join(pos8c.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      val spanPlan = spanCand.queryExecution.executedPlan
+      assert(spanPlan.collect { case e: Exchange => e }.isEmpty,
+        "h-bucketed positional self-join must not shuffle the index")
+      val spanScans = spanPlan.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f }
+      assert(spanScans.size == 2,
+        s"q83's self-join must read TWO bucketed pos8c scans, got ${spanScans.size}")
       // restored via the finally below, so a failed assertion above
       // cannot leak threshold=-1 into the rest of the shared session
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc0)

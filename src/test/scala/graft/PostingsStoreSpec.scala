@@ -14,7 +14,8 @@ class PostingsStoreSpec extends SparkSpec {
   test("materialize half + append half == materialize full, for every consumer") {
     val consumers = Seq("q29_ngram_jaccard", "q30_minhash_lsh",
       "q56_contamination", "q124_bloom_decontam",
-      "q137_paragraph_dedup", "q152_boilerplate_removal")
+      "q137_paragraph_dedup", "q152_boilerplate_removal",
+      "q83_dup_spans")
     def rows(name: String): Set[Seq[Any]] =
       SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq.map {
         case d: Double => math.rint(d * 1e6) / 1e6
@@ -52,6 +53,12 @@ class PostingsStoreSpec extends SparkSpec {
       assert(perPh.queryExecution.executedPlan
         .collect { case e: Exchange => e }.isEmpty,
         "per-paragraph aggregation shuffled after append")
+      // and on the h-bucketed positional index (q83's df aggregation)
+      val perH = spark.table(PostingsStore.tableName(sf, "pos8"))
+        .groupBy(col("h")).agg(count(lit(1)))
+      assert(perH.queryExecution.executedPlan
+        .collect { case e: Exchange => e }.isEmpty,
+        "per-shingle aggregation over pos8 shuffled after append")
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       // THE equivalence: consumers over the incrementally-built store
       consumers.foreach { n =>
