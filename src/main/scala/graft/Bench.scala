@@ -150,10 +150,35 @@ object Bench {
     * re-run any transient outlier, then attach the fidelity and
     * bucketed-layout sections before emitting. */
   private def orchestrate(sfDir: String, names: Seq[String]): Unit = {
+    analyzeOnce(sfDir)
     val merged = names.grouped(chunkSize).toSeq.flatMap(runChild(sfDir, _))
     val guarded = guardOutliers(sfDir, merged)
     val (finalResults, fidelity) = fidelitySection(sfDir, guarded)
     emit(jsonLine(sfDir, finalResults, fidelity ++ bucketedSection(sfDir, names)))
+  }
+
+  /** UNTIMED warehouse maintenance before the pack: ANALYZE every
+    * fixture table once in the parent, persisting measured stats
+    * (graft_table_stats in the shared cwd warehouse). Every child JVM's
+    * GraftSession.prime then hydrates the profile and turns
+    * [[graft.plans.StatsBroadcastJoins]] on — the official pack runs
+    * with stats-driven planning active, priced from THIS sf's measured
+    * rows × widths. ANALYZE cost is deliberately outside the timings,
+    * same as the bucketed-store materialization: it is amortized
+    * warehouse upkeep, not query cost. Best-effort — a failed analyze
+    * must never kill the bench (children just run with the rule off,
+    * the round-over-round trend stays comparable). */
+  private def analyzeOnce(sfDir: String): Unit = try {
+    val spark = GraftSession.prime(GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    try graft.plans.StatsStore.analyze(spark, sfDir,
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings"))
+    finally spark.stop()
+    ()
+  } catch { case scala.util.control.NonFatal(e) =>
+    System.err.println(s"bench analyze skipped: ${e.getMessage}")
   }
 
   /** Pack-fidelity enforcement for the shared-postings consumers: the

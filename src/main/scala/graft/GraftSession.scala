@@ -106,6 +106,18 @@ object GraftSession {
         spark.conf.set("spark.sql.optimizer.excludedRules",
           (cur.toSeq :+ ewp).mkString(","))
       registerFunctions(spark)
+      // stats-driven planning is DEFAULT-ON once measured stats exist:
+      // hydrate the persisted ANALYZE profile (graft_table_stats) and
+      // let StatsBroadcastJoins act on it. The rule is conservative by
+      // construction (hints only bare profiled scans, never overrides a
+      // user hint, prices by measured rows × width) and stats are keyed
+      // by qualified path, so a session reading un-profiled dirs is
+      // unaffected. An explicit conf set by the session owner — either
+      // way — always wins over this default.
+      if (spark.conf.getOption(graft.plans.StatsStore.EnabledConf).isEmpty &&
+          (try graft.plans.StatsStore.load(spark) > 0
+           catch { case scala.util.control.NonFatal(_) => false }))
+        spark.conf.set(graft.plans.StatsStore.EnabledConf, "true")
       primed.add(spark)
     }
     spark

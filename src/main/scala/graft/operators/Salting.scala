@@ -14,6 +14,34 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Measured salt fan-out for a grouped aggregation on `table`'s
+    * `groupKeys`, fed by [[graft.plans.StatsStore]]'s ANALYZE profile —
+    * the q103 loop closed: the skew audit's "suggested fan-out" consumed
+    * by the operator instead of reported and ignored.
+    *
+    * Rule: with NDV(keys) measured groups and P cores, a plain hash
+    * aggregation runs at most NDV-way parallel in its final stage —
+    * when NDV < P the measured remedy is ceil(P / NDV) salt buckets
+    * (every core gets a partial group), clamped to [1, P] (salting past
+    * the core count only adds merge rows). A table with no fresh stats
+    * returns `fallback` — the operator stays usable before the first
+    * ANALYZE, exactly like a warehouse CBO. NDV of a multi-key grouping
+    * is lower-bounded by its widest column (the conservative side: a
+    * too-LOW NDV estimate over-salts, which costs merge rows, never
+    * correctness or a straggler). */
+  def bucketsFromStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String, table: String, groupKeys: Seq[String],
+      fallback: Int): Int = {
+    val p = spark.sparkContext.defaultParallelism
+    graft.plans.StatsStore.statsFor(spark, dir, table)
+      .flatMap { s =>
+        val ndv = groupKeys.flatMap(k => s.ndv.get(k).filter(_ > 0))
+        if (ndv.isEmpty) None
+        else Some((((p + ndv.max - 1) / ndv.max).toInt).max(1).min(p))
+      }
+      .getOrElse(fallback)
+  }
+
   /** Deterministic per-row salt in [0, buckets): content-hashed, so reruns
     * and retries land rows in the same bucket (no rand(), which would
     * break task-retry determinism). */

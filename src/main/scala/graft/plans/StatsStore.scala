@@ -128,13 +128,30 @@ object StatsStore {
     toDf(spark, fresh)
   }
 
+  /** Where the profile lives on disk: a plain parquet directory under
+    * the session's warehouse dir — DELIBERATELY path-addressed, not a
+    * catalog table, because the default in-memory catalog forgets
+    * `saveAsTable` entries at JVM exit, and the whole point of the
+    * persisted profile is that a FRESH JVM (each Bench chunk child, the
+    * driver's Verify run) hydrates plan-time stats without re-scanning
+    * anything. A real deployment swaps this for the transactional
+    * catalog's stats section. */
+  private def storePath(spark: SparkSession): Path =
+    new Path(spark.conf.get("spark.sql.warehouse.dir"), TableName)
+
+  private def storeExists(spark: SparkSession): Boolean = {
+    val p = storePath(spark)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Hydrate [[statsByPath]] from the persisted stats table (a fresh
     * JVM's path to plan-time stats without re-scanning anything).
     * Returns the number of loaded rows. */
   def load(spark: SparkSession): Int =
-    if (!spark.catalog.tableExists(TableName)) 0
+    if (!storeExists(spark)) 0
     else {
-      val rows = spark.table(TableName).collect()
+      val rows = spark.read.schema(statsSchema)
+        .parquet(storePath(spark).toString).collect()
       rows.foreach { r =>
         statsByPath.put(r.getAs[String]("path"), TableStats(
           r.getAs[String]("table"), r.getAs[Long]("n_rows"),
@@ -151,10 +168,15 @@ object StatsStore {
   /** Drop only the in-JVM map (tests: prove [[load]] rehydrates). */
   private[graft] def statsByPathClearForTest(): Unit = statsByPath.clear()
 
+  /** Loaded stats by qualified scan path — the exact lookup the rule
+    * performs (plan-audit tests attribute broadcast sides with it). */
+  def statsForPath(path: String): Option[TableStats] = statsByPath.get(path)
+
   /** Forget everything — persisted table, loaded map. */
   def clear(spark: SparkSession): Unit = {
     statsByPath.clear()
-    spark.sql(s"DROP TABLE IF EXISTS $TableName")
+    val p = storePath(spark)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     ()
   }
 
@@ -168,17 +190,19 @@ object StatsStore {
   }
 
   /** Merge-write: keep rows for paths not re-analyzed (tiny table —
-    * collected through the driver by construction). */
+    * collected through the driver by construction, the existing rows
+    * eagerly collected BEFORE the overwrite touches the directory). */
   private def persist(spark: SparkSession,
       fresh: Map[String, TableStats]): Unit = {
     val existing: Map[String, TableStats] =
-      if (!spark.catalog.tableExists(TableName)) Map.empty
-      else spark.table(TableName).collect().map { r =>
-        r.getAs[String]("path") -> TableStats(
-          r.getAs[String]("table"), r.getAs[Long]("n_rows"),
-          r.getAs[Double]("row_bytes"), r.getAs[Map[String, Long]]("ndv"))
-      }.toMap
+      if (!storeExists(spark)) Map.empty
+      else spark.read.schema(statsSchema)
+        .parquet(storePath(spark).toString).collect().map { r =>
+          r.getAs[String]("path") -> TableStats(
+            r.getAs[String]("table"), r.getAs[Long]("n_rows"),
+            r.getAs[Double]("row_bytes"), r.getAs[Map[String, Long]]("ndv"))
+        }.toMap
     toDf(spark, existing ++ fresh)
-      .write.mode("overwrite").format("parquet").saveAsTable(TableName)
+      .write.mode("overwrite").parquet(storePath(spark).toString)
   }
 }

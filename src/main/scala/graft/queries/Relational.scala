@@ -455,14 +455,22 @@ object Relational {
     * answer, different partitioning". Integer aggregates keep the
     * comparison exact. l_returnflag has only 3 groups, i.e. maximal
     * skew pressure for a 32-thread local run: exactly the shape salting
-    * exists for. */
+    * exists for.
+    *
+    * The fan-out is STATS-FED ([[graft.operators.Salting.bucketsFromStats]]):
+    * when an ANALYZE profile for `lineitem` is loaded, buckets =
+    * ceil(P / NDV(l_returnflag)) — the measured remedy for a
+    * 3-group/32-core aggregation — with 32 as the pre-ANALYZE fallback.
+    * Either fan-out is result-identical (the operator's contract), so
+    * the oracle never sees the difference. */
   def q67SaltedAgg(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Salting.saltedAggregate(
       Tables.lineitem(spark, dir)
         .select(col("l_returnflag"), col("l_suppkey"), col("l_orderkey")),
       keys = Seq("l_returnflag"),
       aggs = Map("l_suppkey" -> "sum", "l_orderkey" -> "max"),
-      buckets = 32)
+      buckets = graft.operators.Salting.bucketsFromStats(
+        spark, dir, "lineitem", Seq("l_returnflag"), fallback = 32))
       .select(col("l_returnflag"), col("sum_l_suppkey"), col("max_l_orderkey"))
       .orderBy(col("l_returnflag"))
 

@@ -836,6 +836,40 @@ class PlanAuditSpec extends SparkSpec {
       s"q143 lost the shingle-hash equi-join:\n${p.take(2000)}")
   }
 
+  test("q46/q132 probe prunes the BM25 index to query terms via broadcast") {
+    // SURVEY §6's index scale story: the probe joins the TINY query-term
+    // list as the broadcast build side against the index scan, so the
+    // full postings list is pruned map-side BEFORE any shuffle — no
+    // exchange of the index ever happens. Pinned structurally: a
+    // BroadcastHashJoin whose streamed side is the (cached) index scan
+    // with zero Exchange between join and scan.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // AQE off: the pin is a static plan property, and collect() does not
+    // descend into an un-executed AdaptiveSparkPlan wrapper
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (name <- Seq("q46_bm25", "q132_hybrid_rrf")) {
+      graft.queries.SharedFrames.warmFor(name, spark, sf)
+      val ep = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val probes = ep.collect {
+        case j: BroadcastHashJoinExec =>
+          val streamed = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+            case _ => j.left
+          }
+          (j, streamed)
+      }.filter { case (_, streamed) =>
+        streamed.collectFirst { case s: InMemoryTableScanExec => s }.isDefined &&
+        streamed.collectFirst { case e: Exchange => e }.isEmpty
+      }
+      assert(probes.nonEmpty,
+        s"$name lost the broadcast term-prune against the un-shuffled " +
+          s"index scan:\n${ep.toString.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("membership fingerprints are commutative sums, never collected arrays") {
     // q60's "train" split is ~90% of the corpus and a degenerate q59
     // cluster can swallow most documents: a sort_array(collect_list(id))
@@ -869,6 +903,11 @@ class PlanAuditSpec extends SparkSpec {
         .count(_.contains("BroadcastHashJoin"))
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // pin the rule OFF for the baseline: GraftSession.prime defaults it
+    // ON whenever a persisted profile loads (and the analyze below
+    // persists one before the first prime of a fresh session) — this
+    // test drives the flip by hand
+    spark.conf.set(StatsStore.EnabledConf, "false")
     try {
       val stats = StatsStore.analyze(spark, sf,
         Seq("region", "nation", "customer", "supplier", "orders", "lineitem"))
@@ -898,6 +937,73 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.conf.unset(StatsStore.EnabledConf)
       spark.conf.unset(StatsStore.ThresholdConf)
+      StatsStore.clear(spark)
+    }
+  }
+
+  test("stats-broadcast default-on sweep: measured-bigger sides stay on the shuffle path") {
+    // Round-12 promotion: GraftSession.prime turns StatsBroadcastJoins on
+    // whenever a persisted ANALYZE profile loads (the bench parent writes
+    // one per run). This sweep is the no-regression proof: with the rule
+    // active under the 100 TB posture (static file-size threshold OFF),
+    // no join in the relational/event pack broadcasts a profiled scan
+    // whose MEASURED bytes exceed the budget — dims flip to broadcast,
+    // facts stay sort-merge. Plus the q103→Salting loop: q67's fan-out
+    // comes from the measured NDV, not the hard-coded constant.
+    import graft.plans.StatsStore
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      StatsStore.analyze(spark, sf, Seq("region", "nation", "customer",
+        "supplier", "part", "orders", "lineitem"))
+      spark.conf.set(StatsStore.EnabledConf, "true")
+      val budget = (10L * 1024 * 1024)
+      val sweep = Seq("q03_segment_revenue", "q04_order_status_volume",
+        "q05_region_revenue", "q07_top_orders_per_customer",
+        "q11_big_spenders", "q12_customers_without_orders",
+        "q13_nation_setops", "q15_above_avg_parts",
+        "q115_min_cost_supplier")
+      for (name <- sweep) {
+        val ep = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+        val overBudget = ep.collect { case b: BroadcastExchangeExec => b }
+          .flatMap(_.collectLeaves().collect { case f: FileSourceScanExec => f })
+          .flatMap(_.relation.location.rootPaths.map(_.toString))
+          .flatMap(p => StatsStore.statsForPath(p).map(p -> _))
+          .filter(_._2.estBytes > budget)
+        assert(overBudget.isEmpty,
+          s"$name broadcasts a measured-bigger side: " +
+            overBudget.map { case (p, s) => s"$p=${s.estBytes}B" }.mkString(","))
+        // the rule must also never ADD a broadcast that fails to remove
+        // the corresponding shuffle: total exchanges can only shrink
+        // (checked implicitly by the q05 flip test; here we just demand
+        // the plan still builds and answers — a planning exception would
+        // have thrown above)
+      }
+      // q103's loop closed: the salted aggregation's fan-out is measured.
+      // lineitem has 3 return flags; with P cores the stats-fed fan-out
+      // is ceil(P / NDV) (approx NDV may be off by the sketch's small-n
+      // error, never by enough to reach the 32 fallback on 3 groups).
+      val p = spark.sparkContext.defaultParallelism
+      val ndv = StatsStore.statsFor(spark, sf, "lineitem").get.ndv("l_returnflag")
+      assert(ndv >= 2 && ndv <= 5, s"suspicious returnflag NDV $ndv")
+      val buckets = graft.operators.Salting.bucketsFromStats(
+        spark, sf, "lineitem", Seq("l_returnflag"), fallback = 32)
+      assert(buckets == ((p + ndv - 1) / ndv).max(1).min(p).toInt,
+        s"stats-fed fan-out $buckets is not the measured ceil($p/$ndv)")
+      assert(buckets != 32 || p >= 64,
+        "q67 fan-out fell back to the constant despite fresh stats")
+      // and the fan-out is live inside q67's plan: the salted partial
+      // aggregation carries the salt column
+      val q67 = plan("q67_salted_agg")
+      assert(q67.contains("_graft_salt"), "q67 lost its salt stage")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.unset(StatsStore.EnabledConf)
       StatsStore.clear(spark)
     }
   }

@@ -132,6 +132,66 @@ class SkewSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  /** Degenerate-embedding corpus: one identical vector carried by 60% of
+    * the rows (a collapsed cluster — the all-same-page-embedding failure
+    * mode), so one hyperplane signature owns 60% of the bucket mass. The
+    * ANN signature joins (q99/q112 self-join; q34 broadcasts its probe
+    * side instead) would pile that bucket onto one task under a plain
+    * hash shuffle. */
+  private lazy val hotSigDir: String = {
+    val dir = Files.createTempDirectory("graft_hotsig").toString
+    val rnd = new scala.util.Random(17)
+    val hot = Seq.tabulate(64)(i => if (i % 2 == 0) 0.7f else -0.3f)
+    val rows = (0 until 1200).map { i => (i.toLong, hot, i % 3) } ++
+      (0 until 800).map { i => ((1200 + i).toLong,
+        Seq.tabulate(64)(_ => rnd.nextFloat() * 2 - 1), i % 3) }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("AQE splits the hot signature bucket in the q99-shaped ANN self-join") {
+    // the bounded-per-task-input proof for the signature equi-join family:
+    // with a 60%-mass signature, the q99 self-join's hot shuffle partition
+    // is split by AQE's skew reader (same knobs as the q152 instance-join
+    // case — the MECHANISM is scale-free, only the byte thresholds move).
+    // The within-bucket pair fan-out itself is the query's semantics
+    // (neighbors share the bucket) and is digested by map-side-combinable
+    // aggregation; what must never happen is one task owning the whole
+    // bucket's shuffle input — that is what skew=true certifies.
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val df = SparkEntry.queries("q99_label_errors")(spark, hotSigDir)
+      val out = df.collect() // executes THIS QueryExecution (count() forks)
+      // every member of the collapsed cluster has 1199 cos=1.0 neighbors
+      assert(out.length >= 1200, s"hot-cluster rows lost: ${out.length}")
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the hot signature partition:\n${finalPlan.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("Salting spreads the 50%-mass key: per-task group size drops by the bucket factor") {
     import spark.implicits._
     val n = 200000
