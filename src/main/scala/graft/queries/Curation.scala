@@ -442,7 +442,19 @@ object Curation {
     * Scale shape: two broadcast-able anti-join kill-lists (flagged docs,
     * non-canonical dup members — both corpus-fraction-sized) against the
     * full corpus, then one aggregation; the expensive evidence passes are
-    * the same linear plans q57/q59 already run. */
+    * the same linear plans q57/q59 already run.
+    *
+    * Scale-probe note (round 12): q60's ~2.3× slope on 10× data is floor
+    * arithmetic, not fan-out — the q152 story again. Decomposed at
+    * sf0.01/sf0.1: the q57 repetition evidence pass alone is
+    * 0.45 s → 0.76 s with its output exactly linear (74 → 667 flagged
+    * docs on 10× data), the dup-labels pass adds ~0.1–0.2 s at both SFs,
+    * and the final aggregation is 3 rows. t_small sits on the fixed
+    * plan/codegen/dispatch floor, so the ratio reads high while every
+    * stage scales at or below the data ratio. The one genuine 100 TB
+    * risk this query carried — the per-split collect_list membership
+    * array — was replaced by the O(1) sum-of-hashes fingerprint this
+    * round (see docs_fp below). */
   /** Per-document curated survivors with their split — the frame a
     * training run materializes (see [[q60CuratedCorpus]] for the
     * aggregate view; `LayoutSpec` writes this partitioned by split). */

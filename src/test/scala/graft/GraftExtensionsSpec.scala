@@ -80,6 +80,28 @@ class GraftExtensionsSpec extends SparkSpec {
       "group-1 extract must not rewrite")
   }
 
+  test("analyze profiles a table with a map column (NDV sentinel, width measured)") {
+    // Spark rejects hashing MapType (legacy.allowHashOnMapType=false), so
+    // approx_count_distinct over a map column used to fail the WHOLE
+    // analyze pass — the fix skips the NDV aggregate for maps (sentinel
+    // -1) while still measuring their width via to_json.
+    import org.apache.spark.sql.functions._
+    import graft.plans.StatsStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_mapstats").toString
+    spark.range(100)
+      .select(col("id"),
+        map(lit("k"), col("id").cast("string")).as("props"))
+      .write.mode("overwrite").parquet(s"$dir/mapped.parquet")
+    try {
+      StatsStore.analyze(spark, dir, Seq("mapped"))
+      val s = StatsStore.statsFor(spark, dir, "mapped").get
+      assert(s.nRows == 100)
+      assert(s.ndv("id") > 0, "plain column NDV missing")
+      assert(s.ndv("props") == -1L, "map column must carry the NDV sentinel")
+      assert(s.rowBytes > 8.0, "map width not measured")
+    } finally StatsStore.clear(spark)
+  }
+
   test("applying the extensions class injects without error") {
     // builder-time injection can't be observed on the already-running
     // shared session (extensions apply to new sessions only) and the

@@ -70,4 +70,33 @@ class PostingsStoreSpec extends SparkSpec {
       SharedFrames.invalidate(spark, sf)
     }
   }
+
+  test("append precondition failure leaves a healthy store untouched") {
+    // the round-12 ADVICE fix: append's require() used to sit INSIDE the
+    // drop-on-failure region, so calling it from a session not in
+    // bucketed mode (the default after any restart) deleted all the
+    // bucketed tables — the guard destroyed the store it guarded. Now
+    // the precondition throws BEFORE the all-or-nothing region.
+    val docs = graft.sources.Tables.documents(spark, sf)
+    try {
+      PostingsStore.materializeFrom(spark, sf,
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0))
+      // simulate the restart: mode reset to memory, store still on disk
+      spark.conf.set(PostingsStore.ModeConf, "memory")
+      intercept[IllegalArgumentException] {
+        PostingsStore.append(spark, sf,
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1))
+      }
+      PostingsStore.Keys.foreach { k =>
+        assert(spark.catalog.tableExists(PostingsStore.tableName(sf, k)),
+          s"precondition failure dropped the $k table")
+      }
+      // and the store still serves once the mode is restored
+      spark.conf.set(PostingsStore.ModeConf, "bucketed")
+      assert(PostingsStore.lookup(spark, sf, "sh").get.count() > 0)
+    } finally {
+      PostingsStore.drop(spark, sf)
+      SharedFrames.invalidate(spark, sf)
+    }
+  }
 }
