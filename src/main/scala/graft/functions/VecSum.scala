@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Element-wise vector-sum aggregator: Σ over a group of `array<double>`
+  * rows, as ONE fixed-width buffer per group.
+  *
+  * This is the centroid-recompute kernel for the k-means / quantizer
+  * queries. The declarative alternative — `posexplode` the vectors and
+  * `groupBy(label, pos)` — multiplies the aggregation input by the
+  * dimensionality (64× more rows hashed, shuffled and merged) just to
+  * reassemble the array afterwards with a sort-by-position collect. At
+  * 100 TB the explode is the dominant cost of every Lloyd iteration;
+  * this buffer keeps the input at vector grain with map-side partials
+  * and a dim-width state (the same reasoning as [[ValidFraction]]'s
+  * pair-of-longs, scaled to a primitive array).
+  *
+  * Ragged inputs throw (embeddings are fixed-width by contract — same
+  * strictness as `dot_f64`); nulls are ignored like any SQL aggregate.
+  * The empty-relation buffer stays `Array.empty`, finishing to an empty
+  * array — groups always have ≥1 row under `groupBy`, so consumers never
+  * see it. Float order: per-element sums accumulate in row order with
+  * partial-merge reordering, exactly like the built-in `sum`; consumers
+  * round to fixed decimals before anything order-sensitive (the
+  * repo-wide parity idiom).
+  */
+object VecSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+  override def zero: Array[Double] = Array.emptyDoubleArray
+
+  override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] = {
+    if (a == null) b
+    else {
+      val buf = if (b.isEmpty) new Array[Double](a.length) else b
+      if (a.length != buf.length)
+        throw new IllegalArgumentException(
+          s"vec_sum: length mismatch (${a.length} vs ${buf.length})")
+      var i = 0
+      while (i < buf.length) { buf(i) += a(i); i += 1 }
+      buf
+    }
+  }
+
+  override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+    if (x.isEmpty) y
+    else if (y.isEmpty) x
+    else {
+      if (x.length != y.length)
+        throw new IllegalArgumentException(
+          s"vec_sum: partial length mismatch (${x.length} vs ${y.length})")
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+  }
+
+  override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+
+  override def bufferEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}

@@ -47,6 +47,27 @@ object Similarity {
     transform(array_sort(collect_list(struct(col(posCol), col("c")))),
       s => s.getField("c"))
 
+  /** Untyped handle on the element-wise vector-sum aggregator — the
+    * centroid kernel (see [[graft.functions.VecSum]]). */
+  private val vecSum = udaf(graft.functions.VecSum)
+
+  /** Per-group centroid ARRAYS straight from vector rows: Σv/n per
+    * element via [[vecSum]] (dim-width agg state, map-side partials),
+    * rounded to 6 dp exactly like the per-position avg it replaces —
+    * the float-parity contract with the oracle is the rounding, not the
+    * summation order. Returns (groupName, cv, nv). The previous shape
+    * (posexplode → groupBy(group, pos) → sort-by-position collect)
+    * multiplied the aggregation input by the dimensionality; shared by
+    * q35/q36/q69/q70/q144/q156 so the corpus-sized explode exists in
+    * none of them. */
+  private def centroidsOver(members: DataFrame, group: Column,
+      groupName: String): DataFrame =
+    members.groupBy(group.as(groupName))
+      .agg(vecSum(col("v")).as("sv"), count(lit(1)).as("nv"))
+      .select(col(groupName),
+        transform(col("sv"), s => round(lit(1e-9) + s / col("nv"), 6)).as("cv"),
+        col("nv"))
+
   /** Corpus vector count, memoized per (session, corpus): [[sigBits]]
     * needs it at plan time in four queries — one metadata-cheap count
     * per session, not one per query. Weakly keyed by the session
@@ -247,16 +268,13 @@ object Similarity {
     * both engines feed identical constants into downstream arithmetic. */
   def q35LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
-      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
     // each vector's distance to ITS OWN label centroid: a hash join of
     // the vector rows against the k broadcast centroid ARRAYS and one
-    // fold-kernel d² = |v|² − 2·v·c + |c|² — no N×64 explode joined
-    // against k×64 centroid rows, no re-aggregation (the q69/q36/q70
-    // shape; the oracle computes the identical folds)
-    val centA = cent.groupBy(col("c_label"))
-      .agg(centroidArray("c_pos").as("cv"))
+    // fold-kernel d² = |v|² − 2·v·c + |c|² — no N×64 explode anywhere
+    // (centroids via the VecSum kernel, distances via dot_f64; the
+    // oracle computes the identical folds over identically-rounded
+    // centroid constants)
+    val centA = centroidsOver(e, col("label"), "c_label")
       .withColumn("cnrm", dotCol(col("cv"), col("cv")))
     e.join(broadcast(centA), col("label") === col("c_label"))
       .select(col("label"),
@@ -302,15 +320,11 @@ object Similarity {
     * the candidate set is a hash-join on the cluster id, not a scan. */
   def q36AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
-      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
     // coarse assignment against k broadcast centroid ARRAYS with the
     // fold-kernel d² and a struct-min argmin — the q69 shape (N×k dot
-    // products, one hash agg) instead of the N×64×k exploded join + a
-    // window rank it replaced
-    val centA = cent.groupBy(col("c_label"))
-      .agg(centroidArray("c_pos").as("cv"))
+    // products, one hash agg); centroids via the VecSum kernel, so no
+    // N×64 explode feeds the quantizer either
+    val centA = centroidsOver(e, col("label"), "c_label")
       .withColumn("cnrm", dotCol(col("cv"), col("cv")))
     val assigned = e.crossJoin(broadcast(centA))
       .select(col("vec_id"),
@@ -485,32 +499,27 @@ object Similarity {
     *
     * Scale design: centroids are k×64 rows — broadcast on both assignment
     * passes, so each pass is a map-side join + one (vec_id)-keyed
-    * aggregation; the component table is exploded once, persisted, and
-    * every downstream pass reuses the same (vec_id)-hash partitioning.
-    * Nothing quadratic, no driver-side centroid loop. */
+    * aggregation. Round 12: BOTH centroid recomputes run at VECTOR grain
+    * through the [[graft.functions.VecSum]] element-wise aggregator (one
+    * dim-width buffer per cluster, map-side partials) — the previous
+    * posexplode + groupBy(label, pos) multiplied the aggregation input
+    * 64× just to re-assemble arrays afterwards, and the Lloyd member
+    * join shipped component rows instead of vectors. Nothing quadratic,
+    * no driver-side centroid loop, no explode anywhere in the plan. */
   def q69KmeansRefine(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .persist() // both assignment passes + the component explode read this
-    val comp = e.select(col("vec_id"), col("label"),
-      posexplode(col("v")).as(Seq("pos", "x")))
-    val cent0 = comp.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
-      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
-    // k centroid ARRAYS (k rows): assignment joins these broadcast rows and
-    // computes d² = |v|² − 2·v·c + |c|² with the sequential-fold dot kernel
-    // — the earlier form joined the N×64 component explode against k×64
-    // centroid rows (an N×64×k intermediate); this is N×k rows with one
-    // dot each, 64× less assignment traffic at any scale, same floats as
-    // the oracle's identical fold
-    def centArrays(cent: DataFrame): DataFrame =
-      cent.groupBy(col("c_label"))
-        .agg(centroidArray("c_pos").as("cv"))
+      .persist() // both assignment passes + the member join read this
+    def centArraysOver(members: DataFrame, label: Column): DataFrame =
+      centroidsOver(members, label, "c_label")
         .withColumn("cnrm", dotCol(col("cv"), col("cv")))
+    val cent0 = centArraysOver(e, col("label"))
+      .persist() // assignment pass 0 AND the movement join
     // argmin via min(struct(d2, c_label)): lexicographic struct-min IS
     // "smallest d2, ties by cluster id", computed as ONE hash aggregation
     // with map-side partials — no N×k window sort
-    def assign(cent: DataFrame): DataFrame =
-      e.crossJoin(broadcast(centArrays(cent)))
+    def assign(centArrays: DataFrame): DataFrame =
+      e.crossJoin(broadcast(centArrays))
         .select(col("vec_id"),
           struct((col("nrm") - lit(2.0) * dotCol(col("v"), col("cv"))
             + col("cnrm")).as("d2"), col("c_label")).as("dc"))
@@ -518,16 +527,20 @@ object Similarity {
         .agg(min(col("dc")).as("m"))
         .select(col("vec_id").as("a_vec"), col("m.c_label").as("cluster"),
           col("m.d2").as("d2"))
-    // Lloyd step: recompute each cluster's centroid from its members
-    val cent1 = comp.join(assign(cent0).select(col("a_vec"), col("cluster")),
-        col("vec_id") === col("a_vec"))
-      .groupBy(col("cluster").as("c_label"), col("pos").as("c_pos"))
-      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
+    // Lloyd step: recompute each cluster's centroid from its member
+    // VECTORS (vec_id equi-join at N rows, never component rows)
+    val cent1 = centArraysOver(
+      e.join(assign(cent0).select(col("a_vec"), col("cluster")),
+        col("vec_id") === col("a_vec")),
+      col("cluster"))
       .persist() // consumed by the reassignment AND the movement join
-    val shift = cent0.as("o").join(cent1.as("n"),
-        col("o.c_label") === col("n.c_label") && col("o.c_pos") === col("n.c_pos"))
-      .groupBy(col("o.c_label").as("s_cluster"))
-      .agg(max(abs(col("n.c") - col("o.c"))).as("shift"))
+    // movement at k rows: element-wise |new − old| over the two arrays
+    val shift = cent0.select(col("c_label").as("s_cluster"), col("cv").as("ocv"))
+      .join(cent1.select(col("c_label").as("s_cluster"), col("cv").as("ncv")),
+        Seq("s_cluster"))
+      .select(col("s_cluster"),
+        array_max(zip_with(col("ncv"), col("ocv"),
+          (n, o) => abs(n - o))).as("shift"))
     assign(cent1).groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"),
         round(lit(1e-9) + avg(col("d2")), 5).as("avg_d2"))
@@ -609,18 +622,14 @@ object Similarity {
     * the broadcast join is an 8-row sum, and the bounded TopK aggregation
     * keeps the shuffle at O(queries·k·partitions). */
   def q70IvfPqAdc(spark: SparkSession, dir: String): DataFrame = {
-    val comp = vecs(spark, dir)
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-    val cb = comp.groupBy(col("label").as("code"), col("pos").as("c_pos"))
-      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
     // per-(vector, subspace, codebook entry) partial squared distance,
     // computed as 8 slice-dots against the k broadcast codebook ARRAYS:
     // d²sub = |v_sp|² − 2·v_sp·c_sp + |c_sp|² per subspace, so the join
     // carries N×k rows (the earlier form joined the N×64 component
     // explode against k×64 codebook rows — an N×64×k intermediate — and
-    // the explode here fans out a plan-time constant 8, after the join)
-    val cbA = cb.groupBy(col("code"))
-      .agg(centroidArray("c_pos").as("cv"))
+    // the explode here fans out a plan-time constant 8, after the join);
+    // the codebook itself comes from the VecSum kernel at vector grain
+    val cbA = centroidsOver(vecs(spark, dir), col("label"), "code")
     val subParts = (0 until 8).map { sp =>
       val vs = slice(col("v"), sp * 8 + 1, 8)
       val cs = slice(col("cv"), sp * 8 + 1, 8)
@@ -1079,21 +1088,18 @@ object Similarity {
     * fold over the sorted dim array (identical to the oracle's
     * list_reduce), and E‖x‖² averages row-local exact folds.
     *
-    * Scale design: one map-side-combined shuffle to (label, dim) grain
-    * (O(labels·64) state regardless of corpus size), one to label grain
+    * Scale design: one map-side-combined shuffle to label grain with a
+    * dim-width VecSum buffer (O(labels·64) state regardless of corpus
+    * size, vector-grain input — no N×64 explode), one to label grain
     * for the norms, and a label-count-sized join — nothing downstream of
     * the scan grows with the corpus. */
   def q144AnisotropyAudit(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label").as("c_label"), col("pos"))
-      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"))
-    val mu = cent.groupBy(col("c_label"))
-      .agg(centroidArray("pos").as("cv"),
-        round(lit(1e-9) + max(abs(col("c"))), 6).as("max_abs_mean"))
+    val mu = centroidsOver(e, col("label"), "c_label")
       .select(col("c_label"),
         round(lit(1e-9) + dotCol(col("cv"), col("cv")), 6).as("mu_nrm"),
-        col("max_abs_mean"))
+        round(lit(1e-9) +
+          array_max(transform(col("cv"), c => abs(c))), 6).as("max_abs_mean"))
     e.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         round(lit(1e-9) + avg(col("nrm")), 5).as("mean_sq_norm"))
@@ -1211,22 +1217,17 @@ object Similarity {
     * `dot_f64` fold over those rounded arrays, mirrored by the oracle's
     * `list_reduce` — fold-order parity, nothing engine-dependent.
     *
-    * Scale design: ONE (source, dim)-grain shuffle (O(sources·64)
-    * state) off a single embeddings-documents equi-join; the pairwise
+    * Scale design: ONE source-grain shuffle with a dim-width VecSum
+    * buffer (O(sources·64) state, vector-grain input — no N×64
+    * explode) off a single embeddings-documents equi-join; the pairwise
     * stage is sources² rows of config size (20² here) from a broadcast
     * self-join — never a vector-pair blowup. */
   def q156SourceAffinity(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(spark, dir)
       .select(col("doc_id").as("vec_id"), col("source"))
-    val cent = vecs(spark, dir)
-      .join(src, Seq("vec_id"))
-      .select(col("source"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("source"), col("pos"))
-      .agg(round(lit(1e-9) + avg(col("x")), 6).as("c"),
-        count(lit(1)).as("nv"))
-    val centA = cent.groupBy(col("source"))
-      .agg(centroidArray("pos").as("cv"),
-        (max(col("nv"))).as("n_vecs"))
+    val centA = centroidsOver(
+      vecs(spark, dir).join(src, Seq("vec_id")), col("source"), "source")
+      .withColumnRenamed("nv", "n_vecs")
       .withColumn("cnrm", dotCol(col("cv"), col("cv")))
     centA.as("a").join(broadcast(centA.as("b")),
         col("a.source") < col("b.source"))

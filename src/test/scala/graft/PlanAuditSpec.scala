@@ -584,15 +584,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["), "argmin must not use a window sort")
   }
 
-  test("q35 centroid stats: vector rows join broadcast arrays, one explode") {
+  test("q35 centroid stats: vector rows join broadcast arrays, zero explodes") {
     val p = plan("q35_label_centroids")
     assert(p.contains("BroadcastHashJoin"),
       "centroid-array join lost its broadcast")
     assert(!p.contains("Window ["), "q35 must not use a window")
-    // the only explode left is the centroid BUILD (k×64 from N×64 rows);
-    // the distance side is array-at-a-time
-    assert(p.linesIterator.count(_.contains("Generate posexplode")) == 1,
-      "distance pass regressed to the exploded component join")
+    // round 12: the centroid BUILD runs through the VecSum vector-grain
+    // aggregator, so NO explode remains anywhere — neither the build nor
+    // the distance pass multiplies rows by the dimensionality
+    assert(!p.contains("Generate posexplode"),
+      "a component explode crept back into the centroid path")
+    assert(p.contains("vecsum") || p.contains("VecSum"),
+      s"centroid build lost the VecSum kernel:\n${p.take(1500)}")
   }
 
   test("q36 IVF: coarse assignment rides the same centroid-array shape") {
