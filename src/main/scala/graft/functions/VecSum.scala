@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Element-wise vector-sum aggregator: Σ over a group of `array<double>`
-  * rows, as ONE fixed-width buffer per group.
+/** Element-wise vector-fold aggregators (sum / min / max) over
+  * `array<double>` rows, as ONE fixed-width buffer per group.
   *
   * This is the centroid-recompute kernel for the k-means / quantizer
   * queries. The declarative alternative — `posexplode` the vectors and
@@ -25,19 +25,28 @@ import org.apache.spark.sql.expressions.Aggregator
   * round to fixed decimals before anything order-sensitive (the
   * repo-wide parity idiom).
   */
-object VecSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+sealed abstract class VecFold(name: String, op: (Double, Double) => Double)
+  extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+
   override def zero: Array[Double] = Array.emptyDoubleArray
 
   override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] = {
     if (a == null) b
-    else {
-      val buf = if (b.isEmpty) new Array[Double](a.length) else b
-      if (a.length != buf.length)
-        throw new IllegalArgumentException(
-          s"vec_sum: length mismatch (${a.length} vs ${buf.length})")
+    else if (b.isEmpty) {
+      // bootstrap from the first row — the identity element differs per
+      // op (0 for sum, +∞/−∞ for min/max), so a copy is the one form
+      // that is correct for all of them
+      val buf = new Array[Double](a.length)
       var i = 0
-      while (i < buf.length) { buf(i) += a(i); i += 1 }
+      while (i < buf.length) { buf(i) = a(i); i += 1 }
       buf
+    } else {
+      if (a.length != b.length)
+        throw new IllegalArgumentException(
+          s"$name: length mismatch (${a.length} vs ${b.length})")
+      var i = 0
+      while (i < b.length) { b(i) = op(b(i), a(i)); i += 1 }
+      b
     }
   }
 
@@ -47,9 +56,9 @@ object VecSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
     else {
       if (x.length != y.length)
         throw new IllegalArgumentException(
-          s"vec_sum: partial length mismatch (${x.length} vs ${y.length})")
+          s"$name: partial length mismatch (${x.length} vs ${y.length})")
       var i = 0
-      while (i < x.length) { x(i) += y(i); i += 1 }
+      while (i < x.length) { x(i) = op(x(i), y(i)); i += 1 }
       x
     }
   }
@@ -62,3 +71,13 @@ object VecSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
   override def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
+
+object VecSum extends VecFold("vec_sum", _ + _)
+
+/** Element-wise minimum — the per-dimension extent half of a scalar
+  * quantizer's stats pass (q58): one dim-width buffer instead of a
+  * per-component explode + groupBy(pos). */
+object VecMin extends VecFold("vec_min", math.min)
+
+/** Element-wise maximum — see [[VecMin]]. */
+object VecMax extends VecFold("vec_max", math.max)

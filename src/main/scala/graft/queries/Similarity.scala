@@ -400,26 +400,43 @@ object Similarity {
     * (floor(x+0.5) rounding, identical in both engines), reconstruction
     * error profiled per label.
     *
-    * Scale design: the dimension stats are a 64-row aggregate →
-    * broadcast; quantization is then a map-side projection (no shuffle),
-    * and the two grouped error aggregations shuffle only (vec_id, label)
-    * keyed rows. At scale the `code` column is what you'd write back as
-    * `array<tinyint>`; here the query surfaces the error profile that
-    * decides whether int8 is safe for the re-rank path. */
+    * Scale design (round 12, fully array-at-a-time): the dimension
+    * stats are ONE row of two 64-wide arrays via the VecMin/VecMax
+    * fold aggregators (map-side partials, vector-grain input — no N×64
+    * explode, no 64-key shuffle); quantization, reconstruction error
+    * and mean code are then row-local zip folds against the broadcast
+    * stats row, and the only remaining shuffle is the label-grain
+    * error aggregation. At scale the `code` array is what you'd write
+    * back as `array<tinyint>`; here the query surfaces the error
+    * profile that decides whether int8 is safe for the re-rank path. */
   def q58Quantization(spark: SparkSession, dir: String): DataFrame = {
-    val comp = vecs(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-    val stats = comp.groupBy(col("pos").as("s_pos"))
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val qz = comp.join(broadcast(stats), col("pos") === col("s_pos"))
-      .withColumn("scale", (col("mx") - col("mn")) / 255)
-      .withColumn("code", when(col("mx") === col("mn"), lit(0))
-        .otherwise(floor((col("x") - col("mn")) / col("scale") + 0.5).cast("int")))
-      .withColumn("deq", col("mn") + col("code") * col("scale"))
-    val pv = qz.groupBy(col("vec_id"), col("label"))
-      .agg(sqrt(sum((col("x") - col("deq")) * (col("x") - col("deq")))).as("l2"),
-        avg(col("code")).as("mcode"))
+    val e = vecs(spark, dir)
+    val stats = e.agg(
+      udaf(graft.functions.VecMin).apply(col("v")).as("mn"),
+      udaf(graft.functions.VecMax).apply(col("v")).as("mx"))
+    // (mn, mx) pairs zipped beside each component: per-element code,
+    // dequantized value and squared error as pure projections (floor+0.5
+    // rounding — the exact arithmetic the oracle's CASE computes)
+    val mnmx = zip_with(col("mn"), col("mx"),
+      (a, b) => struct(a.as("lo"), b.as("hi")))
+    def codeOf(x: Column, p: Column): Column = {
+      val lo = p.getField("lo"); val hi = p.getField("hi")
+      when(hi === lo, lit(0))
+        .otherwise(floor((x - lo) / ((hi - lo) / 255) + 0.5).cast("int"))
+    }
+    def err2Of(x: Column, p: Column): Column = {
+      val lo = p.getField("lo"); val hi = p.getField("hi")
+      val scale = (hi - lo) / 255
+      val deq = lo + codeOf(x, p).cast("double") * scale
+      (x - deq) * (x - deq)
+    }
+    val pv = e.crossJoin(broadcast(stats))
+      .select(col("label"),
+        sqrt(aggregate(zip_with(col("v"), mnmx, err2Of), lit(0.0), _ + _))
+          .as("l2"),
+        (aggregate(zip_with(col("v"), mnmx,
+            (x, p) => codeOf(x, p).cast("double")),
+          lit(0.0), _ + _) / size(col("v"))).as("mcode"))
     pv.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         round(lit(1e-9) + avg(col("l2")), 5).as("avg_err"),

@@ -598,6 +598,15 @@ class PlanAuditSpec extends SparkSpec {
       s"centroid build lost the VecSum kernel:\n${p.take(1500)}")
   }
 
+  test("q58 quantization: array-at-a-time — zero explodes, stats broadcast") {
+    val p = plan("q58_quantization")
+    assert(!p.contains("Generate posexplode"),
+      "q58 regressed to the per-component explode")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row dimension-stats frame must broadcast")
+    assert(!p.contains("Window ["), "q58 must not use a window")
+  }
+
   test("q36 IVF: coarse assignment rides the same centroid-array shape") {
     val p = plan("q36_ann_ivf")
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) >= 1,
