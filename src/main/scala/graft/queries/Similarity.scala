@@ -895,7 +895,15 @@ object Similarity {
     * arithmetic on the explode position, so the hot path is one codegen'd
     * loop + posexplode with zero lambda frames or struct boxing
     * (profiled ~3× faster than the declarative nested transform).
-    * At any corpus size the exchange carries ≤ 2080 rows. */
+    * At any corpus size the exchange carries ≤ 2080 rows.
+    *
+    * Round-12 note: this is deliberately NOT on the VecSum path the
+    * centroid queries use — measured, the udaf's per-element
+    * encoder boxing at d² = 4096 array width costs ~40× the whole query
+    * (43 s vs 1.1 s at sf0.1), while the exploded form stays inside
+    * whole-stage codegen and its 2080-key exchange is already
+    * corpus-size-independent. VecSum wins when it REMOVES a corpus-sized
+    * shuffle at modest (≤ d) width; here it would only add boxing. */
   def q106CorrAudit(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     val mom = vecs(spark, dir)
