@@ -1229,15 +1229,205 @@ object Multimodal {
     }
   }
 
+  /** FLAC STREAMINFO + metadata-block walk: REAL lossless-audio
+    * metadata — sample rate, channels, bit depth, total samples,
+    * duration — from the container alone (the Mp3Decoder line: parse
+    * the public byte layout, stub only sample synthesis; FLAC's
+    * metadata section is pure big-endian bit arithmetic, RFC 9639 §8).
+    *
+    * Accepted shape: "fLaC" magic, a STREAMINFO block FIRST (the spec
+    * mandates it), any further metadata blocks (padding, seektable,
+    * Vorbis comments, …) each sized by its 24-bit header, the
+    * last-block flag terminating the chain, then (optionally) audio
+    * frames, whose first two bytes must carry the 14-bit frame sync.
+    * Violations — bad magic, STREAMINFO not first or mis-sized, a
+    * block overrunning the payload, zero sample rate, lost frame sync
+    * — throw the contractual `IllegalArgumentException`. */
+  final class FlacDecoder extends MediaDecoder {
+    override def decode(rec: MediaRecord): MediaFeatures = {
+      val info = FlacDecoder.walk(rec.media)
+      MediaFeatures(rec.id, "flac", info.nBlocks, info.checksum, info.thumb)
+    }
+  }
+
+  object FlacDecoder {
+    /** Everything the metadata section knows without decoding audio. */
+    case class FlacInfo(nBlocks: Int, sampleRateHz: Int, channels: Int,
+        bitsPerSample: Int, totalSamples: Long, durationMs: Long,
+        checksum: Long, thumb: Int)
+
+    def walk(b: Array[Byte]): FlacInfo = {
+      require(b.length >= 4 + 4 + 34, "payload shorter than fLaC + STREAMINFO")
+      require(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C',
+        "bad magic: not a fLaC stream")
+      def u8(i: Int): Int = b(i) & 0xff
+      var pos = 4
+      var last = false
+      var nBlocks = 0
+      var checksum = 0L
+      var rate = -1; var ch = -1; var bps = -1; var samples = -1L
+      while (!last) {
+        require(pos + 4 <= b.length, s"metadata block header at $pos overruns payload")
+        val h = u8(pos)
+        last = (h & 0x80) != 0
+        val btype = h & 0x7f
+        require(btype != 127, s"invalid (reserved) block type 127 at $pos")
+        val len = (u8(pos + 1) << 16) | (u8(pos + 2) << 8) | u8(pos + 3)
+        require(pos + 4 + len <= b.length,
+          s"metadata block at $pos ($len bytes) overruns payload")
+        if (nBlocks == 0) {
+          // RFC 9639 §8.1: the first block MUST be STREAMINFO (34 bytes)
+          require(btype == 0, s"first metadata block is type $btype, not STREAMINFO")
+          require(len == 34, s"STREAMINFO length $len != 34")
+          val s = pos + 4
+          // 16+16 blocksizes and 24+24 framesizes precede the packed
+          // 20-bit rate / 3-bit channels-1 / 5-bit bps-1 / 36-bit samples
+          rate = (u8(s + 10) << 12) | (u8(s + 11) << 4) | (u8(s + 12) >> 4)
+          ch = ((u8(s + 12) >> 1) & 0x7) + 1
+          bps = (((u8(s + 12) & 0x1) << 4) | (u8(s + 13) >> 4)) + 1
+          samples = ((u8(s + 13) & 0xf).toLong << 32) |
+            (u8(s + 14).toLong << 24) | (u8(s + 15).toLong << 16) |
+            (u8(s + 16).toLong << 8) | u8(s + 17).toLong
+          require(rate > 0, "STREAMINFO sample rate is zero")
+          // fold the MD5 signature bytes too: streams with identical
+          // shape but different audio must not collide trivially
+          var i = s + 18
+          while (i < s + 34) { checksum = (checksum * 31 + u8(i)) % 1000000007L; i += 1 }
+        }
+        checksum = (checksum * 131 + btype * 16777259L + len) % 1000000007L
+        nBlocks += 1
+        pos += 4 + len
+      }
+      // audio frames, if present, open with the 14-bit sync 0b11111111111110
+      if (pos < b.length) {
+        require(pos + 2 <= b.length && u8(pos) == 0xff && (u8(pos + 1) & 0xfc) == 0xf8,
+          s"lost FLAC frame sync at $pos")
+      }
+      val durationMs = samples * 1000 / rate
+      checksum = (checksum * 131 + samples) % 1000000007L
+      FlacInfo(nBlocks, rate, ch, bps, samples, durationMs, checksum,
+        if (pos < b.length) u8(pos) else 0)
+    }
+  }
+
+  /** ISO BMFF (MP4/MOV) box walk: REAL container metadata — brand,
+    * movie timescale/duration, track count and per-track handler types
+    * — from pure box structure (ISO/IEC 14496-12: 4-byte big-endian
+    * size + 4-char type, size 1 → 64-bit largesize, size 0 → to end of
+    * file at top level), no codec anywhere.
+    *
+    * Accepted shape: an `ftyp` box FIRST (the spec's requirement for
+    * non-QT brands), a `moov` somewhere at top level containing one
+    * `mvhd` (version 0 or 1) and the `trak` boxes, each trak carrying
+    * `mdia`/`hdlr` whose handler type names the track kind (vide/soun/
+    * text/…). Violations — missing ftyp/moov/mvhd, a box overrunning
+    * its parent, a sub-8-byte box size, zero timescale — throw the
+    * contractual `IllegalArgumentException` naming the offset. */
+  final class Mp4Decoder extends MediaDecoder {
+    override def decode(rec: MediaRecord): MediaFeatures = {
+      val info = Mp4Decoder.walk(rec.media)
+      MediaFeatures(rec.id, "mp4", info.nTracks, info.checksum, info.thumb)
+    }
+  }
+
+  object Mp4Decoder {
+    /** What the box tree knows without touching a sample. */
+    case class Mp4Info(brand: String, timescaleHz: Long, durationMs: Long,
+        nTracks: Int, handlers: Seq[String], checksum: Long, thumb: Int)
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def u32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
+        (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
+    private def u64(b: Array[Byte], i: Int): Long =
+      (u32(b, i) << 32) | u32(b, i + 4)
+    private def fourcc(b: Array[Byte], i: Int): String =
+      new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
+
+    /** (type, bodyStart, bodyEnd) for each box in [start, end). */
+    private def boxes(b: Array[Byte], start: Int, end: Int,
+        topLevel: Boolean): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var pos = start
+      while (pos < end) {
+        require(pos + 8 <= end, s"box header at $pos overruns parent")
+        val sz32 = u32(b, pos)
+        val typ = fourcc(b, pos + 4)
+        val (bodyStart, boxEnd) =
+          if (sz32 == 1) {
+            require(pos + 16 <= end, s"largesize box at $pos overruns parent")
+            val sz = u64(b, pos + 8)
+            require(sz >= 16, s"largesize box at $pos under-sized ($sz)")
+            (pos + 16, pos + sz)
+          } else if (sz32 == 0) {
+            require(topLevel, s"size-0 box at $pos below top level")
+            (pos + 8, end.toLong)
+          } else {
+            require(sz32 >= 8, s"box at $pos under-sized ($sz32)")
+            (pos + 8, pos + sz32)
+          }
+        require(boxEnd <= end, s"box '$typ' at $pos overruns parent")
+        out += ((typ, bodyStart, boxEnd.toInt))
+        pos = boxEnd.toInt
+      }
+      out.result()
+    }
+
+    def walk(b: Array[Byte]): Mp4Info = {
+      require(b.length >= 8, "payload shorter than one box header")
+      val top = boxes(b, 0, b.length, topLevel = true)
+      require(top.headOption.exists(_._1 == "ftyp"),
+        s"first box is '${top.headOption.map(_._1).getOrElse("")}', not ftyp")
+      val (_, fs, fe) = top.head
+      require(fe - fs >= 8, "ftyp too short for brand + version")
+      val brand = fourcc(b, fs)
+      val moov = top.find(_._1 == "moov").getOrElse(
+        throw new IllegalArgumentException("no moov box at top level"))
+      val kids = boxes(b, moov._2, moov._3, topLevel = false)
+      val mvhd = kids.find(_._1 == "mvhd").getOrElse(
+        throw new IllegalArgumentException("moov carries no mvhd"))
+      val (ts, dur) = {
+        val s = mvhd._2
+        require(mvhd._3 - s >= 4, "mvhd too short for version")
+        u8(b, s) match {
+          case 0 =>
+            require(mvhd._3 - s >= 20, "mvhd v0 too short")
+            (u32(b, s + 12), u32(b, s + 16))
+          case 1 =>
+            require(mvhd._3 - s >= 32, "mvhd v1 too short")
+            (u32(b, s + 20), u64(b, s + 24))
+          case v => throw new IllegalArgumentException(s"mvhd version $v")
+        }
+      }
+      require(ts > 0, "mvhd timescale is zero")
+      val handlers = kids.filter(_._1 == "trak").map { case (_, ts0, te0) =>
+        val mdia = boxes(b, ts0, te0, topLevel = false).find(_._1 == "mdia")
+          .getOrElse(throw new IllegalArgumentException("trak carries no mdia"))
+        val hdlr = boxes(b, mdia._2, mdia._3, topLevel = false).find(_._1 == "hdlr")
+          .getOrElse(throw new IllegalArgumentException("mdia carries no hdlr"))
+        // FullBox: version/flags (4), pre_defined (4), handler_type (4)
+        require(hdlr._3 - hdlr._2 >= 12, "hdlr too short for handler type")
+        fourcc(b, hdlr._2 + 8)
+      }
+      var checksum = 0L
+      (brand +: handlers).foreach(s =>
+        s.foreach(c => checksum = (checksum * 31 + c.toLong) % 1000000007L))
+      checksum = ((checksum * 131 + ts) * 131 + dur) % 1000000007L
+      Mp4Info(brand, ts, dur * 1000 / ts, handlers.size, handlers, checksum,
+        u8(b, 4))
+    }
+  }
+
   /** Format-dispatched decoder selection — the call-site convenience a
     * mixed-format corpus needs: REAL decoders for every format this
     * library decodes without a codec (ppm, bmp, wav, png, gif, tiff,
-    * jpeg, and mp3's frame-header walk), the deterministic
-    * [[FakeDecoder]] for genuinely-unavailable codecs (explicit
-    * allowlist below). Case-insensitive on the metadata format tag. An
-    * UNKNOWN tag throws rather than silently fake-decoding: a typo
-    * ("tiif") or a new format must surface as a per-record error, not
-    * corrupt features downstream. */
+    * jpeg, mp3's frame-header walk, flac's STREAMINFO walk, and the
+    * mp4/mov box walk), the deterministic [[FakeDecoder]] for
+    * genuinely-unavailable codecs (explicit allowlist below).
+    * Case-insensitive on the metadata format tag. An UNKNOWN tag throws
+    * rather than silently fake-decoding: a typo ("tiif") or a new
+    * format must surface as a per-record error, not corrupt features
+    * downstream. */
   def decoderFor(format: String): MediaDecoder = format.toLowerCase match {
     case "ppm" => new PpmDecoder
     case "bmp" => new BmpDecoder
@@ -1247,8 +1437,9 @@ object Multimodal {
     case "tiff" | "tif" => new TiffDecoder
     case "jpeg" | "jpg" => new JpegDecoder
     case "mp3" => new Mp3Decoder
-    case "mp4" | "webm" | "ogg" | "heic" |
-        "avif" | "webp" | "flac" | "aac" | "mov" | "avi" =>
+    case "flac" => new FlacDecoder
+    case "mp4" | "mov" => new Mp4Decoder
+    case "webm" | "ogg" | "heic" | "avif" | "webp" | "aac" | "avi" =>
       new FakeDecoder()
     case other => throw new IllegalArgumentException(
       s"unknown media format tag '$other': not a decodable format and " +
@@ -1324,7 +1515,7 @@ object Multimodal {
         col(idCol).cast("long").as("id"),
         col(payloadCol).cast("binary").as("media"),
         struct(
-          element_at(array(lit("mp4"), lit("webm"), lit("ogg"), lit("avi")),
+          element_at(array(lit("webm"), lit("ogg"), lit("heic"), lit("avi")),
             (h % 4 + 1).cast("int")).as("format"),
           (lit(320) + h % 320).cast("int").as("widthPx"),
           (lit(240) + floor(h / 320).cast("long") % 240).cast("int").as("heightPx"),

@@ -18,7 +18,7 @@ class MultimodalSpec extends SparkSpec {
       // ingest's stand-in tags are all FakeDecoder codecs: arbitrary
       // payloads tagged with a real decoder's format would crash the
       // ingest -> extractFeaturesAuto path on decode
-      assert(Set("mp4", "webm", "ogg", "avi").contains(r.meta.format))
+      assert(Set("webm", "ogg", "heic", "avi").contains(r.meta.format))
       assert(r.meta.widthPx >= 320 && r.meta.widthPx < 640)
       assert(r.meta.heightPx >= 240 && r.meta.heightPx < 480)
     }
@@ -881,6 +881,79 @@ class MultimodalSpec extends SparkSpec {
       0, 0, 0, 0x7f.toByte), "overruns")               // ID3v2 size past end
   }
 
+  test("FlacDecoder walks STREAMINFO + metadata blocks; Mp4Decoder walks the box tree") {
+    // --- FLAC: fLaC magic, STREAMINFO (44100 Hz, 2 ch, 16 bps, 88200
+    // samples), one Vorbis-comment block flagged last, then a frame sync
+    def be24(v: Int) = Array[Byte]((v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val si = new Array[Byte](34)
+    si(0) = 0x10; si(2) = 0x10 // min/max blocksize 4096
+    val (rate, ch, bps) = (44100, 2, 16); val samples = 88200L
+    si(10) = ((rate >> 12) & 0xff).toByte
+    si(11) = ((rate >> 4) & 0xff).toByte
+    si(12) = (((rate & 0xf) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)).toByte
+    si(13) = ((((bps - 1) & 0xf) << 4) | ((samples >> 32) & 0xf).toInt).toByte
+    si(14) = ((samples >> 24) & 0xff).toByte
+    si(15) = ((samples >> 16) & 0xff).toByte
+    si(16) = ((samples >> 8) & 0xff).toByte
+    si(17) = (samples & 0xff).toByte
+    for (i <- 18 until 34) si(i) = (i * 3).toByte // MD5 stand-in
+    val vorbis = Array.tabulate[Byte](12)(i => (i * 5).toByte)
+    val flac = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x00) ++ be24(34) ++ si ++
+      Array[Byte]((0x80 | 4).toByte) ++ be24(vorbis.length) ++ vorbis ++
+      Array[Byte](0xff.toByte, 0xf8.toByte, 0x69, 0x10)
+    val fi = Multimodal.FlacDecoder.walk(flac)
+    assert(fi.nBlocks == 2 && fi.sampleRateHz == 44100 && fi.channels == 2)
+    assert(fi.bitsPerSample == 16 && fi.totalSamples == 88200L)
+    assert(fi.durationMs == 2000L && fi.checksum > 0)
+    val ff = new Multimodal.FlacDecoder().decode(MediaRecord(9L, flac,
+      MediaMeta("flac", 0, 0, flac.length.toLong)))
+    assert(ff.nFrames == 2 && ff.format == "flac" && ff.checksum == fi.checksum)
+    def badFlac(b: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Multimodal.FlacDecoder.walk(b) }
+      assert(e.getMessage.contains(needle), s"'${e.getMessage}' !~ $needle")
+    }
+    badFlac("fLaX".getBytes("US-ASCII") ++ flac.drop(4), "bad magic")
+    badFlac(flac.take(20), "shorter than fLaC")
+    badFlac(flac.take(44), "overruns payload") // truncated second block
+    val notFirst = flac.clone(); notFirst(4) = 0x04 // re-type STREAMINFO
+    badFlac(notFirst, "not STREAMINFO")
+    val badSync = flac.clone(); badSync(flac.length - 4) = 0x00
+    badFlac(badSync, "lost FLAC frame sync")
+    // --- MP4: ftyp(isom) + moov(mvhd v0 ts=1000 dur=5000, 2 traks) + mdat
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def mbox(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    val ftyp = mbox("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(512) ++ "isomiso2".getBytes("US-ASCII"))
+    val mvhd = mbox("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(7) ++ be32(8) ++
+      be32(1000) ++ be32(5000) ++ new Array[Byte](80))
+    def hdlr(h: String) = mbox("hdlr",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ h.getBytes("US-ASCII") ++
+        new Array[Byte](13))
+    def trak(h: String) = mbox("trak", mbox("mdia", hdlr(h)))
+    val moov = mbox("moov", mvhd ++ trak("vide") ++ trak("soun"))
+    val mdat = mbox("mdat", Array.tabulate[Byte](32)(i => (i * 9).toByte))
+    val mp4 = ftyp ++ moov ++ mdat
+    val mi = Multimodal.Mp4Decoder.walk(mp4)
+    assert(mi.brand == "isom" && mi.timescaleHz == 1000L)
+    assert(mi.durationMs == 5000L && mi.nTracks == 2)
+    assert(mi.handlers == Seq("vide", "soun") && mi.checksum > 0)
+    val mf = new Multimodal.Mp4Decoder().decode(MediaRecord(11L, mp4,
+      MediaMeta("mp4", 0, 0, mp4.length.toLong)))
+    assert(mf.nFrames == 2 && mf.format == "mp4" && mf.checksum == mi.checksum)
+    def badMp4(b: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Multimodal.Mp4Decoder.walk(b) }
+      assert(e.getMessage.contains(needle), s"'${e.getMessage}' !~ $needle")
+    }
+    badMp4(moov ++ mdat, "not ftyp")
+    badMp4(ftyp ++ mdat, "no moov")
+    badMp4(mp4.take(mp4.length - 20), "overruns parent")
+    badMp4(mbox("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+      mbox("moov", trak("vide")), "no mvhd")
+  }
+
   test("decoder fuzz: seeded byte mutations throw the contractual IAE, never escape") {
     // the per-record error contract: a corrupted payload must either
     // decode (mutation hit a don't-care byte) or throw
@@ -952,10 +1025,42 @@ class MultimodalSpec extends SparkSpec {
       }
       out.toByteArray
     }
+    def flacBytes(): Array[Byte] = {
+      def be24(v: Int) = Array[Byte]((v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      val si = new Array[Byte](34)
+      si(0) = 0x10; si(2) = 0x10
+      val rate = 22050
+      si(10) = ((rate >> 12) & 0xff).toByte
+      si(11) = ((rate >> 4) & 0xff).toByte
+      si(12) = (((rate & 0xf) << 4) | (0 << 1) | 0).toByte // 1 ch, ...
+      si(13) = (((8 - 1) & 0xf) << 4).toByte               // 8 bps, 0 samples hi
+      si(17) = 100 // 100 samples
+      for (i <- 18 until 34) si(i) = (i * 3).toByte
+      val pad = new Array[Byte](9)
+      "fLaC".getBytes("US-ASCII") ++ Array[Byte](0x00) ++ be24(34) ++ si ++
+        Array[Byte]((0x80 | 1).toByte) ++ be24(pad.length) ++ pad ++
+        Array[Byte](0xff.toByte, 0xf8.toByte, 0x55, 0x11)
+    }
+    def mp4Bytes(): Array[Byte] = {
+      def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      def mbox(typ: String, body: Array[Byte]): Array[Byte] =
+        be32(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+      val hdlr = mbox("hdlr", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+        "vide".getBytes("US-ASCII") ++ new Array[Byte](13))
+      mbox("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+        mbox("moov",
+          mbox("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(1) ++ be32(2) ++
+            be32(600) ++ be32(1200) ++ new Array[Byte](80)) ++
+          mbox("trak", mbox("mdia", hdlr))) ++
+        mbox("mdat", Array.tabulate[Byte](24)(i => (i * 13).toByte))
+    }
     val cases: Seq[(String, MediaDecoder, Array[Byte])] = Seq(
       ("jpeg", new JpegDecoder, jpegBytes()),
       ("jpeg", new JpegDecoder, driJpegBytes()),
       ("mp3", new Multimodal.Mp3Decoder, mp3Bytes()),
+      ("flac", new Multimodal.FlacDecoder, flacBytes()),
+      ("mp4", new Multimodal.Mp4Decoder, mp4Bytes()),
       ("png", new PngDecoder, imgBytes("png")),
       ("gif", new GifDecoder, imgBytes("gif")),
       ("tiff", new TiffDecoder, imgBytes("tiff")),
@@ -1009,7 +1114,7 @@ class MultimodalSpec extends SparkSpec {
     val recs = Seq(
       MediaRecord(61L, ppm, MediaMeta("ppm", 2, 1, ppm.length.toLong)),
       MediaRecord(62L, wav, MediaMeta("wav", 0, 0, wav.length.toLong)),
-      MediaRecord(63L, blob, MediaMeta("mp4", 0, 0, blob.length.toLong)),
+      MediaRecord(63L, blob, MediaMeta("webm", 0, 0, blob.length.toLong)),
       MediaRecord(64L, mp3, MediaMeta("mp3", 0, 0, mp3.length.toLong)))
     val out = Multimodal.extractFeaturesAuto(recs.toDS().coalesce(1), batchSize = 2)
       .collect().map(f => f.id -> f).toMap
@@ -1018,7 +1123,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out(63L) == (new FakeDecoder()).decode(recs(2)))
     assert(out(64L) == (new Multimodal.Mp3Decoder).decode(recs(3)))
     assert(out(61L).format == "ppm" && out(62L).format == "wav" &&
-      out(63L).format == "mp4" && out(64L).format == "mp3" &&
+      out(63L).format == "webm" && out(64L).format == "mp3" &&
       out(64L).nFrames == 1)
   }
 
@@ -1062,7 +1167,10 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decoderFor("jpeg").isInstanceOf[JpegDecoder])
     assert(Multimodal.decoderFor("jpg").isInstanceOf[JpegDecoder])
     assert(Multimodal.decoderFor("mp3").isInstanceOf[Multimodal.Mp3Decoder])
-    assert(Multimodal.decoderFor("mp4").isInstanceOf[FakeDecoder])
+    assert(Multimodal.decoderFor("flac").isInstanceOf[Multimodal.FlacDecoder])
+    assert(Multimodal.decoderFor("mp4").isInstanceOf[Multimodal.Mp4Decoder])
+    assert(Multimodal.decoderFor("mov").isInstanceOf[Multimodal.Mp4Decoder])
+    assert(Multimodal.decoderFor("webm").isInstanceOf[FakeDecoder])
     // an unknown tag (typo or unlisted format) must surface, not
     // silently fake-decode into pseudo-features
     val eu = intercept[IllegalArgumentException] { Multimodal.decoderFor("tiif") }
