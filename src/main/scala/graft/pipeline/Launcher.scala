@@ -125,6 +125,41 @@ object Launcher {
     }
   }
 
+  /** `get_test_message` (launcher.py:80-87): read the canned test
+    * message from a file — first line, newline stripped — or None when
+    * no file is configured. The `--test-message` dev path feeds
+    * [[runOnce]] with this instead of subscribing. */
+  def getTestMessage(testMessageFile: Option[String]): Option[String] =
+    testMessageFile.map { p =>
+      val src = scala.io.Source.fromFile(p)
+      try src.getLines().nextOption().getOrElse("")
+      finally src.close()
+    }
+
+  /** `print_traces` (launcher.py:382-391): dump every live thread's
+    * stack — the "what is this stuck job doing" debugging hook. */
+  def printTraces(out: java.io.PrintStream = System.err): Unit = {
+    import scala.jdk.CollectionConverters._
+    Thread.getAllStackTraces.asScala.toSeq.sortBy(_._1.getName).foreach {
+      case (t, frames) =>
+        out.println(s"Thread ${t.getName} (state=${t.getState})")
+        frames.foreach(f => out.println(s"    at $f"))
+        out.println()
+    }
+  }
+
+  /** The SIGUSR1 hookup (launcher.py:374-375): `kill -USR1 <pid>`
+    * dumps traces of the running pipeline JVM to `out`. Returns false
+    * when the VM reserves the signal (e.g. -Xrs) instead of crashing
+    * the launcher over a debugging aid. */
+  def installTraceDump(signalName: String = "USR1",
+      out: java.io.PrintStream = System.err): Boolean =
+    try {
+      sun.misc.Signal.handle(new sun.misc.Signal(signalName),
+        (_: sun.misc.Signal) => printTraces(out))
+      true
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** One message (the `--test-message` path, launcher.py:259-266):
     * build the chain for the message's files and run every priority
     * slice.

@@ -204,4 +204,32 @@ class LauncherSpec extends SparkSpec {
     // metadata_alias rewrote noaa15 only; both messages ran
     assert(seen.toArray(Array.empty[String]).toSet == Set("NOAA-15", "noaa19"))
   }
+
+  test("getTestMessage reads the first line; printTraces dumps live threads on USR1") {
+    // get_test_message (launcher.py:80-87): first line, newline stripped
+    val f = java.nio.file.Files.createTempFile("graft_testmsg", ".txt")
+    java.nio.file.Files.writeString(f,
+      "{\"type\": \"file\", \"data\": {}}\nsecond line ignored\n")
+    assert(Launcher.getTestMessage(Some(f.toString))
+      .contains("{\"type\": \"file\", \"data\": {}}"))
+    assert(Launcher.getTestMessage(None).isEmpty)
+    // print_traces (launcher.py:382-391): every live thread's stack
+    val bos = new java.io.ByteArrayOutputStream()
+    Launcher.printTraces(new java.io.PrintStream(bos, true, "UTF-8"))
+    val dump = bos.toString("UTF-8")
+    assert(dump.contains(s"Thread ${Thread.currentThread().getName}"),
+      "trace dump misses the calling thread")
+    assert(dump.contains("at "), "trace dump carries no stack frames")
+    // the SIGUSR1 hookup (launcher.py:374-375): raise and observe
+    val sigBos = new java.io.ByteArrayOutputStream()
+    if (Launcher.installTraceDump("USR1",
+        new java.io.PrintStream(sigBos, true, "UTF-8"))) {
+      sun.misc.Signal.raise(new sun.misc.Signal("USR1"))
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (sigBos.size() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(sigBos.toString("UTF-8").contains("Thread "),
+        "USR1 did not trigger the trace dump")
+    }
+  }
 }
