@@ -65,4 +65,44 @@ class KernelLawsSpec extends SparkSpec {
           (acc, h) => (acc * 131L + h) % P))
     assert(df.filter(not(col("native") <=> col("decl"))).count() == 0)
   }
+
+  test("VecFold sum/min/max == posexplode + groupBy(pos) on random vectors") {
+    // the centroid/quantizer kernels' law: the dim-width fold buffer must
+    // agree element-wise with the declarative per-position aggregation it
+    // replaces — across groups of different sizes, negative values, and
+    // partial-merge boundaries (8 partitions force merges). Tolerance is
+    // ULP-scale: the two sum orders differ, which is exactly the property
+    // consumers round away at 6 dp.
+    import org.apache.spark.sql.functions.udaf
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    val rows = (0 until 600).map { i =>
+      (i % 7, Seq.fill(dim)(rnd.nextDouble() * 20 - 10))
+    }
+    import spark.implicits._
+    val df = rows.toDF("g", "v").repartition(8).persist()
+    val folded = df.groupBy(col("g"))
+      .agg(udaf(graft.functions.VecSum).apply(col("v")).as("s"),
+        udaf(graft.functions.VecMin).apply(col("v")).as("mn"),
+        udaf(graft.functions.VecMax).apply(col("v")).as("mx"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getSeq[Double](1), r.getSeq[Double](2), r.getSeq[Double](3))).toMap
+    val decl = df.select(col("g"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("g"), col("pos"))
+      .agg(sum(col("x")).as("s"), min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().groupBy(_.getInt(0)).map { case (g, rs) =>
+        val byPos = rs.map(r => r.getInt(1) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+        g -> (0 until dim).map(byPos)
+      }
+    decl.foreach { case (g, exp) =>
+      val (s, mn, mx) = folded(g)
+      (0 until dim).foreach { i =>
+        assert(math.abs(s(i) - exp(i)._1) < 1e-9, s"sum g=$g pos=$i")
+        assert(mn(i) == exp(i)._2, s"min g=$g pos=$i")
+        assert(mx(i) == exp(i)._3, s"max g=$g pos=$i")
+      }
+    }
+    df.unpersist()
+  }
 }
