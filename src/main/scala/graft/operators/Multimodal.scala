@@ -1418,11 +1418,100 @@ object Multimodal {
     }
   }
 
+  /** AVI RIFF walk: REAL video-container metadata — frame count, frame
+    * period, stream count and per-stream types, raster dimensions,
+    * duration — from the `hdrl` header list alone (the WavDecoder's
+    * RIFF chunk arithmetic, one level deeper: LIST chunks carry a list
+    * type then sub-chunks; `avih` is the 56-byte main header, each
+    * `strl`'s `strh` opens with the stream's fccType). No codec: frame
+    * DATA stays untouched, exactly the Mp3/Mp4 container line.
+    *
+    * Violations — bad RIFF/AVI magic, a chunk overrunning its parent,
+    * missing hdrl/avih, zero frame period, stream-count mismatch
+    * between avih and the strl list — throw the contractual
+    * `IllegalArgumentException` naming the offset. */
+  final class AviDecoder extends MediaDecoder {
+    override def decode(rec: MediaRecord): MediaFeatures = {
+      val info = AviDecoder.walk(rec.media)
+      MediaFeatures(rec.id, "avi", info.totalFrames, info.checksum, info.thumb)
+    }
+  }
+
+  object AviDecoder {
+    /** What the header list knows without touching frame data. */
+    case class AviInfo(usPerFrame: Long, totalFrames: Int, nStreams: Int,
+        widthPx: Int, heightPx: Int, streamTypes: Seq[String],
+        durationMs: Long, checksum: Long, thumb: Int)
+
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** (id, listType-or-"", bodyStart, bodyEnd) for the chunks in
+      * [start, end); LIST bodies exclude their 4-byte list type. */
+    private def chunks(b: Array[Byte], start: Int,
+        end: Int): Seq[(String, String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, String, Int, Int)]
+      var pos = start
+      while (pos < end) {
+        require(pos + 8 <= end, s"chunk header at $pos overruns parent")
+        val id = tag(b, pos)
+        val sz = u32(b, pos + 4)
+        require(pos + 8 + sz <= end, s"chunk $id at $pos overruns parent (size=$sz)")
+        if (id == "LIST" || id == "RIFF") {
+          require(sz >= 4, s"LIST at $pos too short for a list type")
+          out += ((id, tag(b, pos + 8), pos + 12, pos + 8 + sz.toInt))
+        } else out += ((id, "", pos + 8, pos + 8 + sz.toInt))
+        pos += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even length
+      }
+      out.result()
+    }
+
+    def walk(b: Array[Byte]): AviInfo = {
+      require(b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "AVI ",
+        s"not a RIFF AVI payload (len=${b.length})")
+      require(12 + u32(b, 4) - 4 <= b.length, "RIFF size overruns payload")
+      val top = chunks(b, 12, (8 + u32(b, 4)).toInt)
+      val hdrl = top.find(c => c._1 == "LIST" && c._2 == "hdrl").getOrElse(
+        throw new IllegalArgumentException("no LIST hdrl"))
+      val inHdrl = chunks(b, hdrl._3, hdrl._4)
+      val avih = inHdrl.find(_._1 == "avih").getOrElse(
+        throw new IllegalArgumentException("hdrl carries no avih"))
+      require(avih._4 - avih._3 >= 40, "avih shorter than the main header")
+      val s = avih._3
+      val usPerFrame = u32(b, s)
+      require(usPerFrame > 0, "avih frame period is zero")
+      val totalFrames = u32(b, s + 16)
+      val nStreams = u32(b, s + 24)
+      val (w, h) = (u32(b, s + 32), u32(b, s + 36))
+      val streamTypes = inHdrl.filter(c => c._1 == "LIST" && c._2 == "strl")
+        .map { case (_, _, ss, se) =>
+          val strh = chunks(b, ss, se).find(_._1 == "strh").getOrElse(
+            throw new IllegalArgumentException("strl carries no strh"))
+          require(strh._4 - strh._3 >= 4, "strh shorter than fccType")
+          tag(b, strh._3)
+        }
+      require(streamTypes.size == nStreams,
+        s"avih says $nStreams streams, hdrl lists ${streamTypes.size}")
+      var checksum = 0L
+      streamTypes.foreach(t =>
+        t.foreach(c => checksum = (checksum * 31 + c.toLong) % 1000000007L))
+      checksum = (((checksum * 131 + usPerFrame) * 131 + totalFrames) * 131 +
+        (w * 65536 + h)) % 1000000007L
+      AviInfo(usPerFrame, totalFrames.toInt, nStreams.toInt, w.toInt, h.toInt,
+        streamTypes, usPerFrame * totalFrames / 1000, checksum,
+        (u32(b, 4) & 0xff).toInt)
+    }
+  }
+
   /** Format-dispatched decoder selection — the call-site convenience a
     * mixed-format corpus needs: REAL decoders for every format this
     * library decodes without a codec (ppm, bmp, wav, png, gif, tiff,
-    * jpeg, mp3's frame-header walk, flac's STREAMINFO walk, and the
-    * mp4/mov box walk), the deterministic [[FakeDecoder]] for
+    * jpeg, mp3's frame-header walk, flac's STREAMINFO walk, the
+    * mp4/mov box walk, and the avi RIFF walk), the deterministic
+    * [[FakeDecoder]] for
     * genuinely-unavailable codecs (explicit allowlist below).
     * Case-insensitive on the metadata format tag. An UNKNOWN tag throws
     * rather than silently fake-decoding: a typo ("tiif") or a new
@@ -1439,7 +1528,8 @@ object Multimodal {
     case "mp3" => new Mp3Decoder
     case "flac" => new FlacDecoder
     case "mp4" | "mov" => new Mp4Decoder
-    case "webm" | "ogg" | "heic" | "avif" | "webp" | "aac" | "avi" =>
+    case "avi" => new AviDecoder
+    case "webm" | "ogg" | "heic" | "avif" | "webp" | "aac" =>
       new FakeDecoder()
     case other => throw new IllegalArgumentException(
       s"unknown media format tag '$other': not a decodable format and " +
@@ -1515,7 +1605,7 @@ object Multimodal {
         col(idCol).cast("long").as("id"),
         col(payloadCol).cast("binary").as("media"),
         struct(
-          element_at(array(lit("webm"), lit("ogg"), lit("heic"), lit("avi")),
+          element_at(array(lit("webm"), lit("ogg"), lit("heic"), lit("avif")),
             (h % 4 + 1).cast("int")).as("format"),
           (lit(320) + h % 320).cast("int").as("widthPx"),
           (lit(240) + floor(h / 320).cast("long") % 240).cast("int").as("heightPx"),

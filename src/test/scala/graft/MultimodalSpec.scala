@@ -18,7 +18,7 @@ class MultimodalSpec extends SparkSpec {
       // ingest's stand-in tags are all FakeDecoder codecs: arbitrary
       // payloads tagged with a real decoder's format would crash the
       // ingest -> extractFeaturesAuto path on decode
-      assert(Set("webm", "ogg", "heic", "avi").contains(r.meta.format))
+      assert(Set("webm", "ogg", "heic", "avif").contains(r.meta.format))
       assert(r.meta.widthPx >= 320 && r.meta.widthPx < 640)
       assert(r.meta.heightPx >= 240 && r.meta.heightPx < 480)
     }
@@ -954,6 +954,50 @@ class MultimodalSpec extends SparkSpec {
       mbox("moov", trak("vide")), "no mvhd")
   }
 
+  test("AviDecoder walks RIFF hdrl: frames, period, streams, dimensions") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ padded
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+    // avih: µs/frame=40000 (25 fps), maxBps, padding, flags,
+    // totalFrames=250, initial, streams=2, bufSize, 320x240, reserved[4]
+    val avih = chunk("avih", le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(250) ++ le32(0) ++ le32(2) ++ le32(0) ++ le32(320) ++ le32(240) ++
+      new Array[Byte](16))
+    def strl(fcc: String) = list("strl",
+      chunk("strh", fcc.getBytes("US-ASCII") ++ new Array[Byte](52)))
+    val hdrl = list("hdrl", avih ++ strl("vids") ++ strl("auds"))
+    val movi = list("movi",
+      chunk("00dc", Array.tabulate[Byte](21)(i => (i * 7).toByte)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val ai = Multimodal.AviDecoder.walk(avi)
+    assert(ai.usPerFrame == 40000L && ai.totalFrames == 250 && ai.nStreams == 2)
+    assert(ai.widthPx == 320 && ai.heightPx == 240)
+    assert(ai.streamTypes == Seq("vids", "auds"))
+    assert(ai.durationMs == 10000L && ai.checksum > 0)
+    val af = new Multimodal.AviDecoder().decode(MediaRecord(13L, avi,
+      MediaMeta("avi", 320, 240, avi.length.toLong)))
+    assert(af.nFrames == 250 && af.format == "avi" && af.checksum == ai.checksum)
+    def badAvi(b: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Multimodal.AviDecoder.walk(b) }
+      assert(e.getMessage.contains(needle), s"'${e.getMessage}' !~ $needle")
+    }
+    badAvi("RIFX".getBytes("US-ASCII") ++ avi.drop(4), "not a RIFF AVI")
+    badAvi(avi.take(avi.length - 10), "overruns")
+    badAvi("RIFF".getBytes("US-ASCII") ++ le32(4 + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ movi, "no LIST hdrl")
+    // avih claiming 3 streams over a 2-strl header list
+    val lied = avi.clone()
+    val streamsOff = avi.indexOfSlice("avih".getBytes("US-ASCII")) + 8 + 24
+    lied(streamsOff) = 3
+    badAvi(lied, "says 3 streams")
+  }
+
   test("decoder fuzz: seeded byte mutations throw the contractual IAE, never escape") {
     // the per-record error contract: a corrupted payload must either
     // decode (mutation hit a don't-care byte) or throw
@@ -1055,12 +1099,32 @@ class MultimodalSpec extends SparkSpec {
           mbox("trak", mbox("mdia", hdlr))) ++
         mbox("mdat", Array.tabulate[Byte](24)(i => (i * 13).toByte))
     }
+    def aviBytes(): Array[Byte] = {
+      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+        id.getBytes("US-ASCII") ++ le32(body.length) ++ padded
+      }
+      def list(lt: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", lt.getBytes("US-ASCII") ++ body)
+      val avih = chunk("avih", le32(33367) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(90) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(160) ++ le32(120) ++
+        new Array[Byte](16))
+      val hdrl = list("hdrl", avih ++ list("strl",
+        chunk("strh", "vids".getBytes("US-ASCII") ++ new Array[Byte](52))))
+      val movi = list("movi",
+        chunk("00dc", Array.tabulate[Byte](18)(i => (i * 5).toByte)))
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
     val cases: Seq[(String, MediaDecoder, Array[Byte])] = Seq(
       ("jpeg", new JpegDecoder, jpegBytes()),
       ("jpeg", new JpegDecoder, driJpegBytes()),
       ("mp3", new Multimodal.Mp3Decoder, mp3Bytes()),
       ("flac", new Multimodal.FlacDecoder, flacBytes()),
       ("mp4", new Multimodal.Mp4Decoder, mp4Bytes()),
+      ("avi", new Multimodal.AviDecoder, aviBytes()),
       ("png", new PngDecoder, imgBytes("png")),
       ("gif", new GifDecoder, imgBytes("gif")),
       ("tiff", new TiffDecoder, imgBytes("tiff")),
@@ -1170,6 +1234,7 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decoderFor("flac").isInstanceOf[Multimodal.FlacDecoder])
     assert(Multimodal.decoderFor("mp4").isInstanceOf[Multimodal.Mp4Decoder])
     assert(Multimodal.decoderFor("mov").isInstanceOf[Multimodal.Mp4Decoder])
+    assert(Multimodal.decoderFor("avi").isInstanceOf[Multimodal.AviDecoder])
     assert(Multimodal.decoderFor("webm").isInstanceOf[FakeDecoder])
     // an unknown tag (typo or unlisted format) must surface, not
     // silently fake-decode into pseudo-features
