@@ -88,6 +88,22 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       System.gc()
     }
+    // machine-speed calibration (untimed-warm, then best-of-2): a fixed
+    // pure-CPU + one-small-shuffle workload with ZERO graft code and zero
+    // I/O, so its time moves ONLY with the host (round 12's +24% total
+    // was machine drift — untouched queries regressed ~2× while isolated
+    // re-runs sat at old levels — and the artifact couldn't say so
+    // itself). Children measure it in the SAME JVM that produces their
+    // timings; the parent medians the children and emits "calibration"
+    // plus the drift-corrected "noise_normalized_total" (see orchestrate).
+    // Best-effort: a broken calibration must never kill the chunk (round
+    // 13's first cut overflowed ANSI long-sum and took all 162 queries'
+    // numbers down with it) — the queries are the payload, the unit is
+    // garnish.
+    val cal = try calibrate(spark) catch { case e: Throwable =>
+      System.err.println(s"bench calibration failed: ${err(e)}")
+      -1.0
+    }
     // best-of-2 per query: the host carries fluctuating background load,
     // so single-shot timings swing on identical plans; the minimum of two
     // runs reports the plan's actual cost (standard bench practice).
@@ -137,7 +153,9 @@ object Bench {
       System.gc()
       name -> best
     }
-    if (printLine) emit(jsonLine(sfDir, results))
+    if (printLine)
+      emit(jsonLine(sfDir, results,
+        if (cal > 0) Map("calibration" -> fmt(cal)) else Map.empty))
     if (sys.env.contains("SPARK_GRAFT_BUCKETED"))
       try queries.PostingsStore.drop(spark, sfDir)
       catch { case _: Throwable => () } // cleanup is best-effort
@@ -147,15 +165,108 @@ object Bench {
 
   /** Parent mode: run the pack as ChunkSize-query child JVMs (fresh heap,
     * fresh code cache, fresh Spark session each), merge their lines,
-    * re-run any transient outlier, then attach the fidelity and
-    * bucketed-layout sections before emitting. */
+    * re-run any transient outlier, then attach the calibration, fidelity
+    * and bucketed-layout sections before emitting. */
   private def orchestrate(sfDir: String, names: Seq[String]): Unit = {
     analyzeOnce(sfDir)
-    val merged = names.grouped(chunkSize).toSeq.flatMap(runChild(sfDir, _))
+    val chunks = names.grouped(chunkSize).toSeq.map(runChildLine(sfDir, _))
+    val merged = chunks.flatMap(_._1)
     val guarded = guardOutliers(sfDir, merged)
     val (finalResults, fidelity) = fidelitySection(sfDir, guarded)
-    emit(jsonLine(sfDir, finalResults, fidelity ++ bucketedSection(sfDir, names)))
+    emit(jsonLine(sfDir, finalResults,
+      fidelity ++ bucketedSection(sfDir, names) ++
+        calibrationSection(chunks.flatMap(_._2), finalResults)))
   }
+
+  /** Noise-awareness section: the round's machine-speed calibration (the
+    * MEDIAN of the per-child measurements — each child times the frozen
+    * workload in the JVM its query numbers come from) plus the total
+    * re-expressed in the PRIOR round's machine units:
+    * `noise_normalized_total = total × prior_cal / cal`. A +24% total on
+    * a machine whose calibration also rose +24% normalizes flat — drift,
+    * not regression; a rise with a FLAT calibration survives
+    * normalization — a real regression. Drift beyond ±25% additionally
+    * screams on stderr. The calibration lands in BENCH_HISTORY.jsonl as
+    * the `_cal` pseudo-query, so any consumer can normalize per query;
+    * the first calibrated round has no prior `_cal` and reports the raw
+    * total (ratio 1). */
+  private def calibrationSection(cals: Seq[Double],
+      results: Seq[(String, Either[String, Double])]): Map[String, String] = {
+    if (cals.isEmpty) return Map.empty
+    val cal = median(cals)
+    val total = results.map(_._2.getOrElse(0.0)).sum
+    val ratio = priorCal().map(p => cal / p)
+    ratio.filter(r => r > 1.25 || r < 0.8).foreach { r =>
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "bench calibration drift: machine running %.2fx its prior-round " +
+          "speed unit — totals normalized, per-query swings at this " +
+          "magnitude are drift, not plan regressions", Double.box(r)))
+    }
+    Map("calibration" -> fmt(cal),
+      "noise_normalized_total" -> fmt(normalizedTotal(total, cal, priorCal()))) ++
+      ratio.map(r => "cal_drift" -> fmt(r)).toMap
+  }
+
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** total expressed in prior-round machine units (pure, spec-covered):
+    * a slow machine (cal > prior) scales the total DOWN by the measured
+    * slowdown; no prior calibration → the raw total. */
+  private[graft] def normalizedTotal(total: Double, cal: Double,
+      prior: Option[Double]): Double =
+    prior.filter(p => p > 0 && cal > 0).map(p => total * p / cal).getOrElse(total)
+
+  /** FROZEN machine-speed workload — pure CPU (64M xxhash64) + ONE small
+    * shuffle (8192 keys over 32 partitions), zero graft code, zero I/O.
+    * Do not change its shape or size: cross-round drift detection
+    * compares this round's time against prior rounds' `_cal` history
+    * rows, and a changed workload breaks that comparability. */
+  private[graft] def calibrationWorkload(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.{col, shiftright, sum, xxhash64}
+    // shiftright(h, 32) keeps every summand under 2^32 so the 64M-row
+    // sum stays far inside long range — a raw sum(xxhash64) overflows
+    // and ANSI mode (Spark 4 default) makes that a task failure
+    spark.range(0, 64000000L, 1, 32)
+      .select((col("id") % 8192).as("k"),
+        shiftright(xxhash64(col("id")), 32).as("h"))
+      .groupBy(col("k"))
+      .agg(sum(col("h")).as("s"))
+      .agg(sum(col("s")))
+      .collect()
+    ()
+  }
+
+  /** One untimed warm rep (codegen + shuffle machinery), then best-of-2
+    * timed — the same protocol the query timings use. */
+  private def calibrate(spark: SparkSession): Double = {
+    calibrationWorkload(spark)
+    def rep(): Double = {
+      val t0 = System.nanoTime()
+      calibrationWorkload(spark)
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(rep(), rep())
+  }
+
+  /** The `_cal` row of the most recent completed round (see
+    * [[calibrationSection]]). */
+  private def priorCal(): Option[Double] = try {
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+    if (!java.nio.file.Files.exists(path)) None
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val rows = java.nio.file.Files.readAllLines(path).asScala
+        .filter(_.nonEmpty).map(om.readTree)
+        .filter(r => r.get("query").asText == "_cal" && r.get("sec").asDouble > 0)
+        .map(r => (r.get("round").asInt, r.get("sec").asDouble))
+      if (rows.isEmpty) None else Some(rows.maxBy(_._1)._2)
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** UNTIMED warehouse maintenance before the pack: ANALYZE every
     * fixture table once in the parent, persisting measured stats
@@ -165,8 +276,10 @@ object Bench {
     * with stats-driven planning active, priced from THIS sf's measured
     * rows × widths. ANALYZE cost is deliberately outside the timings,
     * same as the bucketed-store materialization: it is amortized
-    * warehouse upkeep, not query cost. Best-effort — a failed analyze
-    * must never kill the bench (children just run with the rule off,
+    * warehouse upkeep, not query cost. Best-effort at TWO grains: a
+    * single bad table is skipped inside StatsStore.analyze (the nine
+    * that profiled still persist), and a session-level failure here
+    * must never kill the bench (children then run with the rule off,
     * the round-over-round trend stays comparable). */
   private def analyzeOnce(sfDir: String): Unit = try {
     val spark = GraftSession.prime(GraftSession.configure(
@@ -280,10 +393,17 @@ object Bench {
 
   /** Run one chunk of queries in a fresh child JVM (this JVM's exact
     * args + classpath) and parse its contract line back into per-query
-    * results. */
+    * results (calibration discarded — for the fidelity/bucketed/outlier
+    * re-runs, which never feed the calibration median). */
   private def runChild(sfDir: String, chunk: Seq[String],
       extraEnv: Map[String, String] = Map.empty)
-      : Seq[(String, Either[String, Double])] = {
+      : Seq[(String, Either[String, Double])] =
+    runChildLine(sfDir, chunk, extraEnv)._1
+
+  /** [[runChild]] plus the child's own machine-speed calibration. */
+  private def runChildLine(sfDir: String, chunk: Seq[String],
+      extraEnv: Map[String, String] = Map.empty)
+      : (Seq[(String, Either[String, Double])], Option[Double]) = {
     import scala.jdk.CollectionConverters._
     val javaBin = sys.props("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory
@@ -317,7 +437,7 @@ object Bench {
       // pack still reports real numbers
       System.err.println(
         s"bench child failed (exit $exit) for chunk ${chunk.head}..${chunk.last}")
-      chunk.map(n => n -> Left(s"bench child died (exit $exit)"))
+      (chunk.map(n => n -> Left(s"bench child died (exit $exit)")), None)
     } else {
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(line.get)
@@ -328,10 +448,11 @@ object Bench {
         .map(e => e.getKey -> e.getValue.asDouble).toMap
       val errsById = Option(root.get("errors")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
-      chunk.map { n =>
+      val cal = Option(root.get("calibration")).map(_.asDouble).filter(_ > 0)
+      (chunk.map { n =>
         val id = n.takeWhile(_ != '_')
         n -> errsById.get(id).toLeft(byId(id))
-      }
+      }, cal)
     }
   }
 
@@ -392,6 +513,11 @@ object Bench {
     }
   } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** Locale-stable 2-decimal render (the default-locale formatter writes
+    * comma decimals on e.g. de_DE JVMs — unparseable contract line). */
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
   /** One-line exception summary, sanitized to stay a valid JSON string. */
   private def err(e: Throwable): String = {
     val msg = Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(140)
@@ -435,7 +561,11 @@ object Bench {
     import scala.jdk.CollectionConverters._
     val rows = root.get("queries").properties().asScala.toSeq
       .sortBy(_.getKey)
-      .map(e => s"""{"round":$round,"query":"${e.getKey}","sec":${e.getValue.asDouble}}""")
+      .map(e => s"""{"round":$round,"query":"${e.getKey}","sec":${e.getValue.asDouble}}""") ++
+      // the machine-speed unit rides the same trend file as the `_cal`
+      // pseudo-query, so drift normalization works per query too
+      Option(root.get("calibration")).map(c =>
+        s"""{"round":$round,"query":"_cal","sec":${c.asDouble}}""")
     // idempotent per round: a re-run replaces the round's rows instead of
     // appending a duplicate block (the file is a trend line, not a log)
     val path = cwd.resolve("BENCH_HISTORY.jsonl")

@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * BIGINT ("h32"): md5 is bit-identical everywhere, and 32-bit values keep
   * all downstream modular arithmetic inside the non-overflowing BIGINT
   * range (DuckDB raises on 64-bit overflow; Spark wraps — we avoid the
-  * divergence by never exceeding ~2^45).
+  * divergence by never exceeding ~2^45). The one intentionally unbounded
+  * accumulation — membership-fingerprint sums over whole splits/clusters,
+  * whose row counts scale with the corpus — goes through [[fpSum]]'s
+  * decimal(38,0) accumulator instead of relying on that bound.
   *
   * These are pure `Column` expressions (codegen'd built-ins, no UDFs), so
   * they stay inside whole-stage codegen and Catalyst can push/prune around
@@ -64,4 +67,19 @@ object TextFns {
     *            t -> h32(t))), (a, b) -> (a * B + b) % P)`. */
   def rollingFp(toks: Column, b: Long = 131L): Column =
     call_function("rolling_fp", toks, lit(b))
+
+  /** Order-independent membership fingerprint: commutative sum of per-row
+    * h32 values reduced mod [[P]]. Equal multisets ⇔ equal fingerprints
+    * (w.h.p. over the hash), agg state is O(1) and map-side combinable.
+    *
+    * The sum is accumulated in `decimal(38,0)`, NOT bigint: each h32 is
+    * < 2^32, so a BIGINT sum wraps silently past ~4×10^9 members (the
+    * 'train' split of a 100 TB corpus is exactly that shape), while
+    * DuckDB sums BIGINT into HUGEINT — the engines would diverge right
+    * where the idiom matters most. decimal(38,0) is exact to ~10^28
+    * members and the single `% P` lands back in BIGINT range.
+    * DuckDB: `(sum(h) % 1000000007)::BIGINT` — HUGEINT sum, HUGEINT mod,
+    * then the (now always in-range) BIGINT cast. */
+  def fpSum(h: Column): Column =
+    (sum(h.cast("decimal(38,0)")) % P).cast("long")
 }

@@ -16,8 +16,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * and a dim-width state (the same reasoning as [[ValidFraction]]'s
   * pair-of-longs, scaled to a primitive array).
   *
-  * Ragged inputs throw (embeddings are fixed-width by contract — same
-  * strictness as `dot_f64`); nulls are ignored like any SQL aggregate.
+  * Ragged AND zero-length inputs throw (embeddings are fixed-width,
+  * non-empty by contract — same strictness as `dot_f64`): an empty row
+  * is indistinguishable from the empty zero-buffer, so without the
+  * explicit check an empty vector arriving first in a partition would
+  * silently bypass the ragged-length guard (and silently deflate a
+  * centroid) while the same row arriving later throws. Nulls are
+  * ignored like any SQL aggregate.
   * The empty-relation buffer stays `Array.empty`, finishing to an empty
   * array — groups always have ≥1 row under `groupBy`, so consumers never
   * see it. Float order: per-element sums accumulate in row order with
@@ -32,6 +37,8 @@ sealed abstract class VecFold(name: String, op: (Double, Double) => Double)
 
   override def reduce(b: Array[Double], a: Seq[Double]): Array[Double] = {
     if (a == null) b
+    else if (a.isEmpty)
+      throw new IllegalArgumentException(s"$name: zero-length input vector")
     else if (b.isEmpty) {
       // bootstrap from the first row — the identity element differs per
       // op (0 for sum, +∞/−∞ for min/max), so a copy is the one form

@@ -1506,12 +1506,216 @@ object Multimodal {
     }
   }
 
+  /** WebP RIFF walk: REAL container metadata — bitstream variant
+    * (VP8 lossy / VP8L lossless / VP8X extended), pixel dimensions and
+    * animation frame count — from pure chunk structure (the same
+    * even-padded RIFF grammar as [[AviDecoder]]/WAV; container spec at
+    * developers.google.com/speed/webp/docs/riff_container), no codec.
+    *
+    * Dimensions come from whichever chunk carries them authoritatively:
+    * VP8X's 24-bit canvas fields when present, else the VP8 keyframe's
+    * 14-bit fields behind the 0x9D012A start code, else VP8L's packed
+    * 14+14 bits behind the 0x2F signature. `nFrames` is the ANMF count
+    * for an animated file, 1 otherwise. Violations — bad magic, a chunk
+    * overrunning the RIFF size, a non-key first VP8 frame, missing
+    * start code/signature, an animated flag with zero ANMF frames —
+    * throw the contractual `IllegalArgumentException`. */
+  final class WebpDecoder extends MediaDecoder {
+    override def decode(rec: MediaRecord): MediaFeatures = {
+      val info = WebpDecoder.walk(rec.media)
+      MediaFeatures(rec.id, "webp", info.nFrames, info.checksum, info.thumb)
+    }
+  }
+
+  object WebpDecoder {
+    /** What the chunk walk knows without decoding a pixel. */
+    case class WebpInfo(variant: String, widthPx: Int, heightPx: Int,
+        animated: Boolean, nFrames: Int, checksum: Long, thumb: Int)
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def u16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def u24(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+    private def u32(b: Array[Byte], i: Int): Long =
+      u24(b, i).toLong | (u8(b, i + 3).toLong << 24)
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    def walk(b: Array[Byte]): WebpInfo = {
+      require(b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WEBP",
+        s"not a RIFF WEBP payload (len=${b.length})")
+      require(8 + u32(b, 4) <= b.length, "RIFF size overruns payload")
+      val end = (8 + u32(b, 4)).toInt
+      var pos = 12
+      var variant = ""
+      var w = -1; var h = -1
+      var animated = false; var anmf = 0
+      var checksum = 0L
+      while (pos < end) {
+        require(pos + 8 <= end, s"chunk header at $pos overruns RIFF")
+        val id = tag(b, pos)
+        val sz = u32(b, pos + 4)
+        require(pos + 8 + sz <= end, s"chunk $id at $pos overruns RIFF (size=$sz)")
+        val s = pos + 8
+        id match {
+          case "VP8 " =>
+            require(sz >= 10, s"VP8 chunk too short for a keyframe header ($sz)")
+            // frame tag bit 0: 0 = keyframe — only keyframes carry dims
+            require((u8(b, s) & 1) == 0, "VP8 bitstream opens on a non-keyframe")
+            require(u8(b, s + 3) == 0x9d && u8(b, s + 4) == 0x01 &&
+              u8(b, s + 5) == 0x2a, "bad VP8 keyframe start code")
+            if (variant.isEmpty) variant = "VP8"
+            if (w < 0) { w = u16(b, s + 6) & 0x3fff; h = u16(b, s + 8) & 0x3fff }
+          case "VP8L" =>
+            require(sz >= 5, s"VP8L chunk too short for the dimension bits ($sz)")
+            require(u8(b, s) == 0x2f, "bad VP8L signature byte")
+            if (variant.isEmpty) variant = "VP8L"
+            if (w < 0) {
+              val bits = u32(b, s + 1)
+              w = (bits & 0x3fff).toInt + 1
+              h = ((bits >> 14) & 0x3fff).toInt + 1
+            }
+          case "VP8X" =>
+            require(sz >= 10, s"VP8X chunk too short ($sz)")
+            variant = "VP8X"
+            animated = (u8(b, s) & 0x02) != 0
+            // canvas is authoritative: override whatever a bitstream said
+            w = u24(b, s + 4) + 1
+            h = u24(b, s + 7) + 1
+          case "ANMF" => anmf += 1
+          case _ => () // ALPH/ANIM/ICCP/EXIF/XMP: sized metadata, skipped
+        }
+        id.foreach(c => checksum = (checksum * 31 + c.toLong) % 1000000007L)
+        checksum = (checksum * 131 + sz) % 1000000007L
+        pos += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even length
+      }
+      require(variant.nonEmpty, "no VP8 /VP8L/VP8X bitstream chunk")
+      require(w > 0 && h > 0, s"no dimensions decoded (${w}x$h)")
+      if (animated) require(anmf > 0, "animated flag set but no ANMF frames")
+      val frames = if (animated) anmf else 1
+      checksum = (((checksum * 131 + w) * 131 + h) * 131 + frames) % 1000000007L
+      WebpInfo(variant, w, h, animated, frames, checksum, (u32(b, 4) & 0xff).toInt)
+    }
+  }
+
+  /** Ogg page walk (RFC 3533): REAL container metadata — page/stream
+    * counts, per-stream codec from the BOS identification header
+    * (Vorbis / Opus / Theora / Speex / FLAC-in-Ogg recognized by their
+    * published signatures), sample rate + channels for the audio codecs,
+    * and duration from the final granule position — from pure page
+    * structure, no codec anywhere.
+    *
+    * Duration: a Vorbis granule counts PCM samples at the id header's
+    * rate; an Opus granule counts 48 kHz samples with the id header's
+    * pre-skip subtracted (RFC 7845 §4/§5.1). The reported duration is
+    * the max across streams that define one. Violations — bad capture
+    * pattern, nonzero version, a segment table or body overrunning the
+    * payload, a BOS id header too short for its signature's fields —
+    * throw the contractual `IllegalArgumentException` naming the
+    * offset. */
+  final class OggDecoder extends MediaDecoder {
+    override def decode(rec: MediaRecord): MediaFeatures = {
+      val info = OggDecoder.walk(rec.media)
+      MediaFeatures(rec.id, "ogg", info.nPages, info.checksum, info.thumb)
+    }
+  }
+
+  object OggDecoder {
+    /** What the page walk knows without decoding a packet. */
+    case class OggInfo(nStreams: Int, nPages: Int, codecs: Seq[String],
+        sampleRateHz: Int, channels: Int, durationMs: Long,
+        checksum: Long, thumb: Int)
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def u16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def u32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+        (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+    private def i64(b: Array[Byte], i: Int): Long =
+      u32(b, i) | (u32(b, i + 4) << 32)
+
+    private def sigIs(b: Array[Byte], off: Int, len: Int, sig: String): Boolean =
+      len >= sig.length &&
+        sig.zipWithIndex.forall { case (c, i) => (b(off + i) & 0xff) == (c & 0xff) }
+
+    def walk(b: Array[Byte]): OggInfo = {
+      require(b.length >= 27, s"payload shorter than one Ogg page header (${b.length})")
+      var pos = 0
+      var nPages = 0
+      var checksum = 0L
+      // insertion-ordered per-serial state: codec, rate, channels,
+      // pre-skip, last granule
+      val serials = scala.collection.mutable.LinkedHashMap
+        .empty[Long, (String, Int, Int, Int)]
+      val lastGranule = scala.collection.mutable.Map.empty[Long, Long]
+      while (pos < b.length) {
+        require(pos + 27 <= b.length, s"page header at $pos overruns payload")
+        require(b(pos) == 'O' && b(pos + 1) == 'g' && b(pos + 2) == 'g' &&
+          b(pos + 3) == 'S', s"lost Ogg capture pattern at $pos")
+        require(u8(b, pos + 4) == 0, s"unsupported Ogg version ${u8(b, pos + 4)}")
+        val htype = u8(b, pos + 5)
+        val granule = i64(b, pos + 6)
+        val serial = u32(b, pos + 14)
+        val nSegs = u8(b, pos + 26)
+        require(pos + 27 + nSegs <= b.length, s"segment table at $pos overruns payload")
+        var bodyLen = 0
+        var i = 0
+        while (i < nSegs) { bodyLen += u8(b, pos + 27 + i); i += 1 }
+        val body = pos + 27 + nSegs
+        require(body + bodyLen <= b.length, s"page body at $body overruns payload")
+        if ((htype & 0x02) != 0) { // BOS: the codec id header opens this body
+          val (codec, rate, ch, preskip) =
+            if (sigIs(b, body, bodyLen, "\u0001vorbis")) {
+              // id packet: 0x01 "vorbis", u32 version, u8 channels at
+              // +11, u32 rate at +12 (Vorbis I spec section 4.2.2)
+              require(bodyLen >= 16, s"Vorbis id header too short ($bodyLen)")
+              ("vorbis", u32(b, body + 12).toInt, u8(b, body + 11), 0)
+            } else if (sigIs(b, body, bodyLen, "OpusHead")) {
+              require(bodyLen >= 12, s"Opus id header too short ($bodyLen)")
+              // granules run on the 48 kHz Opus clock regardless of the
+              // id header's input-rate field
+              ("opus", 48000, u8(b, body + 9), u16(b, body + 10))
+            } else if (sigIs(b, body, bodyLen, "\u0080theora")) ("theora", 0, 0, 0)
+            else if (sigIs(b, body, bodyLen, "Speex   ")) ("speex", 0, 0, 0)
+            else if (sigIs(b, body, bodyLen, "\u007fFLAC")) ("flac", 0, 0, 0)
+            else ("other", 0, 0, 0)
+          serials.put(serial, (codec, rate, ch, preskip))
+        }
+        if (granule >= 0) lastGranule.put(serial, granule)
+        checksum = (((checksum * 131 + serial) * 131 +
+          (granule & 0x7fffffffL)) * 131 + bodyLen) % 1000000007L
+        nPages += 1
+        pos = body + bodyLen
+      }
+      require(serials.nonEmpty, "no BOS page — not a well-formed Ogg stream")
+      val durations = serials.flatMap { case (ser, (codec, rate, _, preskip)) =>
+        lastGranule.get(ser).flatMap { g =>
+          codec match {
+            case "vorbis" if rate > 0 => Some(g * 1000 / rate)
+            case "opus" => Some(math.max(0L, g - preskip) * 1000 / 48000)
+            case _ => None
+          }
+        }
+      }
+      val codecs = serials.values.map(_._1).toSeq
+      codecs.foreach(_.foreach(c =>
+        checksum = (checksum * 31 + c.toLong) % 1000000007L))
+      val (rate, ch) = serials.values
+        .collectFirst { case (c, r, n, _) if r > 0 => (r, n) }
+        .getOrElse((0, 0))
+      val durationMs = if (durations.isEmpty) 0L else durations.max
+      checksum = ((checksum * 131 + durationMs) * 131 + nPages) % 1000000007L
+      OggInfo(serials.size, nPages, codecs, rate, ch, durationMs, checksum,
+        u8(b, 5))
+    }
+  }
+
   /** Format-dispatched decoder selection — the call-site convenience a
     * mixed-format corpus needs: REAL decoders for every format this
     * library decodes without a codec (ppm, bmp, wav, png, gif, tiff,
     * jpeg, mp3's frame-header walk, flac's STREAMINFO walk, the
-    * mp4/mov box walk, and the avi RIFF walk), the deterministic
-    * [[FakeDecoder]] for
+    * mp4/mov box walk, the avi and webp RIFF walks, and the ogg page
+    * walk), the deterministic [[FakeDecoder]] for
     * genuinely-unavailable codecs (explicit allowlist below).
     * Case-insensitive on the metadata format tag. An UNKNOWN tag throws
     * rather than silently fake-decoding: a typo ("tiif") or a new
@@ -1529,7 +1733,9 @@ object Multimodal {
     case "flac" => new FlacDecoder
     case "mp4" | "mov" => new Mp4Decoder
     case "avi" => new AviDecoder
-    case "webm" | "ogg" | "heic" | "avif" | "webp" | "aac" =>
+    case "webp" => new WebpDecoder
+    case "ogg" | "oga" | "ogv" => new OggDecoder
+    case "webm" | "heic" | "avif" | "aac" =>
       new FakeDecoder()
     case other => throw new IllegalArgumentException(
       s"unknown media format tag '$other': not a decodable format and " +
@@ -1596,7 +1802,9 @@ object Multimodal {
     * REAL decoder's format ("png"/"wav"/…) would make the documented
     * ingest → [[extractFeaturesAuto]] path throw that decoder's
     * contractual not-a-valid-payload IAE on ~every record. Real
-    * corpora carry real magic-byte sniffing here. */
+    * corpora carry real magic-byte sniffing here. (Round 13: "ogg"
+    * graduated to the real [[OggDecoder]], so "aac" replaces it in the
+    * stand-in rotation.) */
   def ingest(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaRecord] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -1605,7 +1813,7 @@ object Multimodal {
         col(idCol).cast("long").as("id"),
         col(payloadCol).cast("binary").as("media"),
         struct(
-          element_at(array(lit("webm"), lit("ogg"), lit("heic"), lit("avif")),
+          element_at(array(lit("webm"), lit("aac"), lit("heic"), lit("avif")),
             (h % 4 + 1).cast("int")).as("format"),
           (lit(320) + h % 320).cast("int").as("widthPx"),
           (lit(240) + floor(h / 320).cast("long") % 240).cast("int").as("heightPx"),

@@ -237,4 +237,137 @@ object Launcher {
       timeoutPerPlugin,
       if (crashHandlers.nonEmpty) crashHandlers else crashChain(config),
       availableNow)(onReport)
+
+  /** Parsed bin-entry arguments (cli.py:18-44's surface re-expressed):
+    * positional data files, `-p/--product-list` (required), `-m/
+    * --metadata` inline JSON (cli.py's meaning of -m), `--test-message`
+    * a file holding one canned message (launcher.py:504's
+    * `-m/--test_message` — renamed here because the reference's two
+    * entry points give `-m` conflicting meanings), `--audit-report` the
+    * profiler-dump analog (cli.py:35-42's --dask-profiler). */
+  final case class CliArgs(productList: String, metadataJson: String = "{}",
+      testMessage: Option[String] = None, auditReport: Option[String] = None,
+      logConfig: Option[String] = None, files: Seq[String] = Seq.empty)
+
+  private[graft] val cliUsage: String =
+    """usage: graft.pipeline.Launcher -p PRODUCT_LIST [-m METADATA_JSON]
+      |         [-c LOG_CONFIG_YAML] [--test-message MSG_FILE]
+      |         [--audit-report OUT_JSONL] [files ...]
+      |Run the configured chain once over the given files (cli.py shape),
+      |or over the canned message in --test-message (launcher.py's
+      |test-message shape). -c takes a dictConfig-shaped YAML (the
+      |reference's --log-config) routed through the queued log bridge.""".stripMargin
+
+  /** argv → [[CliArgs]], pure (spec-covered including every bad-args
+    * shape). Left = the message to print before exiting 2, exactly like
+    * argparse's error path in the reference. */
+  private[graft] def parseCliArgs(args: Seq[String]): Either[String, CliArgs] = {
+    @annotation.tailrec
+    def loop(rest: Seq[String], acc: CliArgs,
+        seenP: Boolean): Either[String, (CliArgs, Boolean)] = rest match {
+      case Seq() => Right((acc, seenP))
+      case ("-p" | "--product-list") +: v +: t =>
+        loop(t, acc.copy(productList = v), seenP = true)
+      case ("-m" | "--metadata") +: v +: t =>
+        loop(t, acc.copy(metadataJson = v), seenP)
+      case ("-c" | "--log-config") +: v +: t =>
+        loop(t, acc.copy(logConfig = Some(v)), seenP)
+      case "--test-message" +: v +: t =>
+        loop(t, acc.copy(testMessage = Some(v)), seenP)
+      case "--audit-report" +: v +: t =>
+        loop(t, acc.copy(auditReport = Some(v)), seenP)
+      case Seq(flag) if flag.startsWith("-") && flag != "-" =>
+        Left(s"option $flag expects a value")
+      case f +: t if !f.startsWith("-") || f == "-" =>
+        loop(t, acc.copy(files = acc.files :+ f), seenP)
+      case unknown +: _ => Left(s"unknown option $unknown")
+    }
+    loop(args, CliArgs(productList = ""), seenP = false).flatMap {
+      case (_, false) => Left("missing required -p/--product-list")
+      case (acc, _) => Right(acc)
+    }
+  }
+
+  /** The testable CLI body: never calls `sys.exit`, returns the process
+    * exit code — 2 for argument/file errors (argparse's convention), 1
+    * when any job aborted or a plugin crashed, 0 on a clean run. The
+    * reference's `produced_files` queue surfaces as one `produced:`
+    * line per manifest entry on stdout. `sparkFor` is lazy so bad-args
+    * runs never pay a session spin-up (and specs can inject the shared
+    * one). */
+  def cliMain(args: Array[String], sparkFor: () => SparkSession,
+      out: String => Unit = println): Int =
+    parseCliArgs(args.toSeq) match {
+      case Left(msg) =>
+        Console.err.println(s"error: $msg"); Console.err.println(cliUsage); 2
+      case Right(cli) =>
+        val configText =
+          try scala.io.Source.fromFile(cli.productList).mkString
+          catch { case e: java.io.IOException =>
+            Console.err.println(s"error: cannot read product list: $e"); return 2
+          }
+        val config =
+          try load(configText)
+          catch { case e: ConfigException =>
+            Console.err.println(s"error: bad product list: ${e.getMessage}"); return 2
+          }
+        val message = cli.testMessage match {
+          case Some(mf) =>
+            try getTestMessage(Some(mf))
+            catch { case e: java.io.IOException =>
+              Console.err.println(s"error: cannot read test message: $e"); return 2
+            }
+          case None => None
+        }
+        val logCfg =
+          try cli.logConfig.map(p =>
+            Logging.parseConfig(scala.io.Source.fromFile(p).mkString))
+          catch {
+            case e: java.io.IOException =>
+              Console.err.println(s"error: cannot read log config: $e"); return 2
+            case e: ConfigException =>
+              Console.err.println(s"error: bad log config: ${e.getMessage}"); return 2
+          }
+        val spark = sparkFor()
+        installTraceDump() // the reference hooks USR1 at launch (374-375)
+        // `logging_on` around the whole run, exactly like both reference
+        // entry points: lifecycle + crash messages route through the
+        // queued bridge instead of contending on handlers directly
+        Logging.loggingOn(logCfg.getOrElse(Logging.defaultConfig())) { bridge =>
+          val log = bridge.logger("graft.launcher")
+          log("INFO", "Launching pipeline runner.")
+          try {
+            val reports = message match {
+              case Some(msg) =>
+                runOnce(spark, config, msg, auditReport = cli.auditReport,
+                  crashHandlers = crashChain(config, s => log("ERROR", s)))
+              case None => processFiles(spark, config, cli.files,
+                cli.metadataJson, auditReport = cli.auditReport,
+                crashHandlers = crashChain(config, s => log("ERROR", s)))
+            }
+            reports.flatMap(_.finalCtx.manifest)
+              .foreach(w => out(s"produced: ${w.path}"))
+            val aborted = reports.flatMap(_.finalCtx.aborted)
+            aborted.foreach(r => log("ERROR", s"job aborted: $r"))
+            if (aborted.nonEmpty) 1 else 0
+          } catch { case e: ConfigException =>
+            // a config error surfacing at run time (bad metadata JSON, a
+            // message referencing unknown plugins) is still exit 2 — the
+            // operator's input is wrong, not the pipeline
+            Console.err.println(s"error: ${e.getMessage}"); 2
+          }
+        }
+    }
+
+  /** Bin-style entry (`launch`, launcher.py:500-514 / cli.py:46-64): the
+    * one `main` a crontab or systemd unit invokes. Builds its own local
+    * session; everything testable lives in [[cliMain]]. */
+  def main(args: Array[String]): Unit = {
+    val code = cliMain(args, () => {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      graft.GraftSession.prime(graft.GraftSession.configure(
+        SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate())
+    })
+    if (code != 0) sys.exit(code)
+  }
 }

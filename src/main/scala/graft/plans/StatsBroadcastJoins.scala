@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, In, Literal, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -23,12 +24,18 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * allocates (2–5× is routine — an executor-OOM class of mistake).
   * Measured rowcount × measured width — refreshed by ANALYZE, the
   * discipline every warehouse CBO imposes — prices the build side's
-  * memory correctly. Deliberately NOT addressed: a selective filter
-  * still prices at the unfiltered relation (the rule has no
-  * selectivity model and a wrong broadcast is an OOM, so it stays
-  * conservative in that direction — the per-column NDV the store
-  * collects is the raw material for an equality-predicate selectivity
-  * estimate if that trade ever flips).
+  * memory correctly.
+  *
+  * Selectivity (round 13): an EQUALITY predicate over a profiled column
+  * scales the estimate by `SkewSafety / ndv(col)` — the uniform 1/ndv
+  * estimate every CBO uses, padded 4× so a key up to 4× the average
+  * frequency still fits the budget before the hint fires (a wrong
+  * broadcast is an OOM; the padding is the skew insurance). Only
+  * equality/IN over literals reduces the estimate — ranges, LIKEs and
+  * udf predicates price at selectivity 1, and any side whose scan isn't
+  * ONE profiled relation skips selectivity entirely. Compound
+  * predicates use the standard independence assumption (AND multiplies,
+  * OR adds capped at 1).
   *
   * Safety: opt-in per session (`spark.graft.statsBroadcast=true`),
   * conservative by construction — a side with ANY un-profiled leaf, a
@@ -59,24 +66,65 @@ object StatsBroadcastJoins extends Rule[LogicalPlan] {
     }
   }
 
+  /** Skew padding on the 1/ndv equality estimate: the hint fires only if
+    * the side fits the budget even when the probed key is 4× the average
+    * key's frequency. */
+  private val SkewSafety = 4.0
+
   /** Measured size of a join side iff it is a narrow wrapper over ONE
     * profiled relation — Project/Filter/alias keep cardinality bounded
-    * by the relation's rowcount (a filter only shrinks it), anything
-    * else (join, aggregate, union, generate) changes cardinality in
-    * ways the relation's stats no longer bound, so: None. */
-  private def measuredBytes(p: LogicalPlan): Option[Long] = p match {
-    case Project(_, c) => measuredBytes(c)
-    case Filter(_, c) => measuredBytes(c)
-    case SubqueryAlias(_, c) => measuredBytes(c)
+    * by the relation's rowcount, anything else (join, aggregate, union,
+    * generate) changes cardinality in ways the relation's stats no
+    * longer bound, so: None. Filters over a single profiled relation
+    * scale the estimate by the NDV-based equality selectivity. */
+  private def measuredBytes(p: LogicalPlan): Option[Long] =
+    estimate(p).map(_._1)
+
+  /** (bytes, stats-if-single-relation). Selectivity only applies when
+    * exactly one profiled relation backs the scan — a multi-path union
+    * has no single NDV map to price equality against. */
+  private def estimate(p: LogicalPlan)
+      : Option[(Long, Option[StatsStore.TableStats])] = p match {
+    case Project(_, c) => estimate(c)
+    case SubqueryAlias(_, c) => estimate(c)
+    case Filter(cond, c) => estimate(c).map { case (bytes, st) =>
+      (st.map(s => math.max(1L,
+          math.ceil(bytes * selectivity(cond, s)).toLong))
+        .getOrElse(bytes), st)
+    }
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
         val paths = fs.location.rootPaths.map(_.toString)
         val stats = paths.flatMap(StatsStore.statsByPath.get)
         if (paths.nonEmpty && stats.size == paths.size)
-          Some(stats.map(_.estBytes).sum)
+          Some((stats.map(_.estBytes).sum,
+            if (stats.size == 1) Some(stats.head) else None))
         else None
       case _ => None
     }
     case _ => None
   }
+
+  /** Fraction of `s`'s rows the predicate keeps, under the standard CBO
+    * independence assumption. ONLY literal equality/IN reduce the
+    * estimate (padded by [[SkewSafety]]); everything unrecognized prices
+    * at 1.0 — the conservative direction, since an over-estimate merely
+    * skips a broadcast while an under-estimate builds one that may not
+    * fit. */
+  private def selectivity(e: Expression,
+      s: StatsStore.TableStats): Double = e match {
+    case And(l, r) => selectivity(l, s) * selectivity(r, s)
+    case Or(l, r) => math.min(1.0, selectivity(l, s) + selectivity(r, s))
+    case EqualTo(a: AttributeReference, _: Literal) => ndvSel(a.name, s)
+    case EqualTo(_: Literal, a: AttributeReference) => ndvSel(a.name, s)
+    case EqualNullSafe(a: AttributeReference, _: Literal) => ndvSel(a.name, s)
+    case EqualNullSafe(_: Literal, a: AttributeReference) => ndvSel(a.name, s)
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      math.min(1.0, vs.size * ndvSel(a.name, s))
+    case _ => 1.0
+  }
+
+  private def ndvSel(column: String, s: StatsStore.TableStats): Double =
+    s.ndv.get(column).filter(_ > 0)
+      .map(n => math.min(1.0, SkewSafety / n)).getOrElse(1.0)
 }

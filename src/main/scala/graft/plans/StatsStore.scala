@@ -36,10 +36,14 @@ import org.apache.spark.sql.types._
   */
 object StatsStore {
 
-  /** Set "true" to let [[StatsBroadcastJoins]] act. Off by default:
-    * stats-driven hints with STALE stats can broadcast a table that has
-    * since grown — opt in after an [[analyze]] pass, exactly like
-    * ANALYZE TABLE + CBO in a warehouse. */
+  /** Set "true" to let [[StatsBroadcastJoins]] act. Default-ON whenever a
+    * FRESH persisted profile hydrates (GraftSession.prime flips it after
+    * [[load]] returns > 0), where fresh means the profiled source files
+    * still match the size+mtime fingerprint recorded at ANALYZE time —
+    * stale stats can broadcast a table that has since grown (priced from
+    * old rows × width → executor OOM), so [[load]] silently skips any
+    * entry whose source changed instead of hydrating it. An explicit
+    * conf set by the session owner — either way — always wins. */
   val EnabledConf = "spark.graft.statsBroadcast"
 
   /** Broadcast budget in MEASURED bytes (default 10 MiB, matching the
@@ -53,7 +57,7 @@ object StatsStore {
     * the join key between a `LogicalRelation` in a plan and its
     * measured profile. */
   case class TableStats(table: String, nRows: Long, rowBytes: Double,
-      ndv: Map[String, Long]) {
+      ndv: Map[String, Long], srcLen: Long = -1L, srcMtime: Long = -1L) {
     def estBytes: Long = math.ceil(nRows * rowBytes).toLong
   }
 
@@ -65,7 +69,13 @@ object StatsStore {
     StructField("table", StringType),
     StructField("n_rows", LongType),
     StructField("row_bytes", DoubleType),
-    StructField("ndv", MapType(StringType, LongType))))
+    StructField("ndv", MapType(StringType, LongType)),
+    // source fingerprint at ANALYZE time (total leaf-file bytes + max
+    // mtime): load() refuses to hydrate an entry whose source no longer
+    // matches. Old profiles without the columns read as null → 0 → never
+    // match a real fingerprint → auto-invalidated, by design.
+    StructField("src_len", LongType),
+    StructField("src_mtime", LongType)))
 
   /** Measured average byte width of one column: variable-width types are
     * measured (strings/binary by octet length, arrays by element count ×
@@ -87,13 +97,46 @@ object StatsStore {
       .makeQualified(p).toString
   }
 
+  /** Source fingerprint of a profiled root (file or directory): total
+    * leaf-file bytes + newest leaf mtime. One FS listing per table —
+    * control-plane cost at [[analyze]]/[[load]] time only, never at plan
+    * time (a real deployment reads this from the catalog's snapshot id). */
+  private def sourceFp(spark: SparkSession, path: Path): (Long, Long) = {
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var len = 0L
+    var mtime = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      len += s.getLen
+      mtime = math.max(mtime, s.getModificationTime)
+    }
+    (len, mtime)
+  }
+
   /** One-pass profile of `dir/<table>.parquet` for each named table;
     * merges the rows into the persisted stats table and the in-JVM map.
     * Returns the freshly analyzed rows as a DataFrame (q160-style
-    * reporting surface). */
+    * reporting surface). Per-table failures (a missing/unreadable
+    * fixture) are logged and SKIPPED — the tables that did profile still
+    * persist, instead of one bad table aborting the whole pass and
+    * silently leaving stats-driven planning off. */
   def analyze(spark: SparkSession, dir: String,
       tables: Seq[String]): DataFrame = {
-    val fresh = tables.map { t =>
+    val fresh = tables.flatMap { t =>
+      try Some(analyzeOne(spark, dir, t))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[stats] analyze skipped table '$t': ${e.getMessage}")
+        None
+      }
+    }.toMap
+    fresh.foreach { case (p, s) => statsByPath.put(p, s) }
+    persist(spark, fresh)
+    toDf(spark, fresh)
+  }
+
+  private def analyzeOne(spark: SparkSession, dir: String,
+      t: String): (String, TableStats) = {
       val path = qualified(spark, s"$dir/$t.parquet")
       val df = spark.read.parquet(path)
       val fields = df.schema.fields.toSeq
@@ -121,11 +164,12 @@ object StatsStore {
       // an in-memory hashed relation, so in-memory width is what matters
       val rowBytes = fields.map(f =>
         r.getAs[Number](s"__w_${f.name}").doubleValue).sum + 8.0 * fields.size
-      path -> TableStats(t, nRows, rowBytes, ndv)
-    }.toMap
-    fresh.foreach { case (p, s) => statsByPath.put(p, s) }
-    persist(spark, fresh)
-    toDf(spark, fresh)
+      // fingerprint AFTER the scan: if a concurrent writer replaced the
+      // files mid-profile, the recorded fp reflects the newer files and
+      // the next load() invalidates the (mixed) profile instead of
+      // trusting it
+      val (srcLen, srcMtime) = sourceFp(spark, new Path(path))
+      path -> TableStats(t, nRows, rowBytes, ndv, srcLen, srcMtime)
   }
 
   /** Where the profile lives on disk: a plain parquet directory under
@@ -144,21 +188,39 @@ object StatsStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  private def rowToStats(r: Row): TableStats = TableStats(
+    r.getAs[String]("table"), r.getAs[Long]("n_rows"),
+    r.getAs[Double]("row_bytes"), r.getAs[Map[String, Long]]("ndv"),
+    // profiles persisted before the fingerprint columns read as null →
+    // 0L via getAs[Long]; 0 never matches a real fingerprint, so legacy
+    // rows are automatically treated as stale below
+    r.getAs[Long]("src_len"), r.getAs[Long]("src_mtime"))
+
   /** Hydrate [[statsByPath]] from the persisted stats table (a fresh
-    * JVM's path to plan-time stats without re-scanning anything).
-    * Returns the number of loaded rows. */
+    * JVM's path to plan-time stats without re-scanning anything), but
+    * only entries whose SOURCE still matches the size+mtime fingerprint
+    * recorded at ANALYZE time — data regenerated at the same path would
+    * otherwise be priced from the old rows × width (a since-grown table
+    * broadcast into an executor OOM). Stale or unverifiable entries are
+    * logged and skipped. Returns the number of FRESH loaded rows (the
+    * count GraftSession.prime gates the default-on flip with). */
   def load(spark: SparkSession): Int =
     if (!storeExists(spark)) 0
     else {
       val rows = spark.read.schema(statsSchema)
         .parquet(storePath(spark).toString).collect()
-      rows.foreach { r =>
-        statsByPath.put(r.getAs[String]("path"), TableStats(
-          r.getAs[String]("table"), r.getAs[Long]("n_rows"),
-          r.getAs[Double]("row_bytes"),
-          r.getAs[Map[String, Long]]("ndv")))
+      val fresh = rows.filter { r =>
+        val path = r.getAs[String]("path")
+        val s = rowToStats(r)
+        val ok =
+          try sourceFp(spark, new Path(path)) == ((s.srcLen, s.srcMtime))
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (!ok)
+          System.err.println(s"[stats] stale profile skipped: ${s.table} ($path)")
+        ok
       }
-      rows.length
+      fresh.foreach(r => statsByPath.put(r.getAs[String]("path"), rowToStats(r)))
+      fresh.length
     }
 
   def statsFor(spark: SparkSession, dir: String,
@@ -183,7 +245,7 @@ object StatsStore {
   private def toDf(spark: SparkSession,
       m: Map[String, TableStats]): DataFrame = {
     val rows = m.toSeq.sortBy(_._1).map { case (p, s) =>
-      Row(p, s.table, s.nRows, s.rowBytes, s.ndv)
+      Row(p, s.table, s.nRows, s.rowBytes, s.ndv, s.srcLen, s.srcMtime)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), statsSchema)
@@ -198,9 +260,7 @@ object StatsStore {
       if (!storeExists(spark)) Map.empty
       else spark.read.schema(statsSchema)
         .parquet(storePath(spark).toString).collect().map { r =>
-          r.getAs[String]("path") -> TableStats(
-            r.getAs[String]("table"), r.getAs[Long]("n_rows"),
-            r.getAs[Double]("row_bytes"), r.getAs[Map[String, Long]]("ndv"))
+          r.getAs[String]("path") -> rowToStats(r)
         }.toMap
     toDf(spark, existing ++ fresh)
       .write.mode("overwrite").parquet(storePath(spark).toString)

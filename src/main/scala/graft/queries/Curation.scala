@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.functions.TextFns.{h32, shingleH32, shingles, tokens, P}
+import graft.functions.TextFns.{fpSum, h32, shingleH32, shingles, tokens, P}
 import graft.functions.VecOps.dotCol
 
 /** Corpus-curation pack: the selection/splitting stage of a training-data
@@ -487,8 +487,10 @@ object Curation {
         // group is ~90% of the corpus, so at 100 TB that is one
         // aggregation buffer holding billions of ids (executor OOM, no
         // partial aggregation). Same exact-membership guarantee: equal
-        // multisets ⇔ equal sums mod P (w.h.p. over the hash).
-        (sum(h32(concat(lit("m_"), col("doc_id")))) % P).as("docs_fp"))
+        // multisets ⇔ equal sums mod P (w.h.p. over the hash). fpSum
+        // accumulates in decimal(38,0) so the billions-of-members sum
+        // never wraps BIGINT (where DuckDB's HUGEINT sum would diverge).
+        fpSum(h32(concat(lit("m_"), col("doc_id")))).as("docs_fp"))
       .orderBy(col("split"))
   }
 
@@ -550,7 +552,7 @@ object Curation {
       |  count(*) AS n_docs,
       |  min(doc_id) AS first_doc,
       |  max(doc_id) AS last_doc,
-      |  sum(('0x' || substr(md5('m_' || doc_id), 1, 8))::BIGINT)::BIGINT % 1000000007 AS docs_fp
+      |  (sum(('0x' || substr(md5('m_' || doc_id), 1, 8))::BIGINT) % 1000000007)::BIGINT AS docs_fp
       |FROM kept
       |GROUP BY 1
       |ORDER BY split""".stripMargin
@@ -944,9 +946,10 @@ object Curation {
         // map-side partials, vs the previous collect_list of every
         // selected doc_id per source (unbounded buffer at corpus scale).
         // sum() skips the non-selected rows' nulls; coalesce covers a
-        // source with zero selected docs.
-        (coalesce(sum(when(col("sel") === 1,
-          h32(concat(lit("m_"), col("doc_id"))))), lit(0L)) % P).as("sel_fp"))
+        // source with zero selected docs. fpSum's decimal accumulator
+        // keeps the corpus-scale sum from wrapping BIGINT.
+        coalesce(fpSum(when(col("sel") === 1,
+          h32(concat(lit("m_"), col("doc_id"))))), lit(0L)).as("sel_fp"))
       .orderBy(col("source"))
   }
 
@@ -1002,9 +1005,9 @@ object Curation {
       |SELECT source, count(*) AS n_docs,
       |  CAST(sum(sel) AS BIGINT) AS n_sel,
       |  round(1e-9 + sum(blend * sel), 2) AS sel_blend_sum,
-      |  coalesce(sum(CASE WHEN sel = 1
-      |      THEN ('0x' || substr(md5('m_' || doc_id), 1, 8))::BIGINT END)::BIGINT,
-      |    0) % 1000000007 AS sel_fp
+      |  coalesce((sum(CASE WHEN sel = 1
+      |      THEN ('0x' || substr(md5('m_' || doc_id), 1, 8))::BIGINT END)
+      |    % 1000000007)::BIGINT, 0) AS sel_fp
       |FROM flagged
       |GROUP BY source
       |ORDER BY source""".stripMargin

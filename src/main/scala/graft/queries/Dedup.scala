@@ -720,8 +720,9 @@ object Dedup {
         // sort_array(collect_list(id)) buffered every member id per
         // cluster — a degenerate giant cluster (boilerplate corpus where
         // one component swallows most documents) would concentrate the
-        // whole corpus into one aggregation buffer.
-        (sum(h32(concat(lit("m_"), col("id")))) % P).as("members_fp"))
+        // whole corpus into one aggregation buffer. fpSum accumulates in
+        // decimal(38,0) so that same giant cluster can't wrap BIGINT.
+        fpSum(h32(concat(lit("m_"), col("id")))).as("members_fp"))
       .orderBy(col("cluster_rep"))
 
   /** The q59 evidence-graph + recursive-CC CTE chain (d … walk), shared
@@ -757,7 +758,7 @@ object Dedup {
   val q59Sql: String =
     s"""WITH $dupWalkSql
       |SELECT comp AS cluster_rep, count(*) AS n_docs, max(id) AS max_doc,
-      |  sum(('0x' || substr(md5('m_' || id), 1, 8))::BIGINT)::BIGINT % 1000000007 AS members_fp
+      |  (sum(('0x' || substr(md5('m_' || id), 1, 8))::BIGINT) % 1000000007)::BIGINT AS members_fp
       |FROM walk
       |GROUP BY comp
       |ORDER BY cluster_rep""".stripMargin
@@ -924,7 +925,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("grp")).as("n_groups"),
         sum(col("dup")).as("dup_docs"),
-        (sum(col("mh")) % P).as("member_fp"))
+        fpSum(col("mh")).as("member_fp"))
       .orderBy(col("fold"))
 
   val q135Sql: String =
@@ -942,7 +943,7 @@ object Dedup {
       |SELECT fold, count(*) AS n_docs,
       |  count(DISTINCT grp) AS n_groups,
       |  sum(dup)::BIGINT AS dup_docs,
-      |  sum(mh)::BIGINT % 1000000007 AS member_fp
+      |  (sum(mh) % 1000000007)::BIGINT AS member_fp
       |FROM f
       |GROUP BY fold
       |ORDER BY fold""".stripMargin
@@ -1318,10 +1319,16 @@ object Dedup {
       .agg(count(lit(1)).as("n_batch"),
         sum(col("is_dup")).as("n_dup"),
         (count(lit(1)) - sum(col("is_dup"))).as("n_admitted"),
-        aggregate(
-          sort_array(collect_list(when(col("is_dup") === 0, col("doc_id")))),
-          lit(0L),
-          (acc, k) => (acc * 131 + k % 1000000007L) % 1000000007L).as("admitted_fp"))
+        // q75's order-independent membership fingerprint over the admitted
+        // rows only — O(1) agg state with map-side partials. The previous
+        // sort_array(collect_list(...)) + rolling fold buffered every
+        // admitted doc_id per language: batch-bounded, but a fat delivery
+        // with few languages concentrates the whole batch into one
+        // aggregation buffer. fpSum's decimal accumulator also keeps a
+        // billion-row admitted set from wrapping BIGINT. coalesce covers
+        // a language whose batch rows were all duplicates.
+        coalesce(fpSum(when(col("is_dup") === 0,
+          h32(concat(lit("m_"), col("doc_id"))))), lit(0L)).as("admitted_fp"))
       .orderBy(col("lang"))
   }
 
@@ -1341,9 +1348,9 @@ object Dedup {
       |SELECT lang, count(*) AS n_batch,
       |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
       |  count(*) - CAST(sum(is_dup) AS BIGINT) AS n_admitted,
-      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    coalesce(list(doc_id ORDER BY doc_id) FILTER (is_dup = 0), [])),
-      |    (a, k) -> (a * 131 + k % 1000000007) % 1000000007) AS admitted_fp
+      |  coalesce((sum(CASE WHEN is_dup = 0
+      |      THEN ('0x' || substr(md5('m_' || doc_id), 1, 8))::BIGINT END)
+      |    % 1000000007)::BIGINT, 0) AS admitted_fp
       |FROM batch
       |GROUP BY lang
       |ORDER BY lang""".stripMargin

@@ -63,7 +63,11 @@ object Similarity {
   private def centroidsOver(members: DataFrame, group: Column,
       groupName: String): DataFrame =
     members.groupBy(group.as(groupName))
-      .agg(vecSum(col("v")).as("sv"), count(lit(1)).as("nv"))
+      // count(v), not count(*): the aggregator ignores null vectors like
+      // any SQL aggregate, so a null row must not inflate the divisor
+      // (the replaced posexplode+avg shape excluded such rows too);
+      // zero-LENGTH vectors throw inside VecFold before reaching here.
+      .agg(vecSum(col("v")).as("sv"), count(col("v")).as("nv"))
       .select(col(groupName),
         transform(col("sv"), s => round(lit(1e-9) + s / col("nv"), 6)).as("cv"),
         col("nv"))
@@ -1227,6 +1231,117 @@ object Similarity {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** q146's CELL-BLOCKED variant — the scale path the broadcast plan's
+    * docstring promises: when the eval suite outgrows a single broadcast
+    * array row (a suite that scales with the corpus), group it through
+    * q36's coarse quantizer into one BOUNDED array row per cell
+    * (|suite|/k structs, never |suite|) and fold q146's exact
+    * zip_with/greatest kernel per cell — no plan node ever holds the
+    * whole suite, and the cell table is an ordinary relation that
+    * distributes (drop the fixture-sized broadcast hint and the join
+    * shuffles; nothing else changes).
+    *
+    * Two modes:
+    *  - `nprobe = 0` (REGISTERED default): every corpus row meets every
+    *    cell row — the broadcast variant's exact compute, chunked. The
+    *    result is broadcast-q146 bit-for-bit BY CONSTRUCTION (same
+    *    pairs, same kernel, same rounding), pinned in PlanAuditSpec.
+    *  - `nprobe > 0`: true IVF routing — each corpus vector probes only
+    *    its nprobe nearest cells ([[graft.operators.TopK]]: O(nprobe)
+    *    agg state, map-side partials — never a collect of the k
+    *    distances). Precision stays 1 (every compared pair is real);
+    *    recall is geometry-dependent. On THIS fixture's synthetic
+    *    near-random embeddings the 0.35-threshold pairs are spread so
+    *    wide that full recall needs nprobe = 8 of k = 10 cells
+    *    (measured per-pair cell ranks: [1,2,2,2,2,3,3,4,4,5,6,7,8]) —
+    *    routing buys nothing here, which is exactly why the registered
+    *    default is the exact mode. On real encoder geometry (threshold
+    *    ~0.9, q144's anisotropy audit as the prerequisite) contaminated
+    *    pairs are near-duplicates and land in the same or adjacent
+    *    cells — the standard nprobe 1-4 regime. The subset property
+    *    (approximate flags are always a subset of exact flags) is
+    *    pinned in PlanAuditSpec at every nprobe.
+    *
+    * Cost accounting vs broadcast-q146 (exact mode): identical dot
+    * count, but the widest single row shrinks from |suite| to
+    * |suite|/k structs and the suite side becomes a k-row relation —
+    * the driver/broadcast bottleneck is gone. Routing mode additionally
+    * cuts per-corpus-row work to nprobe·|suite|/k dots for one
+    * corpus-grain shuffle (the TopK probe assembly). */
+  def q146BlockedDecontam(spark: SparkSession, dir: String,
+      nprobe: Int = 0): DataFrame = {
+    val e = vecs(spark, dir)
+    val centA = centroidsOver(e, col("label"), "c_label")
+      .withColumn("cnrm", dotCol(col("cv"), col("cv")))
+    def withD2(df: DataFrame): DataFrame = df.crossJoin(broadcast(centA))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("c_label").as("cell"),
+        (col("nrm") - lit(2.0) * dotCol(col("v"), col("cv"))
+          + col("cnrm")).as("d2"))
+    // eval suite: nearest cell each (q36's struct-argmin), then one
+    // bounded array row per cell
+    val evalCells = withD2(e.filter(col("vec_id") % 50 === 0))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("m"),
+        first(col("v")).as("ev"), first(col("nrm")).as("enrm"))
+      // cell as a NAMED column before the group: the plan audit pins
+      // "keys=[cell" on the collect, which a nested-field grouping key
+      // would render as an anonymous _groupingexpression
+      .select(col("m.cell").as("cell"), col("vec_id"), col("ev"), col("enrm"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(
+        struct(col("vec_id").as("eid"), col("ev"), col("enrm")))).as("evs"))
+    val corpus = e.filter(col("vec_id") % 50 =!= 0)
+    val probed =
+      if (nprobe <= 0)
+        // exact: every corpus row × every bounded cell row (k rows)
+        corpus.crossJoin(broadcast(evalCells))
+      else {
+        // IVF routing: nprobe nearest cells via the bounded TopK state;
+        // v/nrm ride the same aggregation (identical per vec_id) so no
+        // join-back to e is needed — ONE corpus shuffle total. Left
+        // join keeps corpus vectors whose probed cells hold no eval
+        // vectors (max over nothing = -1 -> unflagged).
+        withD2(corpus)
+          .groupBy(col("vec_id"))
+          .agg(graft.operators.TopK.topk(nprobe)(-col("d2"),
+              col("cell").cast("long")).as("top"),
+            first(col("label")).as("label"),
+            first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+          .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+            explode(col("top")).as("t"))
+          .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+            col("t._2").cast("int").as("cell"))
+          .join(broadcast(evalCells), Seq("cell"), "left")
+      }
+    // q146's exact kernel, folded over one CELL's array at a time
+    val cellMax = aggregate(col("evs"), lit(-1.0), (acc, s) =>
+      greatest(acc,
+        aggregate(zip_with(col("v"), s.getField("ev"), (a, b) => a * b),
+          lit(0.0), (a2, x) => a2 + x) / sqrt(col("nrm") * s.getField("enrm"))))
+    probed
+      .select(col("vec_id"), col("label"),
+        coalesce(cellMax, lit(-1.0)).as("cell_max"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("cell_max")).as("max_cos"))
+      .select(col("label"),
+        when(round(lit(1e-9) + col("max_cos"), 5) >= 0.35, 1L)
+          .otherwise(0L).as("flag"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(col("flag")).as("n_flagged"),
+        round(lit(1e-9) + avg(col("flag")), 5).as("flag_rate"))
+      .orderBy(col("label"))
+  }
+
+  /** Oracle for the registered EXACT mode: semantically identical to
+    * broadcast-q146 (same pairs, same kernel, same rounding — the
+    * blocking is a physical-layout change), so the twin is q146's own
+    * max-cosine SQL. The nprobe>0 approximation is not registered; its
+    * contract (subset of exact flags) is pinned in PlanAuditSpec
+    * instead. */
+  val q162Sql: String = q146Sql
+
   /** Embedding-space SOURCE-AFFINITY matrix — the semantic analog of
     * q130's lexical domain-KL and q98's shingle-overlap matrix: per
     * source pair, the cosine between the sources' mean embedding
@@ -1294,6 +1409,8 @@ object Similarity {
     "q34_ann_lsh" -> (q34AnnLsh _),
     "q144_anisotropy_audit" -> (q144AnisotropyAudit _),
     "q146_semantic_decontam" -> (q146SemanticDecontam _),
+    "q162_decontam_blocked" ->
+      ((s: SparkSession, d: String) => q146BlockedDecontam(s, d)),
     "q35_label_centroids" -> (q35LabelCentroids _),
     "q36_ann_ivf" -> (q36AnnIvf _),
     "q58_quantization" -> (q58Quantization _),
@@ -1313,6 +1430,7 @@ object Similarity {
     "q34_ann_lsh" -> q34Sql,
     "q144_anisotropy_audit" -> q144Sql,
     "q146_semantic_decontam" -> q146Sql,
+    "q162_decontam_blocked" -> q162Sql,
     "q35_label_centroids" -> q35Sql,
     "q36_ann_ivf" -> q36Sql,
     "q58_quantization" -> q58Sql,

@@ -102,6 +102,58 @@ class GraftExtensionsSpec extends SparkSpec {
     } finally StatsStore.clear(spark)
   }
 
+  test("stats freshness: load() refuses a profile whose source changed") {
+    // the default-on flip in GraftSession.prime rides load()'s count, so
+    // a profile recorded against files that have since been regenerated
+    // must NOT hydrate: pricing a grown table from old rows × width is
+    // how a stats-driven broadcast turns into an executor OOM.
+    import org.apache.spark.sql.functions._
+    import graft.plans.StatsStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_fresh").toString
+    spark.range(50).select(col("id")).write
+      .mode("overwrite").parquet(s"$dir/t.parquet")
+    try {
+      StatsStore.analyze(spark, dir, Seq("t"))
+      StatsStore.statsByPathClearForTest()
+      StatsStore.load(spark)
+      assert(StatsStore.statsFor(spark, dir, "t").exists(_.nRows == 50),
+        "fresh profile failed to hydrate")
+      // regenerate the source at the same path (10× the rows)
+      spark.range(500).select(col("id")).write
+        .mode("overwrite").parquet(s"$dir/t.parquet")
+      StatsStore.statsByPathClearForTest()
+      StatsStore.load(spark)
+      assert(StatsStore.statsFor(spark, dir, "t").isEmpty,
+        "STALE profile hydrated — since-grown table would broadcast from old stats")
+      // a fresh ANALYZE repairs it
+      StatsStore.analyze(spark, dir, Seq("t"))
+      StatsStore.statsByPathClearForTest()
+      StatsStore.load(spark)
+      assert(StatsStore.statsFor(spark, dir, "t").exists(_.nRows == 500))
+    } finally StatsStore.clear(spark)
+  }
+
+  test("analyze skips an unreadable table but persists the rest") {
+    // one missing fixture must not abort the whole pass (the bench would
+    // then silently run with stats-driven planning OFF instead of with
+    // the nine profiles that did succeed)
+    import org.apache.spark.sql.functions._
+    import graft.plans.StatsStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_partial").toString
+    spark.range(10).select(col("id")).write
+      .mode("overwrite").parquet(s"$dir/good.parquet")
+    try {
+      val reported = StatsStore.analyze(spark, dir, Seq("nosuch", "good"))
+      assert(reported.count() == 1)
+      assert(StatsStore.statsFor(spark, dir, "good").exists(_.nRows == 10))
+      assert(StatsStore.statsFor(spark, dir, "nosuch").isEmpty)
+      // and the good profile survived to the persisted store
+      StatsStore.statsByPathClearForTest()
+      StatsStore.load(spark)
+      assert(StatsStore.statsFor(spark, dir, "good").isDefined)
+    } finally StatsStore.clear(spark)
+  }
+
   test("applying the extensions class injects without error") {
     // builder-time injection can't be observed on the already-running
     // shared session (extensions apply to new sessions only) and the

@@ -105,4 +105,31 @@ class KernelLawsSpec extends SparkSpec {
     }
     df.unpersist()
   }
+
+  test("VecFold: null vectors ignored (count(v) divisor), zero-length throws") {
+    // the centroid divisor contract: a NULL vector contributes neither to
+    // the sum nor to count(v) — dividing by count(*) would silently
+    // deflate the centroid — while a zero-LENGTH vector fails loudly
+    // (it is indistinguishable from the empty zero-buffer, so it would
+    // otherwise bypass the ragged-length guard when it arrives first).
+    import org.apache.spark.sql.functions.udaf
+    import spark.implicits._
+    val withNull = Seq((0, Option(Seq(1.0, 2.0))), (0, None),
+      (0, Option(Seq(3.0, 4.0)))).toDF("g", "v")
+    val r = withNull.groupBy(col("g"))
+      .agg(udaf(graft.functions.VecSum).apply(col("v")).as("s"),
+        count(col("v")).as("nv"))
+      .head()
+    assert(r.getSeq[Double](1) == Seq(4.0, 6.0))
+    assert(r.getLong(2) == 2L)
+    val withEmpty = Seq((0, Seq(1.0)), (0, Seq.empty[Double])).toDF("g", "v")
+    val e = intercept[Throwable] {
+      withEmpty.groupBy(col("g"))
+        .agg(udaf(graft.functions.VecSum).apply(col("v"))).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("zero-length input vector")),
+      s"expected the VecFold zero-length guard, got: ${chain(e).mkString(" | ")}")
+  }
 }

@@ -71,6 +71,48 @@ class LauncherSpec extends SparkSpec {
     }
   }
 
+  test("cliMain: bin-entry argv drives processFiles/runOnce with exit codes") {
+    // bad args exit 2 BEFORE any session spin-up (sparkFor must not fire)
+    def noSpark(): org.apache.spark.sql.SparkSession =
+      fail("bad-args path must not build a session")
+    assert(Launcher.cliMain(Array("-p"), () => noSpark()) == 2) // missing value
+    assert(Launcher.cliMain(Array("f1"), () => noSpark()) == 2) // missing -p
+    assert(Launcher.cliMain(Array("-p", "x.yaml", "--bogus", "v"),
+      () => noSpark()) == 2) // unknown option
+    assert(Launcher.cliMain(Array("-p", "/no/such/file.yaml"),
+      () => noSpark()) == 2) // unreadable product list
+    // the parse surface itself (argparse-shape, pure)
+    val parsed = Launcher.parseCliArgs(Seq("-p", "pl.yaml", "-m",
+      """{"a":1}""", "--audit-report", "out.jsonl", "f1", "f2")).toOption.get
+    assert(parsed == Launcher.CliArgs("pl.yaml", """{"a":1}""",
+      None, Some("out.jsonl"), None, Seq("f1", "f2")))
+    // the cli.py one-shot: -p + -m + positional files, exit 0, one
+    // produced: line per manifest entry
+    val outDir = Files.createTempDirectory("graft_cli_main").toString
+    val pl = Files.createTempFile("graft_pl", ".yaml")
+    Files.writeString(pl, configText(outDir))
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Launcher.cliMain(Array(
+      "-p", pl.toString,
+      "-m", """{"platform_name": "noaa15"}""",
+      s"$sf/region.parquet"), () => spark, lines += _)
+    assert(code == 0, s"clean run exited $code")
+    assert(lines.size == 1 && lines.head.startsWith("produced: "),
+      s"produced lines: $lines")
+    assert(Files.exists(Paths.get(lines.head.stripPrefix("produced: "))))
+    // the launcher.py test-message shape: --test-message FILE
+    val msgFile = Files.createTempFile("graft_msg", ".json")
+    Files.writeString(msgFile,
+      s"""{"type": "file", "data": {"uri": "$sf/region.parquet", "platform_name": "noaa15"}}\n""")
+    val lines2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    assert(Launcher.cliMain(Array("-p", pl.toString,
+      "--test-message", msgFile.toString), () => spark, lines2 += _) == 0)
+    assert(lines2.size == 1 && lines2.head.startsWith("produced: "))
+    // a missing test-message file is an argument error, exit 2
+    assert(Launcher.cliMain(Array("-p", pl.toString,
+      "--test-message", "/no/such/msg.json"), () => spark) == 2)
+  }
+
   test("auditReport dumps one JSON line per Spark action (sink writes included)") {
     // the --dask-profiler analog (cli.py:35-42, 57-60): a per-run report
     // file holding every action the job triggered, as JSON lines

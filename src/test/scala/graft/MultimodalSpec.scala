@@ -18,7 +18,7 @@ class MultimodalSpec extends SparkSpec {
       // ingest's stand-in tags are all FakeDecoder codecs: arbitrary
       // payloads tagged with a real decoder's format would crash the
       // ingest -> extractFeaturesAuto path on decode
-      assert(Set("webm", "ogg", "heic", "avif").contains(r.meta.format))
+      assert(Set("webm", "aac", "heic", "avif").contains(r.meta.format))
       assert(r.meta.widthPx >= 320 && r.meta.widthPx < 640)
       assert(r.meta.heightPx >= 240 && r.meta.heightPx < 480)
     }
@@ -998,6 +998,105 @@ class MultimodalSpec extends SparkSpec {
     badAvi(lied, "says 3 streams")
   }
 
+  test("WebpDecoder walks the RIFF container: variant, dimensions, animation") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le24(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ padded
+    }
+    def webp(chunks: Array[Byte]): Array[Byte] = {
+      val body = "WEBP".getBytes("US-ASCII") ++ chunks
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    // lossless still: VP8L signature 0x2F + packed 14-bit (w-1, h-1)
+    val bits = (100 - 1) | ((60 - 1) << 14)
+    val lossless = webp(chunk("VP8L", Array[Byte](0x2f) ++ le32(bits) ++
+      Array.tabulate[Byte](9)(i => (i * 3).toByte)))
+    val li = Multimodal.WebpDecoder.walk(lossless)
+    assert(li.variant == "VP8L" && li.widthPx == 100 && li.heightPx == 60)
+    assert(!li.animated && li.nFrames == 1 && li.checksum > 0)
+    // lossy still: VP8 keyframe tag + 0x9D012A start code + 14-bit dims
+    val vp8 = webp(chunk("VP8 ", Array[Byte](0x50, 0x00, 0x00, 0x9d.toByte,
+      0x01, 0x2a) ++ le16(320) ++ le16(240) ++
+      Array.tabulate[Byte](11)(i => (i * 5).toByte)))
+    val vi = Multimodal.WebpDecoder.walk(vp8)
+    assert(vi.variant == "VP8" && vi.widthPx == 320 && vi.heightPx == 240)
+    assert(vi.nFrames == 1)
+    // extended animated: VP8X canvas 64x32, ANIM + two ANMF frames
+    val vp8x = chunk("VP8X", Array[Byte](0x02, 0, 0, 0) ++
+      le24(64 - 1) ++ le24(32 - 1))
+    val anim = chunk("ANIM", new Array[Byte](6))
+    def anmf(seed: Int) = chunk("ANMF",
+      Array.tabulate[Byte](24)(i => (i * seed).toByte))
+    val animated = webp(vp8x ++ anim ++ anmf(3) ++ anmf(7))
+    val ai = Multimodal.WebpDecoder.walk(animated)
+    assert(ai.variant == "VP8X" && ai.widthPx == 64 && ai.heightPx == 32)
+    assert(ai.animated && ai.nFrames == 2)
+    // the batched decode path agrees
+    val f = new Multimodal.WebpDecoder().decode(MediaRecord(5L, animated,
+      MediaMeta("webp", 64, 32, animated.length.toLong)))
+    assert(f.format == "webp" && f.nFrames == 2 && f.checksum == ai.checksum)
+    def bad(b: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Multimodal.WebpDecoder.walk(b) }
+      assert(e.getMessage.contains(needle), s"'${e.getMessage}' !~ $needle")
+    }
+    bad("RIFX".getBytes("US-ASCII") ++ lossless.drop(4), "not a RIFF WEBP")
+    bad(lossless.take(lossless.length - 4), "overruns")
+    bad(webp(chunk("VP8L", Array[Byte](0x30) ++ le32(bits))), "VP8L signature")
+    bad(webp(chunk("VP8 ", Array[Byte](0x51, 0, 0, 0x9d.toByte, 0x01, 0x2a) ++
+      le16(320) ++ le16(240))), "non-keyframe")
+    bad(webp(chunk("ICCP", new Array[Byte](8))), "no VP8 /VP8L/VP8X")
+    bad(webp(vp8x ++ anim), "no ANMF")
+  }
+
+  test("OggDecoder walks pages: streams, codecs, rate, granule duration") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le64(v: Long) = le32(v & 0xffffffffL) ++ le32(v >>> 32)
+    var seq = 0
+    def page(htype: Int, granule: Long, serial: Long,
+        body: Array[Byte]): Array[Byte] = {
+      val lacing = Array.fill(body.length / 255)(255.toByte) :+
+        (body.length % 255).toByte
+      seq += 1
+      "OggS".getBytes("US-ASCII") ++ Array[Byte](0, htype.toByte) ++
+        le64(granule) ++ le32(serial) ++ le32(seq.toLong) ++ le32(0L) ++
+        Array[Byte](lacing.length.toByte) ++ lacing ++ body
+    }
+    // Vorbis stream (serial 7): id header BOS, one data page at 2 s
+    val vorbisId = Array[Byte](0x01) ++ "vorbis".getBytes("US-ASCII") ++
+      le32(0L) ++ Array[Byte](2) ++ le32(44100L) ++ new Array[Byte](13)
+    // Opus stream (serial 9): OpusHead BOS (pre-skip 312), EOS at 96312
+    val opusId = "OpusHead".getBytes("US-ASCII") ++ Array[Byte](1, 1) ++
+      le16(312) ++ le32(48000L) ++ new Array[Byte](3)
+    val ogg = page(0x02, 0, 7, vorbisId) ++ page(0x02, 0, 9, opusId) ++
+      page(0, 88200, 7, Array.tabulate[Byte](300)(i => (i * 3).toByte)) ++
+      page(0x04, 96312, 9, Array.tabulate[Byte](40)(i => (i * 7).toByte))
+    val oi = Multimodal.OggDecoder.walk(ogg)
+    assert(oi.nStreams == 2 && oi.nPages == 4)
+    assert(oi.codecs == Seq("vorbis", "opus"))
+    assert(oi.sampleRateHz == 44100 && oi.channels == 2)
+    // max(88200/44.1 kHz, (96312-312)/48 kHz) = max(2000, 2000) = 2000 ms
+    assert(oi.durationMs == 2000L, s"duration ${oi.durationMs}")
+    val f = new Multimodal.OggDecoder().decode(MediaRecord(6L, ogg,
+      MediaMeta("ogg", 0, 0, ogg.length.toLong)))
+    assert(f.format == "ogg" && f.nFrames == 4 && f.checksum == oi.checksum)
+    def bad(b: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Multimodal.OggDecoder.walk(b) }
+      assert(e.getMessage.contains(needle), s"'${e.getMessage}' !~ $needle")
+    }
+    bad("OgsS".getBytes("US-ASCII") ++ ogg.drop(4), "capture pattern")
+    val v1 = ogg.clone(); v1(4) = 1
+    bad(v1, "unsupported Ogg version")
+    bad(ogg.take(ogg.length - 20), "overruns")
+    // a stream with no BOS page anywhere is not well-formed
+    bad(page(0, 1000, 7, new Array[Byte](10)), "no BOS page")
+  }
+
   test("decoder fuzz: seeded byte mutations throw the contractual IAE, never escape") {
     // the per-record error contract: a corrupted payload must either
     // decode (mutation hit a don't-care byte) or throw
@@ -1118,6 +1217,30 @@ class MultimodalSpec extends SparkSpec {
       val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
       "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
     }
+    def webpBytes(): Array[Byte] = {
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+        id.getBytes("US-ASCII") ++ le32(body.length) ++ padded
+      }
+      val vp8x = chunk("VP8X", Array[Byte](0x02, 0, 0, 0, 63, 0, 0, 31, 0, 0))
+      val frames = chunk("ANMF", Array.tabulate[Byte](24)(i => (i * 3).toByte)) ++
+        chunk("ANMF", Array.tabulate[Byte](20)(i => (i * 11).toByte))
+      val body = "WEBP".getBytes("US-ASCII") ++ vp8x ++
+        chunk("ANIM", new Array[Byte](6)) ++ frames
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    def oggBytes(): Array[Byte] = {
+      def le64(v: Long) = le32((v & 0xffffffffL).toInt) ++ le32((v >>> 32).toInt)
+      def page(htype: Int, granule: Long, serial: Int, sq: Int,
+          body: Array[Byte]): Array[Byte] =
+        "OggS".getBytes("US-ASCII") ++ Array[Byte](0, htype.toByte) ++
+          le64(granule) ++ le32(serial) ++ le32(sq) ++ le32(0) ++
+          Array[Byte](1, body.length.toByte) ++ body
+      val vorbisId = Array[Byte](0x01) ++ "vorbis".getBytes("US-ASCII") ++
+        le32(0) ++ Array[Byte](2) ++ le32(44100) ++ new Array[Byte](13)
+      page(0x02, 0, 7, 1, vorbisId) ++
+        page(0x04, 88200, 7, 2, Array.tabulate[Byte](60)(i => (i * 3).toByte))
+    }
     val cases: Seq[(String, MediaDecoder, Array[Byte])] = Seq(
       ("jpeg", new JpegDecoder, jpegBytes()),
       ("jpeg", new JpegDecoder, driJpegBytes()),
@@ -1125,6 +1248,8 @@ class MultimodalSpec extends SparkSpec {
       ("flac", new Multimodal.FlacDecoder, flacBytes()),
       ("mp4", new Multimodal.Mp4Decoder, mp4Bytes()),
       ("avi", new Multimodal.AviDecoder, aviBytes()),
+      ("webp", new Multimodal.WebpDecoder, webpBytes()),
+      ("ogg", new Multimodal.OggDecoder, oggBytes()),
       ("png", new PngDecoder, imgBytes("png")),
       ("gif", new GifDecoder, imgBytes("gif")),
       ("tiff", new TiffDecoder, imgBytes("tiff")),
@@ -1235,7 +1360,11 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decoderFor("mp4").isInstanceOf[Multimodal.Mp4Decoder])
     assert(Multimodal.decoderFor("mov").isInstanceOf[Multimodal.Mp4Decoder])
     assert(Multimodal.decoderFor("avi").isInstanceOf[Multimodal.AviDecoder])
+    assert(Multimodal.decoderFor("webp").isInstanceOf[Multimodal.WebpDecoder])
+    assert(Multimodal.decoderFor("ogg").isInstanceOf[Multimodal.OggDecoder])
+    assert(Multimodal.decoderFor("ogv").isInstanceOf[Multimodal.OggDecoder])
     assert(Multimodal.decoderFor("webm").isInstanceOf[FakeDecoder])
+    assert(Multimodal.decoderFor("aac").isInstanceOf[FakeDecoder])
     // an unknown tag (typo or unlisted format) must surface, not
     // silently fake-decode into pseudo-features
     val eu = intercept[IllegalArgumentException] { Multimodal.decoderFor("tiif") }

@@ -889,13 +889,65 @@ class PlanAuditSpec extends SparkSpec {
     // round-11 scale probe's worst slope). The sum-of-hashes idiom keeps
     // O(1) agg state — pinned here as partial_sum in the physical plan
     // (map-side combine) with no collect_list anywhere in the tree.
+    // q100's admitted_fp joined the idiom in round 13: its group is the
+    // admitted *batch* (bounded), but a fat delivery with few languages
+    // concentrates the same way, and the sum idiom is a drop-in.
     for (name <- Seq("q59_dup_clusters", "q60_curated_corpus",
-        "q101_quality_blend")) {
+        "q101_quality_blend", "q100_incremental_dedup")) {
       val p = plan(name)
       assert(!p.contains("collect_list"),
         s"$name regressed to an unbounded collect_list fingerprint")
       assert(p.contains("partial_sum"),
         s"$name's fingerprint aggregation lost its map-side partial:\n${p.take(1500)}")
+    }
+  }
+
+  test("q162 cell-blocked decontam ≡ broadcast q146; suite only collects per cell") {
+    // the broadcast plan folds the whole eval suite into ONE array row —
+    // fine for a fixed benchmark, a driver/broadcast bottleneck if the
+    // suite scales with the corpus. The registered blocked variant must
+    // (a) agree with the broadcast reference EXACTLY (its default mode
+    // compares every pair, just chunked per cell — identity is
+    // structural, not recall luck), and (b) never collect the suite into
+    // a single row: every collect_list in its physical plan is keyed by
+    // the coarse CELL.
+    val broad = SparkEntry.queries("q146_semantic_decontam")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val blocked = SparkEntry.queries("q162_decontam_blocked")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(broad == blocked,
+      s"cell-blocked decontam diverged from the broadcast reference:\n$broad\nvs\n$blocked")
+    val p = plan("q162_decontam_blocked")
+    p.linesIterator.filter(_.contains("collect_list")).foreach { l =>
+      assert(l.contains("keys=[cell"),
+        s"blocked q146 collects an array NOT keyed by cell (suite-sized row risk):\n$l")
+    }
+    // the nprobe>0 IVF-routing mode is the production approximation:
+    // precision 1 by construction, so at EVERY nprobe its per-label flag
+    // counts must be a lower bound of the exact counts — and its probe
+    // assembly must be the bounded TopK object-hash aggregation, never a
+    // window rank or a k-wide collect
+    val exact = broad.map { s =>
+      val c = s.stripPrefix("[").stripSuffix("]").split(",")
+      c(0) -> c(2).toLong
+    }.toMap
+    for (np <- Seq(2, 10)) {
+      val routed = graft.queries.Similarity
+        .q146BlockedDecontam(spark, sf, nprobe = np)
+      if (np == 2) {
+        val rp = routed.queryExecution.executedPlan.toString
+        assert(rp.contains("ObjectHashAggregate"),
+          "routing mode lost the bounded TopK probe aggregation")
+        assert(!rp.contains("Window ["),
+          "probe assembly regressed to a window rank over N*k rows")
+      }
+      routed.collect().foreach { r =>
+        val (lab, flags) = (r.get(0).toString, r.getLong(2))
+        assert(flags <= exact(lab),
+          s"nprobe=$np flagged MORE than exact for label $lab ($flags > ${exact(lab)})")
+        if (np == 10) assert(flags == exact(lab),
+          s"nprobe=k must reproduce exact counts (label $lab: $flags != ${exact(lab)})")
+      }
     }
   }
 
@@ -947,6 +999,52 @@ class PlanAuditSpec extends SparkSpec {
       assert(bhjCount() == on, "rehydrated stats must hint again")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.unset(StatsStore.EnabledConf)
+      spark.conf.unset(StatsStore.ThresholdConf)
+      StatsStore.clear(spark)
+    }
+  }
+
+  test("stats-broadcast selectivity: an equality-filtered big side flips to broadcast") {
+    // round-13 NDV selectivity: orders is measured BIGGER than the
+    // budget, but `o_custkey = <literal>` keeps ~rows/ndv of it — the
+    // rule prices the filtered side at estBytes × SkewSafety/ndv and
+    // flips the join to broadcast, where the unfiltered-priced rule left
+    // a SortMergeJoin on the table. A range predicate must NOT reduce
+    // the estimate (no NDV model for ranges — conservative direction).
+    import graft.plans.StatsStore
+    import org.apache.spark.sql.functions._
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(StatsStore.EnabledConf, "false")
+    try {
+      StatsStore.analyze(spark, sf, Seq("orders", "lineitem"))
+      val ord = StatsStore.statsFor(spark, sf, "orders").get
+      assert(ord.ndv("o_custkey") > 16, "fixture NDV too small to exercise 4/ndv")
+      // budget BELOW the whole orders table but far above the filtered slice
+      spark.conf.set(StatsStore.ThresholdConf, (ord.estBytes / 2).toString)
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      def probe(filtered: org.apache.spark.sql.DataFrame): String =
+        li.join(filtered, li("l_orderkey") === filtered("o_orderkey"))
+          .groupBy(col("o_custkey")).count()
+          .queryExecution.executedPlan.toString
+      val eqSide = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_custkey") === 7)
+      val rangeSide = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_totalprice") > 0.0)
+      spark.conf.set(StatsStore.EnabledConf, "false")
+      assert(!probe(eqSide).contains("BroadcastHashJoin"),
+        "baseline: rule off must leave the sort-merge join")
+      spark.conf.set(StatsStore.EnabledConf, "true")
+      assert(probe(eqSide).contains("BroadcastHashJoin"),
+        "equality-filtered side (est rows/ndv) failed to flip to broadcast")
+      assert(!probe(rangeSide).contains("BroadcastHashJoin"),
+        "a RANGE filter must not reduce the estimate below the budget")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.unset(StatsStore.EnabledConf)
       spark.conf.unset(StatsStore.ThresholdConf)
       StatsStore.clear(spark)
