@@ -444,17 +444,24 @@ object Curation {
     * full corpus, then one aggregation; the expensive evidence passes are
     * the same linear plans q57/q59 already run.
     *
-    * Scale-probe note (round 12): q60's ~2.3× slope on 10× data is floor
-    * arithmetic, not fan-out — the q152 story again. Decomposed at
-    * sf0.01/sf0.1: the q57 repetition evidence pass alone is
-    * 0.45 s → 0.76 s with its output exactly linear (74 → 667 flagged
-    * docs on 10× data), the dup-labels pass adds ~0.1–0.2 s at both SFs,
-    * and the final aggregation is 3 rows. t_small sits on the fixed
-    * plan/codegen/dispatch floor, so the ratio reads high while every
-    * stage scales at or below the data ratio. The one genuine 100 TB
-    * risk this query carried — the per-split collect_list membership
-    * array — was replaced by the O(1) sum-of-hashes fingerprint this
-    * round (see docs_fp below). */
+    * Scale-probe note (round 13 stage table — the r12 probe's slope rose
+    * 2.24→2.76 with no code change, so the decomposition was re-measured;
+    * best-of-3 per stage, one warm session, sf0.01 → sf0.1):
+    *
+    *   documents scan            0.30 → 0.13   (I/O floor, noise-bound)
+    *   q57 flagged evidence      0.42 → 0.74   (output linear: 74 → 667)
+    *   dup-labels (memoized)     0.06 → 0.05   (localCheckpoint read, flat)
+    *   q60 full                  0.56 → 0.88
+    *   q60 minus q57 stage       0.14 → 0.14   (anti-joins + 3-row agg, FLAT)
+    *
+    * Every stage is at or below the 10× data ratio; the whole slope is
+    * the q57 kernel pass, which at sf0.01 is floor-bound (0.42 s to scan
+    * 500 docs is plan/codegen/dispatch, not data). The slope number moves
+    * round-to-round because t_small IS the floor — the floor's noise is
+    * the slope's noise; there is no superlinear stage to fix. The one
+    * genuine 100 TB risk this query carried — the per-split collect_list
+    * membership array — was replaced by the O(1) sum-of-hashes
+    * fingerprint in round 12 (decimal-summed in round 13; see docs_fp). */
   /** Per-document curated survivors with their split — the frame a
     * training run materializes (see [[q60CuratedCorpus]] for the
     * aggregate view; `LayoutSpec` writes this partitioned by split). */
@@ -743,7 +750,16 @@ object Curation {
     * three separate corpus passes over a persisted explode before), and
     * one scoring probe joining the broadcast 256-row log-ratio table into
     * a per-doc hash aggregation; the global top-10 uses the bounded TopK
-    * aggregator, never a corpus sort. */
+    * aggregator, never a corpus sort.
+    *
+    * Measured tradeoff (round 13): both passes re-run the shingleH32
+    * kernel downstream of the shared document-grain exchange. The
+    * alternative — explode BEFORE the repartition so the exchange
+    * carries bigram-grain rows and the kernel runs once — was measured
+    * at 1.28 s vs this shape's 0.99 s isolated (sf0.1): shuffling the
+    * ~token-count× wider exploded rows costs more than hashing twice,
+    * and at 100 TB (shuffle = disk + network, kernel = codegen'd CPU)
+    * the gap only widens. The doubled kernel is the cheaper pass. */
   def q88ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
     def bi = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))

@@ -1156,7 +1156,9 @@ object TextAnalysis {
     * persist cost was charged to every run) and never a third explode.
     * After the counts everything is vocab-grain: two counts-table
     * joins, broadcast total rows, and a bounded TakeOrdered top-20 —
-    * never a sort of the bigram table. */
+    * never a sort of the bigram table. (Round 13 check on the round-11
+    * regression: with the vocab²-grain persist gone, isolated QTime
+    * reads 0.85 s at sf0.1 — back under the ~0.9 s round-10 level.) */
   def q109PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val d = Tables.documents(spark, dir)
