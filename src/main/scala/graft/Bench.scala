@@ -171,11 +171,12 @@ object Bench {
     analyzeOnce(sfDir)
     val chunks = names.grouped(chunkSize).toSeq.map(runChildLine(sfDir, _))
     val merged = chunks.flatMap(_._1)
-    val guarded = guardOutliers(sfDir, merged)
+    val cals = chunks.flatMap(_._2)
+    val guarded = guardOutliers(sfDir, merged, cals)
     val (finalResults, fidelity) = fidelitySection(sfDir, guarded)
     emit(jsonLine(sfDir, finalResults,
       fidelity ++ bucketedSection(sfDir, names) ++
-        calibrationSection(chunks.flatMap(_._2), finalResults)))
+        calibrationSection(cals, finalResults)))
   }
 
   /** Noise-awareness section: the round's machine-speed calibration (the
@@ -189,7 +190,14 @@ object Bench {
     * screams on stderr. The calibration lands in BENCH_HISTORY.jsonl as
     * the `_cal` pseudo-query, so any consumer can normalize per query;
     * the first calibrated round has no prior `_cal` and reports the raw
-    * total (ratio 1). */
+    * total (ratio 1).
+    *
+    * Demonstrated on a synthetic slow machine (round 13): the identical
+    * workload measured 0.456 s on the full 32-core host and 0.778 s
+    * under `taskset -c 0-3` — a 1.71× ratio, well past the ±25% drift
+    * bar, so a cpuset-throttled (or load-saturated) round announces
+    * itself as drift instead of reading as a ~2× plan regression. The
+    * normalization arithmetic itself is spec-covered (BenchMathSpec). */
   private def calibrationSection(cals: Seq[Double],
       results: Seq[(String, Either[String, Double])]): Map[String, String] = {
     if (cals.isEmpty) return Map.empty
@@ -465,14 +473,29 @@ object Bench {
     * > 2.5× its prior value (plus a 0.25 s absolute slack so sub-second
     * jitter doesn't trigger re-runs), keeping the min of the two
     * measurements. A query that genuinely regressed keeps its slower
-    * number: the re-run reproduces it, and min() changes nothing. */
+    * number: the re-run reproduces it, and min() changes nothing.
+    *
+    * Drift-aware (round 13): the prior value is first re-expressed in
+    * THIS round's machine units via the calibration ratio — on a host
+    * running 1.7× slower, comparing raw seconds against last round's
+    * would flag (and pointlessly re-run) a third of the pack, while on
+    * a faster host a real regression could hide under the slack. The
+    * ratio is clamped to [0.5, 3]: a wilder swing means the calibration
+    * itself is suspect, and an unbounded scale would let a broken unit
+    * disable the guard entirely. */
   private def guardOutliers(sfDir: String,
-      merged: Seq[(String, Either[String, Double])])
+      merged: Seq[(String, Either[String, Double])],
+      cals: Seq[Double] = Seq.empty)
       : Seq[(String, Either[String, Double])] = {
     val prior = priorRoundSecs()
+    val calScale = (for {
+      cal <- if (cals.nonEmpty) Some(median(cals)) else None
+      p <- priorCal()
+      if p > 0 && cal > 0
+    } yield math.max(0.5, math.min(3.0, cal / p))).getOrElse(1.0)
     val outliers = merged.collect {
       case (n, Right(sec)) if prior.get(n.takeWhile(_ != '_'))
-          .exists(p => p > 0 && sec > p * 2.5 + 0.25) => n
+          .exists(p => p > 0 && sec > p * calScale * 2.5 + 0.25) => n
     }
     if (outliers.isEmpty) merged
     else {

@@ -158,10 +158,21 @@ object ScaleProbe {
           // (a) the shared-postings consumers — their timed cost is
           // warm-postings query cost, exactly where a hidden superlinear
           // term (bucket-join blowup, candidate explosion) would hide
-          // behind a cheap-looking pack number; (b) queries absent from
-          // the last bench round (new this round) — they have no history
-          // to flag a regression against yet
-          val lastIds = rows.collect { case (r, q, _) if r == last => q }.toSet
+          // behind a cheap-looking pack number; (b) queries NEW THIS
+          // ROUND — they have no history to flag a regression against
+          // yet. Newness is judged against the last COMPLETED round, not
+          // the max history round: when the round's own bench runs
+          // before the probe (the usual order), the in-progress round's
+          // rows already list the new queries and the max-round compare
+          // would silently skip exactly the queries that most need a
+          // first slope (round 13's q162 got missed this way).
+          val inProgress = Rounds.inProgress()
+          val baseRound = rows.map(_._1).filter(_ < inProgress)
+            .foldLeft(0)(math.max) match {
+            case 0 => last // no completed round on file: fall back
+            case r => r
+          }
+          val lastIds = rows.collect { case (r, q, _) if r == baseRound => q }.toSet
           val mandatory = all.filter(n => queries.SharedFrames.isConsumer(n) ||
             !lastIds.contains(n.takeWhile(_ != '_')))
           (top ++ mandatory).distinct
