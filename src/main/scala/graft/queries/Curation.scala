@@ -937,13 +937,17 @@ object Curation {
     * per-row predicate on the rounded composite, so the whole decision
     * re-runs identically on any cluster shape. */
   def q101QualityBlend(spark: SparkSession, dir: String): DataFrame = {
-    val q = TextAnalysis.q24QualityScore(spark, dir)
-      .select(col("doc_id"), col("quality"))
+    // fused (doc_id, source, quality) scan — previously a separate q24
+    // pass joined onto a separate documents(source) projection: one
+    // corpus scan and one doc_id shuffle join that carried nothing the
+    // quality scan couldn't have carried itself. The xent side stays its
+    // own pass (its bigram-grain model join must NOT get wider rows —
+    // the measured q88 lesson: widening an exploded shuffle costs more
+    // than an extra narrow pass).
     val x = TextAnalysis.q61LmScore(spark, dir)
       .select(col("doc_id"), col("xent"))
-    val scored = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"))
-      .join(q, Seq("doc_id")).join(x, Seq("doc_id"))
+    val scored = TextAnalysis.docQuality(spark, dir)
+      .join(x, Seq("doc_id"))
       .persist() // feeds the moments agg and the per-source report
     val stats = scored.agg(
       avg(col("quality")).as("mq"), stddev_samp(col("quality")).as("sq"),

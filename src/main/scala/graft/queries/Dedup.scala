@@ -1771,7 +1771,18 @@ object Dedup {
     * (h·2²⁰ + pos — exact while pos < 2²⁰; positions here are token
     * indexes in one document) so the window min needs no struct ordering
     * in either engine; the pair join is the df-capped (>32 docs) inverted
-    * index equi-join of q83. */
+    * index equi-join of q83.
+    *
+    * Measured round 13: the "obvious" array-at-a-time rewrite (row-local
+    * `transform(sequence(...), i -> min of comb[i..i+3])` + in-row
+    * `array_distinct`, no explode-then-sort, no repartition) is SLOWER —
+    * 1.62 s with `array_min(slice(...))` (a 4-element allocation per
+    * position) and still 1.86 s with allocation-free
+    * `least(element_at×4)`, vs 1.30 s for this window shape at sf0.1
+    * isolated. Higher-order array functions run interpreted
+    * (non-codegen) per element, while the window exec is codegen'd
+    * streaming min over a doc-local sort — the window wins despite the
+    * extra exchange. Keep the window. */
   def q121Winnowing(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = Tables.documents(spark, dir)

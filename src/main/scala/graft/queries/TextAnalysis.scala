@@ -56,6 +56,23 @@ object TextAnalysis {
       lit(0.4) * least(lit(1.0),
         (col("word_chars").cast("double") / col("n_words")) / 8.0), 5)
 
+  /** (doc_id, source, quality) in ONE scan — the fused projection blend
+    * consumers join against. q101 previously joined q24's standalone
+    * output on top of a separate documents(source) projection: two
+    * corpus-grain scans and an extra doc_id shuffle join carrying
+    * nothing q24's scan couldn't have carried itself. The quality
+    * definition is [[qualityCol]], identical to q24's. */
+  private[graft] def docQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks).as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).as("word_chars"),
+        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"))
+      .select(col("doc_id"), col("source"), qualityCol.as("quality"))
+  }
+
   /** Per-document quality score from length / stopword-ratio / mean word
     * length — the heuristic-filter stage of a corpus-cleaning pipeline. */
   def q24QualityScore(spark: SparkSession, dir: String): DataFrame = {
