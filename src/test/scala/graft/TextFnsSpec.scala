@@ -10,6 +10,32 @@ class TextFnsSpec extends SparkSpec {
     Seq(Tuple1("x")).toDF("ignore").select(c).collect().head.get(0)
   }
 
+  test("fpSum stays exact past the BIGINT sum boundary (the 4e9-member corpus case)") {
+    // the membership-fingerprint contract: equal multisets ⇔ equal
+    // fingerprints, at ANY group size. h32 values are < 2^32, so a
+    // BIGINT sum wraps silently once a group holds ~4×10⁹ members (the
+    // 'train' split of a large corpus) — DuckDB sums into HUGEINT and
+    // stays exact, so the engines would diverge exactly at scale.
+    // Simulate the boundary with few LARGE addends instead of 4e9 rows:
+    // the arithmetic path (sum then one % P) is identical.
+    import spark.implicits._
+    val big = (1 to 40).map(i => (1L << 58) + i) // Σ > 2^63: long wraps
+    val df = big.toDF("h")
+    val viaFpSum = df.select(fpSum(col("h"))).head.getLong(0)
+    val expected = (big.map(BigInt(_)).sum mod BigInt(P)).toLong
+    assert(viaFpSum == expected, s"fpSum $viaFpSum != exact $expected")
+    // the pre-round-13 idiom demonstrably diverges past the boundary
+    // (try_sum instead of sum: ANSI mode makes the raw overflow THROW —
+    // either behavior, error or wrap, breaks oracle parity)
+    val wrapped = df.select(
+      (expr("try_sum(h)") % P).as("fp")).head
+    assert(wrapped.isNullAt(0) || wrapped.getLong(0) != expected,
+      "bigint sum unexpectedly survived the boundary — boundary too low?")
+    // order/partitioning independence: the decimal sum is commutative
+    val shuffled = scala.util.Random.shuffle(big).toDF("h").repartition(7)
+    assert(shuffled.select(fpSum(col("h"))).head.getLong(0) == expected)
+  }
+
   test("h32 matches the first 8 md5 hex chars as an unsigned value") {
     // md5("hello") = 5d41402abc4b2a76b9719d911017c592 -> 0x5d41402a
     assert(one(h32(lit("hello"))) == 0x5d41402aL)
