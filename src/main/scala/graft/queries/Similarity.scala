@@ -1337,10 +1337,63 @@ object Similarity {
   /** Oracle for the registered EXACT mode: semantically identical to
     * broadcast-q146 (same pairs, same kernel, same rounding — the
     * blocking is a physical-layout change), so the twin is q146's own
-    * max-cosine SQL. The nprobe>0 approximation is not registered; its
-    * contract (subset of exact flags) is pinned in PlanAuditSpec
-    * instead. */
+    * max-cosine SQL. */
   val q162Sql: String = q146Sql
+
+  /** The ROUTED mode as its own registered query (q163): nprobe = 2 of
+    * the k = 10 coarse cells — the production IVF approximation. Its
+    * oracle reproduces the ROUTING itself, not just the kernel: the same
+    * 6-dp-rounded centroids, the same d2 ties broken by cell id, eval
+    * vectors at their single nearest cell, corpus vectors probing their
+    * two nearest — so correctness is deterministic routing parity, never
+    * recall luck (on this fixture the routed flags are a strict subset
+    * of q162's exact flags; PlanAuditSpec pins that subset property at
+    * every nprobe). */
+  val q163Sql: String =
+    s"""WITH $vecsSql,
+      |compu AS (
+      |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS d, embedding FROM e),
+      |compl AS (
+      |  SELECT vec_id, label, d - 1 AS pos, embedding[d]::DOUBLE AS x FROM compu),
+      |cent AS (
+      |  SELECT label AS c_label, pos, round(1e-9 + avg(x), 6) AS c
+      |  FROM compl GROUP BY 1, 2),
+      |ca AS (SELECT c_label, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+      |can AS (
+      |  SELECT c_label, cv, list_reduce(list_transform(range(1, len(cv) + 1),
+      |    i -> cv[i] * cv[i]), (x, y) -> x + y) AS cnrm FROM ca),
+      |d2 AS (
+      |  SELECT vec_id, label, nrm, embedding, c_label AS cell,
+      |    e.nrm - 2 * list_reduce(list_transform(range(1, len(embedding) + 1),
+      |      i -> embedding[i]::DOUBLE * cv[i]), (x, y) -> x + y) + cnrm AS d2
+      |  FROM e CROSS JOIN can),
+      |evassign AS (
+      |  SELECT eid, evv, enrm, cell FROM (
+      |    SELECT vec_id AS eid, embedding AS evv, nrm AS enrm, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM d2 WHERE vec_id % 50 = 0) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id, label, embedding, nrm, cell FROM (
+      |    SELECT vec_id, label, embedding, nrm, cell,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      |    FROM d2 WHERE vec_id % 50 <> 0) WHERE rn <= 2),
+      |mx AS (
+      |  SELECT p.vec_id, p.label,
+      |    coalesce(max(
+      |      list_reduce(list_transform(range(1, len(p.embedding) + 1),
+      |        i -> p.embedding[i]::DOUBLE * evv[i]::DOUBLE), (x, y) -> x + y)
+      |      / sqrt(p.nrm * enrm)), -1) AS max_cos
+      |  FROM probes p LEFT JOIN evassign ev ON p.cell = ev.cell
+      |  GROUP BY 1, 2),
+      |fl AS (
+      |  SELECT label,
+      |    CASE WHEN round(1e-9 + max_cos, 5) >= 0.35 THEN 1 ELSE 0 END AS flag
+      |  FROM mx)
+      |SELECT label, count(*) AS n_corpus, sum(flag)::BIGINT AS n_flagged,
+      |  round(1e-9 + avg(flag::DOUBLE), 5) AS flag_rate
+      |FROM fl
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
 
   /** Embedding-space SOURCE-AFFINITY matrix — the semantic analog of
     * q130's lexical domain-KL and q98's shingle-overlap matrix: per
@@ -1411,6 +1464,8 @@ object Similarity {
     "q146_semantic_decontam" -> (q146SemanticDecontam _),
     "q162_decontam_blocked" ->
       ((s: SparkSession, d: String) => q146BlockedDecontam(s, d)),
+    "q163_decontam_routed" ->
+      ((s: SparkSession, d: String) => q146BlockedDecontam(s, d, nprobe = 2)),
     "q35_label_centroids" -> (q35LabelCentroids _),
     "q36_ann_ivf" -> (q36AnnIvf _),
     "q58_quantization" -> (q58Quantization _),
@@ -1431,6 +1486,7 @@ object Similarity {
     "q144_anisotropy_audit" -> q144Sql,
     "q146_semantic_decontam" -> q146Sql,
     "q162_decontam_blocked" -> q162Sql,
+    "q163_decontam_routed" -> q163Sql,
     "q35_label_centroids" -> q35Sql,
     "q36_ann_ivf" -> q36Sql,
     "q58_quantization" -> q58Sql,
