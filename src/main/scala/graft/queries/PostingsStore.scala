@@ -286,10 +286,31 @@ object PostingsStore {
   }
 
   /** Drop the family's tables and any session memo built over them;
-    * resets the mode to memory. */
+    * resets the mode to memory.
+    *
+    * Catalog `DROP TABLE` only covers tables THIS catalog knows about —
+    * with the in-memory catalog that is only tables created in THIS
+    * JVM. A previous JVM's managed-table directories survive under the
+    * warehouse with no catalog entry, and `saveAsTable(overwrite)`
+    * refuses to reuse an unmanaged location
+    * (`LOCATION_ALREADY_EXISTS`), so a crashed or unclean run used to
+    * permanently wedge every later [[materialize]] in that warehouse.
+    * The fix: after the catalog drop, delete each table's default
+    * managed LOCATION via Hadoop FS — the store owns the
+    * `graft_bkt_*` namespace, so a directory there that the catalog
+    * does not know is by definition a dead JVM's droppings. */
   def drop(spark: SparkSession, dir: String): Unit = {
     spark.conf.set(ModeConf, "memory")
     SharedFrames.invalidate(spark, dir)
-    Keys.foreach(k => spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, k)}"))
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    Keys.foreach { k =>
+      val name = tableName(dir, k)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(name)))
+      val fs = loc.getFileSystem(hadoopConf)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+    }
   }
 }

@@ -71,6 +71,42 @@ class PostingsStoreSpec extends SparkSpec {
     }
   }
 
+  test("materialize succeeds over a dead JVM's stale warehouse directories") {
+    // regression (round-13 bench failure): drop() used to issue only
+    // catalog DROP TABLE — a no-op in a fresh in-memory-catalog JVM —
+    // so managed-table directories left behind by a crashed/unclean
+    // prior run killed the next materialize at its FIRST saveAsTable
+    // with LOCATION_ALREADY_EXISTS. drop() now deletes the managed
+    // locations via Hadoop FS, so a build starts clean from any
+    // warehouse state. This spec simulates the cross-JVM case the
+    // single-JVM suite could never see: a directory at the managed
+    // location with data files and NO catalog entry.
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 4 === 0)
+    val staleLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          PostingsStore.tableName(sf, "sh"))))
+    val fs = staleLoc.getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      fs.mkdirs(staleLoc)
+      val junk = new org.apache.hadoop.fs.Path(staleLoc, "part-stale.parquet")
+      val out = fs.create(junk)
+      out.write(Array[Byte](1, 2, 3)); out.close()
+      assert(!spark.catalog.tableExists(PostingsStore.tableName(sf, "sh")),
+        "fixture broken: the stale dir must have no catalog entry")
+      PostingsStore.materializeFrom(spark, sf, docs) // must not throw
+      assert(PostingsStore.lookup(spark, sf, "sh").get.count() > 0)
+      assert(!fs.exists(junk), "stale junk file survived the rebuild")
+    } finally {
+      PostingsStore.drop(spark, sf)
+      SharedFrames.invalidate(spark, sf)
+      // drop() must leave no directory behind either — the property the
+      // NEXT JVM depends on
+      assert(!fs.exists(staleLoc), "drop left the managed location on disk")
+    }
+  }
+
   test("append precondition failure leaves a healthy store untouched") {
     // the round-12 ADVICE fix: append's require() used to sit INSIDE the
     // drop-on-failure region, so calling it from a session not in
