@@ -19,6 +19,7 @@ object SparkEntry {
       (Similarity.defs, Similarity.oracles),
       (Media.defs, Media.oracles),
       (Trollflow.defs, Trollflow.oracles),
+      (TiledRaster.defs, TiledRaster.oracles),
       (Search.defs, Search.oracles),
       (Curation.defs, Curation.oracles)
     )

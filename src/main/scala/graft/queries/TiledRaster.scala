@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tile-row raster encoding — SURVEY §1.2 mapping (b), the declared
+  * 100 TB mirror of the reference's chunked dask arrays
+  * (plugins/__init__.py:34-35: a Scene's rasters are xarray DataArrays
+  * backed by dask CHUNKS, and every reference raster operator executes
+  * chunk-at-a-time).
+  *
+  * Encoding: one row per (area, product, tile_y, tile_x) carrying a
+  * dense row-major `ArrayType(DoubleType)` of [[TileSize]]² cells, null
+  * = fill (the reference's NaN, doc/source/plugins.rst:320). Against the
+  * tall one-row-per-pixel encoding (mapping (a), [[Trollflow]]), the
+  * tile encoding changes the SCALE story, not the semantics:
+  *
+  *  - a 100 TB raster is ~10¹³ pixels — tall rows mean per-pixel shuffle
+  *    keys for every operator; tiles cut row count (and shuffle-key
+  *    volume) by TileSize² (1024× here, ~10⁶× at a production 1024²
+  *    chunk size);
+  *  - operators whose support fits inside a tile (block aggregate with
+  *    block | tile) become PER-ROW array kernels — zero exchange beyond
+  *    the layout build, embarrassingly tile-parallel exactly like the
+  *    reference's dask block map (`coarsen` runs per chunk);
+  *  - operators that cross tile edges (resample) explode WITHIN the
+  *    tile row and rely on partial aggregation: the hash aggregate
+  *    combines per-target candidates map-side BEFORE the exchange, so
+  *    the shuffle carries target-grain rows, never pixel-grain ones.
+  *
+  * The two operators the VERDICT asked for are re-expressed here over
+  * tiles — q164 twins q39's T1 `aggregate` (plugins/__init__.py:124-130)
+  * and q165 twins q55's T2 nearest `resample`
+  * (plugins/__init__.py:149-192) — at per-(area, product) grain (the
+  * reference aggregates each product's raster independently), with
+  * DuckDB oracles over the TALL derivation proving tall ≡ tiled on the
+  * fixture grid, and TiledRasterSpec pinning the Spark-side tall twin
+  * equal bit-for-bit.
+  *
+  * In-array lambdas (`transform`/`aggregate`) run interpreted, not
+  * codegen — the trade is deliberate and profiled the right way around:
+  * they REMOVE the per-pixel exchange entirely (the one case the
+  * array-at-a-time form wins; compare Dedup q121's docstring where the
+  * same rewrite LOST because the window's shuffle stayed either way).
+  */
+object TiledRaster {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tile edge in pixels. 32 on the 256×256 fixture grid (64 tiles per
+    * product raster — enough parallelism at test scale); a production
+    * 100 TB deployment picks the dask-typical 512–1024 (the math below
+    * only assumes the q39/q55 block and crop sizes divide it). */
+  val TileSize = 32
+
+  /** Blocks per tile edge for the q39-semantics block aggregate: 8-pixel
+    * blocks over 32-pixel tiles → 4×4 = 16 blocks, never straddling a
+    * tile edge. */
+  private val B = 8
+  private val BlocksPerSide = TileSize / B
+
+  /** Tile assembly — the write-once LAYOUT step (the analogue of
+    * [[PostingsStore.materialize]] for rasters: at 100 TB this table is
+    * written once and every raster operator reads it; in the fixture
+    * queries it is built in-line from the tall parquet derivation).
+    * Two shuffles, both at assembly time only: pixel-grain cell means
+    * (the reference's one-value-per-pixel Scene contract), then
+    * tile-grain array packing. `try_element_at` fills absent pixels
+    * with null — the NaN-fill convention. */
+  def tiles(spark: SparkSession, dir: String): DataFrame = {
+    val n = TileSize
+    Trollflow.raster(spark, dir)
+      .groupBy(col("area"), col("product"), col("y"), col("x"))
+      .agg(avg(col("value")).as("cell"))
+      .withColumn("tile_y", expr(s"y div $n"))
+      .withColumn("tile_x", expr(s"x div $n"))
+      .withColumn("idx", expr(s"CAST((y % $n) * $n + (x % $n) AS INT)"))
+      .groupBy(col("area"), col("product"), col("tile_y"), col("tile_x"))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("cell"))))
+        .as("m"))
+      .select(col("area"), col("product"), col("tile_y"), col("tile_x"),
+        expr(s"transform(sequence(0, ${n * n - 1}), i -> try_element_at(m, i))")
+          .as("cells"))
+  }
+
+  /** T1 `aggregate` over TILES (q39's block-mean semantics at
+    * per-product grain): 8×8 block means computed INSIDE each tile's
+    * array — blocks divide tiles, so after the layout build the
+    * operator is a per-row kernel with ZERO exchange (the tall form
+    * shuffles every pixel; pinned by TiledRasterSpec). The in-array
+    * fold accumulates (sum, count) over each block's 64 positions,
+    * skipping nulls — count(*) semantics of the tall twin's cells rows. */
+  def q164TiledBlockAggregate(spark: SparkSession, dir: String): DataFrame = {
+    val n = TileSize
+    val blocks =
+      s"""transform(sequence(0, ${BlocksPerSide * BlocksPerSide - 1}), b ->
+         |  aggregate(
+         |    sequence(0, ${B * B - 1}),
+         |    named_struct('s', 0D, 'c', 0L),
+         |    (a, j) -> if(
+         |      cells[CAST((b div $BlocksPerSide) * ${B * n} + (j div $B) * $n
+         |            + (b % $BlocksPerSide) * $B + (j % $B) AS INT)] IS NULL,
+         |      a,
+         |      named_struct(
+         |        's', a.s + cells[CAST((b div $BlocksPerSide) * ${B * n}
+         |              + (j div $B) * $n + (b % $BlocksPerSide) * $B
+         |              + (j % $B) AS INT)],
+         |        'c', a.c + 1L)),
+         |    a -> named_struct('b', b, 's', a.s, 'c', a.c)))""".stripMargin
+    tiles(spark, dir)
+      .select(col("area"), col("product"), col("tile_y"), col("tile_x"),
+        explode(expr(blocks)).as("blk"))
+      .filter(col("blk.c") > 0)
+      .select(col("area"), col("product"),
+        (col("tile_y") * BlocksPerSide + expr(s"blk.b div $BlocksPerSide")).as("by"),
+        (col("tile_x") * BlocksPerSide + expr(s"blk.b % $BlocksPerSide")).as("bx"),
+        round(lit(1e-9) + col("blk.s") / col("blk.c"), 4).as("block_mean"),
+        col("blk.c").as("n_cells"))
+      .orderBy(col("area"), col("product"), col("by"), col("bx"))
+  }
+
+  val q164Sql: String =
+    s"""WITH ${Trollflow.rasterSql},
+       |cells AS (
+       |  SELECT area, product, y, x, avg(value) AS cell
+       |  FROM raster GROUP BY 1, 2, 3, 4)
+       |SELECT area, product, y // 8 AS by, x // 8 AS bx,
+       |  round(1e-9 + avg(cell), 4) AS block_mean, count(*) AS n_cells
+       |FROM cells
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY area, product, by, bx""".stripMargin
+
+  /** T2 nearest `resample` over TILES (q55's semantics at per-product
+    * grain). The `reduce_data` crop (y,x < 128) prunes at TILE grain —
+    * 128 = 4·TileSize, so `tile_y < 4 AND tile_x < 4` is the exact crop
+    * and the filter eliminates whole tile ROWS before any work. Cells
+    * then posexplode WITHIN the tile row (narrow — no exchange) into
+    * their covering target cells, and `min(struct(d², y, x, cell))`
+    * partial-aggregates map-side: each partition combines its pixels
+    * down to one candidate per target cell BEFORE the exchange, so the
+    * shuffle carries O(target cells) rows per partition — never pixel
+    * rows (pinned by TiledRasterSpec). Ties break on (y, x), matching
+    * q55's window order, via the struct's lexicographic min. */
+  def q165TiledResampleNearest(spark: SparkSession, dir: String): DataFrame = {
+    val n = TileSize
+    tiles(spark, dir)
+      .filter(col("tile_y") < 128 / n && col("tile_x") < 128 / n)
+      .select(col("area"), col("product"),
+        col("tile_y").as("tyt"), col("tile_x").as("txt"),
+        posexplode(col("cells")).as(Seq("idx", "cell")))
+      .filter(col("cell").isNotNull)
+      .withColumn("y", col("tyt") * n + expr(s"idx div $n"))
+      .withColumn("x", col("txt") * n + expr(s"idx % $n"))
+      .withColumn("ty", expr("(y * 100) div 256"))
+      .withColumn("tx", expr("(x * 100) div 256"))
+      .withColumn("d2",
+        expr("(y * 100 + 50 - (ty * 256 + 128)) * (y * 100 + 50 - (ty * 256 + 128))" +
+          " + (x * 100 + 50 - (tx * 256 + 128)) * (x * 100 + 50 - (tx * 256 + 128))"))
+      .groupBy(col("area"), col("product"), col("ty"), col("tx"))
+      .agg(min(struct(col("d2"), col("y"), col("x"), col("cell"))).as("best"))
+      .select(col("area"), col("product"), col("ty"), col("tx"),
+        round(lit(1e-9) + col("best.cell"), 4).as("nearest"))
+      .orderBy(col("area"), col("product"), col("ty"), col("tx"))
+  }
+
+  val q165Sql: String =
+    s"""WITH ${Trollflow.rasterSql},
+       |cells AS (
+       |  SELECT area, product, y, x, avg(value) AS cell
+       |  FROM raster WHERE y < 128 AND x < 128
+       |  GROUP BY 1, 2, 3, 4),
+       |m AS (
+       |  SELECT area, product, y, x, cell,
+       |    (y * 100) // 256 AS ty, (x * 100) // 256 AS tx
+       |  FROM cells),
+       |d AS (
+       |  SELECT area, product, ty, tx, cell, y, x,
+       |    (y * 100 + 50 - (ty * 256 + 128)) AS dy,
+       |    (x * 100 + 50 - (tx * 256 + 128)) AS dx
+       |  FROM m),
+       |r AS (
+       |  SELECT area, product, ty, tx, cell,
+       |    row_number() OVER (PARTITION BY area, product, ty, tx
+       |                       ORDER BY dy * dy + dx * dx, y, x) AS rn
+       |  FROM d)
+       |SELECT area, product, ty, tx, round(1e-9 + cell, 4) AS nearest
+       |FROM r WHERE rn = 1
+       |ORDER BY area, product, ty, tx""".stripMargin
+
+  /** Tall twins at the SAME per-product grain — the spec's tall ≡ tiled
+    * equivalence pins the Spark implementations against each other
+    * (the DuckDB oracle independently re-derives the same results from
+    * the tall CTE). Pixel-grain shuffles throughout: the encoding the
+    * tile table exists to replace at scale. */
+  private[graft] def tallBlockAggregate(spark: SparkSession, dir: String): DataFrame =
+    Trollflow.raster(spark, dir)
+      .groupBy(col("area"), col("product"), col("y"), col("x"))
+      .agg(avg(col("value")).as("cell"))
+      .groupBy(col("area"), col("product"),
+        expr("y div 8").as("by"), expr("x div 8").as("bx"))
+      .agg(round(lit(1e-9) + avg(col("cell")), 4).as("block_mean"),
+        count(lit(1)).as("n_cells"))
+      .orderBy(col("area"), col("product"), col("by"), col("bx"))
+
+  private[graft] def tallResampleNearest(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Trollflow.raster(spark, dir)
+      .filter(col("y") < 128 && col("x") < 128)
+      .groupBy(col("area"), col("product"), col("y"), col("x"))
+      .agg(avg(col("value")).as("cell"))
+      .withColumn("ty", expr("(y * 100) div 256"))
+      .withColumn("tx", expr("(x * 100) div 256"))
+      .withColumn("dy", col("y") * 100 + 50 - (col("ty") * 256 + 128))
+      .withColumn("dx", col("x") * 100 + 50 - (col("tx") * 256 + 128))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("area"), col("product"), col("ty"), col("tx"))
+      .orderBy((col("dy") * col("dy") + col("dx") * col("dx")).asc,
+        col("y"), col("x"))
+    cells.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("area"), col("product"), col("ty"), col("tx"),
+        round(lit(1e-9) + col("cell"), 4).as("nearest"))
+      .orderBy(col("area"), col("product"), col("ty"), col("tx"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q164_tiled_block_aggregate" -> (q164TiledBlockAggregate _),
+    "q165_tiled_resample_nearest" -> (q165TiledResampleNearest _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q164_tiled_block_aggregate" -> q164Sql,
+    "q165_tiled_resample_nearest" -> q165Sql
+  )
+}

@@ -21,7 +21,7 @@ object Trollflow {
   /** Tall raster derivation shared by q39–q41 (and [[TiledRaster]]'s
     * tile assembly). One narrow projection; the grid keys are pure
     * arithmetic so Catalyst still prunes/pushes around them. */
-  private[queries] def raster(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def raster(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir).select(
       col("l_returnflag").as("area"),
       col("l_linestatus").as("product"),
@@ -30,7 +30,7 @@ object Trollflow {
       col("l_quantity").cast("double").as("value"),
       col("l_discount").cast("double").as("disc"))
 
-  private[queries] val rasterSql: String =
+  private[graft] val rasterSql: String =
     """raster AS (
       |  SELECT l_returnflag AS area, l_linestatus AS product,
       |    l_orderkey % 256 AS y, (l_partkey * 7 + l_linenumber) % 256 AS x,
