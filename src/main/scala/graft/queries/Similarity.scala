@@ -1269,7 +1269,28 @@ object Similarity {
     * cuts per-corpus-row work to nprobe·|suite|/k dots for one
     * corpus-grain shuffle (the TopK probe assembly). */
   def q146BlockedDecontam(spark: SparkSession, dir: String,
-      nprobe: Int = 0): DataFrame = {
+      nprobe: Int = 0): DataFrame =
+    blockedDecontamFlags(spark, dir, nprobe)
+      .select(col("label"), col("flag"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(col("flag")).as("n_flagged"),
+        round(lit(1e-9) + avg(col("flag")), 5).as("flag_rate"))
+      .orderBy(col("label"))
+
+  /** The registered default eval-suite slice (q146/q162/q163): every
+    * 50th vector is the protected suite. */
+  private[graft] val DefaultSuite: Column = col("vec_id") % 50 === 0
+
+  /** [[q146BlockedDecontam]]'s per-VECTOR decision table — (vec_id,
+    * label, flag) for every corpus vector — with the suite slice
+    * parameterized so the subset law (routed flags ⊆ exact flags at
+    * every nprobe) is testable on RANDOM suite slices, not just the
+    * registered one. The registered query aggregates this to label
+    * grain; [[graft.streaming.StreamRunner.semanticDecontamGate]]'s
+    * parity spec compares its admissions against these flags. */
+  private[graft] def blockedDecontamFlags(spark: SparkSession, dir: String,
+      nprobe: Int = 0, suite: Column = DefaultSuite): DataFrame = {
     val e = vecs(spark, dir)
     val centA = centroidsOver(e, col("label"), "c_label")
       .withColumn("cnrm", dotCol(col("cv"), col("cv")))
@@ -1278,20 +1299,8 @@ object Similarity {
         col("c_label").as("cell"),
         (col("nrm") - lit(2.0) * dotCol(col("v"), col("cv"))
           + col("cnrm")).as("d2"))
-    // eval suite: nearest cell each (q36's struct-argmin), then one
-    // bounded array row per cell
-    val evalCells = withD2(e.filter(col("vec_id") % 50 === 0))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cell"))).as("m"),
-        first(col("v")).as("ev"), first(col("nrm")).as("enrm"))
-      // cell as a NAMED column before the group: the plan audit pins
-      // "keys=[cell" on the collect, which a nested-field grouping key
-      // would render as an anonymous _groupingexpression
-      .select(col("m.cell").as("cell"), col("vec_id"), col("ev"), col("enrm"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(
-        struct(col("vec_id").as("eid"), col("ev"), col("enrm")))).as("evs"))
-    val corpus = e.filter(col("vec_id") % 50 =!= 0)
+    val evalCells = evalCellsOver(withD2(e.filter(suite)))
+    val corpus = e.filter(!suite)
     val probed =
       if (nprobe <= 0)
         // exact: every corpus row × every bounded cell row (k rows)
@@ -1324,14 +1333,67 @@ object Similarity {
         coalesce(cellMax, lit(-1.0)).as("cell_max"))
       .groupBy(col("vec_id"), col("label"))
       .agg(max(col("cell_max")).as("max_cos"))
-      .select(col("label"),
+      .select(col("vec_id"), col("label"),
         when(round(lit(1e-9) + col("max_cos"), 5) >= 0.35, 1L)
           .otherwise(0L).as("flag"))
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n_corpus"),
-        sum(col("flag")).as("n_flagged"),
-        round(lit(1e-9) + avg(col("flag")), 5).as("flag_rate"))
-      .orderBy(col("label"))
+  }
+
+  /** One bounded array row per coarse cell from a d2-scored eval-suite
+    * frame: nearest cell each (q36's struct-argmin), then the cell's
+    * members as a sorted struct array. */
+  private def evalCellsOver(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("m"),
+        first(col("v")).as("ev"), first(col("nrm")).as("enrm"))
+      // cell as a NAMED column before the group: the plan audit pins
+      // "keys=[cell" on the collect, which a nested-field grouping key
+      // would render as an anonymous _groupingexpression
+      .select(col("m.cell").as("cell"), col("vec_id"), col("ev"), col("enrm"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(
+        struct(col("vec_id").as("eid"), col("ev"), col("enrm")))).as("evs"))
+
+  /** One coarse cell of the decontam suite artifact: centroid (with its
+    * precomputed self-dot) plus the suite members assigned to the cell
+    * (each with ITS precomputed self-dot) — everything
+    * [[graft.streaming.StreamRunner.semanticDecontamGate]] needs to
+    * score a document row-locally. */
+  case class DecontamCell(cell: Int, cv: Seq[Double], cnrm: Double,
+      evs: Seq[(Seq[Double], Double)])
+
+  /** The decontam suite as a BOUNDED driver-side artifact — the semantic
+    * analog of q124's Bloom bitset: computed once at gate setup from the
+    * protected suite (k cell rows; total payload = the suite itself,
+    * which is protected-benchmark-sized by definition — control-plane,
+    * never corpus-sized), then shipped to executors as a plan literal.
+    * Same centroids, same cell assignment, same member arrays as
+    * [[blockedDecontamFlags]] — parity is by shared derivation, pinned
+    * in StreamRunnerSpec. */
+  def decontamCells(spark: SparkSession, dir: String,
+      suite: Column = DefaultSuite): Seq[DecontamCell] = {
+    val e = vecs(spark, dir)
+    val centA = centroidsOver(e, col("label"), "c_label")
+      .withColumn("cnrm", dotCol(col("cv"), col("cv")))
+    val scored = e.filter(suite).crossJoin(broadcast(centA))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("c_label").as("cell"),
+        (col("nrm") - lit(2.0) * dotCol(col("v"), col("cv"))
+          + col("cnrm")).as("d2"))
+    // centroid-driven LEFT join: a cell with no suite members still rides
+    // the artifact (empty member list) — the batch ROUTED mode spends its
+    // nprobe probes across ALL k centroid cells, memberless ones
+    // included, and the gate must rank the same candidate set or it
+    // would score cells the batch twin skipped
+    centA.join(evalCellsOver(scored), col("c_label") === col("cell"), "left")
+      .select(col("c_label"), col("cv"), col("cnrm"), col("evs"))
+      .collect().toSeq.map { r =>
+        DecontamCell(
+          r.getAs[Number](0).intValue(), r.getSeq[Double](1), r.getDouble(2),
+          if (r.isNullAt(3)) Seq.empty
+          else r.getSeq[org.apache.spark.sql.Row](3)
+            .map(m => (m.getSeq[Double](1), m.getDouble(2))))
+      }.sortBy(_.cell)
   }
 
   /** Oracle for the registered EXACT mode: semantically identical to

@@ -422,6 +422,70 @@ object StreamRunner {
       h => graft.queries.Curation.bloomMember(h, bits)), lit(true)))
   }
 
+  /** Conf key for [[semanticDecontamGate]]'s routing: `0` (default) =
+    * EXACT — every document is scored against every coarse cell, the
+    * streaming twin of batch q162; `n > 0` = IVF-ROUTED — only the n
+    * nearest cells are scored, the twin of batch q163. */
+  val DecontamNprobeConf = "spark.graft.decontam.nprobe"
+
+  /** Streaming SEMANTIC decontamination gate — the embedding-space twin
+    * of [[decontamGate]]'s lexical Bloom filter, and the streaming face
+    * of the batch triad q146/q162/q163: admit a document unless its max
+    * cosine against the protected eval suite reaches `threshold`.
+    *
+    * The suite rides as a PLAN LITERAL ([[
+    * graft.queries.Similarity.decontamCells]] — k coarse-cell rows with
+    * centroids and member arrays, computed once at gate setup; the
+    * bounded-artifact design of q124's 128 KiB bitset, sized by the
+    * protected benchmark, never the corpus), so the gate is ROW-LOCAL:
+    * zero joins, zero shuffles, zero stream state, and admission is
+    * micro-batch-slicing-independent.
+    *
+    * Routing is CONF-GATED via [[DecontamNprobeConf]]: exact mode
+    * (default — q162's semantics, guaranteed-zero false negatives
+    * against the suite) folds over every cell; nprobe > 0 scores only
+    * the nprobe nearest cells by centroid distance, ties broken by cell
+    * id exactly like q163's oracle — routed admissions are a SUPERSET
+    * of exact admissions (flags ⊆ exact flags, the subset law pinned in
+    * CorpusOpsSpec on random suite slices), so routing can only ADMIT
+    * more, never leak a flagged document past a downstream exact
+    * re-check. Every kernel (self-dot, member dot, d2) is the batch
+    * triad's own zip_with/aggregate fold — parity with
+    * [[graft.queries.Similarity.blockedDecontamFlags]] is bit-for-bit
+    * (StreamRunnerSpec). A NULL embedding admits: no contamination
+    * evidence, the same rule as the Bloom gate's shingle-less docs. */
+  def semanticDecontamGate(stream: DataFrame,
+      cells: Seq[graft.queries.Similarity.DecontamCell],
+      vecCol: String = "embedding", threshold: Double = 0.35): DataFrame = {
+    val nprobe = stream.sparkSession.conf
+      .getOption(DecontamNprobeConf).map(_.trim.toInt).getOrElse(0)
+    val cellsLit = array(cells.sortBy(_.cell).map(c =>
+      struct(
+        typedLit(c.cv).as("cv"),
+        lit(c.cnrm).as("cnrm"),
+        lit(c.cell).as("cell"),
+        typedLit(c.evs).as("evs"))): _*)
+    val v = col(vecCol).cast("array<double>")
+    def dotFold(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val nrm = col("__nrm")
+    val probed =
+      if (nprobe <= 0) cellsLit
+      else slice(array_sort(transform(cellsLit, s => struct(
+        (nrm - lit(2.0) * dotFold(v, s.getField("cv")) + s.getField("cnrm"))
+          .as("d2"),
+        s.getField("cell").as("cell"),
+        s.getField("evs").as("evs")))), 1, nprobe)
+    val maxCos = aggregate(probed, lit(-1.0), (acc, s) =>
+      greatest(acc, aggregate(s.getField("evs"), lit(-1.0), (a2, m) =>
+        greatest(a2, dotFold(v, m.getField("_1"))
+          / sqrt(nrm * m.getField("_2"))))))
+    val contaminated = round(lit(1e-9) + maxCos, 5) >= threshold
+    stream.withColumn("__nrm", dotFold(v, v))
+      .filter(coalesce(!contaminated, lit(true)))
+      .drop("__nrm")
+  }
+
   /** Streaming quality-admission gate — the second standard stream
     * filter beside the near-dup gates: admit only documents the frozen
     * registry classifier ([[graft.queries.Curation.registryCols]] —

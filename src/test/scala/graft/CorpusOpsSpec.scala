@@ -654,4 +654,34 @@ class CorpusOpsSpec extends SparkSpec {
       s"paragraph table diverged from the replay: " +
         s"${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
   }
+
+  test("routed decontam flags are a subset of exact flags on RANDOM suite slices, at every nprobe") {
+    import org.apache.spark.sql.functions._
+    // the q162/q163 subset law on slices the implementation was never
+    // tuned against: a seeded hash carves an arbitrary ~1/17 of the
+    // vectors into the protected suite, and at EVERY nprobe the routed
+    // mode may only flag documents the exact mode also flags (precision
+    // 1 by construction — routing skips comparisons, it never invents
+    // them), with nprobe = k reproducing the exact flags identically.
+    def flaggedSet(np: Int, suite: org.apache.spark.sql.Column): Set[Long] =
+      graft.queries.Similarity.blockedDecontamFlags(spark, sf, np, suite)
+        .filter(col("flag") === 1)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val k = graft.sources.Tables.embeddings(spark, sf)
+      .select("label").distinct().count().toInt
+    for (seed <- Seq(7, 23)) {
+      val suite = pmod(xxhash64(col("vec_id"), lit(seed)), lit(17)) === 0
+      val exact = flaggedSet(0, suite)
+      for (np <- Seq(1, 2, 3, k)) {
+        val routed = flaggedSet(np, suite)
+        assert(routed.subsetOf(exact),
+          s"seed=$seed nprobe=$np: routed flagged " +
+            s"${(routed -- exact).take(5)} that exact did not")
+        if (np == k)
+          assert(routed == exact,
+            s"seed=$seed: nprobe=k must reproduce the exact flags " +
+              s"(missing ${(exact -- routed).take(5)})")
+      }
+    }
+  }
 }

@@ -1565,6 +1565,74 @@ class StreamRunnerSpec extends SparkSpec {
     }
   }
 
+  test("semantic decontam gate == batch triad flags, exact default and conf-routed") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val corpus = e.filter(col("vec_id") % 50 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val cells = graft.queries.Similarity.decontamCells(spark, sf)
+    def flagged(np: Int): Set[Long] =
+      graft.queries.Similarity.blockedDecontamFlags(spark, sf, np)
+        .filter(col("flag") === 1)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+    // stream the corpus embeddings through the gate, once per mode
+    def admittedVia(nprobe: Option[Int]): Set[Long] = {
+      nprobe.foreach(n =>
+        spark.conf.set(StreamRunner.DecontamNprobeConf, n.toString))
+      try {
+        val src = Files.createTempDirectory("graft_sdg_src")
+        val ckp = Files.createTempDirectory("graft_sdg_ckp")
+        val tmp = Files.createTempDirectory("graft_sdg_tmp")
+        corpus.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.copy(part, src.resolve("msg_1.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        val admitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+        val stream = StreamRunner.fileStream(spark, src.toString, corpus.schema)
+        val q = StreamRunner.semanticDecontamGate(stream, cells)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.select("vec_id").collect()
+              .foreach(r => admitted.add(r.getLong(0)))
+            ()
+          }
+          .start()
+        q.awaitTermination(120000)
+        val it = admitted.iterator(); val b = Set.newBuilder[Long]
+        while (it.hasNext) b += it.next(); b.result()
+      } finally nprobe.foreach(_ =>
+        spark.conf.unset(StreamRunner.DecontamNprobeConf))
+    }
+    // conf unset -> EXACT mode (q162's semantics) is the default
+    val exactAdmitted = admittedVia(None)
+    val exactFlagged = flagged(0)
+    assert(exactFlagged.nonEmpty && exactAdmitted.nonEmpty,
+      s"degenerate fixture: flagged=${exactFlagged.size} admitted=${exactAdmitted.size}")
+    assert(exactAdmitted == all -- exactFlagged,
+      s"exact gate diverged from batch q162 flags; " +
+        s"extra=${(exactAdmitted -- (all -- exactFlagged)).take(5)} " +
+        s"missing=${((all -- exactFlagged) -- exactAdmitted).take(5)}")
+    // conf-gated routing -> the q163 twin, bounced set == routed flags
+    val routedAdmitted = admittedVia(Some(2))
+    assert(routedAdmitted == all -- flagged(2),
+      "routed gate diverged from batch q163 flags")
+    // routing can only ADMIT more, never flag more (subset law)
+    assert(exactAdmitted.subsetOf(routedAdmitted),
+      "routed gate flagged a document the exact gate admitted")
+    // a NULL embedding admits — no contamination evidence, the same
+    // rule as the Bloom gate's shingle-less docs
+    val nullRow = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(99999L, null)),
+      corpus.schema)
+    assert(StreamRunner.semanticDecontamGate(nullRow, cells).count() == 1,
+      "null-embedding row was dropped by the semantic gate")
+  }
+
   test("graceful stop terminates a continuous query") {
     val (src, ckp) = stageMessages(1)
     val stream = StreamRunner.fileStream(spark, src, eventsSchema)
