@@ -201,26 +201,42 @@ object StatsStore {
     * only entries whose SOURCE still matches the size+mtime fingerprint
     * recorded at ANALYZE time — data regenerated at the same path would
     * otherwise be priced from the old rows × width (a since-grown table
-    * broadcast into an executor OOM). Stale or unverifiable entries are
-    * logged and skipped. Returns the number of FRESH loaded rows (the
-    * count GraftSession.prime gates the default-on flip with). */
+    * broadcast into an executor OOM).
+    *
+    * INCREMENTAL refresh (round 14): a stale entry no longer just drops
+    * its table to no-stats planning for the whole session — it
+    * RE-PROFILES in place, one bounded [[analyzeOne]] pass per CHANGED
+    * table (the unchanged tables hydrate from disk untouched), and the
+    * refreshed rows persist back so the next JVM loads them for free. A
+    * source that vanished entirely still skips (logged) — there is
+    * nothing left to profile. Returns the number of usable loaded rows
+    * (hydrated fresh + re-profiled — the count GraftSession.prime gates
+    * the default-on flip with). */
   def load(spark: SparkSession): Int =
     if (!storeExists(spark)) 0
     else {
       val rows = spark.read.schema(statsSchema)
         .parquet(storePath(spark).toString).collect()
-      val fresh = rows.filter { r =>
-        val path = r.getAs[String]("path")
+      val (fresh, stale) = rows.partition { r =>
         val s = rowToStats(r)
-        val ok =
-          try sourceFp(spark, new Path(path)) == ((s.srcLen, s.srcMtime))
-          catch { case scala.util.control.NonFatal(_) => false }
-        if (!ok)
-          System.err.println(s"[stats] stale profile skipped: ${s.table} ($path)")
-        ok
+        try sourceFp(spark, new Path(r.getAs[String]("path"))) ==
+          ((s.srcLen, s.srcMtime))
+        catch { case scala.util.control.NonFatal(_) => false }
       }
+      val refreshed: Map[String, TableStats] = stale.flatMap { r =>
+        val path = r.getAs[String]("path")
+        val t = r.getAs[String]("table")
+        System.err.println(s"[stats] stale profile: re-analyzing '$t' ($path)")
+        try Some(analyzeOne(spark, new Path(path).getParent.toString, t))
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[stats] re-analyze of '$t' skipped: ${e.getMessage}")
+          None
+        }
+      }.toMap
+      if (refreshed.nonEmpty) persist(spark, refreshed)
       fresh.foreach(r => statsByPath.put(r.getAs[String]("path"), rowToStats(r)))
-      fresh.length
+      refreshed.foreach { case (p, s) => statsByPath.put(p, s) }
+      fresh.length + refreshed.size
     }
 
   def statsFor(spark: SparkSession, dir: String,

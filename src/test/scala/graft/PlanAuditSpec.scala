@@ -1232,4 +1232,83 @@ class PlanAuditSpec extends SparkSpec {
       graft.queries.SharedFrames.invalidate(spark, sf)
     }
   }
+  test("stale stats re-profile incrementally: one regenerated table, nine untouched hints") {
+    // round-14 incremental ANALYZE: a stale fingerprint used to drop its
+    // table to no-stats planning for the whole session; load() now
+    // re-profiles JUST the changed table (one bounded pass) while the
+    // other profiles hydrate from disk untouched — and the refreshed row
+    // persists, so the NEXT load is pure hydration again.
+    import graft.plans.StatsStore
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val tmp = Files.createTempDirectory("graft_stats_inc")
+    tables.foreach { t =>
+      Files.copy(Paths.get(s"$sf/$t.parquet"), tmp.resolve(s"$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val dir = tmp.toString
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(StatsStore.EnabledConf, "false")
+    try {
+      StatsStore.analyze(spark, dir, tables)
+      val origCust = StatsStore.statsFor(spark, dir, "customer").get
+      val origDocsRows = StatsStore.statsFor(spark, dir, "documents").get.nRows
+      // REGENERATE one table at the same path: half the rows, new file
+      val docsPath = s"$dir/documents.parquet"
+      val half = spark.read.parquet(docsPath).filter(col("doc_id") % 2 === 0)
+        .collect()
+      val halfDf = spark.createDataFrame(
+        java.util.Arrays.asList(half: _*),
+        spark.read.parquet(docsPath).schema)
+      val stage = Files.createTempDirectory("graft_stats_inc_stage")
+      halfDf.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.delete(Paths.get(docsPath))
+      Files.copy(part, Paths.get(docsPath))
+      // fresh-JVM simulation: empty map, hydrate from the persisted store
+      StatsStore.statsByPathClearForTest()
+      val n = StatsStore.load(spark)
+      assert(n == tables.size,
+        s"expected all ${tables.size} profiles usable after load, got $n")
+      // the regenerated table carries RE-PROFILED numbers...
+      val docs = StatsStore.statsFor(spark, dir, "documents").get
+      assert(docs.nRows == half.length && docs.nRows < origDocsRows,
+        s"documents did not re-profile: ${docs.nRows} vs ${half.length}")
+      // ...and the other nine kept their original profiles
+      assert(StatsStore.statsFor(spark, dir, "customer").get == origCust)
+      tables.filterNot(_ == "documents").foreach { t =>
+        assert(StatsStore.statsFor(spark, dir, t).isDefined, s"$t lost its profile")
+      }
+      // broadcast hints survive: customer still flips its join under the
+      // rule, priced from the kept profile
+      spark.conf.set(StatsStore.EnabledConf, "true")
+      spark.conf.set(StatsStore.ThresholdConf,
+        (origCust.estBytes * 2).toString)
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      val ords = spark.read.parquet(s"$dir/orders.parquet")
+      val p = ords.join(cust, ords("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment")).count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        "customer lost its stats-driven broadcast hint after the partial refresh")
+      // the refreshed row PERSISTED: a second fresh-map load is pure
+      // hydration (fingerprints all match) and sees the new rowcount
+      StatsStore.statsByPathClearForTest()
+      assert(StatsStore.load(spark) == tables.size)
+      assert(StatsStore.statsFor(spark, dir, "documents").get.nRows == half.length,
+        "re-profiled row did not persist back to the stats table")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.unset(StatsStore.EnabledConf)
+      spark.conf.unset(StatsStore.ThresholdConf)
+      StatsStore.clear(spark)
+    }
+  }
 }
