@@ -262,10 +262,19 @@ object Launcher {
     * shape). Left = the message to print before exiting 2, exactly like
     * argparse's error path in the reference. */
   private[graft] def parseCliArgs(args: Seq[String]): Either[String, CliArgs] = {
+    // argparse rejects a following FLAG as an option's value (`-p -m`
+    // errors instead of recording productList="-m" and mis-reporting the
+    // failure later as an unreadable product list); bare "-" stays a
+    // legal value, matching argparse (ADVICE r13)
+    def isFlagLike(v: String): Boolean = v.startsWith("-") && v != "-"
     @annotation.tailrec
     def loop(rest: Seq[String], acc: CliArgs,
         seenP: Boolean): Either[String, (CliArgs, Boolean)] = rest match {
       case Seq() => Right((acc, seenP))
+      case (o @ ("-p" | "--product-list" | "-m" | "--metadata" |
+          "-c" | "--log-config" | "--test-message" | "--audit-report"))
+          +: v +: _ if isFlagLike(v) =>
+        Left(s"option $o expects a value, got option $v")
       case ("-p" | "--product-list") +: v +: t =>
         loop(t, acc.copy(productList = v), seenP = true)
       case ("-m" | "--metadata") +: v +: t =>
@@ -276,9 +285,9 @@ object Launcher {
         loop(t, acc.copy(testMessage = Some(v)), seenP)
       case "--audit-report" +: v +: t =>
         loop(t, acc.copy(auditReport = Some(v)), seenP)
-      case Seq(flag) if flag.startsWith("-") && flag != "-" =>
+      case Seq(flag) if isFlagLike(flag) =>
         Left(s"option $flag expects a value")
-      case f +: t if !f.startsWith("-") || f == "-" =>
+      case f +: t if !isFlagLike(f) =>
         loop(t, acc.copy(files = acc.files :+ f), seenP)
       case unknown +: _ => Left(s"unknown option $unknown")
     }
@@ -327,6 +336,12 @@ object Launcher {
               Console.err.println(s"error: cannot read log config: $e"); return 2
             case e: ConfigException =>
               Console.err.println(s"error: bad log config: ${e.getMessage}"); return 2
+            // defense in depth for the exit-2 contract: parseConfig now
+            // wraps YAML/level/datefmt errors in ConfigException itself,
+            // but ANY other failure on the operator's -c input is still
+            // an argument error, never a stack trace (ADVICE r13)
+            case scala.util.control.NonFatal(e) =>
+              Console.err.println(s"error: bad log config: $e"); return 2
           }
         val spark = sparkFor()
         installTraceDump() // the reference hooks USR1 at launch (374-375)

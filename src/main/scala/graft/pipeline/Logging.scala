@@ -88,7 +88,8 @@ object Logging {
     while (i < fmt.length) {
       val c = fmt.charAt(i)
       if (c == '%') {
-        require(i + 1 < fmt.length, s"dangling %% in datefmt '$fmt'")
+        if (i + 1 >= fmt.length)
+          throw ConfigException(s"dangling % in datefmt '$fmt'")
         val code = fmt.charAt(i + 1)
         sb.append(map.getOrElse(code,
           throw ConfigException(s"unsupported datefmt code %%$code in '$fmt'")))
@@ -110,7 +111,15 @@ object Logging {
     val opts = new org.yaml.snakeyaml.LoaderOptions()
     val yaml = new org.yaml.snakeyaml.Yaml(
       new org.yaml.snakeyaml.constructor.SafeConstructor(opts))
-    val root = yaml.load[Any](yamlText) match {
+    // malformed YAML surfaces as ConfigException, not a raw snakeyaml
+    // stack — parseConfig owns the whole exit-2 contract for -c inputs
+    // (ADVICE r13: bad YAML used to escape as YAMLException and crash)
+    val loaded =
+      try yaml.load[Any](yamlText)
+      catch { case e: org.yaml.snakeyaml.error.YAMLException =>
+        throw ConfigException(s"log config is not valid YAML: ${e.getMessage}", e)
+      }
+    val root = loaded match {
       case m: java.util.Map[_, _] =>
         m.asScala.map { case (k, v) => k.toString -> v }.toMap
       case other =>
@@ -128,8 +137,8 @@ object Logging {
         case Some(other) =>
           throw ConfigException(s"'$name' must be a mapping, got $other")
       }
-    require(root.get("version").forall(_.toString == "1"),
-      "only dictConfig version 1 is supported")
+    if (!root.get("version").forall(_.toString == "1"))
+      throw ConfigException("only dictConfig version 1 is supported")
     val formatters = section("formatters")
     val handlerDefs = section("handlers")
     // `root:` is a FLAT mapping (level + handler list), not nested
@@ -140,7 +149,8 @@ object Logging {
     }
     val rootLevel = rootMap.get("level").map(_.toString.toUpperCase)
       .getOrElse("DEBUG")
-    require(LevelOrder.contains(rootLevel), s"unknown root level $rootLevel")
+    if (!LevelOrder.contains(rootLevel))
+      throw ConfigException(s"unknown root level $rootLevel")
     val rootHandlerNames: Seq[String] = rootMap.get("handlers") match {
       case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSeq
       case _ => handlerDefs.keys.toSeq.sorted
@@ -176,8 +186,18 @@ object Logging {
     val loggerLevels = section("loggers").flatMap { case (name, spec) =>
       spec.get("level").map(l => name -> l.toString.toUpperCase)
     }
-    loggerLevels.values.foreach(l => require(LevelOrder.contains(l),
-      s"unknown logger level $l"))
+    loggerLevels.values.foreach(l =>
+      if (!LevelOrder.contains(l))
+        throw ConfigException(s"unknown logger level $l"))
+    // validate the datefmt HERE, where the exit-2 contract catches it —
+    // an unsupported strftime code used to surface only at QueueBridge
+    // construction inside loggingOn, past every -c catch (ADVICE r13)
+    try java.time.format.DateTimeFormatter.ofPattern(datefmtToJava(datefmt))
+    catch {
+      case e: ConfigException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw ConfigException(s"bad datefmt '$datefmt': ${e.getMessage}", e)
+    }
     LogConfig(rootLevel, loggerLevels, format, datefmt, handlers)
   }
 
@@ -217,13 +237,15 @@ object Logging {
     }
 
     private val listener = new Thread(() => {
-      while (running || !queue.isEmpty) {
-        val r = queue.poll(50, TimeUnit.MILLISECONDS)
-        if (r != null) {
-          val line = render(r)
-          config.handlers.foreach(_.write(line))
+      try {
+        while (running || !queue.isEmpty) {
+          val r = queue.poll(50, TimeUnit.MILLISECONDS)
+          if (r != null) {
+            val line = render(r)
+            config.handlers.foreach(_.write(line))
+          }
         }
-      }
+      } catch { case _: InterruptedException => () } // stop() gave up on us
     }, "graft-log-listener")
     listener.setDaemon(true)
 
@@ -237,25 +259,62 @@ object Logging {
       (level, message) => {
         val lvl = level.toUpperCase
         require(LevelOrder.contains(lvl), s"unknown log level $level")
-        if (LevelOrder(lvl) >= LevelOrder(effectiveLevel(name)) && running) {
-          val rec = LogRecord(lvl, System.currentTimeMillis(), name, message)
-          if (!queue.offer(rec)) {
-            val n = droppedCount.incrementAndGet()
-            if (n == 1L || n % 1000 == 0)
-              System.err.println(
-                s"graft-log-bridge: queue full, $n records dropped")
+        if (LevelOrder(lvl) >= LevelOrder(effectiveLevel(name))) {
+          if (!running) countDrop() // post-shutdown: counted, never silent
+          else {
+            val rec = LogRecord(lvl, System.currentTimeMillis(), name, message)
+            if (!queue.offer(rec)) countDrop()
           }
         }
       }
     }
 
+    private def countDrop(): Unit = {
+      val n = droppedCount.incrementAndGet()
+      if (n == 1L || n % 1000 == 0)
+        System.err.println(s"graft-log-bridge: $n records dropped")
+    }
+
     def dropped: Long = droppedCount.get()
 
-    /** QueueListener.stop(): drain what is queued, then close handlers. */
+    /** QueueListener.stop(): drain what is queued, then close handlers —
+      * but NEVER close under a live writer (ADVICE r13: a wedged/slow
+      * handler kept the listener alive past join(5000) and close() raced
+      * its write()). A listener that outlives the join is interrupted
+      * and given a final grace; if it still won't die the handlers stay
+      * open (leak beats a torn write). Once the listener is provably
+      * dead, records that slipped in after its last drain are flushed
+      * synchronously here, and anything arriving after close is COUNTED
+      * as dropped rather than lost silently. */
     def stop(): Unit = {
-      running = false
+      running = false // producers now count drops instead of enqueueing
       listener.join(5000)
+      if (listener.isAlive) {
+        listener.interrupt()
+        listener.join(1000)
+      }
+      if (listener.isAlive) {
+        System.err.println("graft-log-bridge: listener wedged; " +
+          "handlers left open to avoid racing a live writer")
+        return
+      }
+      // late records that passed the running check before the flip but
+      // enqueued after the listener's last poll: flush, don't lose
+      var r = queue.poll()
+      while (r != null) {
+        val line = render(r)
+        config.handlers.foreach(_.write(line))
+        r = queue.poll()
+      }
       config.handlers.foreach(_.close())
+      // a producer mid-offer during the close: counted as dropped
+      var leftover = 0L
+      while (queue.poll() != null) leftover += 1
+      if (leftover > 0) {
+        droppedCount.addAndGet(leftover)
+        System.err.println(
+          s"graft-log-bridge: $leftover records arrived after close, dropped")
+      }
     }
   }
 

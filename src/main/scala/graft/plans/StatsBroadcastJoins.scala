@@ -80,17 +80,27 @@ object StatsBroadcastJoins extends Rule[LogicalPlan] {
   private def measuredBytes(p: LogicalPlan): Option[Long] =
     estimate(p).map(_._1)
 
-  /** (bytes, stats-if-single-relation). Selectivity only applies when
-    * exactly one profiled relation backs the scan — a multi-path union
-    * has no single NDV map to price equality against. */
-  private def estimate(p: LogicalPlan)
-      : Option[(Long, Option[StatsStore.TableStats])] = p match {
+  /** Per-side relation context for selectivity: the single profiled
+    * relation's stats plus its OUTPUT attributes keyed by exprId —
+    * filter columns resolve against the relation's own attributes, never
+    * by name (ADVICE r13: a Project aliasing a different expression to a
+    * profiled column's NAME would otherwise price the predicate against
+    * the wrong NDV, an under-estimate that fires a broadcast that may
+    * not fit). An attribute introduced above the relation has a fresh
+    * exprId, misses the map, and prices at 1.0 — the safe direction. */
+  private final case class RelCtx(stats: StatsStore.TableStats,
+      colByExprId: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String])
+
+  /** (bytes, relation-context-if-single-relation). Selectivity only
+    * applies when exactly one profiled relation backs the scan — a
+    * multi-path union has no single NDV map to price equality against. */
+  private def estimate(p: LogicalPlan): Option[(Long, Option[RelCtx])] = p match {
     case Project(_, c) => estimate(c)
     case SubqueryAlias(_, c) => estimate(c)
-    case Filter(cond, c) => estimate(c).map { case (bytes, st) =>
-      (st.map(s => math.max(1L,
-          math.ceil(bytes * selectivity(cond, s)).toLong))
-        .getOrElse(bytes), st)
+    case Filter(cond, c) => estimate(c).map { case (bytes, ctx) =>
+      (ctx.map(x => math.max(1L,
+          math.ceil(bytes * selectivity(cond, x)).toLong))
+        .getOrElse(bytes), ctx)
     }
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
@@ -98,33 +108,37 @@ object StatsBroadcastJoins extends Rule[LogicalPlan] {
         val stats = paths.flatMap(StatsStore.statsByPath.get)
         if (paths.nonEmpty && stats.size == paths.size)
           Some((stats.map(_.estBytes).sum,
-            if (stats.size == 1) Some(stats.head) else None))
+            if (stats.size == 1)
+              Some(RelCtx(stats.head,
+                lr.output.map(a => a.exprId -> a.name).toMap))
+            else None))
         else None
       case _ => None
     }
     case _ => None
   }
 
-  /** Fraction of `s`'s rows the predicate keeps, under the standard CBO
-    * independence assumption. ONLY literal equality/IN reduce the
-    * estimate (padded by [[SkewSafety]]); everything unrecognized prices
-    * at 1.0 — the conservative direction, since an over-estimate merely
-    * skips a broadcast while an under-estimate builds one that may not
-    * fit. */
-  private def selectivity(e: Expression,
-      s: StatsStore.TableStats): Double = e match {
-    case And(l, r) => selectivity(l, s) * selectivity(r, s)
-    case Or(l, r) => math.min(1.0, selectivity(l, s) + selectivity(r, s))
-    case EqualTo(a: AttributeReference, _: Literal) => ndvSel(a.name, s)
-    case EqualTo(_: Literal, a: AttributeReference) => ndvSel(a.name, s)
-    case EqualNullSafe(a: AttributeReference, _: Literal) => ndvSel(a.name, s)
-    case EqualNullSafe(_: Literal, a: AttributeReference) => ndvSel(a.name, s)
+  /** Fraction of the relation's rows the predicate keeps, under the
+    * standard CBO independence assumption. ONLY literal equality/IN over
+    * attributes that resolve (by exprId) to the relation's own output
+    * reduce the estimate (padded by [[SkewSafety]]); everything
+    * unrecognized prices at 1.0 — the conservative direction, since an
+    * over-estimate merely skips a broadcast while an under-estimate
+    * builds one that may not fit. */
+  private def selectivity(e: Expression, ctx: RelCtx): Double = e match {
+    case And(l, r) => selectivity(l, ctx) * selectivity(r, ctx)
+    case Or(l, r) => math.min(1.0, selectivity(l, ctx) + selectivity(r, ctx))
+    case EqualTo(a: AttributeReference, _: Literal) => ndvSel(a, ctx)
+    case EqualTo(_: Literal, a: AttributeReference) => ndvSel(a, ctx)
+    case EqualNullSafe(a: AttributeReference, _: Literal) => ndvSel(a, ctx)
+    case EqualNullSafe(_: Literal, a: AttributeReference) => ndvSel(a, ctx)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      math.min(1.0, vs.size * ndvSel(a.name, s))
+      math.min(1.0, vs.size * ndvSel(a, ctx))
     case _ => 1.0
   }
 
-  private def ndvSel(column: String, s: StatsStore.TableStats): Double =
-    s.ndv.get(column).filter(_ > 0)
+  private def ndvSel(a: AttributeReference, ctx: RelCtx): Double =
+    ctx.colByExprId.get(a.exprId)
+      .flatMap(ctx.stats.ndv.get).filter(_ > 0)
       .map(n => math.min(1.0, SkewSafety / n)).getOrElse(1.0)
 }

@@ -111,6 +111,30 @@ class LauncherSpec extends SparkSpec {
     // a missing test-message file is an argument error, exit 2
     assert(Launcher.cliMain(Array("-p", pl.toString,
       "--test-message", "/no/such/msg.json"), () => spark) == 2)
+    // argparse shape: a following FLAG is not a value (ADVICE r13 —
+    // `-p -m x.json` used to record productList="-m" and fail later
+    // with an unreadable-product-list message pointing the wrong way)
+    assert(Launcher.cliMain(Array("-p", "-m", "x.json"),
+      () => noSpark()) == 2)
+    assert(Launcher.parseCliArgs(Seq("-p", "-m", "x.json")).isLeft)
+    // ...while bare "-" stays a legal value/positional, like argparse
+    assert(Launcher.parseCliArgs(Seq("-p", "pl.yaml", "-"))
+      .toOption.get.files == Seq("-"))
+    // -c exit-2 contract: malformed YAML and an unsupported datefmt are
+    // argument errors, never stack traces (ADVICE r13)
+    val badYaml = Files.createTempFile("graft_logcfg_bad", ".yaml")
+    Files.writeString(badYaml, "{ not: [valid")
+    assert(Launcher.cliMain(Array("-p", pl.toString, "-c",
+      badYaml.toString, s"$sf/region.parquet"), () => spark) == 2)
+    val badFmt = Files.createTempFile("graft_logcfg_fmt", ".yaml")
+    Files.writeString(badFmt,
+      """version: 1
+        |formatters: {f: {datefmt: '%Q'}}
+        |handlers: {h: {class: logging.StreamHandler, formatter: f}}
+        |root: {handlers: [h]}
+        |""".stripMargin)
+    assert(Launcher.cliMain(Array("-p", pl.toString, "-c",
+      badFmt.toString, s"$sf/region.parquet"), () => spark) == 2)
   }
 
   test("auditReport dumps one JSON line per Spark action (sink writes included)") {

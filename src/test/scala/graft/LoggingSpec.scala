@@ -74,6 +74,30 @@ class LoggingSpec extends AnyFunSuite {
     assert(Logging.datefmtToJava("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss")
     assert(Logging.datefmtToJava("%d/%m/%y") == "dd/MM/yy")
     intercept[ConfigException] { Logging.datefmtToJava("%Q") }
+    intercept[ConfigException] { Logging.datefmtToJava("trailing %") }
+  }
+
+  test("every bad -c input is a parse-time ConfigException (the exit-2 contract)") {
+    // ADVICE r13: malformed YAML escaped as a raw snakeyaml exception,
+    // bad levels as require()'s IllegalArgumentException, and a bad
+    // datefmt only threw at QueueBridge construction inside loggingOn —
+    // all past cliMain's -c catch. parseConfig now owns all of them.
+    intercept[ConfigException] { Logging.parseConfig("{ not: [valid") }
+    intercept[ConfigException] {
+      Logging.parseConfig("version: 1\nroot: {level: NOISY}\n")
+    }
+    intercept[ConfigException] {
+      Logging.parseConfig("version: 1\nloggers: {graft.x: {level: WAT}}\n")
+    }
+    intercept[ConfigException] {
+      Logging.parseConfig(
+        """version: 1
+          |formatters: {f: {datefmt: '%Q'}}
+          |handlers: {h: {class: logging.StreamHandler, formatter: f}}
+          |root: {handlers: [h]}
+          |""".stripMargin)
+    }
+    intercept[ConfigException] { Logging.parseConfig("version: 2\n") }
   }
 
   test("concurrent producers drain through one listener; order within a producer holds") {

@@ -1042,6 +1042,18 @@ class PlanAuditSpec extends SparkSpec {
         "equality-filtered side (est rows/ndv) failed to flip to broadcast")
       assert(!probe(rangeSide).contains("BroadcastHashJoin"),
         "a RANGE filter must not reduce the estimate below the budget")
+      // ADVICE r13: an alias smuggling a DIFFERENT expression under a
+      // profiled column's NAME must not price against that column's NDV.
+      // rand() blocks predicate pushdown, so the Filter stays above the
+      // Project — exactly the shape the old name-based lookup got wrong
+      // (it saw `o_custkey = 7`, priced 4/ndv(o_custkey), broadcast an
+      // unreduced orders scan). exprId resolution prices it at 1.0.
+      val aliasSide = spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey"),
+          floor(rand(42) * 1000000).cast("long").as("o_custkey"))
+        .filter(col("o_custkey") === 7)
+      assert(!probe(aliasSide).contains("BroadcastHashJoin"),
+        "alias-shadowed column was priced against the profiled NDV")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
