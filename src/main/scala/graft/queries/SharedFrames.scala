@@ -81,6 +81,11 @@ private[graft] object SharedFrames {
     * ([[Search.bm25Index]] — the materialize-once search artifact). */
   val consumersBm25: Set[String] = Set("q46", "q132")
 
+  /** Queries reading the tile-row raster layout
+    * ([[TiledRaster.tiles]] — the write-once dask-chunk analog; timed
+    * warm like every stored layout, no bucketed-table home). */
+  val consumersTiles: Set[String] = Set("q164", "q165", "q166")
+
   /** Does `queryName` read any shared postings family? (The bench/QTime
     * harnesses insert an untimed GC breather after warming exactly these
     * — the warm's allocation debt must not land inside the timed run.) */
@@ -88,7 +93,7 @@ private[graft] object SharedFrames {
     val id = queryName.takeWhile(_ != '_')
     consumers3(id) || consumers8(id) || consumersSrc(id) ||
     consumersPara(id) || consumersPos8(id) || consumersLm(id) ||
-    consumersBm25(id)
+    consumersBm25(id) || consumersTiles(id)
   }
 
   /** Does `queryName` read a family that [[PostingsStore]] materializes
@@ -115,5 +120,6 @@ private[graft] object SharedFrames {
     if (consumersPos8(id)) Dedup.warmPos8Shared(spark, dir)
     if (consumersLm(id)) TextAnalysis.warmLmShared(spark, dir)
     if (consumersBm25(id)) Search.warmBm25Shared(spark, dir)
+    if (consumersTiles(id)) TiledRaster.warmTilesShared(spark, dir)
   }
 }

@@ -18,6 +18,7 @@ class ContractSpec extends AnyFunSuite {
     ("Similarity", Similarity.defs, Similarity.oracles),
     ("Media", Media.defs, Media.oracles),
     ("Trollflow", Trollflow.defs, Trollflow.oracles),
+    ("TiledRaster", TiledRaster.defs, TiledRaster.oracles),
     ("Search", Search.defs, Search.oracles),
     ("Curation", Curation.defs, Curation.oracles)
   )

@@ -102,11 +102,15 @@ class GraftExtensionsSpec extends SparkSpec {
     } finally StatsStore.clear(spark)
   }
 
-  test("stats freshness: load() refuses a profile whose source changed") {
+  test("stats freshness: a changed source re-profiles at load, never serves stale") {
     // the default-on flip in GraftSession.prime rides load()'s count, so
     // a profile recorded against files that have since been regenerated
-    // must NOT hydrate: pricing a grown table from old rows × width is
-    // how a stats-driven broadcast turns into an executor OOM.
+    // must NOT hydrate as-is: pricing a grown table from old rows ×
+    // width is how a stats-driven broadcast turns into an executor OOM.
+    // Round 14: instead of dropping the table to no-stats planning,
+    // load() re-runs the one-pass profile for exactly the changed table
+    // and persists it back (PlanAuditSpec covers the ten-table partial
+    // case; this is the single-table contract).
     import org.apache.spark.sql.functions._
     import graft.plans.StatsStore
     val dir = java.nio.file.Files.createTempDirectory("graft_fresh").toString
@@ -118,18 +122,26 @@ class GraftExtensionsSpec extends SparkSpec {
       StatsStore.load(spark)
       assert(StatsStore.statsFor(spark, dir, "t").exists(_.nRows == 50),
         "fresh profile failed to hydrate")
-      // regenerate the source at the same path (10× the rows)
+      // regenerate the source at the same path (10× the rows): load()
+      // must serve the RE-PROFILED numbers, never the stale 50
       spark.range(500).select(col("id")).write
         .mode("overwrite").parquet(s"$dir/t.parquet")
       StatsStore.statsByPathClearForTest()
-      StatsStore.load(spark)
-      assert(StatsStore.statsFor(spark, dir, "t").isEmpty,
-        "STALE profile hydrated — since-grown table would broadcast from old stats")
-      // a fresh ANALYZE repairs it
-      StatsStore.analyze(spark, dir, Seq("t"))
+      assert(StatsStore.load(spark) == 1, "re-profiled row must count as usable")
+      assert(StatsStore.statsFor(spark, dir, "t").exists(_.nRows == 500),
+        "stale profile served — since-grown table would broadcast from old stats")
+      // and the refreshed row persisted: the next load is pure hydration
       StatsStore.statsByPathClearForTest()
       StatsStore.load(spark)
       assert(StatsStore.statsFor(spark, dir, "t").exists(_.nRows == 500))
+      // a source that VANISHED still drops out (nothing left to profile)
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/t.parquet")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/t.parquet"), true)
+      StatsStore.statsByPathClearForTest()
+      assert(StatsStore.load(spark) == 0)
+      assert(StatsStore.statsFor(spark, dir, "t").isEmpty,
+        "profile of a deleted source must not hydrate")
     } finally StatsStore.clear(spark)
   }
 

@@ -14,6 +14,15 @@ class TiledRasterSpec extends SparkSpec {
   private def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
 
+  /** The consumer-side plan text ABOVE the cached tile layout: an
+    * executed InMemoryRelation renders its own adaptive build plan twice
+    * (Final + Initial), so counting exchanges on the full string would
+    * double-count the layout build that the consumer never re-pays. */
+  private def aboveLayout(p: String): String = p.split("InMemoryRelation").head
+
+  private def hashExchanges(p: String): Int =
+    p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+
   test("tiled block aggregate == tall block aggregate, bit for bit") {
     val tiled = rows(TiledRaster.q164TiledBlockAggregate(spark, sf))
     val tall = rows(TiledRaster.tallBlockAggregate(spark, sf))
@@ -30,57 +39,95 @@ class TiledRasterSpec extends SparkSpec {
 
   test("tile table: dense row-major arrays, null fill, full coverage") {
     import org.apache.spark.sql.functions._
-    val t = TiledRaster.tiles(spark, sf).cache()
-    try {
-      val n = TiledRaster.TileSize
-      // every tile is a dense TileSize^2 array
-      assert(t.filter(size(col("cells")) =!= n * n).count() == 0)
-      // spot-check placement: cell (y, x) of the tall derivation appears
-      // at cells[(y % n) * n + (x % n)] of tile (y div n, x div n)
-      val cellsTall = queries.Trollflow.raster(spark, sf)
-        .groupBy(col("area"), col("product"), col("y"), col("x"))
-        .agg(avg(col("value")).as("cell"))
-      val sample = cellsTall.orderBy(col("area"), col("product"), col("y"),
-        col("x")).limit(5).collect()
-      sample.foreach { r =>
-        val (area, product) = (r.getString(0), r.getString(1))
-        val (y, x) = (r.getLong(2), r.getLong(3))
-        val tile = t.filter(col("area") === area && col("product") === product
-            && col("tile_y") === y / n && col("tile_x") === x / n)
-          .select(col("cells")).head().getSeq[Any](0)
-        val got = tile(((y % n) * n + (x % n)).toInt)
-        assert(got == r.getDouble(4), s"cell ($y, $x) misplaced in its tile")
-      }
-    } finally { t.unpersist(); () }
+    val t = TiledRaster.tiles(spark, sf) // session-shared, persisted
+    val n = TiledRaster.TileSize
+    // every tile is a dense TileSize^2 array
+    assert(t.filter(size(col("cells")) =!= n * n).count() == 0)
+    // spot-check placement: cell (y, x) of the tall derivation appears
+    // at cells[(y % n) * n + (x % n)] of tile (y div n, x div n)
+    val cellsTall = queries.Trollflow.raster(spark, sf)
+      .groupBy(col("area"), col("product"), col("y"), col("x"))
+      .agg(avg(col("value")).as("cell"))
+    val sample = cellsTall.orderBy(col("area"), col("product"), col("y"),
+      col("x")).limit(5).collect()
+    sample.foreach { r =>
+      val (area, product) = (r.getString(0), r.getString(1))
+      val (y, x) = (r.getLong(2), r.getLong(3))
+      val tile = t.filter(col("area") === area && col("product") === product
+          && col("tile_y") === y / n && col("tile_x") === x / n)
+        .select(col("cells")).head().getSeq[Any](0)
+      val got = tile(((y % n) * n + (x % n)).toInt)
+      assert(got == r.getDouble(4), s"cell ($y, $x) misplaced in its tile")
+    }
   }
 
-  test("q164 plan: block means are tile-local — only the two layout-build exchanges") {
+  test("tile assembly plan: exactly the two layout-build shuffles") {
+    // cold view: drop the shared frame so CacheManager can't plan-match
+    // the assembly into an InMemoryRelation — this pin is about the
+    // BUILD's shape, which the cached path would hide
+    queries.SharedFrames.invalidate(spark, sf)
+    spark.sharedState.cacheManager.clearCache()
+    val p = TiledRaster.tilesPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    // pixel-grain cell means + tile-grain array packing — paid ONCE at
+    // layout-build time (the consumers below read the shared frame)
+    assert(hashExchanges(p) == 2, s"tile assembly grew extra shuffles:\n$p")
+    assert(!p.contains("InMemoryRelation"), s"cold build still cache-matched:\n$p")
+  }
+
+  test("q164 plan: block means are tile-local — ZERO exchanges past the layout") {
     val p = SparkEntry.queries("q164_tiled_block_aggregate")(spark, sf)
       .queryExecution.executedPlan.toString
-    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    // pixel-grain cell means + tile packing = the layout build's two
-    // shuffles; the block-mean kernel itself runs per tile ROW and adds
-    // zero (the tall form pays a third, pixel-keyed exchange for the
-    // block grouping). The final orderBy is a rangepartitioning exchange
-    // over block-grain rows, not a hash one.
-    assert(hashEx == 2, s"block aggregate grew a post-layout shuffle:\n$p")
-    assert(!p.contains("Window"), "block aggregate should not need a window")
+    // the consumer reads the session-shared tile frame; the block-mean
+    // kernel runs per tile ROW, so nothing shuffles at all (the tall
+    // form pays a pixel-keyed exchange for the block grouping; the
+    // final orderBy is a rangepartitioning exchange over block-grain
+    // rows, not a hash one)
+    assert(p.contains("InMemoryTableScan"),
+      s"q164 is not reading the shared tile layout:\n$p")
+    assert(hashExchanges(aboveLayout(p)) == 0,
+      s"block aggregate grew a post-layout shuffle:\n$p")
+    assert(!aboveLayout(p).contains("Window"),
+      "block aggregate should not need a window")
   }
 
   test("q165 plan: resample shuffles target-grain rows — partial min before the exchange") {
     val df = SparkEntry.queries("q165_tiled_resample_nearest")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    // layout build (2) + the one target-cell aggregation exchange
-    assert(hashEx == 3, s"resample grew extra shuffles:\n$p")
+    // the one target-cell aggregation exchange past the shared layout
+    assert(p.contains("InMemoryTableScan"),
+      s"q165 is not reading the shared tile layout:\n$p")
+    assert(hashExchanges(aboveLayout(p)) == 1,
+      s"resample grew extra shuffles:\n$p")
     // map-side combine: a partial_min HashAggregate must sit BELOW the
     // target exchange, so pixels collapse to <= one candidate per target
     // cell per partition before anything crosses the network
-    assert(p.contains("partial_min"),
+    assert(aboveLayout(p).contains("partial_min"),
       s"no map-side partial aggregation before the target exchange:\n$p")
     // the tall twin resolves nearest with a per-target window sort over
     // pixel rows; the tiled form must not
-    assert(!p.contains("Window"), "tiled resample reintroduced the window")
+    assert(!aboveLayout(p).contains("Window"),
+      "tiled resample reintroduced the window")
+  }
+
+  test("q166 plan: valid fraction is a per-tile kernel plus one product-grain rollup") {
+    val df = SparkEntry.queries("q166_tiled_valid_fraction")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // one (area, product) rollup past the shared layout — the non-null
+    // count itself runs inside each tile's array (filter+size kernel)
+    assert(hashExchanges(aboveLayout(p)) == 1,
+      s"valid fraction grew extra shuffles:\n$p")
+    // denominator is the ALLOCATED grid: every fraction is in (0, 1],
+    // and n_cells/(n_tiles * TileSize^2) reproduces it exactly
+    val n = TiledRaster.TileSize * TiledRaster.TileSize
+    df.collect().foreach { r =>
+      val (vf, cells, tiles) = (r.getDouble(2), r.getLong(3), r.getLong(4))
+      assert(vf > 0 && vf <= 1.0, s"fraction out of range: $r")
+      // vf is rounded at 5 dp, so the recomputation agrees to half-ULP
+      // of that grain
+      assert(math.abs(vf - (1e-9 + cells.toDouble / (tiles * n))) <= 5.1e-6,
+        s"fraction disagrees with its own counts: $r")
+    }
   }
 
   test("q165 plan: reduce_data crop prunes whole tile rows before the explode") {
