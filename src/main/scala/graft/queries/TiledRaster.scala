@@ -242,6 +242,164 @@ object TiledRaster {
        |GROUP BY 1, 2
        |ORDER BY area, product""".stripMargin
 
+  /** T2 bilinear `resample` over TILES with HALO exchange — the dask
+    * `map_overlap` pattern (the reference's chunked arrays do exactly
+    * this for any kernel with spatial support: ghost cells travel to
+    * the neighbor chunk once, then the kernel is chunk-local).
+    *
+    * q63's semantics at per-(area, product) grain: each target cell
+    * center maps to a continuous source coordinate; its value is the
+    * weight-renormalized mask-aware blend of the ≤ 4 surrounding source
+    * cells. The 4-corner neighborhood can straddle tile edges, so each
+    * tile SENDS its top row, left column, and top-left pixel to the
+    * neighbor tiles that need them (≤ 3 bounded halo records per tile,
+    * 65 doubles total), and each target is computed exactly once in the
+    * tile that owns its (y0, x0) corner.
+    *
+    * Scale shape vs the tall q63: the tall form pays FOUR shuffle
+    * equi-joins of targets × corners; this pays ONE tile-grain shuffle
+    * (the halo assembly — payload O(tiles × TileSize), not O(pixels))
+    * and the blend itself is a per-row array kernel. No joins at all
+    * (pinned in TiledRasterSpec). The blend is the identical fixed-order
+    * expression as q63/the oracle, so doubles agree bit-for-bit before
+    * rounding. */
+  def q167TiledResampleBilinear(spark: SparkSession, dir: String): DataFrame = {
+    val n = TileSize
+    val t = tiles(spark, dir)
+      .filter(col("tile_y") < 128 / n && col("tile_x") < 128 / n)
+    val keys = Seq(col("area"), col("product"))
+    // halo: every tile contributes itself to its own group, its LEFT
+    // column to the tile on its left, its TOP row to the tile above, and
+    // its top-left pixel to the diagonal neighbor — the three fragments
+    // a bilinear corner can reach across an edge
+    val contrib = t
+      .select(keys :+ col("tile_y") :+ col("tile_x") :+
+        lit("c").as("kind") :+ col("cells").as("payload"): _*)
+      .unionByName(t.filter(col("tile_x") > 0)
+        .select(keys :+ col("tile_y") :+ (col("tile_x") - 1).as("tile_x") :+
+          lit("r").as("kind") :+
+          expr(s"transform(sequence(0, ${n - 1}), i -> cells[i * $n])")
+            .as("payload"): _*))
+      .unionByName(t.filter(col("tile_y") > 0)
+        .select(keys :+ (col("tile_y") - 1).as("tile_y") :+ col("tile_x") :+
+          lit("b").as("kind") :+ expr(s"slice(cells, 1, $n)").as("payload"): _*))
+      .unionByName(t.filter(col("tile_y") > 0 && col("tile_x") > 0)
+        .select(keys :+ (col("tile_y") - 1).as("tile_y") :+
+          (col("tile_x") - 1).as("tile_x") :+ lit("br").as("kind") :+
+          expr("array(cells[0])").as("payload"): _*))
+    // ONE tile-grain shuffle assembles tile + halo; a group may exist on
+    // halo alone (data-less tile whose neighbors have edge pixels — its
+    // targets still blend from the corners that DO exist, mask-aware)
+    val assembled = contrib
+      .groupBy(col("area"), col("product"), col("tile_y"), col("tile_x"))
+      .agg(
+        max(when(col("kind") === "c", col("payload"))).as("c"),
+        max(when(col("kind") === "r", col("payload"))).as("r"),
+        max(when(col("kind") === "b", col("payload"))).as("b"),
+        max(when(col("kind") === "br", col("payload"))).as("br"))
+    // tile-local kernel: every target (ty, tx) whose (y0, x0) corner
+    // lives in this tile; corners read from the tile array or the halo
+    // fragments; the blend is q63's fixed-order expression verbatim.
+    // SQL lambdas can't be immediately applied, so let-bindings use the
+    // single-element-transform idiom: element_at(transform(array(e),
+    // e -> body), 1) binds e for the body — once for the local
+    // coordinates/fractions, once for the four corner values.
+    val kernel =
+      s"""flatten(transform(
+         |  filter(sequence(0, 99),
+         |    t -> (128 * t + 14) div 100 >= tile_y * $n
+         |     and (128 * t + 14) div 100 < (tile_y + 1) * $n),
+         |  t -> transform(
+         |    filter(sequence(0, 99),
+         |      u -> (128 * u + 14) div 100 >= tile_x * $n
+         |       and (128 * u + 14) div 100 < (tile_x + 1) * $n),
+         |    u -> element_at(transform(array(named_struct(
+         |        'ly', (128 * t + 14) div 100 - tile_y * $n,
+         |        'lx', (128 * u + 14) div 100 - tile_x * $n,
+         |        'fy', ((128 * t + 14) % 100) / 100.0,
+         |        'fx', ((128 * u + 14) % 100) / 100.0)),
+         |      e -> element_at(transform(array(named_struct(
+         |          'v00', c[CAST(e.ly * $n + e.lx AS INT)],
+         |          'v01', if(e.lx < ${n - 1},
+         |                    c[CAST(e.ly * $n + e.lx + 1 AS INT)],
+         |                    r[CAST(e.ly AS INT)]),
+         |          'v10', if(e.ly < ${n - 1},
+         |                    c[CAST((e.ly + 1) * $n + e.lx AS INT)],
+         |                    b[CAST(e.lx AS INT)]),
+         |          'v11', if(e.ly < ${n - 1} and e.lx < ${n - 1},
+         |                      c[CAST((e.ly + 1) * $n + e.lx + 1 AS INT)],
+         |                    if(e.ly < ${n - 1}, r[CAST(e.ly + 1 AS INT)],
+         |                    if(e.lx < ${n - 1}, b[CAST(e.lx + 1 AS INT)],
+         |                       br[0]))))),
+         |        v -> named_struct(
+         |          'ty', t, 'tx', u,
+         |          'num', (1.0 - e.fy) * (1.0 - e.fx) * coalesce(v.v00, 0D)
+         |            + (1.0 - e.fy) * e.fx * coalesce(v.v01, 0D)
+         |            + e.fy * (1.0 - e.fx) * coalesce(v.v10, 0D)
+         |            + e.fy * e.fx * coalesce(v.v11, 0D),
+         |          'den', (1.0 - e.fy) * (1.0 - e.fx) * if(v.v00 is null, 0D, 1D)
+         |            + (1.0 - e.fy) * e.fx * if(v.v01 is null, 0D, 1D)
+         |            + e.fy * (1.0 - e.fx) * if(v.v10 is null, 0D, 1D)
+         |            + e.fy * e.fx * if(v.v11 is null, 0D, 1D),
+         |          'n_nb', if(v.v00 is null, 0, 1) + if(v.v01 is null, 0, 1)
+         |            + if(v.v10 is null, 0, 1) + if(v.v11 is null, 0, 1))
+         |      ), 1)
+         |    ), 1))))""".stripMargin
+    assembled
+      .select(col("area"), col("product"),
+        explode(expr(s"filter($kernel, s -> s.den > 0)")).as("s"))
+      .select(col("area"), col("product"),
+        col("s.ty").as("ty"), col("s.tx").as("tx"),
+        round(lit(1e-9) + col("s.num") / col("s.den"), 4).as("bilinear"),
+        col("s.n_nb").as("n_nb"))
+      .orderBy(col("area"), col("product"), col("ty"), col("tx"))
+  }
+
+  val q167Sql: String =
+    s"""WITH ${Trollflow.rasterSql},
+       |cells AS (
+       |  SELECT area, product, y, x, avg(value) AS cell
+       |  FROM raster WHERE y < 128 AND x < 128
+       |  GROUP BY 1, 2, 3, 4),
+       |targets AS (
+       |  SELECT area, product, ty, tx,
+       |    (128 * ty + 14) // 100 AS y0, (128 * tx + 14) // 100 AS x0,
+       |    ((128 * ty + 14) % 100) / 100.0 AS fy,
+       |    ((128 * tx + 14) % 100) / 100.0 AS fx
+       |  FROM (SELECT DISTINCT area, product FROM cells),
+       |       range(0, 100) t1(ty), range(0, 100) t2(tx)),
+       |j AS (
+       |  SELECT t.*,
+       |    c00.cell AS v00, c01.cell AS v01, c10.cell AS v10, c11.cell AS v11
+       |  FROM targets t
+       |  LEFT JOIN cells c00 ON t.area = c00.area AND t.product = c00.product
+       |    AND t.y0 = c00.y AND t.x0 = c00.x
+       |  LEFT JOIN cells c01 ON t.area = c01.area AND t.product = c01.product
+       |    AND t.y0 = c01.y AND t.x0 + 1 = c01.x
+       |  LEFT JOIN cells c10 ON t.area = c10.area AND t.product = c10.product
+       |    AND t.y0 + 1 = c10.y AND t.x0 = c10.x
+       |  LEFT JOIN cells c11 ON t.area = c11.area AND t.product = c11.product
+       |    AND t.y0 + 1 = c11.y AND t.x0 + 1 = c11.x),
+       |b AS (
+       |  SELECT area, product, ty, tx,
+       |    (1.0 - fy) * (1.0 - fx) * coalesce(v00, 0.0)
+       |      + (1.0 - fy) * fx * coalesce(v01, 0.0)
+       |      + fy * (1.0 - fx) * coalesce(v10, 0.0)
+       |      + fy * fx * coalesce(v11, 0.0) AS num,
+       |    (1.0 - fy) * (1.0 - fx) * (CASE WHEN v00 IS NULL THEN 0.0 ELSE 1.0 END)
+       |      + (1.0 - fy) * fx * (CASE WHEN v01 IS NULL THEN 0.0 ELSE 1.0 END)
+       |      + fy * (1.0 - fx) * (CASE WHEN v10 IS NULL THEN 0.0 ELSE 1.0 END)
+       |      + fy * fx * (CASE WHEN v11 IS NULL THEN 0.0 ELSE 1.0 END) AS den,
+       |    (CASE WHEN v00 IS NULL THEN 0 ELSE 1 END)
+       |      + (CASE WHEN v01 IS NULL THEN 0 ELSE 1 END)
+       |      + (CASE WHEN v10 IS NULL THEN 0 ELSE 1 END)
+       |      + (CASE WHEN v11 IS NULL THEN 0 ELSE 1 END) AS n_nb
+       |  FROM j)
+       |SELECT area, product, ty, tx,
+       |  round(1e-9 + num / den, 4) AS bilinear, n_nb
+       |FROM b WHERE den > 0
+       |ORDER BY area, product, ty, tx""".stripMargin
+
   /** Tall twins at the SAME per-product grain — the spec's tall ≡ tiled
     * equivalence pins the Spark implementations against each other
     * (the DuckDB oracle independently re-derives the same results from
@@ -256,6 +414,53 @@ object TiledRaster {
       .agg(round(lit(1e-9) + avg(col("cell")), 4).as("block_mean"),
         count(lit(1)).as("n_cells"))
       .orderBy(col("area"), col("product"), col("by"), col("bx"))
+
+  private[graft] def tallResampleBilinear(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Trollflow.raster(spark, dir)
+      .filter(col("y") < 128 && col("x") < 128)
+      .groupBy(col("area"), col("product"), col("y"), col("x"))
+      .agg(avg(col("value")).as("cell"))
+      .persist()
+    val targets = cells.select(col("area"), col("product")).distinct()
+      .crossJoin(spark.range(100).toDF("ty"))
+      .crossJoin(spark.range(100).toDF("tx"))
+      .withColumn("y0", expr("(128 * ty + 14) div 100"))
+      .withColumn("x0", expr("(128 * tx + 14) div 100"))
+      .withColumn("fy", expr("((128 * ty + 14) % 100) / 100.0"))
+      .withColumn("fx", expr("((128 * tx + 14) % 100) / 100.0"))
+    val joined = Seq(("00", 0, 0), ("01", 0, 1), ("10", 1, 0), ("11", 1, 1))
+      .foldLeft(targets) { case (df, (tag, dy, dx)) =>
+        df.join(
+          cells.select(col("area").as(s"a_$tag"), col("product").as(s"p_$tag"),
+            col("y").as(s"y_$tag"), col("x").as(s"x_$tag"),
+            col("cell").as(s"v_$tag")),
+          col("area") === col(s"a_$tag") && col("product") === col(s"p_$tag") &&
+            col("y0") + dy === col(s"y_$tag") &&
+            col("x0") + dx === col(s"x_$tag"),
+          "left")
+      }
+    def w(tag: String): org.apache.spark.sql.Column = tag match {
+      case "00" => (lit(1.0) - col("fy")) * (lit(1.0) - col("fx"))
+      case "01" => (lit(1.0) - col("fy")) * col("fx")
+      case "10" => col("fy") * (lit(1.0) - col("fx"))
+      case "11" => col("fy") * col("fx")
+    }
+    def present(tag: String): org.apache.spark.sql.Column =
+      when(col(s"v_$tag").isNull, lit(0.0)).otherwise(lit(1.0))
+    val num = Seq("00", "01", "10", "11")
+      .map(t => w(t) * coalesce(col(s"v_$t"), lit(0.0))).reduce(_ + _)
+    val den = Seq("00", "01", "10", "11")
+      .map(t => w(t) * present(t)).reduce(_ + _)
+    val nNb = Seq("00", "01", "10", "11")
+      .map(t => present(t)).reduce(_ + _).cast("int")
+    joined
+      .withColumn("den", den)
+      .filter(col("den") > 0)
+      .select(col("area"), col("product"), col("ty"), col("tx"),
+        round(lit(1e-9) + num / col("den"), 4).as("bilinear"),
+        nNb.as("n_nb"))
+      .orderBy(col("area"), col("product"), col("ty"), col("tx"))
+  }
 
   private[graft] def tallResampleNearest(spark: SparkSession, dir: String): DataFrame = {
     val cells = Trollflow.raster(spark, dir)
@@ -280,12 +485,14 @@ object TiledRaster {
   val defs: Map[String, Q] = Map(
     "q164_tiled_block_aggregate" -> (q164TiledBlockAggregate _),
     "q165_tiled_resample_nearest" -> (q165TiledResampleNearest _),
-    "q166_tiled_valid_fraction" -> (q166TiledValidFraction _)
+    "q166_tiled_valid_fraction" -> (q166TiledValidFraction _),
+    "q167_tiled_resample_bilinear" -> (q167TiledResampleBilinear _)
   )
 
   val oracles: Map[String, String] = Map(
     "q164_tiled_block_aggregate" -> q164Sql,
     "q165_tiled_resample_nearest" -> q165Sql,
-    "q166_tiled_valid_fraction" -> q166Sql
+    "q166_tiled_valid_fraction" -> q166Sql,
+    "q167_tiled_resample_bilinear" -> q167Sql
   )
 }

@@ -37,6 +37,28 @@ class TiledRasterSpec extends SparkSpec {
     assert(tiled == tall, "tile encoding diverged from the tall encoding")
   }
 
+  test("tiled bilinear resample (halo) == tall bilinear resample, bit for bit") {
+    val tiled = rows(TiledRaster.q167TiledResampleBilinear(spark, sf))
+    val tall = rows(TiledRaster.tallResampleBilinear(spark, sf))
+    assert(tiled.nonEmpty, "empty result would vacuously pass")
+    assert(tiled == tall, "halo tile encoding diverged from the tall encoding")
+  }
+
+  test("q167 plan: ONE halo shuffle, zero joins — the map_overlap shape") {
+    val p = SparkEntry.queries("q167_tiled_resample_bilinear")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val above = aboveLayout(p)
+    // the tall form pays FOUR corner equi-joins; the halo form pays one
+    // tile-grain exchange (halo assembly) and the blend is row-local
+    assert(hashExchanges(above) == 1, s"halo form grew extra shuffles:\n$p")
+    assert(!above.contains("SortMergeJoin") && !above.contains("BroadcastHashJoin")
+      && !above.contains("ShuffledHashJoin"),
+      s"halo form reintroduced a join:\n$p")
+    // halo assembly partial-aggregates map-side (max(when) combine)
+    assert(above.contains("partial_max"),
+      s"halo assembly lost its map-side combine:\n$p")
+  }
+
   test("tile table: dense row-major arrays, null fill, full coverage") {
     import org.apache.spark.sql.functions._
     val t = TiledRaster.tiles(spark, sf) // session-shared, persisted
