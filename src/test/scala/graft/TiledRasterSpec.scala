@@ -44,6 +44,39 @@ class TiledRasterSpec extends SparkSpec {
     assert(tiled == tall, "halo tile encoding diverged from the tall encoding")
   }
 
+  test("halo bilinear survives a missing tile: halo-only groups blend mask-aware") {
+    // the dense fixture never fires the null-halo branches (every crop
+    // tile exists, every fragment arrives). Carve tile (1,1) out of the
+    // source entirely: its group then exists on HALO alone (c null, r/b/
+    // br from the neighbors), targets deep inside the hole lose all four
+    // corners (den=0, dropped), and targets at the hole's edges blend
+    // mask-aware from the fragments that DO exist — and the result must
+    // still equal the tall 4-left-join form bit for bit.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tiles_sparse")
+    val n = TiledRaster.TileSize
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(not(
+        (col("l_orderkey") % 256).between(n, 2 * n - 1) &&
+          ((col("l_partkey") * 7 + col("l_linenumber")) % 256)
+            .between(n, 2 * n - 1)))
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val dir = tmp.toString
+    val tiledDf = TiledRaster.q167TiledResampleBilinear(spark, dir)
+    val tiled = rows(tiledDf)
+    val tall = rows(TiledRaster.tallResampleBilinear(spark, dir))
+    assert(tiled.nonEmpty && tiled == tall,
+      "halo form diverged from the tall form on the sparse grid")
+    // the hole really exercised the mask-aware path: some surviving
+    // targets blend from fewer than 4 corners
+    val partial = tiledDf.filter(col("n_nb") < 4).count()
+    assert(partial > 0, "sparse fixture produced no partial blends")
+    // and some targets vanished entirely (all four corners in the hole)
+    val dense = TiledRaster.q167TiledResampleBilinear(spark, sf).count()
+    assert(tiled.size < dense,
+      "sparse fixture lost no targets — the hole missed the crop region")
+  }
+
   test("q167 plan: ONE halo shuffle, zero joins — the map_overlap shape") {
     val p = SparkEntry.queries("q167_tiled_resample_bilinear")(spark, sf)
       .queryExecution.executedPlan.toString
