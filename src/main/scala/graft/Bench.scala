@@ -67,12 +67,15 @@ object Bench {
     // warmup: a scan+agg touches the parquet footer cache, codegen, and
     // shuffle machinery once before anything is timed
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // bucketed-layout mode (SPARK_GRAFT_BUCKETED=1): materialize the
-    // postings family as on-disk bucketed tables UNTIMED, then time the
-    // consumers reading from disk — the 100 TB path's numbers, reported
-    // beside the in-memory pack under the "bucketed" key
-    if (sys.env.contains("SPARK_GRAFT_BUCKETED"))
+    // on-disk-layout mode (SPARK_GRAFT_BUCKETED=1): materialize the
+    // postings family as bucketed tables AND the tile table as its
+    // parquet store, UNTIMED, then time the consumers reading from
+    // disk — the 100 TB path's numbers, reported beside the in-memory
+    // pack under the "bucketed" key
+    if (sys.env.contains("SPARK_GRAFT_BUCKETED")) {
       queries.PostingsStore.materialize(spark, sfDir)
+      queries.TileStore.materialize(spark, sfDir)
+    }
     // sacrificial UNTIMED run of the chunk's first query: the first real
     // query in a fresh JVM otherwise absorbs the Janino/JIT/whole-stage-
     // codegen warmup that every later query gets for free (profiled:
@@ -156,9 +159,12 @@ object Bench {
     if (printLine)
       emit(jsonLine(sfDir, results,
         if (cal > 0) Map("calibration" -> fmt4(cal)) else Map.empty))
-    if (sys.env.contains("SPARK_GRAFT_BUCKETED"))
+    if (sys.env.contains("SPARK_GRAFT_BUCKETED")) {
       try queries.PostingsStore.drop(spark, sfDir)
       catch { case _: Throwable => () } // cleanup is best-effort
+      try queries.TileStore.drop(spark, sfDir)
+      catch { case _: Throwable => () }
+    }
     spark.stop()
     results
   }

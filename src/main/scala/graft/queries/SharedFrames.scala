@@ -96,16 +96,17 @@ private[graft] object SharedFrames {
     consumersBm25(id) || consumersTiles(id)
   }
 
-  /** Does `queryName` read a family that [[PostingsStore]] materializes
-    * on disk? Bench's "bucketed" section times exactly these — the LM and
-    * BM25 consumers (q61/q101, q46/q132) have no bucketed-table home, so
-    * timing them under that key would mislabel in-memory numbers as
-    * on-disk-layout results. `consumersSrc` qualifies: the source-grain
+  /** Does `queryName` read a family with an ON-DISK layout home —
+    * [[PostingsStore]]'s bucketed tables or [[TileStore]]'s parquet
+    * tile store? Bench's "bucketed" section times exactly these — the
+    * LM and BM25 consumers (q61/q101, q46/q132) have no on-disk home,
+    * so timing them under that key would mislabel in-memory numbers as
+    * disk-layout results. `consumersSrc` qualifies: the source-grain
     * postings derive FROM the bucketed `sh` scan in bucketed mode. */
   def isBucketedConsumer(queryName: String): Boolean = {
     val id = queryName.takeWhile(_ != '_')
     consumers3(id) || consumers8(id) || consumersSrc(id) ||
-    consumersPara(id) || consumersPos8(id)
+    consumersPara(id) || consumersPos8(id) || consumersTiles(id)
   }
 
   /** Materialize (untimed) whatever shared frames `queryName` reads — a

@@ -87,11 +87,15 @@ object TiledRaster {
           .as("cells"))
   }
 
-  /** The session-shared tile table (one persisted frame per (session,
-    * dir) — q164/q165/q166 all read it, mirroring how a deployment
-    * reads the stored tile layout instead of re-assembling per query). */
+  /** The tile table every tiled operator reads: the on-disk store when
+    * [[TileStore]] is in disk mode (the 100 TB path — tiles scan off
+    * parquet, they don't fit in memory), else the session-shared
+    * persisted frame (one per (session, dir) — mirroring how a
+    * deployment reads the stored layout instead of re-assembling per
+    * query). Consumers are mode-unaware. */
   def tiles(spark: SparkSession, dir: String): DataFrame =
-    SharedFrames.cached(spark, dir, "tiles")(tilesPlan(spark, dir))
+    TileStore.lookup(spark, dir).getOrElse(
+      SharedFrames.cached(spark, dir, "tiles")(tilesPlan(spark, dir)))
 
   /** Materialize the shared tile frame untimed (Bench/QTime warm-up). */
   private[graft] def warmTilesShared(spark: SparkSession, dir: String): Unit = {
