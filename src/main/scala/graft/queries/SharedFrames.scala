@@ -84,7 +84,7 @@ private[graft] object SharedFrames {
   /** Queries reading the tile-row raster layout
     * ([[TiledRaster.tiles]] — the write-once dask-chunk analog; timed
     * warm like every stored layout, no bucketed-table home). */
-  val consumersTiles: Set[String] = Set("q164", "q165", "q166", "q167")
+  val consumersTiles: Set[String] = Set("q164", "q165", "q166", "q167", "q168")
 
   /** Does `queryName` read any shared postings family? (The bench/QTime
     * harnesses insert an untimed GC breather after warming exactly these

@@ -414,6 +414,83 @@ object TiledRaster {
        |FROM b WHERE den > 0
        |ORDER BY area, product, ty, tx""".stripMargin
 
+  /** T2 ewa `resample` over TILES (q123's scatter-splat semantics at
+    * per-(area, product) grain): each source cell splats a
+    * gaussian-weighted contribution onto every target cell within
+    * r = 1.0 of its mapped position; targets blend sum(w·v)/sum(w).
+    *
+    * SCATTER is the tile-friendly direction (the reference's own EWA
+    * works this way over dask chunks): cells posexplode WITHIN the tile
+    * row, fan out by the plan-time constant 9 (3×3 candidate window),
+    * and the single target-grain hash aggregate partial-combines
+    * map-side — the same exchange shape as q165, with sums instead of a
+    * min. No halo needed: scatter means a contribution is computed
+    * where the SOURCE lives and merged at the target key, so cross-tile
+    * support costs nothing extra (compare q167, where the GATHER form
+    * needs ghost cells). Together the three tiled resamplers cover the
+    * three scale patterns: in-tile kernel (q164), scatter + partial agg
+    * (q165/q168), gather + halo (q167). */
+  def q168TiledResampleEwa(spark: SparkSession, dir: String): DataFrame = {
+    val lnInv = 4.605170185988092 // ln(1/0.01), shared literal (q123's)
+    val n = TileSize
+    tiles(spark, dir)
+      .filter(col("tile_y") < 128 / n && col("tile_x") < 128 / n)
+      .select(col("area"), col("product"),
+        col("tile_y").as("tyt"), col("tile_x").as("txt"),
+        posexplode(col("cells")).as(Seq("idx", "cell")))
+      .filter(col("cell").isNotNull)
+      .withColumn("y", col("tyt") * n + expr(s"idx div $n"))
+      .withColumn("x", col("txt") * n + expr(s"idx % $n"))
+      .withColumn("ny", col("y") * 200 + 100) // ((2y+1)·100)
+      .withColumn("nx", col("x") * 200 + 100)
+      .withColumn("tyb", expr(s"(ny - 128 + ${256L * (1L << 20)}) div 256 - ${1L << 20}"))
+      .withColumn("txb", expr(s"(nx - 128 + ${256L * (1L << 20)}) div 256 - ${1L << 20}"))
+      .withColumn("ky", explode(sequence(lit(-1), lit(1))))
+      .withColumn("kx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("ty", col("tyb") + col("ky"))
+      .withColumn("tx", col("txb") + col("kx"))
+      .withColumn("dy", col("ny") / 256.0 - (col("ty") + lit(0.5)))
+      .withColumn("dx", col("nx") / 256.0 - (col("tx") + lit(0.5)))
+      .withColumn("d2", col("dy") * col("dy") + col("dx") * col("dx"))
+      .filter(col("d2") <= 1.0 &&
+        col("ty") >= 0 && col("ty") < 100 && col("tx") >= 0 && col("tx") < 100)
+      .withColumn("w", exp(col("d2") * lit(-lnInv)))
+      .groupBy(col("area"), col("product"), col("ty"), col("tx"))
+      .agg(round(lit(1e-9) + sum(col("w") * col("cell")) / sum(col("w")), 4)
+        .as("ewa"),
+        count(lit(1)).as("n_contrib"))
+      .orderBy(col("area"), col("product"), col("ty"), col("tx"))
+  }
+
+  val q168Sql: String =
+    s"""WITH ${Trollflow.rasterSql},
+       |cells AS (
+       |  SELECT area, product, y, x, avg(value) AS cell
+       |  FROM raster WHERE y < 128 AND x < 128
+       |  GROUP BY 1, 2, 3, 4),
+       |pos AS (
+       |  SELECT area, product, cell, y * 200 + 100 AS ny, x * 200 + 100 AS nx,
+       |    (y * 200 + 100 - 128 + ${256L * (1L << 20)}) // 256 - ${1L << 20} AS tyb,
+       |    (x * 200 + 100 - 128 + ${256L * (1L << 20)}) // 256 - ${1L << 20} AS txb
+       |  FROM cells),
+       |splat AS (
+       |  SELECT area, product, cell, ny, nx, tyb + ky AS ty, txb + kx AS tx,
+       |    (ny / 256.0 - (tyb + ky + 0.5)) AS dy,
+       |    (nx / 256.0 - (txb + kx + 0.5)) AS dx
+       |  FROM pos, range(-1, 2) g1(ky), range(-1, 2) g2(kx)),
+       |wtd AS (
+       |  SELECT area, product, ty, tx, cell,
+       |    exp((dy * dy + dx * dx) * -4.605170185988092) AS w
+       |  FROM splat
+       |  WHERE dy * dy + dx * dx <= 1.0
+       |    AND ty >= 0 AND ty < 100 AND tx >= 0 AND tx < 100)
+       |SELECT area, product, ty, tx,
+       |  round(1e-9 + sum(w * cell) / sum(w), 4) AS ewa,
+       |  count(*) AS n_contrib
+       |FROM wtd
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY area, product, ty, tx""".stripMargin
+
   /** Tall twins at the SAME per-product grain — the spec's tall ≡ tiled
     * equivalence pins the Spark implementations against each other
     * (the DuckDB oracle independently re-derives the same results from
@@ -476,6 +553,33 @@ object TiledRaster {
       .orderBy(col("area"), col("product"), col("ty"), col("tx"))
   }
 
+  private[graft] def tallResampleEwa(spark: SparkSession, dir: String): DataFrame = {
+    val lnInv = 4.605170185988092
+    Trollflow.raster(spark, dir)
+      .filter(col("y") < 128 && col("x") < 128)
+      .groupBy(col("area"), col("product"), col("y"), col("x"))
+      .agg(avg(col("value")).as("cell"))
+      .withColumn("ny", col("y") * 200 + 100)
+      .withColumn("nx", col("x") * 200 + 100)
+      .withColumn("tyb", expr(s"(ny - 128 + ${256L * (1L << 20)}) div 256 - ${1L << 20}"))
+      .withColumn("txb", expr(s"(nx - 128 + ${256L * (1L << 20)}) div 256 - ${1L << 20}"))
+      .withColumn("ky", explode(sequence(lit(-1), lit(1))))
+      .withColumn("kx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("ty", col("tyb") + col("ky"))
+      .withColumn("tx", col("txb") + col("kx"))
+      .withColumn("dy", col("ny") / 256.0 - (col("ty") + lit(0.5)))
+      .withColumn("dx", col("nx") / 256.0 - (col("tx") + lit(0.5)))
+      .withColumn("d2", col("dy") * col("dy") + col("dx") * col("dx"))
+      .filter(col("d2") <= 1.0 &&
+        col("ty") >= 0 && col("ty") < 100 && col("tx") >= 0 && col("tx") < 100)
+      .withColumn("w", exp(col("d2") * lit(-lnInv)))
+      .groupBy(col("area"), col("product"), col("ty"), col("tx"))
+      .agg(round(lit(1e-9) + sum(col("w") * col("cell")) / sum(col("w")), 4)
+        .as("ewa"),
+        count(lit(1)).as("n_contrib"))
+      .orderBy(col("area"), col("product"), col("ty"), col("tx"))
+  }
+
   private[graft] def tallResampleNearest(spark: SparkSession, dir: String): DataFrame = {
     val cells = Trollflow.raster(spark, dir)
       .filter(col("y") < 128 && col("x") < 128)
@@ -500,13 +604,15 @@ object TiledRaster {
     "q164_tiled_block_aggregate" -> (q164TiledBlockAggregate _),
     "q165_tiled_resample_nearest" -> (q165TiledResampleNearest _),
     "q166_tiled_valid_fraction" -> (q166TiledValidFraction _),
-    "q167_tiled_resample_bilinear" -> (q167TiledResampleBilinear _)
+    "q167_tiled_resample_bilinear" -> (q167TiledResampleBilinear _),
+    "q168_tiled_resample_ewa" -> (q168TiledResampleEwa _)
   )
 
   val oracles: Map[String, String] = Map(
     "q164_tiled_block_aggregate" -> q164Sql,
     "q165_tiled_resample_nearest" -> q165Sql,
     "q166_tiled_valid_fraction" -> q166Sql,
-    "q167_tiled_resample_bilinear" -> q167Sql
+    "q167_tiled_resample_bilinear" -> q167Sql,
+    "q168_tiled_resample_ewa" -> q168Sql
   )
 }

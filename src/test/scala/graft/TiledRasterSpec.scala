@@ -44,6 +44,26 @@ class TiledRasterSpec extends SparkSpec {
     assert(tiled == tall, "halo tile encoding diverged from the tall encoding")
   }
 
+  test("tiled ewa resample (scatter) == tall ewa resample, bit for bit") {
+    val tiled = rows(TiledRaster.q168TiledResampleEwa(spark, sf))
+    val tall = rows(TiledRaster.tallResampleEwa(spark, sf))
+    assert(tiled.nonEmpty, "empty result would vacuously pass")
+    assert(tiled == tall, "scatter tile encoding diverged from the tall encoding")
+  }
+
+  test("q168 plan: scatter splat partial-aggregates to ONE target-grain exchange") {
+    val p = SparkEntry.queries("q168_tiled_resample_ewa")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val above = aboveLayout(p)
+    // scatter needs no halo: contributions are computed where the source
+    // lives and MERGED at the target key — one partial-combined exchange
+    assert(hashExchanges(above) == 1, s"ewa scatter grew extra shuffles:\n$p")
+    assert(above.contains("partial_sum"),
+      s"splat lost its map-side partial aggregation:\n$p")
+    assert(!above.contains("SortMergeJoin") && !above.contains("Window"),
+      s"ewa scatter reintroduced a join or window:\n$p")
+  }
+
   test("halo bilinear survives a missing tile: halo-only groups blend mask-aware") {
     // the dense fixture never fires the null-halo branches (every crop
     // tile exists, every fragment arrives). Carve tile (1,1) out of the
