@@ -71,9 +71,17 @@ object TiledRaster {
     * [[SharedFrames]] warm-layout contract every stored family uses:
     * consumers are timed against the layout, not its build); this is
     * the raw assembly plan the layout-shape spec pins. */
-  private[graft] def tilesPlan(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def tilesPlan(spark: SparkSession, dir: String): DataFrame =
+    tilesOf(Trollflow.raster(spark, dir))
+
+  /** Tile assembly over ANY tall pixel frame (area, product, y, x,
+    * value) — the fixture derivation above and the streaming scene
+    * ingest ([[graft.streaming.StreamRunner.tileIngest]]) share this
+    * one definition, so batch-built and stream-built tiles agree by
+    * construction. */
+  private[graft] def tilesOf(tall: DataFrame): DataFrame = {
     val n = TileSize
-    Trollflow.raster(spark, dir)
+    tall
       .groupBy(col("area"), col("product"), col("y"), col("x"))
       .agg(avg(col("value")).as("cell"))
       .withColumn("tile_y", expr(s"y div $n"))

@@ -510,6 +510,46 @@ object StreamRunner {
     * with partition discovery). At production scale a transactional
     * table format subsumes the marker protocol; the directory contract
     * here is the plain-parquet equivalent. */
+  /** Streaming SCENE → TILE ingest: the operational loop of the
+    * reference (one message = one scene's rasters, processed and SAVED
+    * per message — launcher.py's process loop) landing in the tile-row
+    * layout ([[graft.queries.TiledRaster]]) instead of one-off files.
+    *
+    * Per micro-batch: assemble the batch's tall pixel rows (area,
+    * product, y, x, value) into tile rows — the SAME
+    * [[graft.queries.TiledRaster.tilesOf]] definition the batch queries
+    * use, so stream-built and batch-built tiles agree by construction —
+    * and DYNAMIC-partition-overwrite exactly the (area, product)
+    * partitions present in the batch. Scene-replacement semantics fall
+    * out: a re-delivered or replayed message rewrites its OWN scene's
+    * partitions to identical content (idempotent recovery — the
+    * partition is this sink's analog of [[idempotentBatchSink]]'s
+    * batch_id directory), a revised scene replaces the old one whole,
+    * and untouched scenes' partitions are never rewritten. The store is
+    * plain partitioned parquet: readers see whole scenes via partition
+    * discovery, and partition pruning serves per-scene reads without
+    * touching the rest of the corpus. */
+  def tileIngest(stream: DataFrame, storeDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val tiles = graft.queries.TiledRaster.tilesOf(batch)
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "dynamic")
+        try tiles.write.mode("overwrite")
+          .partitionBy("area", "product").parquet(storeDir)
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+      .start()
+
   def idempotentBatchSink(outDir: String)(batch: DataFrame, id: Long): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$id")
     val fs = dir.getFileSystem(

@@ -1565,6 +1565,65 @@ class StreamRunnerSpec extends SparkSpec {
     }
   }
 
+  test("tile ingest: streamed scenes land as tile partitions; replay and revision are scene-idempotent") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("graft_ti_src")
+    val ckp = Files.createTempDirectory("graft_ti_ckp")
+    val store = Files.createTempDirectory("graft_ti_store").resolve("tiles").toString
+    val px = graft.queries.Trollflow.raster(spark, sf)
+      .select(col("area"), col("product"), col("y"), col("x"), col("value"))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_ti_tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, src.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def drain(checkpoint: String): Unit = {
+      val q = StreamRunner.tileIngest(
+        StreamRunner.fileStream(spark, src.toString, px.schema),
+        store, checkpoint)
+      q.awaitTermination(120000)
+      ()
+    }
+    def storeRows(): Set[(String, String, Long, Long, Seq[Any])] =
+      spark.read.parquet(store)
+        .select(col("area"), col("product"), col("tile_y"), col("tile_x"),
+          col("cells"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getSeq[Any](4))).toSet
+    def tilesOf(df: org.apache.spark.sql.DataFrame) =
+      graft.queries.TiledRaster.tilesOf(df)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getSeq[Any](4))).toSet
+    val areas = px.select("area").distinct()
+      .collect().map(_.getString(0)).sorted
+    val a1 = areas.head
+    // message 1: one area's scenes; message 2: the rest
+    stage(px.filter(col("area") === a1), "msg_1")
+    drain(ckp.toString)
+    stage(px.filter(col("area") =!= a1), "msg_2")
+    drain(ckp.toString)
+    // the store now equals the batch-built tile table over the full frame
+    val full = tilesOf(px)
+    assert(full.nonEmpty && storeRows() == full,
+      "streamed tile store diverged from the batch tile assembly")
+    // REPLAY: a fresh checkpoint re-delivers both messages — the dynamic
+    // partition overwrite rewrites each scene to identical content
+    val ckp2 = Files.createTempDirectory("graft_ti_ckp2")
+    drain(ckp2.toString)
+    assert(storeRows() == full, "replay corrupted the tile store")
+    // REVISION: a changed scene for a1 replaces ONLY a1's partitions
+    stage(px.filter(col("area") === a1)
+      .withColumn("value", col("value") * 2), "msg_3")
+    drain(ckp.toString)
+    val revised = tilesOf(px.filter(col("area") =!= a1).unionByName(
+      px.filter(col("area") === a1).withColumn("value", col("value") * 2)))
+    assert(storeRows() == revised,
+      "scene revision did not replace exactly its own partitions")
+  }
+
   test("semantic decontam gate == batch triad flags, exact default and conf-routed") {
     import org.apache.spark.sql.functions._
     val e = graft.sources.Tables.embeddings(spark, sf)
