@@ -178,8 +178,9 @@ object Bench {
     val chunks = names.grouped(chunkSize).toSeq.map(runChildLine(sfDir, _))
     val merged = chunks.flatMap(_._1)
     val cals = chunks.flatMap(_._2)
-    val guarded = guardOutliers(sfDir, merged, cals)
-    val (finalResults, fidelity) = fidelitySection(sfDir, guarded, cals)
+    val (guarded, guardReran) = guardOutliers(sfDir, merged, cals)
+    val (finalResults, fidelity) =
+      fidelitySection(sfDir, guarded, cals, guardReran)
     emit(jsonLine(sfDir, finalResults,
       fidelity ++ bucketedSection(sfDir, names) ++
         calibrationSection(cals, finalResults)))
@@ -210,8 +211,11 @@ object Bench {
     val cal = median(cals)
     val total = results.map(_._2.getOrElse(0.0)).sum
     val ratio = priorCal().map(p => cal / p)
-    // symmetric drift bar: ±25% means (1/1.25, 1.25), not (0.8, 1.25) —
-    // 0.8 is −20% and under-warned on fast-host rounds
+    // drift bar is MULTIPLICATIVELY symmetric: a host 1.25× slower and a
+    // host 1.25× faster both warn — bounds (1/1.25, 1.25). Note 1/1.25
+    // IS 0.8 exactly: the old 0.8 constant was already the symmetric
+    // bound, it was only mislabeled as "−20%" (additive thinking); the
+    // expression now states the intent the number always had
     ratio.filter(r => r > 1.25 || r < 1 / 1.25).foreach { r =>
       System.err.println(String.format(java.util.Locale.ROOT,
         "bench calibration drift: machine running %.2fx its prior-round " +
@@ -361,7 +365,8 @@ object Bench {
     * SPARK_GRAFT_FIDELITY=0 skips the section (dev aid). */
   private def fidelitySection(sfDir: String,
       merged: Seq[(String, Either[String, Double])],
-      cals: Seq[Double] = Seq.empty)
+      cals: Seq[Double] = Seq.empty,
+      alreadyReran: Set[String] = Set.empty)
       : (Seq[(String, Either[String, Double])], Map[String, String]) = {
     if (sys.env.get("SPARK_GRAFT_FIDELITY").contains("0")) return (merged, Map.empty)
     def f(v: Double): String =
@@ -376,9 +381,12 @@ object Bench {
       p <- priorCal()
       if p > 0 && cal > 0
     } yield math.max(0.5, math.min(3.0, cal / p))).getOrElse(1.0)
+    // skip queries the outlier guard ALREADY re-ran this round: its
+    // fresh best-of-2 took the same measurement a third child JVM would
+    // repeat (a genuine regression reproduces there and min() keeps it)
     val regressed = merged.collect {
       case (n, Right(sec))
-          if !consumerNames.contains(n) &&
+          if !consumerNames.contains(n) && !alreadyReran.contains(n) &&
             prior.get(n.takeWhile(_ != '_'))
               .exists(p => p > 0 && sec > p * calScale * 1.3 + 0.1) =>
         n -> sec / (prior(n.takeWhile(_ != '_')) * calScale)
@@ -556,7 +564,7 @@ object Bench {
   private def guardOutliers(sfDir: String,
       merged: Seq[(String, Either[String, Double])],
       cals: Seq[Double] = Seq.empty)
-      : Seq[(String, Either[String, Double])] = {
+      : (Seq[(String, Either[String, Double])], Set[String]) = {
     val prior = priorRoundSecs()
     val calScale = (for {
       cal <- if (cals.nonEmpty) Some(median(cals)) else None
@@ -567,20 +575,20 @@ object Bench {
       case (n, Right(sec)) if prior.get(n.takeWhile(_ != '_'))
           .exists(p => p > 0 && sec > p * calScale * 2.5 + 0.25) => n
     }
-    if (outliers.isEmpty) merged
+    if (outliers.isEmpty) (merged, Set.empty)
     else {
       System.err.println(s"bench outlier guard: re-running " +
         s"${outliers.size} queries >2.5x their prior-round value: " +
         outliers.mkString(","))
       val rerun = outliers.grouped(chunkSize).toSeq
         .flatMap(runChild(sfDir, _)).toMap
-      merged.map {
+      (merged.map {
         case (n, Right(sec)) => rerun.get(n) match {
           case Some(Right(sec2)) => n -> Right(math.min(sec, sec2))
           case _ => n -> Right(sec) // guard re-run failed -> keep official
         }
         case other => other
-      }
+      }, outliers.toSet)
     }
   }
 

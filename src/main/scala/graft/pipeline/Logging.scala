@@ -284,8 +284,16 @@ object Logging {
       * and given a final grace; if it still won't die the handlers stay
       * open (leak beats a torn write). Once the listener is provably
       * dead, records that slipped in after its last drain are flushed
-      * synchronously here, and anything arriving after close is COUNTED
-      * as dropped rather than lost silently. */
+      * synchronously here, and anything found in the queue after close
+      * is COUNTED as dropped rather than lost silently.
+      *
+      * Residual window, accepted: a producer preempted between its
+      * `running` read and its `offer` for the ENTIRE shutdown sequence
+      * can still strand one record in the dead queue after the final
+      * sweep — unobservable without a lock around every log call, which
+      * would reintroduce exactly the handler contention this bridge
+      * exists to remove. The flush + post-close sweep bound the loss to
+      * that single preempted-producer case. */
     def stop(): Unit = {
       running = false // producers now count drops instead of enqueueing
       listener.join(5000)

@@ -223,7 +223,18 @@ object StatsStore {
           ((s.srcLen, s.srcMtime))
         catch { case scala.util.control.NonFatal(_) => false }
       }
-      val refreshed: Map[String, TableStats] = stale.flatMap { r =>
+      // a stale row whose SOURCE no longer exists is dead, not stale:
+      // prune it from the persisted store instead of re-attempting a
+      // doomed analyzeOne in every future JVM forever
+      val (gone, changed) = stale.partition { r =>
+        val p = new Path(r.getAs[String]("path"))
+        try !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+      gone.foreach(r => System.err.println(
+        s"[stats] source vanished, profile pruned: ${r.getAs[String]("table")} " +
+          s"(${r.getAs[String]("path")})"))
+      val refreshed: Map[String, TableStats] = changed.flatMap { r =>
         val path = r.getAs[String]("path")
         val t = r.getAs[String]("table")
         System.err.println(s"[stats] stale profile: re-analyzing '$t' ($path)")
@@ -233,7 +244,9 @@ object StatsStore {
           None
         }
       }.toMap
-      if (refreshed.nonEmpty) persist(spark, refreshed)
+      if (refreshed.nonEmpty || gone.nonEmpty)
+        persist(spark, refreshed,
+          prune = gone.map(_.getAs[String]("path")).toSet)
       fresh.foreach(r => statsByPath.put(r.getAs[String]("path"), rowToStats(r)))
       refreshed.foreach { case (p, s) => statsByPath.put(p, s) }
       fresh.length + refreshed.size
@@ -269,16 +282,18 @@ object StatsStore {
 
   /** Merge-write: keep rows for paths not re-analyzed (tiny table —
     * collected through the driver by construction, the existing rows
-    * eagerly collected BEFORE the overwrite touches the directory). */
+    * eagerly collected BEFORE the overwrite touches the directory);
+    * `prune` drops rows whose source vanished. */
   private def persist(spark: SparkSession,
-      fresh: Map[String, TableStats]): Unit = {
+      fresh: Map[String, TableStats],
+      prune: Set[String] = Set.empty): Unit = {
     val existing: Map[String, TableStats] =
       if (!storeExists(spark)) Map.empty
       else spark.read.schema(statsSchema)
         .parquet(storePath(spark).toString).collect().map { r =>
           r.getAs[String]("path") -> rowToStats(r)
         }.toMap
-    toDf(spark, existing ++ fresh)
+    toDf(spark, (existing -- prune) ++ fresh)
       .write.mode("overwrite").parquet(storePath(spark).toString)
   }
 }

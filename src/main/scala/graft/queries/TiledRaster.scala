@@ -284,8 +284,26 @@ object TiledRaster {
     * the Generate's row copy, and that allocation churn costs more than
     * the interpreted lambda math it saves. Same trade-shape as q121's
     * docstring, opposite winner: keep the kernel INSIDE the array, emit
-    * only the small result structs. */
-  def q167TiledResampleBilinear(spark: SparkSession, dir: String): DataFrame = {
+    * only the small result structs.
+    *
+    * Geometry caveat, and why `off` is a parameter: at the REGISTERED
+    * offset 14, the map y0 = (128t+14) div 100 happens to skip every
+    * residue ≡ 31 (mod 32) on t ∈ [0,99] — no corner ever crosses a
+    * 32-tile edge, so the halo fragments ship but are never read on
+    * this exact grid. That is a property of these constants, not of the
+    * operator: TiledRasterSpec re-runs the SAME code at off = 50 (where
+    * y0 = 31/x0 = 31 occur and all four halo reads — r, b, r[ly+1],
+    * br — fire) and pins tiled ≡ tall there too, so a broken halo
+    * payload or index diverges loudly instead of hiding behind a
+    * geometry that never exercises it. */
+  def q167TiledResampleBilinear(spark: SparkSession, dir: String): DataFrame =
+    tiledBilinear(spark, dir, off = 14)
+
+  /** [[q167TiledResampleBilinear]] with the target-mapping offset
+    * explicit — source index y0 = (128·t + off) div 100, fraction
+    * fy = ((128·t + off) % 100) / 100. */
+  private[graft] def tiledBilinear(spark: SparkSession, dir: String,
+      off: Int): DataFrame = {
     val n = TileSize
     val t = tiles(spark, dir)
       .filter(col("tile_y") < 128 / n && col("tile_x") < 128 / n)
@@ -329,17 +347,17 @@ object TiledRaster {
     val kernel =
       s"""flatten(transform(
          |  filter(sequence(0, 99),
-         |    t -> (128 * t + 14) div 100 >= tile_y * $n
-         |     and (128 * t + 14) div 100 < (tile_y + 1) * $n),
+         |    t -> (128 * t + $off) div 100 >= tile_y * $n
+         |     and (128 * t + $off) div 100 < (tile_y + 1) * $n),
          |  t -> transform(
          |    filter(sequence(0, 99),
-         |      u -> (128 * u + 14) div 100 >= tile_x * $n
-         |       and (128 * u + 14) div 100 < (tile_x + 1) * $n),
+         |      u -> (128 * u + $off) div 100 >= tile_x * $n
+         |       and (128 * u + $off) div 100 < (tile_x + 1) * $n),
          |    u -> element_at(transform(array(named_struct(
-         |        'ly', (128 * t + 14) div 100 - tile_y * $n,
-         |        'lx', (128 * u + 14) div 100 - tile_x * $n,
-         |        'fy', ((128 * t + 14) % 100) / 100.0,
-         |        'fx', ((128 * u + 14) % 100) / 100.0)),
+         |        'ly', (128 * t + $off) div 100 - tile_y * $n,
+         |        'lx', (128 * u + $off) div 100 - tile_x * $n,
+         |        'fy', ((128 * t + $off) % 100) / 100.0,
+         |        'fx', ((128 * u + $off) % 100) / 100.0)),
          |      e -> element_at(transform(array(named_struct(
          |          'v00', c[CAST(e.ly * $n + e.lx AS INT)],
          |          'v01', if(e.lx < ${n - 1},
@@ -514,7 +532,8 @@ object TiledRaster {
         count(lit(1)).as("n_cells"))
       .orderBy(col("area"), col("product"), col("by"), col("bx"))
 
-  private[graft] def tallResampleBilinear(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def tallResampleBilinear(spark: SparkSession, dir: String,
+      off: Int = 14): DataFrame = {
     val cells = Trollflow.raster(spark, dir)
       .filter(col("y") < 128 && col("x") < 128)
       .groupBy(col("area"), col("product"), col("y"), col("x"))
@@ -523,10 +542,10 @@ object TiledRaster {
     val targets = cells.select(col("area"), col("product")).distinct()
       .crossJoin(spark.range(100).toDF("ty"))
       .crossJoin(spark.range(100).toDF("tx"))
-      .withColumn("y0", expr("(128 * ty + 14) div 100"))
-      .withColumn("x0", expr("(128 * tx + 14) div 100"))
-      .withColumn("fy", expr("((128 * ty + 14) % 100) / 100.0"))
-      .withColumn("fx", expr("((128 * tx + 14) % 100) / 100.0"))
+      .withColumn("y0", expr(s"(128 * ty + $off) div 100"))
+      .withColumn("x0", expr(s"(128 * tx + $off) div 100"))
+      .withColumn("fy", expr(s"((128 * ty + $off) % 100) / 100.0"))
+      .withColumn("fx", expr(s"((128 * tx + $off) % 100) / 100.0"))
     val joined = Seq(("00", 0, 0), ("01", 0, 1), ("10", 1, 0), ("11", 1, 1))
       .foldLeft(targets) { case (df, (tag, dy, dx)) =>
         df.join(

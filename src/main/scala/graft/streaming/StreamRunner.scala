@@ -468,7 +468,12 @@ object StreamRunner {
     val v = col(vecCol).cast("array<double>")
     def dotFold(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val nrm = col("__nrm")
+    // collision-safe scratch column: the gate takes an ARBITRARY frame,
+    // so a fixed "__nrm" would clobber (and then drop) a user column of
+    // that name
+    val nrmName = Iterator.from(0).map(i => s"__graft_nrm$i")
+      .find(n => !stream.columns.contains(n)).get
+    val nrm = col(nrmName)
     val probed =
       if (nprobe <= 0) cellsLit
       else slice(array_sort(transform(cellsLit, s => struct(
@@ -481,9 +486,9 @@ object StreamRunner {
         greatest(a2, dotFold(v, m.getField("_1"))
           / sqrt(nrm * m.getField("_2"))))))
     val contaminated = round(lit(1e-9) + maxCos, 5) >= threshold
-    stream.withColumn("__nrm", dotFold(v, v))
+    stream.withColumn(nrmName, dotFold(v, v))
       .filter(coalesce(!contaminated, lit(true)))
-      .drop("__nrm")
+      .drop(nrmName)
   }
 
   /** Streaming quality-admission gate — the second standard stream
@@ -498,18 +503,6 @@ object StreamRunner {
     stream.filter(
       graft.queries.Curation.registryCols(col(textCol))("p") >= minP)
 
-  /** Exactly-once parquet sink for `foreachBatch`: Structured Streaming
-    * guarantees batch REPLAY after a failure (same id, same data), not
-    * sink-side non-duplication — an at-least-once sink turns every
-    * recovery into duplicate rows. The standard repair is an IDEMPOTENT
-    * sink keyed by the batch id: rows land in `batch_id=<id>` partition
-    * directories; a replayed id whose partition already carries the
-    * `_SUCCESS` marker is a no-op, and a partial write WITHOUT the marker
-    * (the crash happened mid-write) is overwritten whole. Readers see
-    * exactly-once output by construction (`spark.read.parquet(outDir)`
-    * with partition discovery). At production scale a transactional
-    * table format subsumes the marker protocol; the directory contract
-    * here is the plain-parquet equivalent. */
   /** Streaming SCENE → TILE ingest: the operational loop of the
     * reference (one message = one scene's rasters, processed and SAVED
     * per message — launcher.py's process loop) landing in the tile-row
@@ -528,7 +521,21 @@ object StreamRunner {
     * and untouched scenes' partitions are never rewritten. The store is
     * plain partitioned parquet: readers see whole scenes via partition
     * discovery, and partition pruning serves per-scene reads without
-    * touching the rest of the corpus. */
+    * touching the rest of the corpus.
+    *
+    * INPUT CONTRACT — scenes must be MESSAGE-ATOMIC, exactly the
+    * reference's model (one posttroll message carries whole scenes):
+    * each micro-batch must hold complete, single-version scenes. The
+    * [[fileStream]] source guarantees this (one file = one message,
+    * `maxFilesPerTrigger=1` = one message per batch, files processed in
+    * arrival order — so a full replay that includes a later revision
+    * converges on the revision, proven in StreamRunnerSpec). A source
+    * that splits one scene across batches would have the later batch's
+    * dynamic overwrite drop the earlier pixels, and one that packs two
+    * VERSIONS of a scene into one batch would blend them through the
+    * per-pixel mean — both are contract violations of the
+    * scene-per-message shape, not recoverable downstream because the
+    * tall rows carry no version column to disambiguate. */
   def tileIngest(stream: DataFrame, storeDir: String,
       checkpointDir: String): StreamingQuery =
     stream.writeStream
@@ -550,6 +557,18 @@ object StreamRunner {
       }
       .start()
 
+  /** Exactly-once parquet sink for `foreachBatch`: Structured Streaming
+    * guarantees batch REPLAY after a failure (same id, same data), not
+    * sink-side non-duplication — an at-least-once sink turns every
+    * recovery into duplicate rows. The standard repair is an IDEMPOTENT
+    * sink keyed by the batch id: rows land in `batch_id=<id>` partition
+    * directories; a replayed id whose partition already carries the
+    * `_SUCCESS` marker is a no-op, and a partial write WITHOUT the marker
+    * (the crash happened mid-write) is overwritten whole. Readers see
+    * exactly-once output by construction (`spark.read.parquet(outDir)`
+    * with partition discovery). At production scale a transactional
+    * table format subsumes the marker protocol; the directory contract
+    * here is the plain-parquet equivalent. */
   def idempotentBatchSink(outDir: String)(batch: DataFrame, id: Long): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$id")
     val fs = dir.getFileSystem(

@@ -1622,6 +1622,14 @@ class StreamRunnerSpec extends SparkSpec {
       px.filter(col("area") === a1).withColumn("value", col("value") * 2)))
     assert(storeRows() == revised,
       "scene revision did not replace exactly its own partitions")
+    // FULL replay with the revision present (fresh checkpoint, all three
+    // messages): the file source delivers one message per batch in
+    // arrival order, so the store converges on the LAST version of the
+    // revised scene — the recovery path of the message-atomic contract
+    val ckp3 = Files.createTempDirectory("graft_ti_ckp3")
+    drain(ckp3.toString)
+    assert(storeRows() == revised,
+      "full replay with a revision present did not converge on the revision")
   }
 
   test("semantic decontam gate == batch triad flags, exact default and conf-routed") {

@@ -64,6 +64,27 @@ class TiledRasterSpec extends SparkSpec {
       s"ewa scatter reintroduced a join or window:\n$p")
   }
 
+  test("halo reads actually fire: tiled == tall at a halo-active offset") {
+    // At the registered offset 14, y0 = (128t+14) div 100 skips every
+    // residue ≡ 31 (mod 32) on this grid — no corner crosses a tile
+    // edge, so q167's halo fragments ship unread (documented there).
+    // Re-run the SAME kernel at off = 50, where y0 = 31 (t = 24) and
+    // x0 = 31 exist, so all four halo reads (r[ly], b[lx], r[ly+1],
+    // b[lx+1], br[0]) fire — and pin tiled ≡ tall there: a wrong halo
+    // payload, index, or destination tile diverges HERE even though the
+    // registered geometry cannot see it.
+    val off = 50
+    val n = TiledRaster.TileSize
+    val crossings = (0 until 100).map(t => (128 * t + off) / 100)
+      .filter(y0 => y0 % n == n - 1 && y0 + 1 < 128)
+    assert(crossings.nonEmpty,
+      "offset 50 no longer produces tile-edge crossings — pick another")
+    val tiled = rows(TiledRaster.tiledBilinear(spark, sf, off))
+    val tall = rows(TiledRaster.tallResampleBilinear(spark, sf, off))
+    assert(tiled.nonEmpty && tiled == tall,
+      "halo form diverged from the tall form at the halo-active offset")
+  }
+
   test("halo bilinear survives a missing tile: halo-only groups blend mask-aware") {
     // the dense fixture never fires the null-halo branches (every crop
     // tile exists, every fragment arrives). Carve tile (1,1) out of the
