@@ -142,6 +142,12 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(StatsStore.load(spark) == 0)
       assert(StatsStore.statsFor(spark, dir, "t").isEmpty,
         "profile of a deleted source must not hydrate")
+      // ...and the dead row was PRUNED from the persisted store, so
+      // future JVMs stop re-attempting a doomed re-analysis forever
+      val storeRows = spark.read.parquet(
+        spark.conf.get("spark.sql.warehouse.dir") + "/" + StatsStore.TableName)
+        .filter(org.apache.spark.sql.functions.col("table") === "t").count()
+      assert(storeRows == 0, "vanished-source row survived in the stats store")
     } finally StatsStore.clear(spark)
   }
 
