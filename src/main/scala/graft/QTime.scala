@@ -14,9 +14,19 @@ object QTime {
     val names = args.filter(a => !a.forall(_.isDigit) && a != "explain")
     val reps = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(2)
     val doExplain = args.contains("explain")
-    val spark = GraftSession.prime(GraftSession.configure(
-      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate())
-    spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ANALYZE=1: refresh the persisted ANALYZE profile before
+    // priming, so isolated timings plan with StatsBroadcastJoins active —
+    // the environment Bench's children run in (the parent's analyzeOnce
+    // writes graft_table_stats, every child hydrates it). Without this an
+    // isolated number can measure a DIFFERENT plan than the pack's.
+    val raw = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    raw.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_ANALYZE").contains("1"))
+      graft.plans.StatsStore.analyze(raw, sfDir,
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"))
+    val spark = GraftSession.prime(raw)
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
