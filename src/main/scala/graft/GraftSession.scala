@@ -19,6 +19,17 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime SMJ→SHJ conversion (guide §3.1): when every build-side
+      // partition of a sort-merge join measures under this at runtime,
+      // AQE replans it as a shuffled hash join — same shuffle, no sorts.
+      // Runtime-size-driven, so it is scale-adaptive by construction:
+      // corpus-sized joins convert only where partitions actually fit
+      // (the advisory partition size bounds them), and a 100 TB
+      // partition that exceeds the bound keeps the spill-safe SMJ.
+      // Spark's own tuning guidance is to set this to the advisory
+      // partition size; parameterized for cluster operators.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")

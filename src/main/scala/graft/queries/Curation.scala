@@ -872,19 +872,31 @@ object Curation {
     * doc→source attachment is a co-partitioned join (both sides keyed by
     * doc_id), so this query adds no second md5 expansion to a session. */
   def q98SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shPostings(spark, dir)
+    // r14 optimization: the former DISTINCT (source, shingle) SELF-JOIN
+    // re-exchanged the 200k-row distinct table twice and shuffled the
+    // ~800k-row pair stream into the pair aggregation. The per-shingle
+    // source SET is bounded by n_sources BY CONSTRUCTION (the same bound
+    // that makes the C(20,2) pair table safe), so one groupBy(h) with a
+    // set-valued buffer replaces the self-join outright: pairs are then
+    // emitted ROW-LOCALLY from each ≤20-element sorted array and only the
+    // 190-row pair aggregate ever shuffles. Plan: 5 Exchanges → 3, join
+    // count on the corpus side 1 → 0 (oracle unchanged — same inter/jac
+    // by definition: inter(a,b) = #shingles whose set contains both).
+    val perH = Dedup.shPostings(spark, dir)
       .join(Tables.documents(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("source"), col("h"))
-      .distinct()
-      // one materialization serves the size aggregation and both join sides
+      .groupBy(col("h"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      // one materialization serves the size aggregation and the pair pass
       .persist()
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    val sizes = perH.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val pairs = perH
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))), b =>
+          struct(a.as("sa"), b.as("sb")))))).as("p"))
+      .groupBy(col("p.sa").as("src_a"), col("p.sb").as("src_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(broadcast(sizes.select(col("source").as("sa"), col("n_sh").as("na"))),

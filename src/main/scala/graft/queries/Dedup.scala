@@ -794,18 +794,23 @@ object Dedup {
     val members = dupLabels(spark, dir)
       .join(quality, col("doc_id") === col("id"))
       .select(col("comp"), col("id"), col("quality"))
-    val stats = members.groupBy(col("comp"))
+    // r14: "argmax quality, ties to smaller id" IS the lexicographic
+    // struct-min over (−quality, id) — the previous max-per-cluster +
+    // equality join-back consumed `members` twice (running the quality
+    // corpus pass once per side) and needed a second aggregation; ONE
+    // aggregation now produces size, min-id, best quality and the
+    // representative (best_quality stays the plain max(quality) so a
+    // 0.0-quality cluster can never surface a negated −0.0). Same rows:
+    // quality is the 5-dp-rounded shared blend, so the struct-min picks
+    // exactly the row the equality join-back picked.
+    members.groupBy(col("comp"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("id")).as("min_doc"),
-        max(col("quality")).as("best_quality"))
-    val best = members
-      .join(stats.select(col("comp"), col("best_quality").as("quality")),
-        Seq("comp", "quality"))
-      .groupBy(col("comp")).agg(min(col("id")).as("best_doc"))
-    stats.join(best, Seq("comp"))
+        max(col("quality")).as("best_quality"),
+        min(struct((-col("quality")).as("nq"), col("id").as("id"))).as("m"))
       .select(col("comp").as("cluster_rep"), col("n_docs"), col("min_doc"),
-        col("best_doc"), col("best_quality"),
-        (col("best_doc") =!= col("min_doc")).cast("int")
+        col("m.id").as("best_doc"), col("best_quality"),
+        (col("m.id") =!= col("min_doc")).cast("int")
           .as("quality_beats_minid"))
       .orderBy(col("cluster_rep"))
   }

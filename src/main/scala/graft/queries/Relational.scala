@@ -645,10 +645,18 @@ object Relational {
     val nation = Tables.nation(spark, dir)
     val nodes = nation.select(col("n_nationkey").as("node"))
     var r = nodes.withColumn("pr", lit(1.0 / 25))
+    // the rank vector and per-iteration inflow are ≤25 rows BY
+    // CONSTRUCTION (one per nation) at any corpus size, but each is an
+    // aggregate/derived frame, so neither the static file-size heuristic
+    // nor the measured-stats rule can see that bound — without the
+    // explicit hints all six iteration joins planned as SortMergeJoin
+    // over the persisted transition matrix (round-14 before-plan: 10 SMJ
+    // + 12 Sort; after: every iteration join a BroadcastHashJoin, the
+    // only SMJ left is the corpus-sized lineitem⋈orders edge build)
     for (_ <- 1 to 3) {
-      val contrib = p.join(r, col("src") === col("node"))
+      val contrib = p.join(broadcast(r), col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("p") * col("pr")).as("inflow"))
-      r = nodes.join(contrib, col("node") === col("dst"), "left")
+      r = nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
         .select(col("node"),
           round(lit(1e-9) + lit(0.15 / 25) +
             lit(0.85) * coalesce(col("inflow"), lit(0.0)), 7).as("pr"))
@@ -963,13 +971,18 @@ object Relational {
       .drop("p_partkey")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("unit")).as("best_offer"))
-    val minPer = offers.groupBy(col("l_partkey"))
-      .agg(min(col("best_offer")).as("min_price"))
+    // r14: lexicographic struct-min IS "lowest price, ties to smallest
+    // supplier key" — the previous min-per-part + equality join-back
+    // re-ran the whole offers subtree (lineitem semi-join + aggregate)
+    // on both sides of a self-join; one argmin aggregation replaces the
+    // join and the second corpus pass outright (plan: lineitem scans
+    // 2 → 1, one join and one aggregate gone; same rounded doubles, so
+    // the chosen rows are identical)
     val chosen = offers
-      .join(minPer, Seq("l_partkey"))
-      .filter(col("best_offer") === col("min_price"))
-      .groupBy(col("l_partkey"), col("min_price"))
-      .agg(min(col("l_suppkey")).as("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("best_offer"), col("l_suppkey"))).as("m"))
+      .select(col("l_partkey"), col("m.best_offer").as("min_price"),
+        col("m.l_suppkey").as("s_suppkey"))
     chosen
       .join(smallParts, col("l_partkey") === col("p_partkey"))
       .join(broadcast(Tables.supplier(spark, dir)

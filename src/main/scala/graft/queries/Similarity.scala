@@ -643,56 +643,79 @@ object Similarity {
     * the broadcast join is an 8-row sum, and the bounded TopK aggregation
     * keeps the shuffle at O(queries·k·partitions). */
   def q70IvfPqAdc(spark: SparkSession, dir: String): DataFrame = {
-    // per-(vector, subspace, codebook entry) partial squared distance,
-    // computed as 8 slice-dots against the k broadcast codebook ARRAYS:
-    // d²sub = |v_sp|² − 2·v_sp·c_sp + |c_sp|² per subspace, so the join
-    // carries N×k rows (the earlier form joined the N×64 component
-    // explode against k×64 codebook rows — an N×64×k intermediate — and
-    // the explode here fans out a plan-time constant 8, after the join);
-    // the codebook itself comes from the VecSum kernel at vector grain
+    // per-(vector, codebook entry) partial squared distances as an 8-WIDE
+    // ARRAY row: d²sub = |v_sp|² − 2·v_sp·c_sp + |c_sp|² per subspace.
+    // r14 optimization (the round's most expensive query): the previous
+    // form exploded the 8 subspaces into N×k×8 ROWS, persisted them, and
+    // ran THREE aggregations over that table (enc per (vec,sp), the
+    // two-level coarse argmin, the ADC build) plus a 3-way
+    // enc⋈cluster⋈adc join at N×8 grain. Keeping the subspace axis as an
+    // array (a) computes the vec-side norm |v_sp|² ONCE per vector
+    // instead of once per (vector, code) — half the crossJoin flops —
+    // and (b) lets ONE groupBy(vec_id) produce the coarse cluster AND
+    // all 8 PQ codes via 9 struct-min aggregates, after which scoring is
+    // a row-local map lookup against the broadcast query tables: no
+    // N×k×8 cache entry, no second/third pass, no positional join.
+    // Float parity with the oracle is unchanged: every d2sub is the same
+    // slice-dot expression; the 8-term sums fold in subspace order 0..7
+    // (the same order both engines accumulated the exploded rows in) and
+    // round to 6 dp before any argmin/ranking exactly as before.
     val cbA = centroidsOver(vecs(spark, dir), col("label"), "code")
-    val subParts = (0 until 8).map { sp =>
-      val vs = slice(col("v"), sp * 8 + 1, 8)
-      val cs = slice(col("cv"), sp * 8 + 1, 8)
-      struct(lit(sp).as("sp"),
-        (dotCol(vs, vs) - lit(2.0) * dotCol(vs, cs) + dotCol(cs, cs)).as("d2sub"))
-    }
-    val sub = vecs(spark, dir)
+      .withColumn("cn8", array((0 until 8).map { sp =>
+        val cs = slice(col("cv"), sp * 8 + 1, 8)
+        dotCol(cs, cs)
+      }: _*))
+      .persist() // k×64 rows; read by the corpus pass AND the query pass
+    def subOver(vs: DataFrame): DataFrame = vs
+      .withColumn("vn8", array((0 until 8).map { sp =>
+        val s = slice(col("v"), sp * 8 + 1, 8)
+        dotCol(s, s)
+      }: _*))
+      .crossJoin(broadcast(cbA))
+      .select(col("vec_id"), col("code"),
+        array((0 until 8).map { sp =>
+          element_at(col("vn8"), sp + 1) -
+            lit(2.0) * dotCol(slice(col("v"), sp * 8 + 1, 8),
+              slice(col("cv"), sp * 8 + 1, 8)) +
+            element_at(col("cn8"), sp + 1)
+        }: _*).as("d28"))
+    val base = vecs(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("v"))
-      .crossJoin(broadcast(cbA))
-      .select(col("vec_id"), col("code"), explode(array(subParts: _*)).as("s"))
-      .select(col("vec_id"), col("code"), col("s.sp").cast("int").as("sp"),
-        col("s.d2sub").as("d2sub"))
-      .persist() // encoding, coarse assignment and ADC tables all read it
-    // both argmins are lexicographic struct-min aggregations (map-side
-    // partials, no window sort over the N×8×k sub table)
-    val enc = sub.groupBy(col("vec_id"), col("sp"))
-      .agg(min(struct(col("d2sub"), col("code"))).as("m"))
-      .select(col("vec_id"), col("sp"), col("m.code").as("code"))
-    // round BEFORE the argmin (the repo's round-before-argmax idiom): d2
-    // is an unordered float sum over 8 subspace rows, so engines summing
-    // in different orders could flip a near-tie without the rounding
-    val cluster = sub.groupBy(col("vec_id"), col("code"))
-      .agg(round(lit(1e-9) + sum(col("d2sub")), 6).as("d2"))
+    // ONE aggregation pass: coarse cluster (argmin of the rounded 8-term
+    // total — round BEFORE the argmin, the repo's idiom: the total is a
+    // float sum whose near-ties must not flip across engines) plus the
+    // 8 per-subspace PQ codes, all lexicographic struct-mins
+    val d2 = round(lit(1e-9) +
+      (0 until 8).map(sp => element_at(col("d28"), sp + 1))
+        .reduce(_ + _), 6)
+    val perVec = subOver(base)
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("code"))).as("m"))
-      .select(col("vec_id").as("cl_vec"), col("m.code").as("cluster"))
-    val q = cluster.filter(col("cl_vec") % 100 === 0)
-      .select(col("cl_vec").as("qid"), col("cluster").as("qcluster"))
-    // the query's asymmetric distance table: its partials to every entry
-    val adc = sub.join(broadcast(q), col("vec_id") === col("qid"))
-      .select(col("qid"), col("qcluster"), col("sp").as("a_sp"),
-        col("code").as("a_code"), col("d2sub").as("dt"))
-    enc.join(cluster, col("vec_id") === col("cl_vec"))
-      .join(broadcast(adc),
-        col("sp") === col("a_sp") && col("code") === col("a_code") &&
-          col("cluster") === col("qcluster") && col("vec_id") =!= col("qid"))
-      // same idiom for the top-5 cut: ad2 is an unordered 8-row float
-      // sum — rank on the rounded value (ties fall to the smaller
-      // vec_id in both TopK and the oracle's row_number)
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(round(lit(1e-9) + sum(col("dt")), 6).as("ad2"))
+      .agg(min(struct(d2.as("d2"), col("code"))).as("mc"),
+        (0 until 8).map(sp =>
+          min(struct(element_at(col("d28"), sp + 1).as("d"),
+            col("code"))).as(s"m$sp")): _*)
+      .select(col("vec_id"), col("mc.code").as("cluster"),
+        array((0 until 8).map(sp => col(s"m$sp.code")): _*).as("enc"))
+      .persist() // read by the query-side build AND candidate scoring
+    // query-side ADC tables: the query's own partials to EVERY codebook
+    // entry, as a code→d28 map (built from the 1%-filtered vector scan —
+    // N/100 × k rows, never the corpus); qcluster rides in from perVec
+    val qm = subOver(base.filter(col("vec_id") % 100 === 0))
+      .groupBy(col("vec_id").as("qid"))
+      .agg(map_from_entries(collect_list(struct(col("code"), col("d28"))))
+        .as("adcm"))
+    val qside = perVec.join(broadcast(qm), col("vec_id") === col("qid"))
+      .select(col("qid"), col("cluster").as("qcluster"), col("adcm"))
+    // candidate scoring: IVF-restricted broadcast join, then ad2 is a
+    // row-local 8-term lookup-sum over the query's map — same rounded
+    // value the old join+sum produced, same top-5 idiom
+    val ad2 = round(lit(1e-9) +
+      (0 until 8).map(sp => element_at(element_at(col("adcm"),
+        element_at(col("enc"), sp + 1)), sp + 1)).reduce(_ + _), 6)
+    perVec.join(broadcast(qside),
+        col("cluster") === col("qcluster") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), ad2.as("ad2"))
       .groupBy(col("qid"))
       .agg(graft.operators.TopK.topk(5)(negate(col("ad2")), col("vec_id")).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("i", "t")))

@@ -9,8 +9,15 @@ package graft
   * want" is part of the contract, not a one-off audit. */
 class PlanAuditSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // audit each query's OWN plan: an earlier test's persist() registers
+    // a cache entry that plan-matches identical subtrees in LATER
+    // queries (e.g. q72's persisted tf is q94's first aggregation), so
+    // without this the audited string depends on suite order. Bench
+    // clears the cache between queries for the same reason.
+    spark.sharedState.cacheManager.clearCache()
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   private def hashExchanges(p: String): Int =
     p.linesIterator.count(_.contains("Exchange hashpartitioning"))
@@ -245,7 +252,10 @@ class PlanAuditSpec extends SparkSpec {
     // the total is derived FROM the per-user aggregate (not a second
     // events pass), so at runtime AQE reuses the user_id shuffle: the
     // final adaptive plan must carry a ReusedExchange and the events
-    // scan must be column-pruned to user_id alone
+    // scan must be column-pruned to user_id alone. (r14 note: a persist
+    // here was tried and MEASURED SLOWER than the exchange reuse —
+    // building the columnar cache costs more than the shared shuffle.)
+    spark.sharedState.cacheManager.clearCache()
     val df = SparkEntry.queries("q114_concentration")(spark, sf)
     df.collect() // materialize so the ADAPTIVE final plan is inspectable
     val p = df.queryExecution.executedPlan.toString
