@@ -319,8 +319,7 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     try graft.plans.StatsStore.analyze(spark, sfDir,
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings"))
+      graft.plans.StatsStore.ProfiledTables)
     finally spark.stop()
     ()
   } catch { case scala.util.control.NonFatal(e) =>

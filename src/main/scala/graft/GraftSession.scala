@@ -27,7 +27,13 @@ object GraftSession {
       // (the advisory partition size bounds them), and a 100 TB
       // partition that exceeds the bound keeps the spill-safe SMJ.
       // Spark's own tuning guidance is to set this to the advisory
-      // partition size; parameterized for cluster operators.
+      // partition size; parameterized for cluster operators. CONSTRAINT
+      // (ADVICE r14): the value must be >= the session's
+      // spark.sql.adaptive.advisoryPartitionSizeInBytes (64 MB default) —
+      // AQE only converts when every build partition is under BOTH
+      // bounds, so a threshold below the advisory size silently never
+      // fires. Operators overriding SPARK_GRAFT_SHJ_THRESHOLD downward
+      // should lower the advisory size with it.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -25,8 +25,12 @@ object PlanDump {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    var failed = 0
     names.foreach { name =>
       val id = name.takeWhile(_ != '_')
+      // NonFatal only (ADVICE r14): an OOM/linkage error must propagate,
+      // and any per-query failure makes the run exit nonzero — a fully
+      // failed dump must not look successful to a calling script
       try {
         queries.SharedFrames.warmFor(name, spark, sfDir)
         val df = SparkEntry.queries(name)(spark, sfDir)
@@ -35,10 +39,12 @@ object PlanDump {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(outDir, s"$id$suffix.txt"),
           plan.getBytes("UTF-8"))
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        failed += 1
         System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
       }
     }
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -24,8 +24,7 @@ object QTime {
     raw.sparkContext.setLogLevel("WARN")
     if (sys.env.get("SPARK_GRAFT_ANALYZE").contains("1"))
       graft.plans.StatsStore.analyze(raw, sfDir,
-        Seq("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"))
+        graft.plans.StatsStore.ProfiledTables)
     val spark = GraftSession.prime(raw)
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     names.foreach { name =>

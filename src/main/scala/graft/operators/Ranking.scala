@@ -30,8 +30,14 @@ object Ranking {
     * misaligned blocks rank a different total order. A null-valued block
     * forms its own block (the offset join is null-safe) and sorts first,
     * matching a NULLS FIRST ascending order over the block expression. */
+  /** `totalOut`: also attach the GRAND total row count as a column of
+    * that name. It is the whole-partition sum over the same block table
+    * the offsets come from (one extra window spec on an already-single-
+    * partition ≤block-count frame, riding the same broadcast) — callers
+    * that need N alongside the rank (decile cuts, share-of-corpus)
+    * previously paid a THIRD pass over `df` for a plain count. */
   def globalRank(df: DataFrame, block: Column, order: Seq[Column],
-      out: String = "rk"): DataFrame = {
+      out: String = "rk", totalOut: Option[String] = None): DataFrame = {
     val withBlock = df.withColumn("__rk_block", block)
     val totals = withBlock.groupBy(col("__rk_block").as("__rk_b"))
       .agg(count(lit(1)).as("__rk_n"))
@@ -40,9 +46,14 @@ object Ranking {
     // constant partition key declares that boundedness (see GraftSession)
     val offPrefix = Window.partitionBy(lit(0)).orderBy(col("__rk_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = totals
+    val withOff = totals
       .withColumn("__rk_off", sum(col("__rk_n")).over(offPrefix) - col("__rk_n"))
-      .select(col("__rk_b"), col("__rk_off"))
+    val offsets = totalOut match {
+      case Some(t) => withOff
+        .withColumn(t, sum(col("__rk_n")).over(Window.partitionBy(lit(0))))
+        .select(col("__rk_b"), col("__rk_off"), col(t))
+      case None => withOff.select(col("__rk_b"), col("__rk_off"))
+    }
     val inBlock = Window.partitionBy(col("__rk_block")).orderBy(order: _*)
     withBlock
       .join(broadcast(offsets), col("__rk_block") <=> col("__rk_b"))

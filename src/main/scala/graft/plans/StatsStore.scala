@@ -53,6 +53,16 @@ object StatsStore {
 
   val TableName = "graft_table_stats"
 
+  /** The ten fixture tables every ANALYZE entry point profiles. ONE
+    * definition shared by Bench.analyzeOnce, QTime and FinalPlan: the
+    * isolated-measurement tools exist to reproduce the bench children's
+    * stats-hydrated planning, and a drifted copy of this list would make
+    * them silently plan against a different profile — the exact mismatch
+    * SPARK_GRAFT_ANALYZE=1 exists to prevent (ADVICE r14). */
+  val ProfiledTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+
   /** Per-relation stats, keyed by the qualified root path of the scan —
     * the join key between a `LogicalRelation` in a plan and its
     * measured profile. */

@@ -575,12 +575,18 @@ object Curation {
       .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("toks"))
-    val tot = s.agg(sum(col("toks")).as("tot"))
-    val w = s.crossJoin(broadcast(tot))
+    // r15: tot and zsum as whole-partition window sums over the ≤20-row
+    // source table (constant partition key = deliberately-bounded
+    // single-partition window), NOT aggregate + crossJoin: each
+    // aggregate consumed `s` again, and exchange reuse cannot unify the
+    // differently-pruned copies, so the corpus tokenize pass ran 3×
+    // (r14 plan: 3 documents scans; now 1). Same values: sums over the
+    // same bounded table.
+    val wAll = Window.partitionBy(lit(0))
+    s.withColumn("tot", sum(col("toks")).over(wAll))
       .withColumn("share", col("toks").cast("double") / col("tot"))
       .withColumn("pw", pow(col("share"), 0.3))
-    val z = w.agg(sum(col("pw")).as("zsum"))
-    w.crossJoin(broadcast(z))
+      .withColumn("zsum", sum(col("pw")).over(wAll))
       .select(col("source"), col("n_docs"), col("toks"),
         round(lit(1e-9) + col("share"), 5).as("token_share"),
         round(lit(1e-9) + col("pw") / col("zsum"), 5).as("mix_weight"))
@@ -1420,12 +1426,14 @@ object Curation {
   def q116Curriculum(spark: SparkSession, dir: String): DataFrame = {
     val scored = TextAnalysis.q24QualityScore(spark, dir)
       .select(col("doc_id"), col("n_words"), col("quality"))
-    val n = scored.agg(count(lit(1)).as("n_docs"))
+    // r15: n_docs rides the rank's own broadcast offsets (totalOut) —
+    // the separate count aggregate was a third pass over the corpus
+    // (skinny, but a full scan + job at 100 TB) and its crossJoin a
+    // second broadcast. Same value: the block totals sum to the count.
     graft.operators.Ranking.globalRank(
         scored, floor(col("quality") * 1000).cast("int"),
-        Seq(col("quality"), col("doc_id")))
+        Seq(col("quality"), col("doc_id")), totalOut = Some("n_docs"))
       .withColumn("rk", col("rk") - 1)
-      .crossJoin(broadcast(n))
       .groupBy(expr("rk * 10 div n_docs").as("decile"))
       .agg(count(lit(1)).as("n_docs"),
         round(lit(1e-9) + min(col("quality")), 5).as("min_q"),
@@ -1477,17 +1485,24 @@ object Curation {
   def q118EpochAllocation(spark: SparkSession, dir: String): DataFrame = {
     val tiers = q116Curriculum(spark, dir)
       .select(col("decile"), col("token_mass"))
-    val total = tiers.agg(sum(col("token_mass")).as("corpus_toks"))
     // tokens of all STRICTLY higher-quality tiers (reverse prefix sum
     // over the 10-row decile table)
     // runs over the 10-row decile table: constant partition key =
     // deliberately-bounded single-partition window
     val wDesc = Window.partitionBy(lit(0)).orderBy(col("decile").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // corpus total as a SECOND window over the same 10-row partition
+    // (whole-partition frame), NOT a separate aggregate + crossJoin: the
+    // aggregate consumed `tiers` a second time, and exchange reuse does
+    // not unify the two q116 subtrees (their pruned projections differ),
+    // so the ENTIRE curriculum pipeline — two corpus-scale passes —
+    // executed twice (r14 plan: 12 scans / 38 exchanges; r15: half).
+    // Same value bit-for-bit: sum over all 10 rows of the same table.
+    val wAll = Window.partitionBy(lit(0))
     tiers
       .withColumn("cum_incl", sum(col("token_mass")).over(wDesc))
       .withColumn("cum_above", col("cum_incl") - col("token_mass"))
-      .crossJoin(broadcast(total))
+      .withColumn("corpus_toks", sum(col("token_mass")).over(wAll))
       .withColumn("budget", col("corpus_toks") * 2)
       .withColumn("remaining",
         greatest(lit(0L), col("budget") - col("cum_above") * 4))
@@ -1634,12 +1649,17 @@ object Curation {
         col("p"))
       .withColumn("bin", least(lit(9),
         floor(round(col("p") * 1000000, 0).cast("long") / 100000.0)).cast("int"))
-    val tot = binned.agg(count(lit(1)).as("n_total"))
+    // r15: n_total = Σ n_docs over the ≤10-bin table, as a whole-
+    // partition window sum (bounded single-partition by construction) —
+    // the separate count aggregate consumed `binned` a second time and
+    // re-ran the registry scoring pass over the corpus (r14 plan: 2
+    // documents scans; now 1). Exact integer identity.
     binned.groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         round(lit(1e-9) + avg(col("p")), 5).as("mean_p"),
         round(lit(1e-9) + avg(col("y")), 5).as("frac_pos"))
-      .crossJoin(broadcast(tot))
+      .withColumn("n_total",
+        sum(col("n_docs")).over(Window.partitionBy(lit(0))))
       .withColumn("gap", round(lit(1e-9) + col("mean_p") - col("frac_pos"), 5))
       .withColumn("ece_part", round(lit(1e-9) +
         abs(col("gap")) * col("n_docs") / col("n_total"), 6))
@@ -1937,37 +1957,44 @@ object Curation {
     val w = when(u < 0.367879, 0L).when(u < 0.735759, 1L)
       .when(u < 0.919699, 2L).when(u < 0.981012, 3L)
       .when(u < 0.996340, 4L).otherwise(5L)
-    val reps = scored
+    // r15: the per-replicate aggregation ALSO carries the unweighted
+    // sums (sq = Σ q5, nd = doc count — identical on every replicate of
+    // a source, so the b=0 slice is read back via max()), which folds
+    // the separate point-estimate pass into this one: previously
+    // `scored` was consumed twice and the corpus scoring pass (tokenize
+    // + feature extraction) executed twice, then re-joined (r14 plan: 2
+    // documents scans + 1 join; now 1 scan, 0 joins). Exact integer
+    // identities throughout; the replicate means are unchanged.
+    val perRep = scored
       .select(col("doc_id"), col("source"), col("q5"),
         explode(sequence(lit(0), lit(31))).as("b"))
       .select(col("source"), col("b"), col("q5"), w.as("w"))
       .groupBy(col("source"), col("b"))
-      .agg(sum(col("w") * col("q5")).as("wq"), sum(col("w")).as("ww"))
-      // a replicate whose weights are all zero (P(w=0)=e⁻¹ per doc, so
-      // near-certain for 1-doc strata) carries no resample: drop it
-      // identically in both engines instead of dividing by zero (null
-      // in Spark vs NaN in DuckDB — an oracle mismatch)
-      .filter(col("ww") > 0)
-      .select(col("source"),
-        round(lit(1e-9) + col("wq").cast("double") / (col("ww") * 100000.0), 6)
-          .as("m"))
+      .agg(sum(col("w") * col("q5")).as("wq"), sum(col("w")).as("ww"),
+        sum(col("q5")).as("sq"), count(lit(1)).as("nd"))
+    // a replicate whose weights are all zero (P(w=0)=e⁻¹ per doc, so
+    // near-certain for 1-doc strata) carries no resample: drop it
+    // identically in both engines instead of dividing by zero (null
+    // in Spark vs NaN in DuckDB — an oracle mismatch). collect_list
+    // skips the null the `when` leaves for dropped replicates — same
+    // surviving set as the old pre-aggregation filter(ww > 0).
+    val m = when(col("ww") > 0,
+      round(lit(1e-9) + col("wq").cast("double") / (col("ww") * 100000.0), 6))
     val nRep = size(col("ms"))
     val loIdx = greatest(lit(1),
       floor((nRep * 2).cast("double") / 32).cast("int"))
     val hiIdx = least(nRep,
       floor((nRep * 31 + 31).cast("double") / 32).cast("int"))
-    val ci = reps.groupBy(col("source"))
-      .agg(array_sort(collect_list(col("m"))).as("ms"))
+    perRep.groupBy(col("source"))
+      .agg(array_sort(collect_list(m)).as("ms"),
+        max(col("nd")).as("n_docs"),
+        round(lit(1e-9) + max(col("sq")).cast("double") /
+          (max(col("nd")) * 100000.0), 5).as("mean_q"))
       // order-statistic indices scale with the surviving replicate count
       // (all-integer arithmetic; [2nd, 31st] when all 32 survive)
-      .select(col("source"),
+      .select(col("source"), col("n_docs"), col("mean_q"),
         round(lit(1e-9) + element_at(col("ms"), loIdx), 5).as("ci_lo"),
         round(lit(1e-9) + element_at(col("ms"), hiIdx), 5).as("ci_hi"))
-    scored.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        round(lit(1e-9) + sum(col("q5")).cast("double") /
-          (count(lit(1)) * 100000.0), 5).as("mean_q"))
-      .join(ci, Seq("source"))
       .orderBy(col("source"))
   }
 

@@ -807,7 +807,14 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         min(col("id")).as("min_doc"),
         max(col("quality")).as("best_quality"),
-        min(struct((-col("quality")).as("nq"), col("id").as("id"))).as("m"))
+        // null-guard (ADVICE r14): a null quality would negate to null,
+        // and a struct whose FIRST field is null sorts ahead of every
+        // real value — the argmin would elect a null-quality member
+        // where the old max+join-back (and the DuckDB oracle) skip
+        // nulls. Guarding the whole struct keeps min()'s skip-null
+        // semantics: the argmin domain is exactly the non-null rows.
+        min(when(col("quality").isNotNull,
+          struct((-col("quality")).as("nq"), col("id").as("id")))).as("m"))
       .select(col("comp").as("cluster_rep"), col("n_docs"), col("min_doc"),
         col("m.id").as("best_doc"), col("best_quality"),
         (col("m.id") =!= col("min_doc")).cast("int")
@@ -1234,15 +1241,35 @@ object Dedup {
   def q96SortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
     val w = 3
     val toks = tokens(col("text"))
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        array_join(array_sort(array_distinct(toks)), " ").as("key"),
-        array_sort(array_distinct(transform(toks, h32 _))).as("th"))
+    val dt = array_distinct(toks)
     // two-char block prefix: ~729 sort-order-aligned blocks bound the
     // per-partition rank (see operators.Ranking — one char would leave
-    // ~1/27th of the corpus in a single reducer)
+    // ~1/27th of the corpus in a single reducer).
+    //
+    // r15: the prefix is computed from the MIN distinct token, not by
+    // building the whole key and substring-ing it. Same value, proven by
+    // cases: key = array_join(sorted distinct, " ") starts with the min
+    // token m, so its first two chars are m[0..1] when len(m) >= 2, and
+    // "m " (the separator follows) when len(m) = 1 with a second token;
+    // a single-token doc's key IS m (substring gives the 1-char prefix);
+    // an empty token set yields a null block — one block either way,
+    // ordered first under NULLS FIRST exactly like the old "" prefix.
+    // Why it matters: globalRank's block-totals pass prunes to the block
+    // expression alone, so the OLD form paid tokenize + distinct + FULL
+    // SORT + whole-document string JOIN per row in BOTH corpus passes;
+    // the min-token form drops the sort and the string build from the
+    // counting pass (plan: pass A now projects array_min(array_distinct)
+    // only — see plans/r15/q96_after.txt).
+    val blk = when(size(dt) >= 2,
+        substring(concat(array_min(dt), lit(" ")), 1, 2))
+      .otherwise(substring(array_min(dt), 1, 2))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_join(array_sort(dt), " ").as("key"),
+        array_sort(array_distinct(transform(toks, h32 _))).as("th"),
+        blk.as("blk"))
     val ranked = graft.operators.Ranking.globalRank(
-        d, substring(col("key"), 1, 2), Seq(col("key"), col("doc_id")))
+        d, col("blk"), Seq(col("key"), col("doc_id")))
       .select(col("doc_id"), col("th"), col("rk"))
       // consumed by both sides of the neighbor join; rank-sized rows
       .persist()

@@ -111,14 +111,27 @@ object Relational {
       |ORDER BY o_orderstatus""".stripMargin
 
   /** TPC-H Q5-shaped 6-way join. Dimension chain (region→nation→supplier)
-    * broadcasts; customer⋈orders⋈lineitem shuffles on their keys. */
+    * broadcasts; customer⋈orders⋈lineitem shuffles on their keys.
+    *
+    * r15: joins now START from lineitem so the fact table is always the
+    * STREAMING side. The previous customer⋈orders-first order left
+    * lineitem as the only bare scan at its join — the accumulated join's
+    * cardinality estimate is huge, so the planner's sole broadcastable
+    * side was lineitem itself, and the executed plan BUILT A HASH
+    * RELATION OVER THE ENTIRE FACT TABLE (600k rows at sf0.1; at 100 TB
+    * an instant OOM the moment the pruned scan estimate slips under the
+    * threshold). Fact-first, every subsequent side is a bare dimension
+    * scan the size rules price correctly: orders/customer broadcast
+    * while they fit (stats-driven, scale-adaptive) and degrade to
+    * shuffle joins when they do not — lineitem itself never becomes the
+    * build side. Inner-join reorder only; same rows, same aggregates. */
   def q05RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val region = broadcast(Tables.region(spark, dir))
     val nation = broadcast(Tables.nation(spark, dir))
     val supplier = broadcast(Tables.supplier(spark, dir))
-    Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
-      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(supplier, col("l_suppkey") === col("s_suppkey") &&
                       col("c_nationkey") === col("s_nationkey"))
       .join(nation, col("s_nationkey") === col("n_nationkey"))
@@ -711,8 +724,15 @@ object Relational {
   def q84QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
     val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
     val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("x"))
+    // ONE-ROW frame from a full corpus pass, consumed by the binning
+    // scan and (via qext below) the est/needs paths; persisted because
+    // column pruning gives each consumer a differently-projected copy of
+    // the aggregate subtree — exchange reuse never unifies them, so the
+    // extent pass ran once PER CONSUMER (r14 plan: 4 lineitem scans; the
+    // r14 persist trap does not apply to a 1-row cache — no heap
+    // pressure, no columnar build cost)
     val ext = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
-      count(lit(1)).as("n"))
+      count(lit(1)).as("n")).persist()
     // one binning pass shared by the sketch and the exact-selection path
     val binned = li.crossJoin(broadcast(ext))
       .select(col("x"),
@@ -730,7 +750,15 @@ object Relational {
       import spark.implicits._
       qs.toDF("q")
     }
-    val est = qdf.join(cum.crossJoin(broadcast(ext)),
+    // r15: ext (a full min/max/count pass over lineitem) was consumed
+    // THREE times — binned, est's crossJoin and needs' crossJoin — and
+    // exchange reuse does not unify aggregate subtrees, so the corpus
+    // extent pass executed 3× (r14 plan: 4 lineitem scans). Attaching it
+    // ONCE to the 5-row quantile frame (qext) leaves two lineitem
+    // passes: the extent agg and the binning scan — the equi-width
+    // histogram's floor (bounds must exist before binning).
+    val qext = qdf.crossJoin(broadcast(ext))
+    val est = qext.join(cum,
         col("q") * col("n") > col("cum_prev") &&
           col("q") * col("n") <= col("cum"))
       .select(col("q"), round(lit(1e-9) + col("mn") +
@@ -743,7 +771,7 @@ object Relational {
     // locates the bin holding each needed order statistic, the broadcast
     // needs-table prunes the scan to those ~n/256-row bins, and a
     // row_number window ranks only the pruned candidates.
-    val needs = qdf.crossJoin(broadcast(ext))
+    val needs = qext
       .select(col("q"), (col("q") * (col("n") - 1)).as("h"), col("n"))
       .select(col("q"), (col("h") - floor(col("h"))).as("frac"),
         posexplode(array(floor(col("h")).cast("long") + 1,

@@ -771,7 +771,18 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("ndocs"))
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // r15: df computed DIRECTLY as "docs containing the term" via a
+    // per-doc array_distinct explode — exact same counts as folding the
+    // tf table (tf rows are distinct (doc,term) pairs), but the previous
+    // tf.groupBy(term) re-executed the whole tf subtree (exchange reuse
+    // cannot unify it with the join side's differently-shaped copy), so
+    // the corpus paid a second doc_id repartition exchange + explode +
+    // two aggregation levels just to derive df. The direct pass has NO
+    // corpus exchange: map-side partials straight into the vocab-sized
+    // term shuffle.
+    val dft = Tables.documents(spark, dir)
+      .select(explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nd))
       .select(col("term").as("d_term"), col("df"), col("ndocs"))
     val w = Window.partitionBy(col("doc_id"))
@@ -819,7 +830,14 @@ object TextAnalysis {
     val cnt = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val tot = cnt.agg(sum(col("cnt")).as("total"))
+    // r15: Σ_vocab cnt ≡ Σ_doc size(toks) — the total rides a NARROW
+    // second scan (per-doc size arithmetic, map-side sum, no explode and
+    // no vocabulary shuffle). The previous cnt.agg(sum) re-executed the
+    // whole explode + vocab aggregation just to fold it into one row
+    // (q109's nb idiom; exact integer identity either way).
+    val tot = Tables.documents(spark, dir)
+      .select(size(tokens(col("text"))).cast("long").as("nt"))
+      .agg(sum(col("nt")).as("total"))
     // two-phase: only ranks <= 16 are consumed, and their cumulative sums
     // involve only tokens ranked above them — all of which survive a
     // salted per-bucket top-16 — so the global windows below run over
@@ -1383,13 +1401,18 @@ object TextAnalysis {
     val bySrc = tok.groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("cs"))
       .persist() // feeds source totals AND the per-token join below
+    // r15: the corpus total nc = Σ cc = Σ ns rides the ≤20-row source-
+    // totals table as a whole-partition window sum (bounded single-
+    // partition by construction) instead of a THIRD aggregation pass
+    // re-folding the vocab-sized byTok table (exact integer identity;
+    // one broadcast now carries both ns and nc).
     val srcTotals = bySrc.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+      .withColumn("nc", sum(col("ns")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
     val byTok = bySrc.groupBy(col("tok")).agg(sum(col("cs")).as("cc"))
-    val total = byTok.agg(sum(col("cc")).as("nc"))
     bySrc
       .join(byTok, Seq("tok"))
       .join(broadcast(srcTotals), Seq("source"))
-      .crossJoin(broadcast(total))
       .select(col("source"),
         ((col("cs").cast("double") / col("ns")) *
           log((col("cs").cast("double") / col("ns")) /
